@@ -1,0 +1,487 @@
+"""Distance-based weights builders: KNN, DistanceBand, Kernel.
+
+Semantics from the reference (/root/reference/libpysal/weights/distance.py):
+* KNN — k nearest non-self neighbors, binary weights (distance.py:91-164);
+  ties pinned to (distance, neighbor_id) order (the reference leaves ties to
+  scipy order, distance.py:69-71 — we pin them so outputs are identical
+  across cluster sizes).
+* DistanceBand — all pairs with d ≤ threshold; binary or w = d^alpha
+  (distance.py:748-1009, `_band` 960-973).
+* Kernel — bandwidth fixed = max kth-NN distance × eps, adaptive = per-point
+  kth distance × eps (`_set_bw` distance.py:687-700); neighbors = ball query
+  within bw (fixed) or the kNN set (adaptive); z = d/bw; kernel functions
+  per `_eval_kernel` distance.py:702-745 and libpysal/kernels.py:243-310.
+
+Physical plan (Ray-Data-first — the reference builds one global KD-tree in
+process; at 100 TB there is no global tree):
+
+1. **tile shuffle with halo ghosts**: each point goes to its home tile
+   (cell of size ``cs``) plus, as a ghost, to any of the 8 neighbor tiles
+   whose boundary is within ``halo``; the shuffle key is the tile id.
+2. **per-tile vectorized search** inside ``groupby(tile).map_groups``:
+   numpy pairwise distances core×(core+ghost), chunked so a tile never
+   materializes an O(m²) matrix larger than ~32M floats.
+3. **KNN guard + escalation**: a core point's k-th distance is trusted only
+   if it is strictly inside the tile's guaranteed-coverage radius;
+   unresolved points fall back to a broadcast full-scan pass (partial
+   per-block top-k, merged by a groupby) — exact for any geometry.
+
+No step materializes the full dataset on the driver; the only driver-side
+values are tiny scalars (bbox, counts, global bandwidth max).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from libpysal_ray.core import edges as E
+from libpysal_ray.core.graph import RayGraph
+from libpysal_ray.functions.kernels import evaluate_kernel
+
+_TOFF = 1 << 20  # tile-coordinate offset so packed keys stay nonnegative
+_CHUNK = 2048  # core-point chunk per pairwise block
+
+
+def _pack_tile(tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
+    return (tx + _TOFF) * (1 << 21) + (ty + _TOFF)
+
+
+def tile_points(
+    points: ray.data.Dataset,
+    cs: float,
+    halo: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Emit (tile, id, x, y, core) rows: one home row + ghost rows to each
+    neighbor tile within ``halo`` of the point. Stateless flat-map; the
+    subsequent groupby(tile) is the ONE shuffle of the whole builder."""
+
+    def _emit(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        tx = np.floor(x / cs).astype(np.int64)
+        ty = np.floor(y / cs).astype(np.int64)
+        rows_t, rows_i, rows_x, rows_y, rows_c = [], [], [], [], []
+        # home rows
+        rows_t.append(_pack_tile(tx, ty))
+        rows_i.append(ids)
+        rows_x.append(x)
+        rows_y.append(y)
+        rows_c.append(np.ones(len(ids), dtype=np.bool_))
+        # ghost rows: neighbor tile (dx,dy) needs p iff p is within halo of
+        # that tile's rectangle
+        lo_x, hi_x = x - tx * cs, (tx + 1) * cs - x  # distance to own edges
+        lo_y, hi_y = y - ty * cs, (ty + 1) * cs - y
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                m = np.ones(len(ids), dtype=np.bool_)
+                if dx == -1:
+                    m &= lo_x <= halo
+                elif dx == 1:
+                    m &= hi_x <= halo
+                if dy == -1:
+                    m &= lo_y <= halo
+                elif dy == 1:
+                    m &= hi_y <= halo
+                if not m.any():
+                    continue
+                rows_t.append(_pack_tile(tx[m] + dx, ty[m] + dy))
+                rows_i.append(ids[m])
+                rows_x.append(x[m])
+                rows_y.append(y[m])
+                rows_c.append(np.zeros(int(m.sum()), dtype=np.bool_))
+        return pa.table(
+            {
+                "tile": pa.array(np.concatenate(rows_t)),
+                "id": pa.array(np.concatenate(rows_i)),
+                "x": pa.array(np.concatenate(rows_x)),
+                "y": pa.array(np.concatenate(rows_y)),
+                "core": pa.array(np.concatenate(rows_c)),
+            }
+        )
+
+    return points.map_batches(_emit, batch_format="pyarrow")
+
+
+def distance_band(
+    points: ray.data.Dataset,
+    threshold: float,
+    binary: bool = True,
+    alpha: float = -1.0,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> RayGraph:
+    """All pairs within ``threshold`` (inclusive), self excluded.
+
+    weight = 1 (binary) or d^alpha (gravity; reference `_distance_to_W`
+    distance.py:975-1002). Tile size = threshold → halo ring 1 suffices.
+    """
+    ids = points.select_columns([id_col]).rename_columns({id_col: "focal"})
+    tiled = tile_points(points, cs=threshold, halo=threshold,
+                        id_col=id_col, x_col=x_col, y_col=y_col)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ci = np.flatnonzero(core)
+        out_f, out_n, out_w = [], [], []
+        for s in range(0, len(ci), _CHUNK):
+            sel = ci[s : s + _CHUNK]
+            dx = x[sel, None] - x[None, :]
+            dy = y[sel, None] - y[None, :]
+            d = np.sqrt(dx * dx + dy * dy)
+            keep = (d <= threshold) & (i[sel, None] != i[None, :])
+            r, c = np.nonzero(keep)
+            out_f.append(i[sel][r])
+            out_n.append(i[c])
+            if binary:
+                out_w.append(np.ones(len(r)))
+            else:
+                out_w.append(np.power(d[keep], alpha))
+        if not out_f:
+            return E.empty_edges()
+        return E.edge_table(
+            np.concatenate(out_f), np.concatenate(out_n), np.concatenate(out_w)
+        )
+
+    edges = tiled.groupby("tile").map_groups(_pairs, batch_format="pyarrow")
+    return RayGraph(E.resolve_isolates(edges, ids))
+
+
+def _auto_cell_size(points: ray.data.Dataset, k: int,
+                    x_col: str, y_col: str) -> float:
+    """Heuristic tile size: aim for ~4(k+1) points per tile under a uniform
+    assumption. Driver sees only 5 scalars (bbox + count)."""
+    n = points.count()
+    xmin, xmax = points.min(x_col), points.max(x_col)
+    ymin, ymax = points.min(y_col), points.max(y_col)
+    area = max(xmax - xmin, 1e-12) * max(ymax - ymin, 1e-12)
+    target = 4.0 * (k + 1)
+    cs = float(np.sqrt(area * target / max(n, 1)))
+    return max(cs, 1e-9)
+
+
+def knn_edges_with_dist(
+    points: ray.data.Dataset,
+    k: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    cs: float | None = None,
+    include_self: bool = False,
+) -> ray.data.Dataset:
+    """Dataset (focal, neighbor, dist) of the k nearest (non-self unless
+    include_self) neighbors; ties broken by (dist, neighbor_id).
+
+    Tile pass with coverage guard; unresolved points (k-th distance reaching
+    beyond the tile's guaranteed halo) are finished by a broadcast full-scan
+    pass: every block emits its local top-k for each unresolved query, a
+    groupby(focal) merge takes the global top-k. Exact for any geometry.
+    """
+    if cs is None:
+        cs = _auto_cell_size(points, k, x_col, y_col)
+    halo = cs
+    tiled = tile_points(points, cs=cs, halo=halo,
+                        id_col=id_col, x_col=x_col, y_col=y_col)
+    kk = k + (1 if include_self else 0)
+
+    def _local_knn(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ci = np.flatnonzero(core)
+        tile = int(t.column("tile")[0].as_py())
+        tx = tile // (1 << 21) - _TOFF
+        ty = tile % (1 << 21) - _TOFF
+        # guaranteed-coverage radius: distance to expanded-rect boundary
+        gx0, gx1 = tx * cs - halo, (tx + 1) * cs + halo
+        gy0, gy1 = ty * cs - halo, (ty + 1) * cs + halo
+        out_f, out_n, out_d, out_ok = [], [], [], []
+        for s in range(0, len(ci), _CHUNK):
+            sel = ci[s : s + _CHUNK]
+            dx = x[sel, None] - x[None, :]
+            dy = y[sel, None] - y[None, :]
+            d = np.sqrt(dx * dx + dy * dy)
+            if not include_self:
+                d[i[sel, None] == i[None, :]] = np.inf
+            # top-kk by (d, neighbor id): lexsort per row
+            m = d.shape[1]
+            take = min(kk, m if include_self else m - 1)
+            ord_ = np.lexsort((np.broadcast_to(i, d.shape), d), axis=1)[:, :take]
+            rows = np.repeat(np.arange(len(sel)), take)
+            cols = ord_.ravel()
+            dd = d[rows, cols]
+            guard = np.minimum.reduce(
+                [x[sel] - gx0, gx1 - x[sel], y[sel] - gy0, gy1 - y[sel]]
+            )
+            if take > 0:
+                kth = dd.reshape(len(sel), take)[:, -1]
+                resolved = (kth < guard) & (take == kk)
+                out_f.append(np.repeat(i[sel], take))
+                out_n.append(i[cols])
+                out_d.append(dd)
+                out_ok.append(np.repeat(resolved, take))
+            # points with no candidates at all: sentinel rows so the
+            # fallback pass still sees them as unresolved
+            if take < kk:
+                out_f.append(i[sel])
+                out_n.append(np.full(len(sel), -1, dtype=np.int64))
+                out_d.append(np.full(len(sel), np.inf))
+                out_ok.append(np.zeros(len(sel), dtype=np.bool_))
+        if not out_f:  # ghost-only tile: no core points to resolve
+            return pa.table(
+                {
+                    "focal": pa.array([], pa.int64()),
+                    "neighbor": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                    "resolved": pa.array([], pa.bool_()),
+                }
+            )
+        return pa.table(
+            {
+                "focal": pa.array(np.concatenate(out_f).astype(np.int64)),
+                "neighbor": pa.array(np.concatenate(out_n).astype(np.int64)),
+                "dist": pa.array(np.concatenate(out_d)),
+                "resolved": pa.array(np.concatenate(out_ok)),
+            }
+        )
+
+    local = tiled.groupby("tile").map_groups(
+        _local_knn, batch_format="pyarrow"
+    ).materialize()
+    resolved = local.filter(lambda r: r["resolved"]).drop_columns(["resolved"])
+    unresolved_ids = (
+        local.filter(lambda r: not r["resolved"])
+        .select_columns(["focal"])
+        .groupby("focal")
+        .count()
+        .select_columns(["focal"])
+        .take_all()
+    )
+    if not unresolved_ids:
+        return resolved
+
+    # fallback: broadcast the unresolved query points, scan all blocks
+    uq = np.array([r["focal"] for r in unresolved_ids], dtype=np.int64)
+    qpts = points.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                np.isin(t.column(id_col).to_numpy(zero_copy_only=False), uq)
+            )
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    qid = np.array([r[id_col] for r in qpts], dtype=np.int64)
+    qx = np.array([r[x_col] for r in qpts], dtype=np.float64)
+    qy = np.array([r[y_col] for r in qpts], dtype=np.float64)
+    qref = ray.put((qid, qx, qy))
+
+    def _scan(t: pa.Table) -> pa.Table:
+        qi, qxx, qyy = ray.get(qref)
+        i = t.column(id_col).to_numpy(zero_copy_only=False)
+        x = t.column(x_col).to_numpy(zero_copy_only=False)
+        y = t.column(y_col).to_numpy(zero_copy_only=False)
+        out_f, out_n, out_d = [], [], []
+        for s in range(0, len(qi), _CHUNK):
+            dq = np.sqrt(
+                (qxx[s : s + _CHUNK, None] - x[None, :]) ** 2
+                + (qyy[s : s + _CHUNK, None] - y[None, :]) ** 2
+            )
+            if not include_self:
+                dq[qi[s : s + _CHUNK, None] == i[None, :]] = np.inf
+            take = min(kk, dq.shape[1])
+            ord_ = np.lexsort((np.broadcast_to(i, dq.shape), dq), axis=1)[:, :take]
+            rows = np.repeat(np.arange(dq.shape[0]), take)
+            cols = ord_.ravel()
+            out_f.append(np.repeat(qi[s : s + _CHUNK], take))
+            out_n.append(i[cols])
+            out_d.append(dq[rows, cols])
+        return pa.table(
+            {
+                "focal": pa.array(np.concatenate(out_f).astype(np.int64)),
+                "neighbor": pa.array(np.concatenate(out_n).astype(np.int64)),
+                "dist": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    def _merge_topk(t: pa.Table) -> pa.Table:
+        d = t.column("dist").to_numpy(zero_copy_only=False)
+        nb = t.column("neighbor").to_numpy(zero_copy_only=False)
+        ord_ = np.lexsort((nb, d))
+        # drop duplicate neighbors (a point may appear in several scans)
+        seen: set = set()
+        keep = []
+        for j in ord_:
+            if np.isinf(d[j]):
+                continue
+            if nb[j] not in seen:
+                seen.add(nb[j])
+                keep.append(j)
+            if len(keep) == kk:
+                break
+        return t.take(pa.array(np.array(keep, dtype=np.int64)))
+
+    fallback = (
+        points.map_batches(_scan, batch_format="pyarrow")
+        .groupby("focal")
+        .map_groups(_merge_topk, batch_format="pyarrow")
+    )
+    return resolved.union(fallback)
+
+
+def knn(
+    points: ray.data.Dataset,
+    k: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    cs: float | None = None,
+) -> RayGraph:
+    """KNN weights — binary, k non-self nearest (distance.py:91-164)."""
+    ids = points.select_columns([id_col]).rename_columns({id_col: "focal"})
+    e = knn_edges_with_dist(points, k, id_col, x_col, y_col, cs)
+
+    def _mk(t: pa.Table) -> pa.Table:
+        return E.edge_table(
+            t.column("focal").to_numpy(zero_copy_only=False),
+            t.column("neighbor").to_numpy(zero_copy_only=False),
+            1.0,
+        )
+
+    return RayGraph(
+        E.resolve_isolates(e.map_batches(_mk, batch_format="pyarrow"), ids)
+    )
+
+
+def kernel(
+    points: ray.data.Dataset,
+    k: int = 2,
+    bandwidth: float | None = None,
+    fixed: bool = True,
+    function: str = "triangular",
+    diagonal: bool = False,
+    eps: float = 1.0000001,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> RayGraph:
+    """Kernel weights (reference Kernel, distance.py:480-745).
+
+    fixed: bw = max over points of k-th NN distance × eps (a GLOBAL
+    aggregate — two-pass pipeline); neighbors = all within bw (self incl).
+    adaptive: bw_i = per-point k-th NN distance × eps; neighbors = the
+    k+1 NN set (self incl). z = d / bw; kernel per `functions.kernels`.
+    """
+    ids = points.select_columns([id_col]).rename_columns({id_col: "focal"})
+
+    if bandwidth is not None and fixed:
+        bw_global = float(bandwidth)
+        knn_e = None
+    else:
+        knn_e = knn_edges_with_dist(points, k, id_col, x_col, y_col).materialize()
+        kth = knn_e.groupby("focal").max("dist").rename_columns(
+            {"max(dist)": "bw"}
+        )
+        if fixed:
+            bw_global = float(kth.max("bw")) * eps
+        else:
+            bw_global = float(kth.max("bw")) * eps  # halo bound for tiling
+
+    if fixed:
+        # ball query within bw_global, self included at d=0
+        tiled = tile_points(points, cs=bw_global, halo=bw_global,
+                            id_col=id_col, x_col=x_col, y_col=y_col)
+
+        def _pairs(t: pa.Table) -> pa.Table:
+            i = t.column("id").to_numpy(zero_copy_only=False)
+            x = t.column("x").to_numpy(zero_copy_only=False)
+            y = t.column("y").to_numpy(zero_copy_only=False)
+            core = t.column("core").to_numpy(zero_copy_only=False)
+            ci = np.flatnonzero(core)
+            out_f, out_n, out_w = [], [], []
+            for s in range(0, len(ci), _CHUNK):
+                sel = ci[s : s + _CHUNK]
+                dx = x[sel, None] - x[None, :]
+                dy = y[sel, None] - y[None, :]
+                d = np.sqrt(dx * dx + dy * dy)
+                keep = d <= bw_global
+                r, c = np.nonzero(keep)
+                z = d[keep] / bw_global
+                w = evaluate_kernel(z, function)
+                out_f.append(i[sel][r])
+                out_n.append(i[c])
+                out_w.append(w)
+            if not out_f:
+                return E.empty_edges()
+            return E.edge_table(
+                np.concatenate(out_f), np.concatenate(out_n),
+                np.concatenate(out_w),
+            )
+
+        edges = tiled.groupby("tile").map_groups(_pairs, batch_format="pyarrow")
+    else:
+        # adaptive: neighbors = knn set ∪ self; z = d / bw_focal
+        import pyarrow.compute as pc  # noqa: F401
+
+        assert knn_e is not None
+        bw_tbl = knn_e.groupby("focal").max("dist")
+
+        def _self_rows(t: pa.Table) -> pa.Table:
+            f = t.column("focal").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "focal": pa.array(f),
+                    "neighbor": pa.array(f),
+                    "dist": pa.array(np.zeros(len(f))),
+                }
+            )
+
+        selfrows = bw_tbl.map_batches(_self_rows, batch_format="pyarrow")
+        alledges = knn_e.union(selfrows)
+        from libpysal_ray.core import joins as J
+
+        bw_pd = bw_tbl.to_pandas()
+        withbw = J.broadcast_lookup(
+            alledges,
+            bw_pd["focal"].to_numpy(np.int64),
+            bw_pd["max(dist)"].to_numpy(np.float64) * eps,
+            key_col="focal",
+            out_col="bw",
+        )
+
+        def _eval(t: pa.Table) -> pa.Table:
+            d = t.column("dist").to_numpy(zero_copy_only=False)
+            bw = t.column("bw").to_numpy(zero_copy_only=False)
+            z = d / bw
+            w = evaluate_kernel(z, function)
+            return E.edge_table(
+                t.column("focal").to_numpy(zero_copy_only=False),
+                t.column("neighbor").to_numpy(zero_copy_only=False),
+                w,
+            )
+
+        edges = withbw.map_batches(_eval, batch_format="pyarrow")
+
+    if diagonal:
+        def _diag(t: pa.Table) -> pa.Table:
+            f = t.column("focal").to_numpy(zero_copy_only=False)
+            n = t.column("neighbor").to_numpy(zero_copy_only=False)
+            w = t.column("weight").to_numpy(zero_copy_only=False).copy()
+            w[f == n] = 1.0
+            return E.edge_table(f, n, w)
+
+        edges = edges.map_batches(_diag, batch_format="pyarrow")
+
+    return RayGraph(E.resolve_isolates(edges, ids))

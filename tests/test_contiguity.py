@@ -1,0 +1,187 @@
+"""Contiguity / raster / cell-graph / PIP tests.
+
+Oracle strategy mirrors the reference's own cross-operator equivalence
+tests (weights/tests/test_distance.py:181-227 asserts DistanceBand ==
+Rook on a lattice; weights/util.py:1609-1616 asserts lat2W == lat2SW):
+queen/rook on a unit-square grid coverage must equal the closed-form
+lattice graph.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.builders.cellgraph import cell_graph
+from libpysal_ray.builders.contiguity import block, queen, rook
+from libpysal_ray.builders.lattice import lat2graph
+from libpysal_ray.builders.raster import raster_contiguity
+from libpysal_ray.sources.polygons import (
+    grid_coverage,
+    holes_and_islands,
+    perturbed_grid,
+)
+from libpysal_ray.spatial.cells import cell_encode
+from libpysal_ray.spatial.pip import pip_join, points_in_ring
+
+
+def _same_graph(g1, g2):
+    n1, _ = g1.neighbors_dict()
+    n2, _ = g2.neighbors_dict()
+    assert set(n1) == set(n2)
+    for k in n1:
+        assert sorted(n1[k]) == sorted(n2[k]), f"focal {k}"
+
+
+def test_rook_grid_equals_lattice():
+    _same_graph(rook(grid_coverage(4, 5)), lat2graph(4, 5, rook=True))
+
+
+def test_queen_grid_equals_lattice():
+    _same_graph(queen(grid_coverage(4, 5)), lat2graph(4, 5, rook=False))
+
+
+def test_perturbed_grid_topology_preserved():
+    # shared vertices jointly displaced → same adjacency, exercises
+    # bit-exact float vertex hashing
+    _same_graph(queen(perturbed_grid(3, 4, seed=7)), lat2graph(3, 4, rook=False))
+    _same_graph(rook(perturbed_grid(3, 4, seed=7)), lat2graph(3, 4, rook=True))
+
+
+def test_holes_and_islands():
+    # 3x3 grid with center removed + 2 detached islands
+    polys = holes_and_islands(3, 3, holes=(4,), n_islands=2)
+    g = queen(polys)
+    nbrs, _ = g.neighbors_dict()
+    assert set(nbrs) == {0, 1, 2, 3, 5, 6, 7, 8, 9, 10}
+    assert sorted(nbrs[0]) == [1, 3]  # 4 gone
+    iso = sorted(r["focal"] for r in g.isolates().take_all())
+    assert iso == [9, 10]
+    ncomp, _ = g.n_components()
+    assert ncomp == 3
+
+
+def test_block_weights():
+    # FIXTURES F6: regimes ['n','n','s','s','e','e','w','w','e']
+    regimes = ["n", "n", "s", "s", "e", "e", "w", "w", "e"]
+    codes = {"n": 0, "s": 1, "e": 2, "w": 3}
+    tbl = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(9, dtype=np.int64)),
+                "regime": pa.array([codes[r] for r in regimes], pa.int64()),
+            }
+        )
+    )
+    g = block(tbl, "id", "regime")
+    nbrs, _ = g.neighbors_dict()
+    golden = {0: [1], 1: [0], 2: [3], 3: [2], 4: [5, 8], 5: [4, 8],
+              6: [7], 7: [6], 8: [4, 5]}
+    for k, v in golden.items():
+        assert sorted(nbrs[k]) == v
+
+
+def test_raster_rook_full_equals_lattice():
+    # single band, no nodata → raster rook == lattice rook
+    rows, cols = 4, 5
+    r, c = np.divmod(np.arange(rows * cols), cols)
+    cells = ray.data.from_arrow(
+        pa.table(
+            {
+                "band": pa.array(np.zeros(rows * cols, np.int64)),
+                "row": pa.array(r),
+                "col": pa.array(c),
+                "value": pa.array(np.ones(rows * cols)),
+            }
+        )
+    )
+    g = raster_contiguity(cells, rows, cols, "rook")
+    _same_graph(g, lat2graph(rows, cols, rook=True))
+
+
+def test_raster_queen_nodata():
+    rows, cols = 3, 3
+    r, c = np.divmod(np.arange(9), 3)
+    vals = np.ones(9)
+    vals[4] = -32768.0  # center nodata
+    cells = ray.data.from_arrow(
+        pa.table({"band": pa.array(np.zeros(9, np.int64)),
+                  "row": pa.array(r), "col": pa.array(c),
+                  "value": pa.array(vals)})
+    )
+    g = raster_contiguity(cells, rows, cols, "queen", nodata=-32768.0)
+    nbrs, _ = g.neighbors_dict()
+    assert 4 not in nbrs
+    assert sorted(nbrs[0]) == [1, 3]  # diagonal 4 is nodata
+    assert sorted(nbrs[1]) == [0, 2, 3, 5]
+
+
+def test_raster_multiband_independent():
+    # two bands: contiguity stays within band
+    r, c = np.divmod(np.arange(4), 2)
+    cells = ray.data.from_arrow(
+        pa.table({
+            "band": pa.array(np.concatenate([np.zeros(4, np.int64),
+                                             np.ones(4, np.int64)])),
+            "row": pa.array(np.concatenate([r, r])),
+            "col": pa.array(np.concatenate([c, c])),
+            "value": pa.array(np.ones(8)),
+        })
+    )
+    g = raster_contiguity(cells, 2, 2, "rook")
+    nbrs, _ = g.neighbors_dict()
+    assert sorted(nbrs[0]) == [1, 2]
+    assert sorted(nbrs[4]) == [5, 6]  # band 1 ids offset by 4
+    assert all(n >= 4 for n in nbrs[4])
+
+
+def test_cell_graph_rings():
+    res = 4  # 16x16 grid
+    n = 1 << res
+    # occupied: a 3x3 block of cells + one far cell
+    cxy = [(5, 5), (6, 5), (7, 5), (5, 6), (6, 6), (7, 6), (5, 7), (6, 7),
+           (7, 7), (12, 12)]
+    ids = np.array([cy * n + cx for cx, cy in cxy], dtype=np.int64)
+    cells = ray.data.from_arrow(pa.table({"cell": pa.array(ids)}))
+    g = cell_graph(cells, res, order=1, weight="binary")
+    nbrs, _ = g.neighbors_dict()
+    center = 6 * n + 6
+    assert len(nbrs[center]) == 8
+    far = 12 * n + 12
+    assert nbrs[far] == []  # isolate
+    g2 = cell_graph(cells, res, order=2, weight="inverse")
+    nbrs2, wts2 = g2.neighbors_dict()
+    corner = 5 * n + 5
+    w = dict(zip(nbrs2[corner], wts2[corner]))
+    assert w[center] == 1.0  # ring 1
+    assert w[7 * n + 7] == 0.5  # ring 2
+
+
+def test_points_in_ring_unit_square():
+    rx = np.array([0.0, 1.0, 1.0, 0.0, 0.0])
+    ry = np.array([0.0, 0.0, 1.0, 1.0, 0.0])
+    px = np.array([0.5, 1.5, 0.99, -0.2])
+    py = np.array([0.5, 0.5, 0.01, 0.3])
+    assert points_in_ring(px, py, rx, ry).tolist() == [True, False, True, False]
+
+
+def test_pip_join_grid():
+    # 200 deterministic points over a 4x5 grid coverage; expected polygon
+    # is closed-form floor(y)*C + floor(x)
+    rng = np.random.default_rng(3)
+    px = rng.uniform(0.001, 4.999, 200)
+    py = rng.uniform(0.001, 3.999, 200)
+    pts = ray.data.from_arrow(
+        pa.table({"id": pa.array(np.arange(200, dtype=np.int64)),
+                  "x": pa.array(px), "y": pa.array(py)})
+    )
+    polys = grid_coverage(4, 5).take_all()
+    ptbl = pa.Table.from_pylist(polys)
+    out = pip_join(pts, ptbl, res=8, concurrency=2).take_all()
+    assert len(out) == 200
+    got = {r["id"]: r["polygon_id"] for r in out}
+    for i in range(200):
+        assert got[i] == int(np.floor(py[i])) * 5 + int(np.floor(px[i]))
+    # cell col is the quadcell of the point
+    cells = {r["id"]: r["cell"] for r in out}
+    assert cells[0] == cell_encode(px[:1], py[:1], 8)[0]
