@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (list<float>).
+
+* ``ann_topk`` — exact brute-force cosine top-k against a broadcast query
+  matrix: the query block is ``ray.put`` once (normalized), every data
+  block computes one numpy matmul and emits its LOCAL top-k per query;
+  one groupby(query) merges to the global top-k. Scales linearly in the
+  corpus with no shuffle of the embedding column itself.
+* ``ann_lsh_topk`` — the scale path: random-hyperplane (SimHash) bucket
+  signatures; only buckets matching a query's signature band are scanned.
+  Approximate (recall < 1), same output schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _collect_queries(
+    embeddings: ray.data.Dataset, query_ids, id_col: str, vec_col: str
+):
+    qset = set(int(q) for q in query_ids)
+    rows = embeddings.filter(lambda r: r[id_col] in qset).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    qid = np.array([r[id_col] for r in rows], dtype=np.int64)
+    qm = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return qid, qm
+
+
+def ann_topk(
+    embeddings: ray.data.Dataset,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank, sim) — exact cosine top-k, self
+    excluded; ties broken by neighbor id ascending."""
+    qid, qm = _collect_queries(embeddings, query_ids, id_col, vec_col)
+    qn = _norm_rows(qm)
+    ref = ray.put((qid, qn))
+
+    def _local(t: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(m) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sims = qmat @ _norm_rows(m).T  # (q, m)
+        sims[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
+        take = min(k, sims.shape[1])
+        ord_ = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :take]
+        rows = np.repeat(np.arange(len(qids)), take)
+        cols = ord_.ravel()
+        keep = ~np.isinf(sims[rows, cols])
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(qids, take)[keep]),
+                "neighbor_id": pa.array(ids[cols][keep]),
+                "sim": pa.array(sims[rows, cols][keep]),
+            }
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        s = t.column("sim").to_numpy(zero_copy_only=False)
+        nb = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        ord_ = np.lexsort((nb, -s))[:k]
+        out = t.take(pa.array(ord_))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(ord_) + 1, dtype=np.int64))
+        )
+
+    return (
+        embeddings.map_batches(_local, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
+def ann_lsh_topk(
+    embeddings: ray.data.Dataset,
+    query_ids,
+    k: int = 5,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 5,
+    dim: int | None = None,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k: scan only blocks rows whose random-
+    hyperplane signature matches a query signature in ≥1 of 4 bands."""
+    qid, qm = _collect_queries(embeddings, query_ids, id_col, vec_col)
+    qn = _norm_rows(qm)
+    d = qm.shape[1] if dim is None else dim
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((d, n_planes))
+    qsig = (qn @ planes > 0).astype(np.uint64)
+    pw = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+    band_bits = n_planes // 4
+    qbands = np.stack(
+        [
+            (qsig[:, b * band_bits: (b + 1) * band_bits]
+             * pw[: band_bits]).sum(axis=1)
+            for b in range(4)
+        ],
+        axis=1,
+    )  # (q, 4)
+    ref = ray.put((qid, qn, planes, qbands))
+
+    def _local(t: pa.Table) -> pa.Table:
+        qids, qmat, pl, qb = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(m) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        mn = _norm_rows(m)
+        sig = (mn @ pl > 0).astype(np.uint64)
+        mb = np.stack(
+            [
+                (sig[:, b * band_bits: (b + 1) * band_bits]
+                 * pw[: band_bits]).sum(axis=1)
+                for b in range(4)
+            ],
+            axis=1,
+        )
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            cand = (mb == qb[qi][None, :]).any(axis=1)
+            cand &= ids != qids[qi]
+            if not cand.any():
+                continue
+            ci = np.flatnonzero(cand)
+            sims = mn[ci] @ qmat[qi]
+            take = min(k, len(ci))
+            ord_ = np.lexsort((ids[ci], -sims))[:take]
+            out_q.append(np.full(take, qids[qi]))
+            out_n.append(ids[ci][ord_])
+            out_s.append(sims[ord_])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        s = t.column("sim").to_numpy(zero_copy_only=False)
+        nb = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        ord_ = np.lexsort((nb, -s))[:k]
+        out = t.take(pa.array(ord_))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(ord_) + 1, dtype=np.int64))
+        )
+
+    return (
+        embeddings.map_batches(_local, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge, batch_format="pyarrow")
+    )

@@ -1,0 +1,116 @@
+"""Flagship pipeline, lineage resume, text ops, ANN."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.ann.knn import ann_topk
+from libpysal_ray.pipelines.flagship import flagship
+from libpysal_ray.sources.pages import pages_from_documents, synth_pages
+from libpysal_ray.state import lineage
+from libpysal_ray.text.dedup import exact_dedup, minhash_lsh_pairs, simhash64
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_flagship_smoke_and_invariant():
+    out = flagship(SF).to_pandas()
+    assert len(out) > 0
+    assert out["digest_ok"].all()
+    assert set(out.columns) == {"url", "cell", "polygon_id", "neighbor_set",
+                                "digest_ok"}
+    # every row has a polygon (the lonlat coverage tiles the whole plane)
+    assert (out["polygon_id"] >= 0).all()
+
+
+def test_flagship_checkpoint_resume(tmp_path):
+    out_dir = str(tmp_path / "flag")
+    r1 = flagship(SF, out_dir=out_dir).to_pandas()
+    m1 = lineage.load_manifest(out_dir)
+    assert len(m1) > 0
+    assert sum(r["rows"] for r in m1) == len(r1)
+    # resume: all partitions done → second run emits nothing new
+    r2 = flagship(SF, out_dir=out_dir).to_pandas()
+    assert len(r2) == 0
+    m2 = lineage.load_manifest(out_dir)
+    assert len(m2) == len(m1)
+
+
+def test_synth_pages_deterministic():
+    a = synth_pages(100).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = synth_pages(100).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["url"] == b["url"]).all()
+    assert (a["text"] == b["text"]).all()
+    assert a["html"].iloc[0].startswith(b"<html>")
+
+
+def test_exact_dedup_finds_planted_dupes():
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["aa bb", "cc dd", "aa bb", "ee", "aa bb"]),
+        }
+    )
+    out = exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out["doc_id"], out["n_dupes"]))
+    assert got == {0: 3, 1: 1, 3: 1}
+
+
+def test_minhash_finds_near_dupes():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spatial weights " * 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([base, near, far]),
+        }
+    )
+    out = minhash_lsh_pairs(
+        ray.data.from_arrow(tbl), jaccard_threshold=0.3
+    ).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_near_dupes_close_hamming():
+    words = [f"tok{i}" for i in range(100)]
+    base = " ".join(words)
+    near = base + " extra"
+    far = " ".join(f"other{i}" for i in range(100))
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array([base, near, far])}
+    )
+    out = simhash64(ray.data.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    h = out["simhash"].to_numpy().astype(np.uint64)
+
+    def hamming(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert hamming(h[0], h[1]) < hamming(h[0], h[2])
+    assert hamming(h[0], h[1]) <= 16  # near-dup: few bit flips
+
+
+def test_ann_topk_exact():
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8))
+    vecs[7] = vecs[3] * 2.0  # same direction as 3 → cosine 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    out = ann_topk(ray.data.from_arrow(tbl), query_ids=[3], k=3).to_pandas()
+    out = out.sort_values("rank")
+    assert out.iloc[0]["neighbor_id"] == 7
+    assert abs(out.iloc[0]["sim"] - 1.0) < 1e-12
+    assert len(out) == 3
