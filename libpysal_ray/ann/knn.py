@@ -27,8 +27,14 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 def _collect_queries(
     embeddings: ray.data.Dataset, query_ids, id_col: str, vec_col: str
 ):
-    qset = set(int(q) for q in query_ids)
-    rows = embeddings.filter(lambda r: r[id_col] in qset).take_all()
+    import numpy as _np
+    qarr = _np.asarray(sorted(set(int(q) for q in query_ids)), dtype=_np.int64)
+
+    def _sel(t):
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_np.isin(ids, qarr)))
+
+    rows = embeddings.map_batches(_sel, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: r[id_col])
     qid = np.array([r[id_col] for r in rows], dtype=np.int64)
     qm = np.array([r[vec_col] for r in rows], dtype=np.float64)

@@ -52,30 +52,12 @@ def cell_graph(
     cands = cells.map_batches(_cands, batch_format="pyarrow")
     occupied = ids.rename_columns({"focal": "neighbor"})
 
-    # cogroup semi-join on neighbor: keep candidates whose target is occupied
-    def _tag(side):
-        def f(t: pa.Table) -> pa.Table:
-            if "focal" not in t.schema.names:
-                t = t.append_column("focal", pa.nulls(t.num_rows, pa.int64()))
-            if "ring" not in t.schema.names:
-                t = t.append_column("ring", pa.nulls(t.num_rows, pa.int64()))
-            return t.select(["focal", "neighbor", "ring"]).append_column(
-                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
-            )
-        return f
+    # bucketed vectorized semi-join on neighbor: keep candidates whose
+    # target cell is occupied (no broadcast — the cell set can be
+    # arbitrarily large; one shuffle on the bucketed cell key)
+    from libpysal_ray.core.joins import bucket_join
 
-    a = cands.map_batches(_tag(0), batch_format="pyarrow")
-    b = occupied.map_batches(_tag(1), batch_format="pyarrow")
-
-    def _keep(t: pa.Table) -> pa.Table:
-        side = t.column("side").to_numpy(zero_copy_only=False)
-        if not (side == 1).any():
-            return t.slice(0, 0).drop_columns(["side"])
-        return t.filter(pa.array(side == 0)).drop_columns(["side"])
-
-    kept = (
-        a.union(b).groupby("neighbor").map_groups(_keep, batch_format="pyarrow")
-    )
+    kept = bucket_join(cands, occupied, on="neighbor", how="semi")
 
     def _weights(t: pa.Table) -> pa.Table:
         f = t.column("focal").to_numpy(zero_copy_only=False)

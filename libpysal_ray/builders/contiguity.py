@@ -119,14 +119,61 @@ def _bucket_pairs(t: pa.Table) -> pa.Table:
     return E.edge_table(f[keep], n[keep], 1.0)
 
 
+def _pairs_sorted_block(key_cols: list[str]):
+    """Vectorized multi-group pair emission over a key-SORTED block.
+
+    Ray's sort range-partitions with consistent boundary handling, so rows
+    with equal keys never straddle blocks — the same guarantee map_groups
+    relies on. Instead of one Python call per vertex bucket (the map_groups
+    cost model), this processes every bucket in the block at once: groups
+    are found by run-length over the sorted keys, then pair cross-products
+    are emitted per group-SIZE class with one broadcasted numpy op each
+    (bucket sizes are tiny — ≤4 for lattice vertices — so there are only a
+    handful of size classes per block).
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return E.empty_edges()
+        keys = [
+            t.column(c).to_numpy(zero_copy_only=False) for c in key_cols
+        ]
+        poly = t.column("poly").to_numpy(zero_copy_only=False)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in keys:
+            change[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        out_f, out_n = [], []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            s = starts[sizes == m]
+            mat = poly[s[:, None] + np.arange(m)[None, :]]  # (G, m)
+            ff = np.repeat(mat, m, axis=1).ravel()
+            nn = np.tile(mat, (1, m)).ravel()
+            keep = ff != nn
+            out_f.append(ff[keep])
+            out_n.append(nn[keep])
+        if not out_f:
+            return E.empty_edges()
+        return E.edge_table(
+            np.concatenate(out_f), np.concatenate(out_n), 1.0
+        )
+
+    return f
+
+
 def queen(polygons: ray.data.Dataset) -> RayGraph:
     """Queen contiguity — shared-vertex hash shuffle."""
     ids = polygons.select_columns(["polygon_id"]).rename_columns(
         {"polygon_id": "focal"}
     )
     verts = polygons.map_batches(_explode_vertices, batch_format="pyarrow")
-    pairs = verts.groupby(["kx", "ky"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+    pairs = verts.sort(["kx", "ky"]).map_batches(
+        _pairs_sorted_block(["kx", "ky"]), batch_format="pyarrow"
     )
     edges = E.dedup(
         pairs.map_batches(E.batch_dedup, batch_format="pyarrow")
@@ -140,8 +187,8 @@ def rook(polygons: ray.data.Dataset) -> RayGraph:
         {"polygon_id": "focal"}
     )
     segs = polygons.map_batches(_explode_edges, batch_format="pyarrow")
-    pairs = segs.groupby(["k1x", "k1y", "k2x", "k2y"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
+    pairs = segs.sort(["k1x", "k1y", "k2x", "k2y"]).map_batches(
+        _pairs_sorted_block(["k1x", "k1y", "k2x", "k2y"]), batch_format="pyarrow"
     )
     edges = E.dedup(
         pairs.map_batches(E.batch_dedup, batch_format="pyarrow")

@@ -261,9 +261,17 @@ def knn_edges_with_dist(
     local = tiled.groupby("tile").map_groups(
         _local_knn, batch_format="pyarrow"
     ).materialize()
-    resolved = local.filter(lambda r: r["resolved"]).drop_columns(["resolved"])
+    resolved = local.map_batches(
+        lambda t: t.filter(t.column("resolved")).drop_columns(["resolved"]),
+        batch_format="pyarrow",
+    )
+    import pyarrow.compute as pc
+
     unresolved_ids = (
-        local.filter(lambda r: not r["resolved"])
+        local.map_batches(
+            lambda t: t.filter(pc.invert(t.column("resolved"))),
+            batch_format="pyarrow",
+        )
         .select_columns(["focal"])
         .groupby("focal")
         .count()

@@ -78,7 +78,8 @@ def raster_contiguity(
     edges = (
         claims.groupby(["a", "b"])
         .count()
-        .filter(lambda r: r["count()"] == 2)
+        .rename_columns({"count()": "cnt"})
+        .filter(expr="cnt == 2")
         .map_batches(_emit_both, batch_format="pyarrow")
     )
 

@@ -57,6 +57,28 @@ def from_arrays(focal, neighbor, weight=1.0) -> ray.data.Dataset:
     return ray.data.from_arrow(edge_table(focal, neighbor, weight))
 
 
+_COMPACT_BLOCK_BYTES = 64 << 20  # ~64 MiB target blocks after compaction
+
+
+def compact(ds: ray.data.Dataset, min_blocks: int = 1) -> ray.data.Dataset:
+    """Materialize + re-block a Dataset to ~64 MiB blocks.
+
+    Ray's sort/aggregate/union operators produce one output block per input
+    block, so a chain of graph ops multiplies tiny blocks (16 → 48 → 240 →
+    864 for a 4k-row table) until per-block overhead dominates every later
+    shuffle. Builders call this at their output boundary: the blocks land in
+    the (spillable) object store once, sized so downstream shuffles see a
+    sane partition count at ANY data scale — big tables keep many 64 MiB
+    blocks, small tables collapse to a few.
+    """
+    ds = ds.materialize()
+    nb = ds.num_blocks()
+    target = max(min_blocks, int(np.ceil(ds.size_bytes() / _COMPACT_BLOCK_BYTES)))
+    if nb > max(target, 8):
+        ds = ds.repartition(target).materialize()
+    return ds
+
+
 def dedup(edges: ray.data.Dataset, keep: str = "min") -> ray.data.Dataset:
     """One row per directed (focal, neighbor); a distributed sort-shuffle.
 
@@ -115,7 +137,52 @@ def resolve_isolates(
         )
     else:
         ids_ds = ids
-    markers = ids_ds.map_batches(
+    # Physical plan (fully vectorized — no per-group Python):
+    # 1. normalize: drop any pre-existing marker rows per batch;
+    # 2. materialize the real edges (they feed both the output union and
+    #    the isolate detection — Ray does not share DAG branches, and the
+    #    upstream here is typically a whole builder pipeline);
+    # 3. isolates = ids with no real focal row, found by ONE native
+    #    sum-aggregate over a tagged union of (ids, real focals) — robust
+    #    to duplicate ids on either side;
+    # 4. output = real ∪ one (i, i, 0.0) marker per isolate.
+    real = compact(
+        edges.map_batches(drop_isolate_markers, batch_format="pyarrow")
+    )
+
+    def _tag_focal(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            one = np.ones(n, np.int64) if side else np.zeros(n, np.int64)
+            other = np.zeros(n, np.int64) if side else np.ones(n, np.int64)
+            # per-batch unique focal — combiner that shrinks the shuffle
+            fo = t.column("focal").to_numpy(zero_copy_only=False)
+            uf = np.unique(fo)
+            k = len(uf)
+            return pa.table(
+                {
+                    "focal": pa.array(uf),
+                    "ci": pa.array(one[:k]),
+                    "cr": pa.array(other[:k]),
+                }
+            )
+
+        return f
+
+    tagged = ids_ds.select_columns(["focal"]).map_batches(
+        _tag_focal(1), batch_format="pyarrow"
+    ).union(
+        real.select_columns(["focal"]).map_batches(
+            _tag_focal(0), batch_format="pyarrow"
+        )
+    )
+    iso = (
+        tagged.groupby("focal")
+        .sum(["ci", "cr"])
+        .rename_columns({"sum(ci)": "ci", "sum(cr)": "cr"})
+        .filter(expr="cr == 0")
+    )
+    markers = iso.map_batches(
         lambda t: pa.Table.from_arrays(
             [
                 t.column("focal"),
@@ -125,25 +192,11 @@ def resolve_isolates(
             schema=EDGE_SCHEMA,
         ),
         batch_format="pyarrow",
-    )
-
-    def _drop_redundant_markers(t: pa.Table) -> pa.Table:
-        # group = all rows of one focal; marker rows are (i, i, 0.0)
-        f = t.column("focal").to_numpy(zero_copy_only=False)
-        n = t.column("neighbor").to_numpy(zero_copy_only=False)
-        w = t.column("weight").to_numpy(zero_copy_only=False)
-        is_marker = (f == n) & (w == 0.0)
-        n_real = int((~is_marker).sum())
-        if n_real == 0:
-            # isolate: keep exactly one marker
-            return t.slice(0, 1)
-        return t.filter(pa.array(~is_marker))
-
-    return (
-        edges.union(markers)
-        .groupby("focal")
-        .map_groups(_drop_redundant_markers, batch_format="pyarrow")
-    )
+    ).materialize()
+    # both sides are materialized, so the union is pure block refs: every
+    # downstream consumer (set ops read a graph's edges twice — real rows +
+    # id universe) reuses the cached blocks with zero recompute.
+    return real.union(markers)
 
 
 def drop_isolate_markers(t: pa.Table) -> pa.Table:

@@ -42,16 +42,34 @@ from libpysal_ray.core import joins as J
 ALLOWED_TRANSFORMATIONS = ("O", "B", "R", "D", "V")
 
 
+def _batch_unique_focal(t: pa.Table) -> pa.Table:
+    """Per-batch distinct — the combiner that shrinks the unique shuffle."""
+    f = np.unique(t.column("focal").to_numpy(zero_copy_only=False))
+    return pa.table({"focal": pa.array(f)})
+
+
 def ids_dataset(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct focal ids as a Dataset (distributed unique via groupby)."""
-    return edges.select_columns(["focal"]).groupby("focal").count().select_columns(["focal"])
+    """Distinct focal ids as a Dataset (per-batch combiner + one groupby)."""
+    return (
+        edges.select_columns(["focal"])
+        .map_batches(_batch_unique_focal, batch_format="pyarrow")
+        .groupby("focal")
+        .count()
+        .select_columns(["focal"])
+    )
 
 
 def all_ids_dataset(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Distinct ids over focal ∪ neighbor."""
     f = edges.select_columns(["focal"])
     n = edges.select_columns(["neighbor"]).rename_columns({"neighbor": "focal"})
-    return f.union(n).groupby("focal").count().select_columns(["focal"])
+    return (
+        f.union(n)
+        .map_batches(_batch_unique_focal, batch_format="pyarrow")
+        .groupby("focal")
+        .count()
+        .select_columns(["focal"])
+    )
 
 
 class RayGraph:
@@ -125,8 +143,17 @@ class RayGraph:
 
     def nonzero(self) -> int:
         return self._edges.filter(
-            lambda r: r["weight"] != 0.0 or r["focal"] != r["neighbor"]
+            expr="weight != 0.0 or focal != neighbor"
         ).count()
+
+    def cache(self) -> "RayGraph":
+        """Materialize the edge table into the object store (spillable).
+
+        Use before feeding the same graph to several downstream pipelines —
+        Ray does not share common DAG branches, so an uncached graph would
+        recompute its builder once per consumer."""
+        self._edges = self._edges.materialize()
+        return self
 
     # ----------------------------------------------------------- transforms
     def transform(self, code: str | Callable) -> "RayGraph":
@@ -147,16 +174,31 @@ class RayGraph:
             return RayGraph(ds.map_batches(_b, batch_format="pyarrow"), "B")
 
         if code == "R":
+            # Two-pass, fully vectorized: native groupby(focal).sum →
+            # per-focal row sums (n rows, the small side by construction) →
+            # broadcast via ray.put → per-edge divide. No per-group Python,
+            # no join shuffle of the edge table. (For row-sum tables too big
+            # for a broadcast, swap the lookup for J.hash_join on focal.)
+            sums = ds.groupby("focal").sum("weight").to_pandas()
+            out = J.broadcast_lookup(
+                ds,
+                sums["focal"].to_numpy(np.int64),
+                sums["sum(weight)"].to_numpy(np.float64),
+                key_col="focal",
+                out_col="__rs",
+                default=0.0,
+            )
+
             def _r(t: pa.Table) -> pa.Table:
                 w = t.column("weight").to_numpy(zero_copy_only=False)
-                s = w.sum()
-                out = w / s if s != 0.0 else w  # isolate rows stay 0
-                return t.set_column(
-                    t.schema.get_field_index("weight"), "weight", pa.array(out)
+                s = t.column("__rs").to_numpy(zero_copy_only=False)
+                res = np.divide(w, s, out=np.zeros_like(w), where=s != 0.0)
+                return pa.Table.from_arrays(
+                    [t.column("focal"), t.column("neighbor"), pa.array(res)],
+                    schema=E.EDGE_SCHEMA,
                 )
-            return RayGraph(
-                ds.groupby("focal").map_groups(_r, batch_format="pyarrow"), "R"
-            )
+
+            return RayGraph(out.map_batches(_r, batch_format="pyarrow"), "R")
 
         if code == "D":
             s0 = float(ds.sum("weight") or 0.0)
@@ -168,15 +210,39 @@ class RayGraph:
             return RayGraph(ds.map_batches(_d, batch_format="pyarrow"), "D")
 
         if code == "V":
-            # pass 1: s_ij = w_ij / sqrt(sum_j w_ij^2) per row
+            # pass 1: s_ij = w_ij / sqrt(sum_j w_ij^2) per row — native
+            # groupby sum of w² + broadcast divide (same plan as 'R')
+            sq = ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "focal": t.column("focal"),
+                        "__w2": pa.array(
+                            t.column("weight").to_numpy(zero_copy_only=False)
+                            ** 2
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).groupby("focal").sum("__w2").to_pandas()
+            withq = J.broadcast_lookup(
+                ds,
+                sq["focal"].to_numpy(np.int64),
+                np.sqrt(sq["sum(__w2)"].to_numpy(np.float64)),
+                key_col="focal",
+                out_col="__q",
+                default=0.0,
+            )
+
             def _v1(t: pa.Table) -> pa.Table:
                 w = t.column("weight").to_numpy(zero_copy_only=False)
-                q = math.sqrt(float((w * w).sum()))
-                out = w / q if q != 0.0 else w
-                return t.set_column(
-                    t.schema.get_field_index("weight"), "weight", pa.array(out)
+                q = t.column("__q").to_numpy(zero_copy_only=False)
+                res = np.divide(w, q, out=np.zeros_like(w), where=q != 0.0)
+                return pa.Table.from_arrays(
+                    [t.column("focal"), t.column("neighbor"), pa.array(res)],
+                    schema=E.EDGE_SCHEMA,
                 )
-            s = ds.groupby("focal").map_groups(_v1, batch_format="pyarrow")
+
+            s = withq.map_batches(_v1, batch_format="pyarrow")
             # pass 2: global rescale n / Q (weights.py:1160-1173)
             s = s.materialize()  # avoid recomputing pass 1 for Q and output
             big_q = float(s.sum("weight") or 0.0)
@@ -235,9 +301,7 @@ class RayGraph:
                     }
                 )
             )
-            withy = J.hash_join(
-                self._edges, attrs, on=("neighbor",), num_partitions=num_partitions
-            )
+            withy = J.bucket_join(self._edges, attrs, on="neighbor")
 
         def _wy(t: pa.Table) -> pa.Table:
             w = t.column("weight").to_numpy(zero_copy_only=False)
@@ -320,12 +384,12 @@ class RayGraph:
         graph/base.py:2274-2355). Binary matrix powers re-expressed as k−1
         distributed hash self-joins with per-batch dedup before each shuffle.
         """
-        ids = ids_dataset(self._edges)
+        ids = ids_dataset(self._edges).materialize()
         adj = E.dedup(
             self._real_edges().map_batches(
                 lambda t: _binarize(t), batch_format="pyarrow"
             )
-        )
+        ).materialize()  # reused every iteration — cache the blocks once
         if lower_order:
             shortest_path = True  # union of exact orders 1..k
 
@@ -338,7 +402,7 @@ class RayGraph:
             ),
             batch_format="pyarrow",
         )
-        seen = adj.union(diag)
+        seen = adj.union(diag).materialize()
         orders = [adj]
         cur = adj
         for _step in range(2, k + 1):
@@ -348,22 +412,25 @@ class RayGraph:
             right = adj.select_columns(["focal", "neighbor"]).rename_columns(
                 {"focal": "mid"}
             )
-            joined = J.hash_join(
-                left, right, on=("mid",), num_partitions=num_partitions
-            ).select_columns(["focal", "neighbor"])
-            cand = joined.map_batches(
-                lambda t: E.batch_dedup(
-                    t.append_column("weight", pa.array(np.ones(t.num_rows)))
-                ),
-                batch_format="pyarrow",
+            joined = J.bucket_join(left, right, on="mid").select_columns(
+                ["focal", "neighbor"]
             )
-            cand = E.dedup(cand)
+            cand = E.dedup(
+                joined.map_batches(
+                    lambda t: E.batch_dedup(
+                        t.append_column(
+                            "weight", pa.array(np.ones(t.num_rows))
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+            ).materialize()  # feeds both the anti-join and the seen-union
             if shortest_path:
-                nxt = J.anti_join_keys(cand, seen, ["focal", "neighbor"])
-                seen = seen.union(cand)
+                nxt = J.pair_anti(cand, seen).materialize()
+                seen = seen.union(cand).materialize()
             else:
                 # path-of-length-k semantics: only remove the diagonal
-                nxt = J.anti_join_keys(cand, diag, ["focal", "neighbor"])
+                nxt = J.pair_anti(cand, diag).materialize()
             orders.append(nxt)
             cur = nxt
 
@@ -375,7 +442,7 @@ class RayGraph:
         else:
             out = orders[-1]
         if not diagonal:
-            out = out.filter(lambda r: r["focal"] != r["neighbor"])
+            out = out.filter(expr="focal != neighbor")
         return RayGraph(E.resolve_isolates(out, ids))
 
     def symmetrize(self, method: str = "union", reduction: str = "max") -> "RayGraph":
@@ -385,17 +452,35 @@ class RayGraph:
         resolves conflicting weights (max/min/sum/mean).
         """
         ids = ids_dataset(self._edges)
-        real = self._real_edges()
-        both = real.union(E.reverse(real))
+        real = self._real_edges().materialize()
         if method == "union":
-            out = E.dedup(both, keep=reduction)
+            out = E.dedup(real.union(E.reverse(real)), keep=reduction)
         elif method == "intersection":
-            cnt = both.groupby(["focal", "neighbor"]).count()
-            keep = cnt.filter(lambda r: r["count()"] >= 2).select_columns(
-                ["focal", "neighbor"]
+            # one cogroup aggregate: keep pairs present in BOTH directions,
+            # weight = reduction over (w_ij, w_ji)
+            cg = J.cogroup_pairs(real, E.reverse(real)).filter(
+                expr="ca > 0 and cb > 0"
             )
-            ded = E.dedup(both, keep=reduction)
-            out = _semi_join_pairs(ded, keep)
+
+            def _reduce(t: pa.Table) -> pa.Table:
+                wl = t.column("wl").to_numpy(zero_copy_only=False)
+                wr = t.column("wr").to_numpy(zero_copy_only=False)
+                if reduction == "max":
+                    w = np.maximum(wl, wr)
+                elif reduction == "min":
+                    w = np.minimum(wl, wr)
+                elif reduction == "sum":
+                    w = wl + wr
+                elif reduction == "mean":
+                    w = (wl + wr) / 2.0
+                else:
+                    raise ValueError(reduction)
+                return pa.Table.from_arrays(
+                    [t.column("focal"), t.column("neighbor"), pa.array(w)],
+                    schema=E.EDGE_SCHEMA,
+                )
+
+            out = cg.map_batches(_reduce, batch_format="pyarrow")
         else:
             raise ValueError(method)
         return RayGraph(E.resolve_isolates(out, ids))
@@ -404,80 +489,49 @@ class RayGraph:
         """Directed pairs where w_ij != w_ji (weights.py:1186-1252).
 
         Cogroup of W with Wᵀ on (focal, neighbor); emit keys present on one
-        side only or with differing weights."""
-        real = self._real_edges()
-        a = E.tag(real, 0)
-        b = E.tag(E.reverse(real), 1)
-
-        def _check(t: pa.Table) -> pa.Table:
-            side = t.column("side").to_numpy(zero_copy_only=False)
-            w = t.column("weight").to_numpy(zero_copy_only=False)
-            w0 = w[side == 0]
-            w1 = w[side == 1]
-            sym = len(w0) == 1 and len(w1) == 1 and w0[0] == w1[0]
-            if sym:
-                return t.slice(0, 0).select(["focal", "neighbor"])
-            return t.slice(0, 1).select(["focal", "neighbor"])
-
-        return (
-            a.union(b)
-            .groupby(["focal", "neighbor"])
-            .map_groups(_check, batch_format="pyarrow")
-        )
+        side only or with differing weights. One native aggregate."""
+        real = self._real_edges().materialize()
+        cg = J.cogroup_pairs(real, E.reverse(real))
+        return cg.filter(
+            expr="ca == 0 or cb == 0 or wl != wr"
+        ).select_columns(["focal", "neighbor"])
 
     # ------------------------------------------------------------- set ops
     def _setop(self, other: "RayGraph", mode: str) -> "RayGraph":
         """union/intersection/difference/symmetric_difference — binary
-        results (set_operations.py:29-334 / graph/_set_ops.py). One cogroup
-        shuffle on (focal, neighbor)."""
-        ids_self = ids_dataset(self._edges)
-        ids_other = ids_dataset(other._edges)
-        a = E.tag(self._real_edges(), 0)
-        b = E.tag(other._real_edges(), 1)
-
-        keep_masks = {
-            "union": (1, 2, 3),
-            "intersection": (3,),
-            "difference": (1,),
-            "symmetric_difference": (1, 2),
+        results (set_operations.py:29-334 / graph/_set_ops.py). ONE cogroup
+        sum-aggregate shuffle on (focal, neighbor) + an expression filter —
+        no per-group Python, no join-actor startup."""
+        exprs = {
+            "union": "ca > 0 or cb > 0",
+            "intersection": "ca > 0 and cb > 0",
+            "difference": "ca > 0 and cb == 0",
+            "symmetric_difference": "(ca > 0 and cb == 0) or (ca == 0 and cb > 0)",
         }
-        keep = keep_masks[mode]
+        cg = J.cogroup_pairs(self._real_edges(), other._real_edges())
 
-        def _op(t: pa.Table) -> pa.Table:
-            side = t.column("side").to_numpy(zero_copy_only=False)
-            mask = (1 if (side == 0).any() else 0) | (2 if (side == 1).any() else 0)
-            if mask in keep:
-                return pa.Table.from_arrays(
-                    [t.column("focal").slice(0, 1), t.column("neighbor").slice(0, 1),
-                     pa.array([1.0])],
-                    schema=E.EDGE_SCHEMA,
-                )
+        def _binary_edges(t: pa.Table) -> pa.Table:
             return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64()),
-                 pa.array([], pa.float64())],
+                [
+                    t.column("focal"),
+                    t.column("neighbor"),
+                    pa.array(np.ones(t.num_rows)),
+                ],
                 schema=E.EDGE_SCHEMA,
             )
 
-        out = (
-            a.union(b)
-            .groupby(["focal", "neighbor"])
-            .map_groups(_op, batch_format="pyarrow")
+        out = cg.filter(expr=exprs[mode]).map_batches(
+            _binary_edges, batch_format="pyarrow"
         )
         # id universe per reference defaults: union/sym-diff → union of ids;
-        # intersection/difference → ids of self (set_operations.py defaults)
+        # intersection/difference → ids of self (set_operations.py defaults).
+        # resolve_isolates dedups ids internally, so raw focal columns do.
         if mode in ("union", "symmetric_difference"):
-            ids = E.dedup(
-                ids_self.union(ids_other).map_batches(
-                    lambda t: pa.Table.from_arrays(
-                        [t.column("focal"), t.column("focal"),
-                         pa.array(np.ones(t.num_rows))],
-                        schema=E.EDGE_SCHEMA,
-                    ),
-                    batch_format="pyarrow",
-                )
-            ).select_columns(["focal"])
+            ids = self._edges.select_columns(["focal"]).union(
+                other._edges.select_columns(["focal"])
+            )
         else:
-            ids = ids_self
+            ids = self._edges.select_columns(["focal"])
         return RayGraph(E.resolve_isolates(out, ids))
 
     def union_g(self, other: "RayGraph") -> "RayGraph":
@@ -495,8 +549,10 @@ class RayGraph:
     def w_clip(self, mask: "RayGraph") -> "RayGraph":
         """Keep self's weights only where mask has a (nonzero) link
         (set_operations.py:389-513)."""
-        keep = mask._real_edges().filter(lambda r: r["weight"] != 0.0)
-        out = _semi_join_pairs(self._real_edges(), keep.select_columns(["focal", "neighbor"]))
+        keep = mask._real_edges().filter(expr="weight != 0.0")
+        out = J.pair_semi(
+            self._real_edges(), keep.select_columns(["focal", "neighbor"])
+        )
         return RayGraph(E.resolve_isolates(out, ids_dataset(self._edges)))
 
     def subgraph(self, keep_ids: np.ndarray) -> "RayGraph":
@@ -509,7 +565,7 @@ class RayGraph:
     def fill_diagonal(self, value: float = 1.0) -> "RayGraph":
         """Set self-loop weights (util.py:830-892 / base.py:2795-2872)."""
         ids = ids_dataset(self._edges)
-        no_diag = self._edges.filter(lambda r: r["focal"] != r["neighbor"])
+        no_diag = self._edges.filter(expr="focal != neighbor")
         diag = ids.map_batches(
             lambda t: pa.Table.from_arrays(
                 [t.column("focal"), t.column("focal"),
@@ -523,29 +579,39 @@ class RayGraph:
     def eliminate_zeros(self) -> "RayGraph":
         """Drop zero-weight edges that are not isolate markers
         (base.py:2772-2793)."""
-        ids = ids_dataset(self._edges)
-        nz = self._edges.filter(lambda r: r["weight"] != 0.0)
-        return RayGraph(E.resolve_isolates(nz, ids))
+        nz = self._edges.filter(expr="weight != 0.0")
+        return RayGraph(
+            E.resolve_isolates(nz, self._edges.select_columns(["focal"]))
+        )
 
     # --------------------------------------------------------- descriptive
     def cardinalities(self) -> ray.data.Dataset:
         """Dataset (focal, cardinality) — marker rows count as 0
-        (weights.py:747-756)."""
+        (weights.py:747-756). One native sum-aggregate."""
 
-        def _card(t: pa.Table) -> pa.Table:
+        def _flag(t: pa.Table) -> pa.Table:
             f = t.column("focal").to_numpy(zero_copy_only=False)
             n = t.column("neighbor").to_numpy(zero_copy_only=False)
             w = t.column("weight").to_numpy(zero_copy_only=False)
             real = ~((f == n) & (w == 0.0))
             return pa.table(
-                {"focal": pa.array(f[:1]),
-                 "cardinality": pa.array([int(real.sum())], pa.int64())}
+                {"focal": pa.array(f),
+                 "__real": pa.array(real.astype(np.int64))}
             )
 
-        return self._edges.groupby("focal").map_groups(_card, batch_format="pyarrow")
+        return (
+            self._edges.map_batches(_flag, batch_format="pyarrow")
+            .groupby("focal")
+            .sum("__real")
+            .rename_columns({"sum(__real)": "cardinality"})
+        )
 
     def isolates(self) -> ray.data.Dataset:
-        return self.cardinalities().filter(lambda r: r["cardinality"] == 0).select_columns(["focal"])
+        return (
+            self.cardinalities()
+            .filter(expr="cardinality == 0")
+            .select_columns(["focal"])
+        )
 
     def summary(self) -> dict:
         """n, s0, s1, s2, trcW2/WtW/WtW_WW, pct_nonzero, mean/max card.
@@ -554,32 +620,39 @@ class RayGraph:
         (semantics: weights.py:610-828, graph/_summary.py)."""
         real = self._real_edges().materialize()
         n = self.n()
-        s0 = float(real.sum("weight") or 0.0)
-        nnz = real.count()
+        # ONE pass for s0, nnz and trcWtW: sum over (w, 1, w²) columns
+        base = real.map_batches(
+            lambda t: pa.table(
+                {
+                    "w": t.column("weight"),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                    "w2": pa.array(
+                        t.column("weight").to_numpy(zero_copy_only=False) ** 2
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum(["w", "one", "w2"])
+        s0 = float(base["sum(w)"] or 0.0)
+        nnz = int(base["sum(one)"] or 0)
+        trcWtW = float(base["sum(w2)"] or 0.0)
 
-        # s1 = 1/2 Σ_ij (w_ij + w_ji)^2 ; trcW2 = Σ_ij w_ij w_ji  — one cogroup
-        a = E.tag(real, 0)
-        b = E.tag(E.reverse(real), 1)
-
-        def _pair(t: pa.Table) -> pa.Table:
-            side = t.column("side").to_numpy(zero_copy_only=False)
-            w = t.column("weight").to_numpy(zero_copy_only=False)
-            wf = float(w[side == 0].sum())
-            wr = float(w[side == 1].sum())
-            sq = (wf + wr) ** 2
-            f = t.column("focal")[0].as_py()
-            nb = t.column("neighbor")[0].as_py()
-            tr = wf * wr if f != nb else wf * wr  # diagonal included
-            return pa.table({"sq": pa.array([sq]), "tr": pa.array([tr])})
+        # s1 = 1/2 Σ_ij (w_ij + w_ji)^2 ; trcW2 = Σ_ij w_ij w_ji — one
+        # vectorized cogroup aggregate (wl = w_ij, wr = w_ji per pair)
+        def _sq_tr(t: pa.Table) -> pa.Table:
+            wl = t.column("wl").to_numpy(zero_copy_only=False)
+            wr = t.column("wr").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"sq": pa.array((wl + wr) ** 2), "tr": pa.array(wl * wr)}
+            )
 
         pair = (
-            a.union(b)
-            .groupby(["focal", "neighbor"])
-            .map_groups(_pair, batch_format="pyarrow")
-            .materialize()
+            J.cogroup_pairs(real, E.reverse(real))
+            .map_batches(_sq_tr, batch_format="pyarrow")
+            .sum(["sq", "tr"])
         )
-        s1 = float(pair.sum("sq") or 0.0) / 2.0
-        trcW2 = float(pair.sum("tr") or 0.0)
+        s1 = float(pair["sum(sq)"] or 0.0) / 2.0
+        trcW2 = float(pair["sum(tr)"] or 0.0)
 
         # s2 = Σ_i (rowsum_i + colsum_i)^2 — two groupbys unioned
         rows = real.groupby("focal").sum("weight").rename_columns(
@@ -601,13 +674,6 @@ class RayGraph:
             rc.map_batches(_sq, batch_format="pyarrow").sum("sq") or 0.0
         )
 
-        # trcWtW = Σ w^2
-        def _w2(t: pa.Table) -> pa.Table:
-            w = t.column("weight").to_numpy(zero_copy_only=False)
-            return pa.table({"w2": pa.array(w * w)})
-
-        trcWtW = float(real.map_batches(_w2, batch_format="pyarrow").sum("w2") or 0.0)
-
         return {
             "n": n,
             "s0": s0,
@@ -627,8 +693,11 @@ class RayGraph:
         stats: tuple[str, ...] = ("count", "sum", "mean", "min", "max", "std", "median", "nunique", "mode"),
     ) -> ray.data.Dataset:
         """Per-focal stats over neighbor attribute values
-        (base.py:2874-2989). Join attr on neighbor → groupby(focal) →
-        vectorized numpy reducers per group."""
+        (base.py:2874-2989). Join attr on neighbor (broadcast) →
+        groupby(focal) with NATIVE vectorized aggregates for
+        count/sum/mean/min/max/std; median/nunique/mode (not expressible as
+        distributive aggregates) fall back to per-group reducers and are
+        joined back on focal."""
         withy = J.broadcast_lookup(
             self._real_edges(),
             np.asarray(attr_ids, np.int64),
@@ -636,34 +705,87 @@ class RayGraph:
             key_col="neighbor",
             out_col="__y",
             default=np.nan,
-        )
+        ).map_batches(
+            # NaN→null so Arrow-native aggregates skip missing attrs, plus a
+            # non-null indicator for the count stat
+            lambda t: pa.table(
+                {
+                    "focal": t.column("focal"),
+                    "__y": pa.array(
+                        t.column("__y").to_numpy(zero_copy_only=False),
+                        from_pandas=True,
+                    ),
+                    "__nn": pa.array(
+                        (~np.isnan(
+                            t.column("__y").to_numpy(zero_copy_only=False)
+                        )).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
 
-        def _stats(t: pa.Table) -> pa.Table:
-            f = t.column("focal")[0].as_py()
-            y = t.column("__y").to_numpy(zero_copy_only=False)
-            y = y[~np.isnan(y)]
-            out: dict = {"focal": pa.array([f], pa.int64())}
-            for s in stats:
+        native = [s for s in stats if s in
+                  ("count", "sum", "mean", "min", "max", "std")]
+        exotic = [s for s in stats if s in ("median", "nunique", "mode")]
+
+        parts: list[ray.data.Dataset] = []
+        if native:
+            from ray.data.aggregate import Max, Mean, Min, Std, Sum
+
+            aggs = []
+            renames = {}
+            for s in native:
                 if s == "count":
-                    v = float(len(y))
-                elif s == "nunique":
-                    v = float(len(np.unique(y)))
-                elif s == "mode":
-                    if len(y) == 0:
+                    aggs.append(Sum("__nn"))
+                    renames["sum(__nn)"] = "count"
+                elif s == "sum":
+                    aggs.append(Sum("__y"))
+                    renames["sum(__y)"] = "sum"
+                elif s == "mean":
+                    aggs.append(Mean("__y"))
+                    renames["mean(__y)"] = "mean"
+                elif s == "min":
+                    aggs.append(Min("__y"))
+                    renames["min(__y)"] = "min"
+                elif s == "max":
+                    aggs.append(Max("__y"))
+                    renames["max(__y)"] = "max"
+                elif s == "std":
+                    aggs.append(Std("__y", ddof=1))
+                    renames["std(__y)"] = "std"
+            parts.append(
+                withy.groupby("focal").aggregate(*aggs).rename_columns(renames)
+            )
+        if exotic:
+            def _stats(t: pa.Table) -> pa.Table:
+                f = t.column("focal")[0].as_py()
+                y = t.column("__y").to_numpy(zero_copy_only=False)
+                y = y[~np.isnan(y)]
+                out: dict = {"focal": pa.array([f], pa.int64())}
+                for s in exotic:
+                    if s == "nunique":
+                        v = float(len(np.unique(y)))
+                    elif len(y) == 0:
                         v = float("nan")
-                    else:
+                    elif s == "mode":
                         vals, cnt = np.unique(y, return_counts=True)
                         v = float(vals[np.argmax(cnt)])
-                elif len(y) == 0:
-                    v = float("nan")
-                elif s == "std":
-                    v = float(np.std(y, ddof=1)) if len(y) > 1 else float("nan")
-                else:
-                    v = float(getattr(np, s)(y))
-                out[s] = pa.array([v], pa.float64())
-            return pa.table(out)
+                    else:
+                        v = float(np.median(y))
+                    out[s] = pa.array([v], pa.float64())
+                return pa.table(out)
 
-        return withy.groupby("focal").map_groups(_stats, batch_format="pyarrow")
+            parts.append(
+                withy.groupby("focal").map_groups(
+                    _stats, batch_format="pyarrow"
+                )
+            )
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = J.bucket_join(out, p, on="focal")
+        return out
 
     def n_components(self, max_driver_edges: int = 5_000_000) -> tuple[int, ray.data.Dataset]:
         """(n_components, labels Dataset (focal, component)).
@@ -722,31 +844,3 @@ def _binarize(t: pa.Table) -> pa.Table:
     )
 
 
-def _semi_join_pairs(
-    edges: ray.data.Dataset, keys: ray.data.Dataset
-) -> ray.data.Dataset:
-    """Keep edges whose (focal, neighbor) appears in keys — cogroup semi-join."""
-
-    def _tagk(side):
-        def f(t: pa.Table) -> pa.Table:
-            if "weight" not in t.schema.names:
-                t = t.append_column("weight", pa.nulls(t.num_rows, pa.float64()))
-            return t.select(["focal", "neighbor", "weight"]).append_column(
-                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
-            )
-        return f
-
-    a = edges.map_batches(_tagk(0), batch_format="pyarrow")
-    b = keys.map_batches(_tagk(1), batch_format="pyarrow")
-
-    def _keep(t: pa.Table) -> pa.Table:
-        side = t.column("side").to_numpy(zero_copy_only=False)
-        if (side == 1).any() and (side == 0).any():
-            return t.filter(pa.array(side == 0)).drop_columns(["side"])
-        return t.slice(0, 0).drop_columns(["side"])
-
-    return (
-        a.union(b)
-        .groupby(["focal", "neighbor"])
-        .map_groups(_keep, batch_format="pyarrow")
-    )

@@ -92,10 +92,10 @@ def salt_factors(
     to 1 and are not listed). The dict is small (only hot cells) and is
     broadcast via ray.put by assign_salt.
     """
-    counts = ds.groupby(cell_col).count()
-    hot = counts.filter(lambda r: r["count()"] > target_rows_per_part).take_all()
+    counts = ds.groupby(cell_col).count().rename_columns({"count()": "cnt"})
+    hot = counts.filter(expr=f"cnt > {target_rows_per_part}").take_all()
     return {
-        int(r[cell_col]): int(np.ceil(r["count()"] / target_rows_per_part))
+        int(r[cell_col]): int(np.ceil(r["cnt"] / target_rows_per_part))
         for r in hot
     }
 
