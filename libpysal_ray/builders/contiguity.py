@@ -219,3 +219,175 @@ def block(
 
     edges = table.groupby(regime_col).map_groups(_cross, batch_format="pyarrow")
     return RayGraph(E.resolve_isolates(edges, ids))
+
+
+# ---------------------------------------------------------------- fuzzy
+def _seg_arrays(xs: list, ys: list):
+    x = np.asarray(xs, np.float64)
+    y = np.asarray(ys, np.float64)
+    if x[0] != x[-1] or y[0] != y[-1]:
+        x = np.append(x, x[0])
+        y = np.append(y, y[0])
+    return x, y
+
+
+def _rings_intersect(ax, ay, bx, by, tol: float) -> bool:
+    """True iff polygon boundaries are within ``tol`` of each other, any
+    segments cross, or one polygon contains the other (vertex test).
+    Equivalent to buffered-`intersects` (Minkowski property): A⊕tol meets B
+    iff dist(A, B) ≤ tol or A already intersects B.
+    """
+    from libpysal_ray.spatial.pip import points_in_ring
+
+    # containment (works when no boundary crossing): any vertex inside
+    if points_in_ring(ax[:1], ay[:1], bx, by)[0]:
+        return True
+    if points_in_ring(bx[:1], by[:1], ax, ay)[0]:
+        return True
+    # pairwise segment min-distance ≤ tol (covers crossing: distance 0)
+    a1x, a1y, a2x, a2y = ax[:-1], ay[:-1], ax[1:], ay[1:]
+    b1x, b1y, b2x, b2y = bx[:-1], by[:-1], bx[1:], by[1:]
+    # point-to-segment distances both directions, vectorized (E1 × E2)
+    def pt_seg(px, py, sx1, sy1, sx2, sy2):
+        # px,py: (m,1); seg arrays: (1,n)
+        dx, dy = sx2 - sx1, sy2 - sy1
+        ll = dx * dx + dy * dy
+        tt = ((px - sx1) * dx + (py - sy1) * dy) / np.where(ll == 0, 1, ll)
+        tt = np.clip(tt, 0.0, 1.0)
+        cx = sx1 + tt * dx
+        cy = sy1 + tt * dy
+        return (px - cx) ** 2 + (py - cy) ** 2
+
+    d1 = pt_seg(a1x[:, None], a1y[:, None], b1x[None, :], b1y[None, :],
+                b2x[None, :], b2y[None, :]).min()
+    if d1 <= tol * tol:
+        return True
+    d2 = pt_seg(b1x[:, None], b1y[:, None], a1x[None, :], a1y[None, :],
+                a2x[None, :], a2y[None, :]).min()
+    if d2 <= tol * tol:
+        return True
+    # proper crossings with no vertex near the other boundary
+    o1 = np.sign(
+        (a2x[:, None] - a1x[:, None]) * (b1y[None, :] - a1y[:, None])
+        - (a2y[:, None] - a1y[:, None]) * (b1x[None, :] - a1x[:, None])
+    )
+    o2 = np.sign(
+        (a2x[:, None] - a1x[:, None]) * (b2y[None, :] - a1y[:, None])
+        - (a2y[:, None] - a1y[:, None]) * (b2x[None, :] - a1x[:, None])
+    )
+    o3 = np.sign(
+        (b2x[None, :] - b1x[None, :]) * (a1y[:, None] - b1y[None, :])
+        - (b2y[None, :] - b1y[None, :]) * (a1x[:, None] - b1x[None, :])
+    )
+    o4 = np.sign(
+        (b2x[None, :] - b1x[None, :]) * (a2y[:, None] - b1y[None, :])
+        - (b2y[None, :] - b1y[None, :]) * (a2x[:, None] - b1x[None, :])
+    )
+    return bool(((o1 != o2) & (o3 != o4)).any())
+
+
+def fuzzy(
+    polygons: ray.data.Dataset,
+    tolerance: float = 0.0,
+    cell_size: float | None = None,
+) -> RayGraph:
+    """Fuzzy contiguity (util.py:1471-1605 / graph/_contiguity.py:240-299):
+    neighbors iff polygons intersect after buffering by ``tolerance``
+    (tolerance=0 → plain `intersects`, the reference default predicate).
+
+    Plan: expand each polygon's bbox by tolerance, emit (tile, poly rows)
+    for every covered grid cell → ONE groupby(tile) shuffle → per-tile
+    bbox-prefiltered exact ring tests → global pair dedup. The exact test
+    replaces the reference's shapely sindex query + predicate with the same
+    computational geometry in numpy (no GEOS in this environment).
+    """
+    ids = polygons.select_columns(["polygon_id"]).rename_columns(
+        {"polygon_id": "focal"}
+    )
+    if cell_size is None:
+        # one driver-side pass over bboxes to pick a tile size
+        import pyarrow.compute as pc
+
+        def _spans(t: pa.Table) -> pa.Table:
+            spans = []
+            for xs, ys in zip(t.column("xs").to_pylist(),
+                              t.column("ys").to_pylist()):
+                x = np.asarray(xs); y = np.asarray(ys)
+                spans.append(max(x.max() - x.min(), y.max() - y.min()))
+            return pa.table({"span": pa.array(spans)})
+
+        cell_size = float(
+            polygons.map_batches(_spans, batch_format="pyarrow").max("span")
+        ) + 2 * tolerance
+        cell_size = max(cell_size, 1e-9)
+
+    cs = cell_size
+    tol = tolerance
+
+    def _emit(t: pa.Table) -> pa.Table:
+        rows = {"tile": [], "polygon_id": [], "xs": [], "ys": []}
+        pids = t.column("polygon_id").to_numpy(zero_copy_only=False)
+        for pid, xs, ys in zip(pids, t.column("xs").to_pylist(),
+                               t.column("ys").to_pylist()):
+            x = np.asarray(xs); y = np.asarray(ys)
+            cx0 = int(np.floor((x.min() - tol) / cs))
+            cx1 = int(np.floor((x.max() + tol) / cs))
+            cy0 = int(np.floor((y.min() - tol) / cs))
+            cy1 = int(np.floor((y.max() + tol) / cs))
+            for cy in range(cy0, cy1 + 1):
+                for cx in range(cx0, cx1 + 1):
+                    rows["tile"].append((cx + (1 << 20)) * (1 << 21) + cy + (1 << 20))
+                    rows["polygon_id"].append(int(pid))
+                    rows["xs"].append(list(xs))
+                    rows["ys"].append(list(ys))
+        return pa.table(
+            {
+                "tile": pa.array(rows["tile"], pa.int64()),
+                "polygon_id": pa.array(rows["polygon_id"], pa.int64()),
+                "xs": pa.array(rows["xs"], pa.list_(pa.float64())),
+                "ys": pa.array(rows["ys"], pa.list_(pa.float64())),
+            }
+        )
+
+    tiled = polygons.map_batches(_emit, batch_format="pyarrow")
+
+    def _tile_pairs(t: pa.Table) -> pa.Table:
+        pids = t.column("polygon_id").to_numpy(zero_copy_only=False)
+        geoms = [
+            _seg_arrays(xs, ys)
+            for xs, ys in zip(t.column("xs").to_pylist(),
+                              t.column("ys").to_pylist())
+        ]
+        bb = np.array(
+            [[g[0].min(), g[0].max(), g[1].min(), g[1].max()] for g in geoms]
+        )
+        m = len(pids)
+        out_f, out_n = [], []
+        for i in range(m):
+            # bbox prefilter (expanded by tol), j > i, distinct ids
+            cand = np.flatnonzero(
+                (bb[:, 0] <= bb[i, 1] + tol)
+                & (bb[:, 1] >= bb[i, 0] - tol)
+                & (bb[:, 2] <= bb[i, 3] + tol)
+                & (bb[:, 3] >= bb[i, 2] - tol)
+            )
+            for j in cand:
+                if j <= i or pids[j] == pids[i]:
+                    continue
+                if _rings_intersect(geoms[i][0], geoms[i][1],
+                                    geoms[j][0], geoms[j][1], tol):
+                    out_f.extend((pids[i], pids[j]))
+                    out_n.extend((pids[j], pids[i]))
+        if not out_f:
+            return E.empty_edges()
+        return E.edge_table(
+            np.asarray(out_f, np.int64), np.asarray(out_n, np.int64), 1.0
+        )
+
+    pairs = tiled.groupby("tile").map_groups(
+        _tile_pairs, batch_format="pyarrow"
+    )
+    edges = E.dedup(
+        pairs.map_batches(E.batch_dedup, batch_format="pyarrow"), keep="max"
+    )
+    return RayGraph(E.resolve_isolates(edges, ids))

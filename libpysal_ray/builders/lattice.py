@@ -63,3 +63,43 @@ def lat2graph(
 
     edges = ray.data.range(n).map_batches(_emit, batch_format="pyarrow")
     return RayGraph(edges)
+
+
+def hexlat2graph(nrows: int = 5, ncols: int = 5) -> RayGraph:
+    """Hexagonal-lattice contiguity (reference ``hexLat2W``,
+    util.py:59-140): rook lattice plus two diagonal neighbors per cell,
+    alternating by row parity — even rows (0-based) add NW/NE, odd rows add
+    SW/SE, matching the reference's staggered-hexagon layout.
+
+    Same zero-shuffle offset-arithmetic plan as ``lat2graph``.
+    """
+    n = nrows * ncols
+
+    def _emit(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = ids // ncols
+        c = ids % ncols
+        f_list, nb_list = [], []
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            rr, cc = r + dr, c + dc
+            ok = (rr >= 0) & (rr < nrows) & (cc >= 0) & (cc < ncols)
+            f_list.append(ids[ok])
+            nb_list.append(rr[ok] * ncols + cc[ok])
+        even = r % 2 == 0
+        # even rows: diagonals up-left/up-right at (r-1, c-1) and (r+1, c-1)
+        # odd rows:  diagonals at (r-1, c+1) and (r+1, c+1)
+        for dr in (-1, 1):
+            dc = np.where(even, -1, 1)
+            rr, cc = r + dr, c + dc
+            ok = (rr >= 0) & (rr < nrows) & (cc >= 0) & (cc < ncols)
+            f_list.append(ids[ok])
+            nb_list.append(rr[ok] * ncols + cc[ok])
+        f = np.concatenate(f_list)
+        nb = np.concatenate(nb_list)
+        return pa.Table.from_arrays(
+            [pa.array(f), pa.array(nb), pa.array(np.ones(len(f)))],
+            schema=EDGE_SCHEMA,
+        )
+
+    edges = ray.data.range(n).map_batches(_emit, batch_format="pyarrow")
+    return RayGraph(edges)

@@ -361,6 +361,9 @@ class RayGraph:
                 if ties == "random":
                     rng = np.random.default_rng(seed + f)
                     best = best[rng.integers(0, len(best), 1)]
+                elif ties == "highest":
+                    best = best[-1:]  # legacy policy (spatial_lag.py:183-241)
+                # 'lowest' (legacy): flatnonzero is ascending → best[0]
             return pa.table({"focal": pa.array([f], pa.int64()),
                              "lag_code": pa.array([int(best[0])], pa.int64())})
 
@@ -561,6 +564,70 @@ class RayGraph:
         keep = np.asarray(keep_ids, dtype=np.int64)
         out = E.filter_ids(self._real_edges(), keep, mode="both")
         return RayGraph(E.resolve_isolates(out, keep))
+
+    def remap_ids(self, old_ids: np.ndarray, new_ids: np.ndarray) -> "RayGraph":
+        """Relabel all ids through a bijection (weights.py:868-925,
+        util.py:895-950). Broadcast map applied to focal AND neighbor in one
+        stateless pass — no shuffle."""
+        old = np.asarray(old_ids, np.int64)
+        new = np.asarray(new_ids, np.int64)
+        order = np.argsort(old, kind="stable")
+        ref = ray.put((old[order], new[order]))
+
+        def _remap(t: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            out = {}
+            for col in ("focal", "neighbor"):
+                q = t.column(col).to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(k, q)
+                idx = np.clip(idx, 0, len(k) - 1)
+                hit = k[idx] == q
+                mapped = np.where(hit, v[idx], q)
+                out[col] = pa.array(mapped)
+            out["weight"] = t.column("weight")
+            return pa.table(out)
+
+        return RayGraph(
+            self._edges.map_batches(_remap, batch_format="pyarrow"),
+            self.transformation,
+        )
+
+    def attach_islands(
+        self,
+        points: ray.data.Dataset,
+        id_col: str = "id",
+        x_col: str = "x",
+        y_col: str = "y",
+    ) -> "RayGraph":
+        """Connect each island to its nearest non-self neighbor
+        (util.py:1297-1343 ``attach_islands``): union of the islands'
+        KNN(k=1) edges plus their reverses, weight 1."""
+        from libpysal_ray.builders.distance import knn_edges_with_dist
+
+        iso = self.isolates().to_pandas()["focal"].to_numpy(np.int64)
+        if len(iso) == 0:
+            return self
+        knn1 = knn_edges_with_dist(points, k=1, id_col=id_col,
+                                   x_col=x_col, y_col=y_col)
+        iso_ref = ray.put(np.sort(iso))
+
+        def _keep_iso(t: pa.Table) -> pa.Table:
+            keep = np.isin(
+                t.column("focal").to_numpy(zero_copy_only=False),
+                ray.get(iso_ref),
+            )
+            f = t.column("focal").to_numpy(zero_copy_only=False)[keep]
+            nb = t.column("neighbor").to_numpy(zero_copy_only=False)[keep]
+            # edge + reverse, binary weight (reference w_knn1 weights)
+            return E.edge_table(
+                np.concatenate([f, nb]), np.concatenate([nb, f]), 1.0
+            )
+
+        new_edges = knn1.map_batches(_keep_iso, batch_format="pyarrow")
+        out = E.dedup(self._real_edges().union(new_edges), keep="max")
+        return RayGraph(
+            E.resolve_isolates(out, self._edges.select_columns(["focal"]))
+        )
 
     def fill_diagonal(self, value: float = 1.0) -> "RayGraph":
         """Set self-loop weights (util.py:830-892 / base.py:2795-2872)."""

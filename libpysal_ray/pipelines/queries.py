@@ -39,7 +39,9 @@ LCOLS = 20   # lattice columns for polygon-derived queries
 
 # --------------------------------------------------------------- inputs
 def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _points(sf_dir: str) -> ray.data.Dataset:
@@ -286,7 +288,9 @@ def q_quality(sf_dir: str):
 
 
 def q_ann_top5(sf_dir: str):
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
     out = ann_topk(emb, query_ids=range(10), k=5)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
@@ -309,7 +313,9 @@ def q_lang_id(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
     return ann_lsh_topk(emb, query_ids=range(10), k=5).select_columns(
         ["query_id", "neighbor_id", "rank"]
     )
@@ -319,6 +325,141 @@ def q_flagship(sf_dir: str):
     from libpysal_ray.pipelines.flagship import flagship
 
     return flagship(sf_dir)
+
+
+
+
+# ------------------------------------------------- coverage batch 2
+def q_hex_lattice(sf_dir: str):
+    """Hex-lattice contiguity restricted to existing doc ids."""
+    from libpysal_ray.builders.lattice import hexlat2graph
+
+    n = _docs(sf_dir, ["doc_id"]).count()
+    nrows = (n + LCOLS - 1) // LCOLS
+    g = hexlat2graph(nrows, LCOLS)
+    return _real(g.subgraph(np.arange(n, dtype=np.int64)))
+
+
+def q_remap_rook(sf_dir: str):
+    """Rook lattice with ids relabeled through the reversal bijection."""
+    n = _docs(sf_dir, ["doc_id"]).count()
+    ids = np.arange(n, dtype=np.int64)
+    g = rook(_lattice_polys(sf_dir))
+    return _real(g.remap_ids(ids, n - 1 - ids))
+
+
+def q_symmetrize_knn(sf_dir: str):
+    from libpysal_ray.builders.distance import knn
+
+    g = knn(_points(sf_dir), k=4, id_col="doc_id")
+    return _real(g.symmetrize("union"))
+
+
+def q_mutual_knn(sf_dir: str):
+    from libpysal_ray.builders.distance import knn
+
+    g = knn(_points(sf_dir), k=4, id_col="doc_id")
+    return _real(g.symmetrize("intersection"))
+
+
+def q_asymmetry_knn(sf_dir: str):
+    from libpysal_ray.builders.distance import knn
+
+    g = knn(_points(sf_dir), k=4, id_col="doc_id")
+    return g.asymmetries()
+
+
+def q_describe_rook(sf_dir: str):
+    g = rook(_lattice_polys(sf_dir))
+    attrs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return g.describe(
+        attrs.column("doc_id").to_numpy(),
+        attrs.column("n_chars").to_numpy().astype(np.float64),
+        stats=("count", "sum", "mean", "min", "max"),
+    )
+
+
+def q_subgraph_rook(sf_dir: str):
+    g = rook(_lattice_polys(sf_dir))
+    return _real(g.subgraph(np.arange(200, dtype=np.int64)))
+
+
+def q_netw_o(sf_dir: str):
+    """netW share='O' over the distinct (doc_id%53, doc_id%41) link list."""
+    from libpysal_ray.builders.interaction import netw
+
+    def _links(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"o": pa.array((ids % 53).astype(np.int64)),
+             "d": pa.array((ids % 41).astype(np.int64))}
+        )
+
+    links = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_links, batch_format="pyarrow")
+        .groupby(["o", "d"]).count().select_columns(["o", "d"])
+    )
+    return _real(netw(links, share="O"))
+
+
+def q_odw(sf_dir: str):
+    """Kronecker flow weights: row-standardized rook lattice x 3x3 lattice."""
+    from libpysal_ray.builders.interaction import odw
+    from libpysal_ray.builders.lattice import lat2graph
+
+    wo = rook(_lattice_polys(sf_dir))
+    wd = lat2graph(3, 3, rook=True)
+    return _real(odw(wo, wd, d_span=9, transform="R"))
+
+
+def q_vecw(sf_dir: str):
+    """4-d distance band over OD vectors from hash coordinates."""
+    from libpysal_ray.builders.interaction import vecw
+
+    def _vecs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        def h(m):
+            return ((ids * np.uint64(m)) % np.uint64(4294967296)
+                    % np.uint64(GRID)).astype(np.float64)
+        return pa.table(
+            {"id": pa.array(ids.astype(np.int64)),
+             "ox": pa.array(h(2654435761)), "oy": pa.array(h(2246822519)),
+             "dx": pa.array(h(3266489917)), "dy": pa.array(h(668265263))}
+        )
+
+    vecs = _docs(sf_dir, ["doc_id"]).map_batches(_vecs, batch_format="pyarrow")
+    return _real(vecw(vecs, threshold=200.0))
+
+
+def q_attach_islands(sf_dir: str):
+    """DistanceBand(30) leaves isolates; attach each to its 1-NN."""
+    pts = _points(sf_dir).materialize()
+    g = distance_band(pts, threshold=30.0, id_col="doc_id")
+    return _real(g.attach_islands(pts, id_col="doc_id"))
+
+
+def q_fuzzy_gap(sf_dir: str):
+    """Squares of side 0.9 on the lattice with 0.1 gaps; tolerance 0.12
+    reaches rook neighbors (gap 0.1) but not diagonal corners (0.1414)."""
+    from libpysal_ray.builders.contiguity import fuzzy
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        r = (ids // LCOLS).astype(np.float64)
+        c = (ids % LCOLS).astype(np.float64)
+        xs = [[cc, cc + 0.9, cc + 0.9, cc, cc] for cc in c]
+        ys = [[rr, rr, rr + 0.9, rr + 0.9, rr] for rr in r]
+        return pa.table(
+            {"polygon_id": pa.array(ids.astype(np.int64)),
+             "xs": pa.array(xs, pa.list_(pa.float64())),
+             "ys": pa.array(ys, pa.list_(pa.float64()))}
+        )
+
+    polys = _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    return _real(fuzzy(polys, tolerance=0.12))
 
 
 QUERIES = {
@@ -346,6 +487,18 @@ QUERIES = {
     "lang_id": q_lang_id,
     "ann_lsh": q_ann_lsh,
     "flagship": q_flagship,
+    "hex_lattice": q_hex_lattice,
+    "remap_rook": q_remap_rook,
+    "symmetrize_knn": q_symmetrize_knn,
+    "mutual_knn": q_mutual_knn,
+    "asymmetry_knn": q_asymmetry_knn,
+    "describe_rook": q_describe_rook,
+    "subgraph_rook": q_subgraph_rook,
+    "netw_o": q_netw_o,
+    "odw": q_odw,
+    "vecw": q_vecw,
+    "attach_islands": q_attach_islands,
+    "fuzzy_gap": q_fuzzy_gap,
 }
 
 _PAIR_DIST = (
@@ -509,3 +662,160 @@ r AS (
 SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5
 """,
 }
+
+_KNN4_SQL = f"""
+{_PTS_SQL},
+dall AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor, {_PAIR_DIST} AS dist
+  FROM pts a, pts b WHERE a.doc_id <> b.doc_id
+),
+knn AS (
+  SELECT focal, neighbor FROM (
+    SELECT focal, neighbor,
+           ROW_NUMBER() OVER (PARTITION BY focal ORDER BY dist, neighbor) AS rn
+    FROM dall
+  ) WHERE rn <= 4
+)"""
+
+ORACLE_SQL["hex_lattice"] = f"""
+WITH g AS (SELECT doc_id, doc_id // {LCOLS} AS r, doc_id % {LCOLS} AS c FROM documents)
+SELECT a.doc_id AS focal, b.doc_id AS neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM g a JOIN g b ON
+   (a.r = b.r AND abs(a.c - b.c) = 1)
+ OR (a.c = b.c AND abs(a.r - b.r) = 1)
+ OR (abs(a.r - b.r) = 1
+     AND b.c = a.c + (CASE WHEN a.r % 2 = 0 THEN -1 ELSE 1 END))
+"""
+
+ORACLE_SQL["remap_rook"] = f"""
+WITH {_ROOK_SQL},
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT (SELECT n FROM n) - 1 - focal AS focal,
+       (SELECT n FROM n) - 1 - neighbor AS neighbor,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM adj
+"""
+
+ORACLE_SQL["symmetrize_knn"] = f"""
+WITH {_KNN4_SQL}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM (
+  SELECT focal, neighbor FROM knn
+  UNION
+  SELECT neighbor AS focal, focal AS neighbor FROM knn
+)
+"""
+
+ORACLE_SQL["mutual_knn"] = f"""
+WITH {_KNN4_SQL}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM (
+  SELECT focal, neighbor FROM knn
+  INTERSECT
+  SELECT neighbor AS focal, focal AS neighbor FROM knn
+)
+"""
+
+ORACLE_SQL["asymmetry_knn"] = f"""
+WITH {_KNN4_SQL},
+one AS (
+  SELECT k1.focal, k1.neighbor FROM knn k1
+  LEFT JOIN knn k2 ON k1.focal = k2.neighbor AND k1.neighbor = k2.focal
+  WHERE k2.focal IS NULL
+)
+SELECT focal, neighbor FROM one
+UNION ALL
+SELECT neighbor AS focal, focal AS neighbor FROM one
+"""
+
+ORACLE_SQL["describe_rook"] = f"""
+WITH {_ROOK_SQL}
+SELECT adj.focal AS focal,
+       COUNT(*) AS count,
+       CAST(SUM(d.n_chars) AS DOUBLE) AS sum,
+       CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS mean,
+       CAST(MIN(d.n_chars) AS DOUBLE) AS min,
+       CAST(MAX(d.n_chars) AS DOUBLE) AS max
+FROM adj JOIN documents d ON adj.neighbor = d.doc_id
+GROUP BY adj.focal
+"""
+
+ORACLE_SQL["subgraph_rook"] = f"""
+WITH {_ROOK_SQL}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM adj WHERE focal < 200 AND neighbor < 200
+"""
+
+ORACLE_SQL["netw_o"] = """
+WITH l AS (SELECT DISTINCT (doc_id % 53) AS o, (doc_id % 41) AS d FROM documents)
+SELECT a.o * 2097152 + a.d AS focal, b.o * 2097152 + b.d AS neighbor,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM l a JOIN l b ON a.o = b.o AND a.d <> b.d
+"""
+
+ORACLE_SQL["odw"] = f"""
+WITH {_ROOK_SQL},
+dego AS (SELECT focal, COUNT(*) AS k FROM adj GROUP BY focal),
+gd AS (SELECT i AS id, i // 3 AS r, i % 3 AS c FROM range(9) t(i)),
+adjd AS (
+  SELECT a.id AS fd, b.id AS nd FROM gd a JOIN gd b
+  ON (a.r = b.r AND abs(a.c - b.c) = 1) OR (a.c = b.c AND abs(a.r - b.r) = 1)
+),
+degd AS (SELECT fd, COUNT(*) AS k FROM adjd GROUP BY fd)
+SELECT o.focal * 9 + d.fd AS focal,
+       o.neighbor * 9 + d.nd AS neighbor,
+       (CAST(1.0 AS DOUBLE) / co.k) * (CAST(1.0 AS DOUBLE) / cd.k) AS weight
+FROM adj o
+JOIN dego co ON co.focal = o.focal
+CROSS JOIN adjd d
+JOIN degd cd ON cd.fd = d.fd
+"""
+
+_VEC_SQL = f"""
+v AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS ox,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS oy,
+         CAST((doc_id * 3266489917) % 4294967296 % {GRID} AS DOUBLE) AS dx,
+         CAST((doc_id * 668265263) % 4294967296 % {GRID} AS DOUBLE) AS dy
+  FROM documents
+)"""
+
+ORACLE_SQL["vecw"] = f"""
+WITH {_VEC_SQL}
+SELECT a.doc_id AS focal, b.doc_id AS neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM v a, v b
+WHERE a.doc_id <> b.doc_id
+  AND sqrt(((a.ox - b.ox) * (a.ox - b.ox) + (a.oy - b.oy) * (a.oy - b.oy))
+           + (a.dx - b.dx) * (a.dx - b.dx)
+           + (a.dy - b.dy) * (a.dy - b.dy)) <= 200
+"""
+
+ORACLE_SQL["attach_islands"] = f"""
+WITH {_PTS_SQL},
+dall AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor, {_PAIR_DIST} AS dist
+  FROM pts a, pts b WHERE a.doc_id <> b.doc_id
+),
+band AS (SELECT focal, neighbor FROM dall WHERE dist <= 30),
+iso AS (
+  SELECT p.doc_id FROM pts p
+  WHERE NOT EXISTS (SELECT 1 FROM band b WHERE b.focal = p.doc_id)
+),
+knn1 AS (
+  SELECT focal, neighbor FROM (
+    SELECT focal, neighbor,
+           ROW_NUMBER() OVER (PARTITION BY focal ORDER BY dist, neighbor) AS rn
+    FROM dall WHERE focal IN (SELECT doc_id FROM iso)
+  ) WHERE rn = 1
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM (
+  SELECT focal, neighbor FROM band
+  UNION SELECT focal, neighbor FROM knn1
+  UNION SELECT neighbor AS focal, focal AS neighbor FROM knn1
+)
+"""
+
+ORACLE_SQL["fuzzy_gap"] = f"""
+WITH {_ROOK_SQL}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM adj
+"""
+

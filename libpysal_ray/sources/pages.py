@@ -55,7 +55,9 @@ def _mk_pages(t: pa.Table, text_from: str | None) -> pa.Table:
 
 
 def pages_from_documents(sf_dir: str) -> ray.data.Dataset:
-    docs = ray.data.read_parquet(
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    docs = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     return docs.map_batches(
@@ -63,8 +65,13 @@ def pages_from_documents(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def synth_pages(n: int, include_html: bool = True) -> ray.data.Dataset:
-    """n synthetic pages, generated shard-parallel with no driver data."""
+def synth_pages(
+    n: int, include_html: bool = True, num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """n synthetic pages, generated shard-parallel with no driver data.
+
+    ``num_blocks`` pins the shard count — scaling benchmarks must hold the
+    input partitioning FIXED across cluster sizes."""
 
     def _mk(t: pa.Table) -> pa.Table:
         t = t.rename_columns(["doc_id"])
@@ -73,4 +80,5 @@ def synth_pages(n: int, include_html: bool = True) -> ray.data.Dataset:
             out = out.drop_columns(["html"])
         return out
 
-    return ray.data.range(n).map_batches(_mk, batch_format="pyarrow")
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    return ray.data.range(n, **kw).map_batches(_mk, batch_format="pyarrow")

@@ -1,0 +1,147 @@
+"""Legacy weights interchange formats — GAL and GWT.
+
+Reference: /root/reference/libpysal/io/iohandlers/gal.py:13-261 and
+gwt.py (graph variants graph/io/_gal.py:4-64, _gwt.py:4-38).
+
+* GAL: header ``n`` (or ``0 n shp key``), then per-observation two lines:
+  ``id  k`` and the k neighbor ids. Binary weights.
+* GWT: header ``0 n shp key``, then one line per edge:
+  ``focal neighbor weight``.
+
+These are small legacy text files (the reference parses them line by line
+in-process); the engine reads them driver-side into an Arrow edge table →
+Dataset, and writes them by STREAMING ``iter_batches`` over the canonical
+edge order — the Dataset is never collected whole.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from libpysal_ray.core import edges as E
+from libpysal_ray.core.graph import RayGraph
+
+
+def read_gal(path: str) -> RayGraph:
+    with open(path) as f:
+        header = f.readline().split()
+        # header forms: "n"  or  "0 n shapefile key"
+        _n = int(header[0]) if len(header) == 1 else int(header[1])
+        focal, neighbor, ids = [], [], []
+        while True:
+            line = f.readline()
+            if not line.strip():
+                break
+            fid, k = line.split()[:2]
+            fid, k = int(fid), int(k)
+            ids.append(fid)
+            if k > 0:
+                nbrs = [int(x) for x in f.readline().split()]
+                focal.extend([fid] * len(nbrs))
+                neighbor.extend(nbrs)
+            else:
+                f.readline()  # empty neighbor line
+    ds = E.from_arrays(
+        np.asarray(focal, np.int64), np.asarray(neighbor, np.int64), 1.0
+    )
+    return RayGraph(E.resolve_isolates(ds, np.asarray(ids, np.int64)))
+
+
+def write_gal(g: RayGraph, path: str) -> None:
+    rows: dict[int, list[int]] = {}
+    for batch in E.canonical(g.edges).iter_batches(batch_format="pyarrow"):
+        f = batch.column("focal").to_numpy(zero_copy_only=False)
+        n = batch.column("neighbor").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        for i in range(len(f)):
+            rows.setdefault(int(f[i]), [])
+            if not (f[i] == n[i] and w[i] == 0.0):
+                rows[int(f[i])].append(int(n[i]))
+    with open(path, "w") as out:
+        out.write(f"{len(rows)}\n")
+        for fid in sorted(rows):
+            nbrs = rows[fid]
+            out.write(f"{fid} {len(nbrs)}\n")
+            out.write(" ".join(str(x) for x in nbrs) + "\n")
+
+
+def read_gwt(path: str) -> RayGraph:
+    focal, neighbor, weight = [], [], []
+    with open(path) as f:
+        f.readline()  # header
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            focal.append(int(parts[0]))
+            neighbor.append(int(parts[1]))
+            weight.append(float(parts[2]))
+    ds = E.from_arrays(
+        np.asarray(focal, np.int64),
+        np.asarray(neighbor, np.int64),
+        np.asarray(weight, np.float64),
+    )
+    return RayGraph.from_arrays(
+        np.asarray(focal, np.int64),
+        np.asarray(neighbor, np.int64),
+        np.asarray(weight, np.float64),
+    )
+
+
+def write_gwt(g: RayGraph, path: str, shp: str = "unknown",
+              key: str = "id") -> None:
+    n = g.n()
+    with open(path, "w") as out:
+        out.write(f"0 {n} {shp} {key}\n")
+        for batch in E.canonical(g.edges).iter_batches(batch_format="pyarrow"):
+            f = batch.column("focal").to_numpy(zero_copy_only=False)
+            nb = batch.column("neighbor").to_numpy(zero_copy_only=False)
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+            for i in range(len(f)):
+                if f[i] == nb[i] and w[i] == 0.0:
+                    continue  # isolate marker — GAL/GWT encode by absence
+                out.write(f"{int(f[i])} {int(nb[i])} {w[i]:.10g}\n")
+
+
+def read_mtx(path: str) -> RayGraph:
+    """MatrixMarket coordinate format (io/iohandlers/mtx.py) — COO triplets
+    ARE the edge table; 1-based indices per the format spec."""
+    focal, neighbor, weight = [], [], []
+    n = 0
+    with open(path) as f:
+        for line in f:
+            if line.startswith("%"):
+                continue
+            n_rows, _n_cols, _nnz = line.split()[:3]
+            n = int(n_rows)
+            break
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            focal.append(int(parts[0]) - 1)
+            neighbor.append(int(parts[1]) - 1)
+            weight.append(float(parts[2]) if len(parts) > 2 else 1.0)
+    ds = E.from_arrays(
+        np.asarray(focal, np.int64),
+        np.asarray(neighbor, np.int64),
+        np.asarray(weight, np.float64),
+    )
+    return RayGraph(E.resolve_isolates(ds, np.arange(n, dtype=np.int64)))
+
+
+def write_mtx(g: RayGraph, path: str) -> None:
+    n = g.n()
+    real = g.edges.map_batches(E.drop_isolate_markers, batch_format="pyarrow")
+    nnz = real.count()
+    with open(path, "w") as out:
+        out.write("%%MatrixMarket matrix coordinate real general\n")
+        out.write(f"{n} {n} {nnz}\n")
+        for batch in E.canonical(real).iter_batches(batch_format="pyarrow"):
+            f = batch.column("focal").to_numpy(zero_copy_only=False)
+            nb = batch.column("neighbor").to_numpy(zero_copy_only=False)
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+            for i in range(len(f)):
+                out.write(f"{int(f[i]) + 1} {int(nb[i]) + 1} {w[i]:.10g}\n")

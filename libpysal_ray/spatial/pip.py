@@ -67,6 +67,9 @@ def points_in_ring(px: np.ndarray, py: np.ndarray,
     return inside
 
 
+_TASK_CACHE: dict = {}
+
+
 class PIPJoiner:
     """Actor-pool batch fn: (id, x, y[, cell]) → (id, cell, polygon_id).
 
@@ -157,9 +160,47 @@ def pip_join(
     batch_size: int = 32768,
     keep_unmatched: bool = False,
     passthrough: tuple = (),
+    num_cpus: float | None = None,
 ) -> ray.data.Dataset:
-    """Broadcast PIP join: points × polygon layer → (id, cell, polygon_id)."""
+    """Broadcast PIP join: points × polygon layer → (id, cell, polygon_id).
+
+    ``num_cpus`` (fractional) lets a fixed pool of ``concurrency`` actors
+    coexist with task-based shuffle operators on a fixed-size cluster —
+    e.g. concurrency=N with num_cpus=0.75 keeps the actor share of the
+    cluster constant across cluster sizes.
+
+    ``concurrency=None`` → TASK mode: the stage runs as ordinary map tasks
+    that build (and memoize per worker process) the polygon index from the
+    broadcast ref. Tasks scale elastically over every free CPU — a fixed
+    actor pool caps the fused map chain at the pool size, which starves
+    the cluster when upstream maps are the heavy stages. The index build
+    is cheap (the polygon layer is the broadcast SMALL side), so the
+    worker-local rebuild-once cost is noise; keep the actor pool for
+    expensive state."""
     ref = ray.put(polygons_tbl)
+    if concurrency is None:
+        joiner_kw = {
+            "id_col": id_col,
+            "keep_unmatched": keep_unmatched,
+            "passthrough": passthrough,
+        }
+
+        def _pip_task(t: pa.Table) -> pa.Table:
+            key = ref.hex()
+            j = _TASK_CACHE.get(key)
+            if j is None:
+                j = PIPJoiner(ref, res, **joiner_kw)
+                _TASK_CACHE.clear()
+                _TASK_CACHE[key] = j
+            return j(t)
+
+        # default batch size → the stage fuses with neighboring map_batches
+        # ops (a custom batch_size breaks operator fusion and adds a
+        # standalone operator's scheduling overhead)
+        return points.map_batches(_pip_task, batch_format="pyarrow")
+    kw = {}
+    if num_cpus is not None:
+        kw["num_cpus"] = num_cpus
     return points.map_batches(
         PIPJoiner,
         fn_constructor_args=(ref, res),
@@ -171,4 +212,5 @@ def pip_join(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        **kw,
     )
