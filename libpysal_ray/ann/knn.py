@@ -180,3 +180,43 @@ def ann_lsh_topk(
         .groupby("query_id")
         .map_groups(_merge, batch_format="pyarrow")
     )
+
+
+def cosine_dup_pairs(
+    embeddings: ray.data.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs: directed (id_a, id_b) with
+    cosine similarity ≥ threshold, a ≠ b.
+
+    Plan: normalized matrix broadcast once (ray.put); each batch does one
+    numpy matmul block against it. The scale path swaps the broadcast for
+    LSH bucketing (see ann_lsh_topk) — this exact variant is the oracle
+    baseline and the right plan whenever the embedding table fits a worker.
+    """
+    rows = embeddings.select_columns([id_col, vec_col]).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    m = _norm_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    ref = ray.put((ids, m))
+
+    def _scan(t: pa.Table) -> pa.Table:
+        aids, am = ray.get(ref)
+        qid = t.column(id_col).to_numpy(zero_copy_only=False)
+        qm = _norm_rows(
+            np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        )
+        sims = qm @ am.T
+        hit = sims >= threshold
+        hit &= qid[:, None] != aids[None, :]
+        r, c = np.nonzero(hit)
+        return pa.table(
+            {
+                "id_a": pa.array(qid[r].astype(np.int64)),
+                "id_b": pa.array(aids[c]),
+            }
+        )
+
+    return embeddings.map_batches(_scan, batch_format="pyarrow")

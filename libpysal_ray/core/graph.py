@@ -854,6 +854,142 @@ class RayGraph:
             out = J.bucket_join(out, p, on="focal")
         return out
 
+    def local_clustering(self) -> ray.data.Dataset:
+        """Local clustering coefficient per node (util.py:556-607
+        ``w_local_cluster``): c_i = |{(j,k) : j,k ∈ N(i), w_jk ≠ 0}| /
+        (k_i (k_i − 1)), counting ordered neighbor pairs.
+
+        Plan: triangle counting as ONE bucketed self-join (paths i→j→k)
+        followed by a pair-cogroup semi-join against the edge set — the
+        cogroup's weight sum IS the per-(i,k) path count — then a native
+        per-focal aggregate. No per-group Python."""
+        adj = E.dedup(
+            self._real_edges().map_batches(_binarize, batch_format="pyarrow")
+        ).materialize()
+        e1 = adj.select_columns(["focal", "neighbor"]).rename_columns(
+            {"neighbor": "mid"}
+        )
+        e2 = adj.select_columns(["focal", "neighbor"]).rename_columns(
+            {"focal": "mid"}
+        )
+        paths = J.bucket_join(e1, e2, on="mid").map_batches(
+            lambda t: pa.table(
+                {
+                    "focal": t.column("focal"),
+                    "neighbor": t.column("neighbor"),
+                    "weight": pa.array(np.ones(t.num_rows)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # semi-join on (i,k) ∈ adj; summed weight = #paths i→j→k per (i,k)
+        tri = J.pair_semi(paths, adj.select_columns(["focal", "neighbor"]))
+        tcount = (
+            tri.groupby("focal").sum("weight")
+            .rename_columns({"sum(weight)": "__t"})
+        )
+        cards = self.cardinalities().to_pandas()
+        out = J.broadcast_lookup(
+            tcount,
+            cards["focal"].to_numpy(np.int64),
+            cards["cardinality"].to_numpy(np.float64),
+            key_col="focal",
+            out_col="__k",
+            default=0.0,
+        )
+
+        def _coef(t: pa.Table) -> pa.Table:
+            tt = t.column("__t").to_numpy(zero_copy_only=False)
+            k = t.column("__k").to_numpy(zero_copy_only=False)
+            denom = k * (k - 1.0)
+            c = np.divide(tt, denom, out=np.zeros_like(tt),
+                          where=denom > 0.0)
+            return pa.table(
+                {"focal": t.column("focal"), "cluster_coef": pa.array(c)}
+            )
+
+        withc = out.map_batches(_coef, batch_format="pyarrow")
+        # nodes with no triangle rows still need a 0.0 row
+        zeros = ray.data.from_arrow(
+            pa.table(
+                {
+                    "focal": pa.array(cards["focal"].to_numpy(np.int64)),
+                    "cluster_coef": pa.array(
+                        np.zeros(len(cards), np.float64)
+                    ),
+                }
+            )
+        )
+        both = withc.union(zeros)
+        return (
+            both.groupby("focal").max("cluster_coef")
+            .rename_columns({"max(cluster_coef)": "cluster_coef"})
+        )
+
+    def order(self, kmax: int = 3) -> ray.data.Dataset:
+        """Shortest-path contiguity order up to ``kmax`` (util.py:339-397
+        ``order`` / shimbel): Dataset (focal, neighbor, path_order) with
+        path_order = k for pairs first reachable in exactly k hops.
+        Iterative frontier expansion — the k-hop loop of higher_order with
+        all intermediate orders kept."""
+        ids = ids_dataset(self._edges).materialize()
+        adj = E.dedup(
+            self._real_edges().map_batches(_binarize, batch_format="pyarrow")
+        ).materialize()
+        diag = ids.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("focal"), t.column("focal"),
+                 pa.array(np.ones(t.num_rows))],
+                schema=E.EDGE_SCHEMA,
+            ),
+            batch_format="pyarrow",
+        )
+        seen = adj.union(diag).materialize()
+
+        def _with_order(ds: ray.data.Dataset, k: int) -> ray.data.Dataset:
+            return ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "focal": t.column("focal"),
+                        "neighbor": t.column("neighbor"),
+                        "path_order": pa.array(
+                            np.full(t.num_rows, k, dtype=np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+        outs = [_with_order(adj, 1)]
+        cur = adj
+        for k in range(2, kmax + 1):
+            left = cur.select_columns(["focal", "neighbor"]).rename_columns(
+                {"neighbor": "mid"}
+            )
+            right = adj.select_columns(["focal", "neighbor"]).rename_columns(
+                {"focal": "mid"}
+            )
+            cand = E.dedup(
+                J.bucket_join(left, right, on="mid")
+                .select_columns(["focal", "neighbor"])
+                .map_batches(
+                    lambda t: E.batch_dedup(
+                        t.append_column(
+                            "weight", pa.array(np.ones(t.num_rows))
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+            ).materialize()
+            nxt = J.pair_anti(cand, seen).materialize()
+            seen = seen.union(nxt).materialize()
+            outs.append(_with_order(nxt, k))
+            cur = nxt
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.union(o)
+        return out
+
     def n_components(self, max_driver_edges: int = 5_000_000) -> tuple[int, ray.data.Dataset]:
         """(n_components, labels Dataset (focal, component)).
 

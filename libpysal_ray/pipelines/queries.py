@@ -462,6 +462,100 @@ def q_fuzzy_gap(sf_dir: str):
     return _real(fuzzy(polys, tolerance=0.12))
 
 
+
+
+# ------------------------------------------------- coverage batch 3
+def q_local_cluster(sf_dir: str):
+    """Local clustering coefficient on the queen lattice."""
+    return queen(_lattice_polys(sf_dir)).local_clustering()
+
+
+def q_order3(sf_dir: str):
+    """Shortest-path contiguity order 1..3 on the rook lattice."""
+    return rook(_lattice_polys(sf_dir)).order(kmax=3)
+
+
+def q_gabriel(sf_dir: str):
+    from libpysal_ray.builders.triangulation import gabriel
+
+    return _real(gabriel(_points(sf_dir), max_edge=120.0, id_col="doc_id"))
+
+
+def q_rng(sf_dir: str):
+    from libpysal_ray.builders.triangulation import relative_neighborhood
+
+    return _real(
+        relative_neighborhood(_points(sf_dir), max_edge=120.0,
+                              id_col="doc_id")
+    )
+
+
+def q_lag_cat_lowest(sf_dir: str):
+    """Categorical lag (modal neighbor n_chars%5, lowest-code ties) on the
+    rook lattice."""
+    g = rook(_lattice_polys(sf_dir))
+    attrs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return g.lag_categorical(
+        attrs.column("doc_id").to_numpy(),
+        (attrs.column("n_chars").to_numpy() % 5).astype(np.float64),
+        ties="lowest",
+    )
+
+
+def q_higher2_lower(sf_dir: str):
+    """All pairs within shortest-path order <= 2 (lower_order=True)."""
+    return _real(
+        rook(_lattice_polys(sf_dir)).higher_order(2, lower_order=True)
+    )
+
+
+def q_kernel_adaptive(sf_dir: str):
+    g = kernel(
+        _points(sf_dir), k=3, fixed=False, function="triangular",
+        id_col="doc_id",
+    )
+    return _real(g)
+
+
+def q_emb_neardup(sf_dir: str):
+    from libpysal_ray.ann.knn import cosine_dup_pairs
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    return cosine_dup_pairs(emb, threshold=0.4)
+
+
+def q_wclip_band(sf_dir: str):
+    """distance_band(50) clipped by distance_band(30) mask == band(30)."""
+    pts = _points(sf_dir).materialize()
+    g50 = distance_band(pts, threshold=50.0, id_col="doc_id")
+    g30 = distance_band(pts, threshold=30.0, id_col="doc_id")
+    return _real(g50.w_clip(g30))
+
+
+def q_fill_diag(sf_dir: str):
+    """Rook lattice with self-weights set to 2.0."""
+    return _real(rook(_lattice_polys(sf_dir)).fill_diagonal(2.0))
+
+
+# ---------------------------------------------------- rows-only batch 3
+def q_fingerprint(sf_dir: str):
+    from libpysal_ray.text.analysis import fingerprint
+
+    return fingerprint(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "fp"]
+    )
+
+
+def q_components_band(sf_dir: str):
+    """Connected components of distance_band(60): (focal, component)."""
+    g = distance_band(_points(sf_dir), threshold=60.0, id_col="doc_id")
+    _n, labels = g.n_components()
+    return labels
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "pip_assign": q_pip_assign,
@@ -499,6 +593,18 @@ QUERIES = {
     "vecw": q_vecw,
     "attach_islands": q_attach_islands,
     "fuzzy_gap": q_fuzzy_gap,
+    "local_cluster": q_local_cluster,
+    "order3": q_order3,
+    "gabriel": q_gabriel,
+    "rng": q_rng,
+    "lag_cat_lowest": q_lag_cat_lowest,
+    "higher2_lower": q_higher2_lower,
+    "kernel_adaptive": q_kernel_adaptive,
+    "emb_neardup": q_emb_neardup,
+    "wclip_band": q_wclip_band,
+    "fill_diag": q_fill_diag,
+    "fingerprint": q_fingerprint,
+    "components_band": q_components_band,
 }
 
 _PAIR_DIST = (
@@ -817,5 +923,162 @@ SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM (
 ORACLE_SQL["fuzzy_gap"] = f"""
 WITH {_ROOK_SQL}
 SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM adj
+"""
+
+ORACLE_SQL["local_cluster"] = f"""
+WITH g AS (SELECT doc_id, doc_id // {LCOLS} AS r, doc_id % {LCOLS} AS c FROM documents),
+adj AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor
+  FROM g a JOIN g b ON {_QUEEN_COND}
+),
+deg AS (SELECT focal, COUNT(*) AS k FROM adj GROUP BY focal),
+tri AS (
+  SELECT a.focal, COUNT(*) AS t FROM adj a
+  JOIN adj b ON a.neighbor = b.focal
+  JOIN adj e ON e.focal = a.focal AND e.neighbor = b.neighbor
+  GROUP BY a.focal
+)
+SELECT d.focal,
+       CASE WHEN d.k > 1
+            THEN CAST(COALESCE(t.t, 0) AS DOUBLE) / (d.k * (d.k - 1))
+            ELSE CAST(0.0 AS DOUBLE) END AS cluster_coef
+FROM deg d LEFT JOIN tri t ON t.focal = d.focal
+"""
+
+ORACLE_SQL["order3"] = f"""
+WITH {_ROOK_SQL},
+o1 AS (SELECT focal, neighbor FROM adj),
+two AS (
+  SELECT DISTINCT a.focal, b.neighbor FROM adj a
+  JOIN adj b ON a.neighbor = b.focal WHERE a.focal <> b.neighbor
+),
+o2 AS (SELECT t.focal, t.neighbor FROM two t
+       LEFT JOIN o1 e ON t.focal = e.focal AND t.neighbor = e.neighbor
+       WHERE e.focal IS NULL),
+three AS (
+  SELECT DISTINCT a.focal, b.neighbor FROM o2 a
+  JOIN adj b ON a.neighbor = b.focal WHERE a.focal <> b.neighbor
+),
+o3 AS (SELECT t.focal, t.neighbor FROM three t
+       LEFT JOIN o1 e1 ON t.focal = e1.focal AND t.neighbor = e1.neighbor
+       LEFT JOIN o2 e2 ON t.focal = e2.focal AND t.neighbor = e2.neighbor
+       WHERE e1.focal IS NULL AND e2.focal IS NULL)
+SELECT focal, neighbor, 1 AS path_order FROM o1
+UNION ALL SELECT focal, neighbor, 2 FROM o2
+UNION ALL SELECT focal, neighbor, 3 FROM o3
+"""
+
+ORACLE_SQL["gabriel"] = f"""
+WITH {_PTS_SQL},
+cand AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a, pts b
+  WHERE a.doc_id <> b.doc_id AND {_PAIR_DIST} <= 120
+)
+SELECT c.focal, c.neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts k
+  JOIN pts i ON i.doc_id = c.focal
+  JOIN pts j ON j.doc_id = c.neighbor
+  WHERE k.doc_id <> c.focal AND k.doc_id <> c.neighbor
+    AND (i.x - k.x) * (i.x - k.x) + (i.y - k.y) * (i.y - k.y)
+      + (j.x - k.x) * (j.x - k.x) + (j.y - k.y) * (j.y - k.y) <= c.d2
+)
+"""
+
+ORACLE_SQL["rng"] = f"""
+WITH {_PTS_SQL},
+cand AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a, pts b
+  WHERE a.doc_id <> b.doc_id AND {_PAIR_DIST} <= 120
+)
+SELECT c.focal, c.neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts k
+  JOIN pts i ON i.doc_id = c.focal
+  JOIN pts j ON j.doc_id = c.neighbor
+  WHERE k.doc_id <> c.focal AND k.doc_id <> c.neighbor
+    AND greatest(
+      (i.x - k.x) * (i.x - k.x) + (i.y - k.y) * (i.y - k.y),
+      (j.x - k.x) * (j.x - k.x) + (j.y - k.y) * (j.y - k.y)) <= c.d2
+)
+"""
+
+ORACLE_SQL["lag_cat_lowest"] = f"""
+WITH {_ROOK_SQL},
+cnt AS (
+  SELECT adj.focal, d.n_chars % 5 AS code, COUNT(*) AS c
+  FROM adj JOIN documents d ON adj.neighbor = d.doc_id
+  GROUP BY 1, 2
+)
+SELECT focal, CAST(code AS BIGINT) AS lag_code FROM (
+  SELECT focal, code,
+         ROW_NUMBER() OVER (PARTITION BY focal
+                            ORDER BY c DESC, code ASC) AS rn
+  FROM cnt
+) WHERE rn = 1
+"""
+
+ORACLE_SQL["higher2_lower"] = f"""
+WITH {_ROOK_SQL},
+two AS (
+  SELECT DISTINCT a.focal, b.neighbor FROM adj a
+  JOIN adj b ON a.neighbor = b.focal WHERE a.focal <> b.neighbor
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM (
+  SELECT focal, neighbor FROM adj UNION SELECT focal, neighbor FROM two
+)
+"""
+
+ORACLE_SQL["kernel_adaptive"] = f"""
+WITH {_PTS_SQL},
+dall AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor, {_PAIR_DIST} AS dist
+  FROM pts a, pts b WHERE a.doc_id <> b.doc_id
+),
+knn AS (
+  SELECT focal, neighbor, dist FROM (
+    SELECT focal, neighbor, dist,
+           ROW_NUMBER() OVER (PARTITION BY focal ORDER BY dist, neighbor) AS rn
+    FROM dall
+  ) WHERE rn <= 3
+),
+bw AS (SELECT focal, MAX(dist) * 1.0000001 AS bw FROM knn GROUP BY focal),
+edges AS (
+  SELECT focal, neighbor, dist FROM knn
+  UNION ALL
+  SELECT focal, focal AS neighbor, CAST(0.0 AS DOUBLE) AS dist FROM bw
+)
+SELECT e.focal, e.neighbor,
+       CAST(1.0 AS DOUBLE) - e.dist / b.bw AS weight
+FROM edges e JOIN bw b ON b.focal = e.focal
+"""
+
+ORACLE_SQL["emb_neardup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id <> b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+ORACLE_SQL["wclip_band"] = f"""
+WITH {_PTS_SQL}
+SELECT a.doc_id AS focal, b.doc_id AS neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM pts a, pts b
+WHERE a.doc_id <> b.doc_id AND {_PAIR_DIST} <= 30
+"""
+
+ORACLE_SQL["fill_diag"] = f"""
+WITH {_ROOK_SQL}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM adj
+UNION ALL
+SELECT doc_id AS focal, doc_id AS neighbor, CAST(2.0 AS DOUBLE) AS weight
+FROM documents
 """
 
