@@ -1,0 +1,251 @@
+"""Multimodal columns — image/audio payloads as opaque binary + typed
+metadata, processed by actor-pool ``map_batches`` stages.
+
+The image/audio codec libraries are not in this container, so the DECODE
+kernels are deterministic fakes (documented below); everything Ray-side is
+real and tested: the binary column schema, the broadcast-once model/config
+state in actor ``__init__``, small batch sizes for wide payloads, the
+fixed-shape ndarray output layout (flat float32 + shape columns — the
+Arrow-friendly tensor encoding), and the per-stage resource hints.
+
+Fake-decode contract (so tests are exact): an "image" payload is the bytes
+of ``b"IMG" + height:uint16 + width:uint16 + seed:uint32``; the decoded
+pixel array is ``splitmix64`` noise seeded by (seed, pixel index), shaped
+(h, w). An "audio" payload is ``b"AUD" + n_samples:uint32 + seed:uint32``
+→ 1-D waveform. A real deployment swaps ``_decode_payload`` for
+PIL/libsndfile and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from libpysal_ray.core.hashing import splitmix64
+
+_MAX_DECODED = 1 << 22  # 4M elements — refuse absurd payload headers
+
+
+def fake_image_bytes(h: int, w: int, seed: int) -> bytes:
+    return b"IMG" + struct.pack("<HHI", h, w, seed)
+
+
+def fake_audio_bytes(n: int, seed: int) -> bytes:
+    return b"AUD" + struct.pack("<II", n, seed)
+
+
+def _noise(n: int, seed: int) -> np.ndarray:
+    idx = np.arange(n, dtype=np.uint64) + (np.uint64(seed) << np.uint64(32))
+    return (splitmix64(idx) >> np.uint64(40)).astype(np.float32) / 16777216.0
+
+
+def _decode_payload(raw: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
+    """THE stub: replace with PIL.Image.open / soundfile.read in a real
+    deployment. Raises NotImplementedError for real codec magic bytes."""
+    if raw[:3] == b"IMG":
+        h, w, seed = struct.unpack("<HHI", raw[3:11])
+        if h * w > _MAX_DECODED:
+            raise ValueError("image too large")
+        return _noise(h * w, seed), (h, w)
+    if raw[:3] == b"AUD":
+        n, seed = struct.unpack("<II", raw[3:11])
+        if n > _MAX_DECODED:
+            raise ValueError("audio too long")
+        return _noise(n, seed), (n,)
+    raise NotImplementedError(
+        "real image/audio codecs are not available in this environment; "
+        "payload must use the deterministic fake encoding"
+    )
+
+
+class ImageDecoder:
+    """Actor-pool stage: (id, media: binary) → (id, pixels: list<float>,
+    h, w). Decoder state (codec config) is built once per actor."""
+
+    def __init__(self, media_col: str = "media", id_col: str = "doc_id"):
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, flat, offs, hs, ws = [], [], [0], [], []
+        for i, raw in enumerate(t.column(self.media_col).to_pylist()):
+            arr, shape = _decode_payload(raw)
+            flat.append(arr)
+            offs.append(offs[-1] + len(arr))
+            hs.append(shape[0])
+            ws.append(shape[1] if len(shape) > 1 else 1)
+        vals = np.concatenate(flat) if flat else np.empty(0, np.float32)
+        pixels = pa.ListArray.from_arrays(
+            pa.array(np.asarray(offs, np.int32)), pa.array(vals)
+        )
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "pixels": pixels,
+                "h": pa.array(np.asarray(hs, np.int32)),
+                "w": pa.array(np.asarray(ws, np.int32)),
+            }
+        )
+
+
+class ImageResizer:
+    """Actor-pool stage: nearest-neighbor resize to (out_h, out_w) —
+    vectorized gather per image; real resampling would swap the kernel."""
+
+    def __init__(self, out_h: int, out_w: int, id_col: str = "doc_id"):
+        self.oh, self.ow = out_h, out_w
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pix = t.column("pixels")
+        hs = t.column("h").to_numpy(zero_copy_only=False)
+        ws = t.column("w").to_numpy(zero_copy_only=False)
+        out = np.empty((t.num_rows, self.oh * self.ow), np.float32)
+        for i in range(t.num_rows):
+            a = np.asarray(pix[i].as_py(), dtype=np.float32).reshape(
+                hs[i], ws[i]
+            )
+            ri = (np.arange(self.oh) * hs[i] // self.oh)[:, None]
+            ci = (np.arange(self.ow) * ws[i] // self.ow)[None, :]
+            out[i] = a[ri, ci].ravel()
+        offs = np.arange(t.num_rows + 1, dtype=np.int32) * (self.oh * self.ow)
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "pixels": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(out.ravel())
+                ),
+                "h": pa.array(np.full(t.num_rows, self.oh, np.int32)),
+                "w": pa.array(np.full(t.num_rows, self.ow, np.int32)),
+            }
+        )
+
+
+class AudioFrameSampler:
+    """Actor-pool stage: decode audio + take every ``stride``-th sample."""
+
+    def __init__(self, stride: int = 4, media_col: str = "media",
+                 id_col: str = "doc_id"):
+        self.stride = stride
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_out, flat, offs = [], [], [0]
+        for raw in t.column(self.media_col).to_pylist():
+            arr, _ = _decode_payload(raw)
+            s = arr[:: self.stride]
+            flat.append(s)
+            offs.append(offs[-1] + len(s))
+        vals = np.concatenate(flat) if flat else np.empty(0, np.float32)
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "frames": pa.ListArray.from_arrays(
+                    pa.array(np.asarray(offs, np.int32)), pa.array(vals)
+                ),
+            }
+        )
+
+
+def attach_fake_media(
+    ds: ray.data.Dataset, kind: str = "image", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Append a deterministic binary ``media`` column derived from the id —
+    the test/bench source for the multimodal stages."""
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if kind == "image":
+            payload = [
+                fake_image_bytes(16 + int(i) % 17, 16 + int(i) % 13, int(i))
+                for i in ids
+            ]
+        else:
+            payload = [
+                fake_audio_bytes(256 + int(i) % 301, int(i)) for i in ids
+            ]
+        return t.append_column(
+            "media", pa.array(payload, pa.large_binary())
+        )
+
+    return ds.map_batches(_mk, batch_format="pyarrow")
+
+
+def decode_images(
+    ds: ray.data.Dataset,
+    concurrency: int | tuple = (2, 8),
+    batch_size: int = 256,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Wide binary payloads ⇒ SMALL batches (batch_size × concurrency must
+    fit worker heap), actor pool for decoder state."""
+    return ds.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def resize_images(
+    ds: ray.data.Dataset,
+    out_h: int = 8,
+    out_w: int = 8,
+    concurrency: int | tuple = (2, 8),
+    batch_size: int = 256,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_args=(out_h, out_w),
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_audio_frames(
+    ds: ray.data.Dataset,
+    stride: int = 4,
+    concurrency: int | tuple = (2, 8),
+    batch_size: int = 256,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioFrameSampler,
+        fn_constructor_args=(stride,),
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def extract_features(
+    ds: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Stateless feature stage over decoded pixels: mean/std/p95 per image
+    (the batched-model-inference slot — a real model swaps in here)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        pix = t.column("pixels")
+        feats = np.empty((t.num_rows, 3), np.float64)
+        for i in range(t.num_rows):
+            a = np.asarray(pix[i].as_py(), dtype=np.float64)
+            feats[i] = (a.mean(), a.std(), np.percentile(a, 95))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "f_mean": pa.array(feats[:, 0]),
+                "f_std": pa.array(feats[:, 1]),
+                "f_p95": pa.array(feats[:, 2]),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -556,6 +556,43 @@ def q_components_band(sf_dir: str):
     return labels
 
 
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal plumbing: fake-decode images → resize 8x8 → features."""
+    from libpysal_ray.multimodal import (
+        attach_fake_media, decode_images, extract_features, resize_images,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+    return extract_features(
+        resize_images(
+            decode_images(attach_fake_media(docs, "image"),
+                          concurrency=(1, 4)),
+            8, 8, concurrency=(1, 4),
+        )
+    )
+
+
+def q_audio_frames(sf_dir: str):
+    """Audio frame sampling: (doc_id, n_frames) after stride-4 sampling."""
+    from libpysal_ray.multimodal import attach_fake_media, sample_audio_frames
+
+    docs = _docs(sf_dir, ["doc_id"])
+    out = sample_audio_frames(attach_fake_media(docs, "audio"), stride=4,
+                              concurrency=(1, 4))
+
+    def _n(t: pa.Table) -> pa.Table:
+        fr = t.column("frames")
+        n = np.asarray(
+            [len(fr[i]) for i in range(t.num_rows)], dtype=np.int64
+        )
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_frames": pa.array(n)})
+
+    return out.map_batches(_n, batch_format="pyarrow")
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "pip_assign": q_pip_assign,
@@ -605,6 +642,8 @@ QUERIES = {
     "fill_diag": q_fill_diag,
     "fingerprint": q_fingerprint,
     "components_band": q_components_band,
+    "image_features": q_image_features,
+    "audio_frames": q_audio_frames,
 }
 
 _PAIR_DIST = (
@@ -1080,5 +1119,9 @@ SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM adj
 UNION ALL
 SELECT doc_id AS focal, doc_id AS neighbor, CAST(2.0 AS DOUBLE) AS weight
 FROM documents
+"""
+
+ORACLE_SQL["audio_frames"] = """
+SELECT doc_id, ((256 + doc_id % 301) + 3) // 4 AS n_frames FROM documents
 """
 
