@@ -57,8 +57,15 @@ def _filtered_band(
 
     band = distance_band(pts, threshold=max_edge, id_col=id_col,
                          x_col=x_col, y_col=y_col)
-    cand = band.edges.map_batches(E.drop_isolate_markers,
-                                  batch_format="pyarrow")
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    # the band edge table is compacted to few blocks; re-split so the
+    # O(pairs × points) witness scan fans out across the cluster
+    cand = band.edges.repartition(max(8, ncpu)).map_batches(
+        E.drop_isolate_markers, batch_format="pyarrow"
+    )
 
     def _test(t: pa.Table) -> pa.Table:
         ids_s, xs, ys = ray.get(ref)

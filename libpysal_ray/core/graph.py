@@ -604,9 +604,10 @@ class RayGraph:
         KNN(k=1) edges plus their reverses, weight 1."""
         from libpysal_ray.builders.distance import knn_edges_with_dist
 
-        iso = self.isolates().to_pandas()["focal"].to_numpy(np.int64)
-        if len(iso) == 0:
+        iso_df = self.isolates().to_pandas()
+        if len(iso_df) == 0 or "focal" not in iso_df.columns:
             return self
+        iso = iso_df["focal"].to_numpy(np.int64)
         knn1 = knn_edges_with_dist(points, k=1, id_col=id_col,
                                    x_col=x_col, y_col=y_col)
         iso_ref = ray.put(np.sort(iso))
