@@ -394,7 +394,7 @@ def kernel(
     """
     ids = points.select_columns([id_col]).rename_columns({id_col: "focal"})
 
-    if bandwidth is not None and fixed:
+    if isinstance(bandwidth, (int, float)) and fixed:
         bw_global = float(bandwidth)
         knn_e = None
     else:
@@ -402,7 +402,14 @@ def kernel(
         kth = knn_e.groupby("focal").max("dist").rename_columns(
             {"max(dist)": "bw"}
         )
-        if fixed:
+        if bandwidth == "quantile" and fixed:
+            # graph-unified default: bandwidth = 25th percentile of the
+            # kNN distance population (graph/_kernel.py:248-254). Driver
+            # sees only the distance column; at corpus scale swap the
+            # exact quantile for a distributed t-digest sketch.
+            d = knn_e.select_columns(["dist"]).to_pandas()["dist"].to_numpy()
+            bw_global = float(np.quantile(d, 0.25))
+        elif fixed:
             bw_global = float(kth.max("bw")) * eps
         else:
             bw_global = float(kth.max("bw")) * eps  # halo bound for tiling

@@ -759,6 +759,7 @@ class RayGraph:
         attr_ids: np.ndarray,
         attr_values: np.ndarray,
         stats: tuple[str, ...] = ("count", "sum", "mean", "min", "max", "std", "median", "nunique", "mode"),
+        q: tuple[float, float] | None = None,
     ) -> ray.data.Dataset:
         """Per-focal stats over neighbor attribute values
         (base.py:2874-2989). Join attr on neighbor (broadcast) →
@@ -792,6 +793,42 @@ class RayGraph:
             ),
             batch_format="pyarrow",
         ).materialize()
+
+        if q is not None:
+            # percentile filtration (graph/_utils.py:284-386): keep only
+            # neighbor values inside the per-neighborhood [q_lo, q_hi]
+            # percentile band, then reduce — inherently per-group.
+            lo, hi = q
+
+            def _qstats(t: pa.Table) -> pa.Table:
+                f = t.column("focal")[0].as_py()
+                y = t.column("__y").to_numpy(zero_copy_only=False)
+                y = y[~np.isnan(y)]
+                if len(y):
+                    ql, qh = np.percentile(y, [lo, hi])
+                    y = y[(y >= ql) & (y <= qh)]
+                out: dict = {"focal": pa.array([f], pa.int64())}
+                for s in stats:
+                    if s == "count":
+                        v = float(len(y))
+                    elif s == "nunique":
+                        v = float(len(np.unique(y)))
+                    elif len(y) == 0:
+                        v = float("nan")
+                    elif s == "mode":
+                        vals, cnt = np.unique(y, return_counts=True)
+                        v = float(vals[np.argmax(cnt)])
+                    elif s == "std":
+                        v = (float(np.std(y, ddof=1)) if len(y) > 1
+                             else float("nan"))
+                    else:
+                        v = float(getattr(np, s)(y))
+                    out[s] = pa.array([v], pa.float64())
+                return pa.table(out)
+
+            return withy.groupby("focal").map_groups(
+                _qstats, batch_format="pyarrow"
+            )
 
         native = [s for s in stats if s in
                   ("count", "sum", "mean", "min", "max", "std")]
