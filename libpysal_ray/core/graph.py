@@ -549,6 +549,23 @@ class RayGraph:
     def symmetric_difference_g(self, other: "RayGraph") -> "RayGraph":
         return self._setop(other, "symmetric_difference")
 
+    def issubgraph(self, other: "RayGraph") -> bool:
+        """True iff every real edge of self appears in other
+        (graph/_set_ops.py:150-176) — empty anti-join check."""
+        missing = J.cogroup_pairs(
+            self._real_edges(),
+            other._real_edges().select_columns(["focal", "neighbor"]),
+        ).filter(expr="ca > 0 and cb == 0")
+        return missing.count() == 0
+
+    def equals(self, other: "RayGraph") -> bool:
+        """Identical adjacency incl. weights (graph/_set_ops.py:178-195):
+        one cogroup — no one-sided keys and wl == wr everywhere."""
+        diff = J.cogroup_pairs(self._real_edges(), other._real_edges()).filter(
+            expr="ca == 0 or cb == 0 or wl != wr"
+        )
+        return diff.count() == 0
+
     def w_clip(self, mask: "RayGraph") -> "RayGraph":
         """Keep self's weights only where mask has a (nonzero) link
         (set_operations.py:389-513)."""

@@ -112,3 +112,13 @@ def test_input_order_invariance():
     a = queen(ray.data.from_arrow(t)).to_pandas()
     b = queen(ray.data.from_arrow(t_shuf)).to_pandas()
     assert a.equals(b)
+
+
+def test_issubgraph_equals():
+    r = lat2graph(4, 4, rook=True)
+    q = lat2graph(4, 4, rook=False)
+    assert r.issubgraph(q)
+    assert not q.issubgraph(r)
+    assert r.equals(lat2graph(4, 4, rook=True))
+    assert not r.equals(q)
+    assert not r.equals(r.transform("R"))
