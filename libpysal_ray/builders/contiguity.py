@@ -251,6 +251,71 @@ def block(
     return RayGraph(E.resolve_isolates(edges, ids))
 
 
+def rook_perimeter(polygons: ray.data.Dataset) -> RayGraph:
+    """Perimeter-weighted contiguity: weight = length of the shared
+    boundary (reference ``by_perimeter``, graph/_contiguity.py:185-206).
+
+    For tessellations whose shared boundaries consist of exactly matching
+    segments (the well-formed coverage case the reference also assumes),
+    the shared length is the sum of lengths of segments keyed identically
+    by both polygons — the same segment-hash shuffle as ``rook``, carrying
+    the segment length and summing it per pair instead of binarizing.
+    """
+    ids = polygons.select_columns(["polygon_id"]).rename_columns(
+        {"polygon_id": "focal"}
+    )
+    segs = polygons.map_batches(_explode_edges, batch_format="pyarrow")
+
+    def _pairs_with_len(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return E.empty_edges()
+        keys = [
+            t.column(c).to_numpy(zero_copy_only=False)
+            for c in ("k1x", "k1y", "k2x", "k2y")
+        ]
+        poly = t.column("poly").to_numpy(zero_copy_only=False)
+        # segment length from the float bit-pattern keys
+        x1 = keys[0].view(np.float64)
+        y1 = keys[1].view(np.float64)
+        x2 = keys[2].view(np.float64)
+        y2 = keys[3].view(np.float64)
+        seglen = np.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in keys:
+            change[1:] |= k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        out_f, out_n, out_w = [], [], []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            s = starts[sizes == m]
+            mat = poly[s[:, None] + np.arange(m)[None, :]]
+            ll = seglen[s]  # same segment for the whole bucket
+            ff = np.repeat(mat, m, axis=1).ravel()
+            nn = np.tile(mat, (1, m)).ravel()
+            ww = np.repeat(ll, m * m)
+            keep = ff != nn
+            out_f.append(ff[keep])
+            out_n.append(nn[keep])
+            out_w.append(ww[keep])
+        if not out_f:
+            return E.empty_edges()
+        return E.edge_table(
+            np.concatenate(out_f), np.concatenate(out_n),
+            np.concatenate(out_w),
+        )
+
+    pairs = segs.sort(["k1x", "k1y", "k2x", "k2y"]).map_batches(
+        _pairs_with_len, batch_format="pyarrow"
+    )
+    # a pair may share several segments → their lengths SUM
+    edges = E.dedup(pairs, keep="sum")
+    return RayGraph(E.resolve_isolates(edges, ids))
+
+
 # ---------------------------------------------------------------- fuzzy
 def _seg_arrays(xs: list, ys: list):
     x = np.asarray(xs, np.float64)
