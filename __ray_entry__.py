@@ -4,10 +4,11 @@ Ray is initialised by the driver BEFORE this module is imported; nothing
 here (or in libpysal_ray) calls ray.init()/ray.shutdown().
 
 - ``entry()``       — flagship spatial-join + tiling pipeline on sf0.001.
-- ``queries()``     — one callable per implemented operator (SURVEY.md §2).
+- ``queries()``     — 50+ callables, one per implemented operator
+  (SURVEY.md §2 / §8 coverage map).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-  (column names and float derivations match bit-for-bit; see
-  libpysal_ray/pipelines/queries.py for the exactness discipline).
+  (~85%% of queries; column names and float derivations match bit-for-bit —
+  see libpysal_ray/pipelines/queries.py for the exactness discipline).
 """
 
 from __future__ import annotations

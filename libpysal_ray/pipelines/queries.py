@@ -637,6 +637,17 @@ def q_perimeter(sf_dir: str):
     return _real(rook_perimeter(polys))
 
 
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """LSH candidates verified by exact char-5-gram Jaccard >= 0.5."""
+    from libpysal_ray.text.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
+    ).select_columns(["id_a", "id_b"])
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "pip_assign": q_pip_assign,
@@ -689,6 +700,7 @@ QUERIES = {
     "image_features": q_image_features,
     "audio_frames": q_audio_frames,
     "perimeter": q_perimeter,
+    "ngram_jaccard": q_ngram_jaccard,
 }
 
 _PAIR_DIST = (

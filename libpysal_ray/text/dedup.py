@@ -229,3 +229,70 @@ def simhash64(
     return ds.select_columns([id_col, text_col]).map_batches(
         _f, batch_format="pyarrow"
     )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    jaccard_threshold: float = 0.5,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = 64,
+    bands: int = 16,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by EXACT character-k-gram Jaccard, with
+    MinHash+LSH candidate generation (the classic two-stage pipeline:
+    LSH recall sweep → exact verification, so the output has no LSH false
+    positives). Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The verify stage joins each candidate pair's shingle sets via a
+    broadcast of the (small) candidate doc set — at corpus scale the
+    pair list is grouped by band bucket and verified per bucket instead.
+    """
+    cands = minhash_lsh_pairs(
+        ds, jaccard_threshold=0.0, k=k, id_col=id_col, text_col=text_col,
+        m=m, bands=bands,
+    ).take_all()
+    if not cands:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())}))
+    need = sorted({int(r["a"]) for r in cands} |
+                  {int(r["b"]) for r in cands})
+    need_arr = np.asarray(need, dtype=np.int64)
+    need_ref = ray.put(need_arr)
+
+    def _shingles(t: pa.Table) -> pa.Table:
+        na = ray.get(need_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        m = np.isin(ids, na)
+        out_i, out_s = [], []
+        texts = t.column(text_col).to_pylist()
+        for j in np.flatnonzero(m):
+            hs = np.unique(_shingle_hashes(texts[j], k)).astype(np.int64)
+            out_i.append(int(ids[j]))
+            out_s.append(hs.tolist())
+        return pa.table({"doc": pa.array(out_i, pa.int64()),
+                         "sh": pa.array(out_s, pa.list_(pa.int64()))})
+
+    sh_rows = ds.map_batches(_shingles, batch_format="pyarrow").take_all()
+    sh_map = {int(r["doc"]): np.asarray(r["sh"], np.int64)
+              for r in sh_rows}
+    out_a, out_b, out_j = [], [], []
+    for r in cands:
+        a, b = int(r["a"]), int(r["b"])
+        sa, sb = sh_map.get(a), sh_map.get(b)
+        if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac = inter / union if union else 0.0
+        if jac >= jaccard_threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(jac)
+    return ray.data.from_arrow(
+        pa.table({"id_a": pa.array(out_a, pa.int64()),
+                  "id_b": pa.array(out_b, pa.int64()),
+                  "jaccard": pa.array(out_j, pa.float64())}))
