@@ -648,6 +648,27 @@ def q_ngram_jaccard(sf_dir: str):
     ).select_columns(["id_a", "id_b"])
 
 
+
+
+def q_transform_d(sf_dir: str):
+    """D (global-sum) transform of the rook lattice: w / s0."""
+    return _real(_rook_g(sf_dir).transform("D"))
+
+
+def q_symdiff_queen_rook(sf_dir: str):
+    """queen Δ rook = the bishop (diagonal-only) adjacency."""
+    return _real(_queen_g(sf_dir).symmetric_difference_g(_rook_g(sf_dir)))
+
+
+def q_kernel_diag(sf_dir: str):
+    """Fixed triangular kernel with diagonal=True (self-weight forced 1)."""
+    g = kernel(
+        _points(sf_dir), bandwidth=100.0, fixed=True,
+        function="triangular", diagonal=True, id_col="doc_id",
+    )
+    return _real(g)
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "pip_assign": q_pip_assign,
@@ -701,6 +722,9 @@ QUERIES = {
     "audio_frames": q_audio_frames,
     "perimeter": q_perimeter,
     "ngram_jaccard": q_ngram_jaccard,
+    "transform_d": q_transform_d,
+    "symdiff_queen_rook": q_symdiff_queen_rook,
+    "kernel_diag": q_kernel_diag,
 }
 
 _PAIR_DIST = (
@@ -1185,5 +1209,28 @@ SELECT doc_id, ((256 + doc_id % 301) + 3) // 4 AS n_frames FROM documents
 ORACLE_SQL["perimeter"] = f"""
 WITH {_ROOK_SQL}
 SELECT focal, neighbor, CAST(2.5 AS DOUBLE) AS weight FROM adj
+"""
+
+ORACLE_SQL["transform_d"] = f"""
+WITH {_ROOK_SQL},
+s0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM adj)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) / (SELECT v FROM s0) AS weight
+FROM adj
+"""
+
+ORACLE_SQL["symdiff_queen_rook"] = f"""
+WITH g AS (SELECT doc_id, doc_id // {LCOLS} AS r, doc_id % {LCOLS} AS c FROM documents)
+SELECT a.doc_id AS focal, b.doc_id AS neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM g a JOIN g b ON abs(a.r - b.r) = 1 AND abs(a.c - b.c) = 1
+"""
+
+ORACLE_SQL["kernel_diag"] = f"""
+WITH {_PTS_SQL}
+SELECT a.doc_id AS focal, b.doc_id AS neighbor,
+       CASE WHEN a.doc_id = b.doc_id THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE) - {_PAIR_DIST} / CAST(100.0 AS DOUBLE)
+       END AS weight
+FROM pts a, pts b
+WHERE {_PAIR_DIST} <= 100
 """
 
