@@ -147,6 +147,10 @@ def distance_band(
             out_n.append(i[c])
             if binary:
                 out_w.append(np.ones(len(r)))
+            elif alpha == -1.0:
+                # IEEE divide is correctly rounded (libm pow is not) —
+                # keeps the gravity weights bit-reproducible everywhere
+                out_w.append(1.0 / d[keep])
             else:
                 out_w.append(np.power(d[keep], alpha))
         if not out_f:

@@ -669,6 +669,17 @@ def q_kernel_diag(sf_dir: str):
     return _real(g)
 
 
+
+
+def q_gravity_band(sf_dir: str):
+    """Gravity weights: distance band with w = d^alpha (alpha = -1)."""
+    g = distance_band(
+        _points(sf_dir), threshold=50.0, binary=False, alpha=-1.0,
+        id_col="doc_id",
+    )
+    return _real(g)
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "pip_assign": q_pip_assign,
@@ -725,6 +736,7 @@ QUERIES = {
     "transform_d": q_transform_d,
     "symdiff_queen_rook": q_symdiff_queen_rook,
     "kernel_diag": q_kernel_diag,
+    "gravity_band": q_gravity_band,
 }
 
 _PAIR_DIST = (
@@ -1232,5 +1244,13 @@ SELECT a.doc_id AS focal, b.doc_id AS neighbor,
        END AS weight
 FROM pts a, pts b
 WHERE {_PAIR_DIST} <= 100
+"""
+
+ORACLE_SQL["gravity_band"] = f"""
+WITH {_PTS_SQL}
+SELECT a.doc_id AS focal, b.doc_id AS neighbor,
+       CAST(1.0 AS DOUBLE) / ({_PAIR_DIST}) AS weight
+FROM pts a, pts b
+WHERE a.doc_id <> b.doc_id AND {_PAIR_DIST} <= 50
 """
 
