@@ -114,3 +114,21 @@ def test_ann_topk_exact():
     assert out.iloc[0]["neighbor_id"] == 7
     assert abs(out.iloc[0]["sim"] - 1.0) < 1e-12
     assert len(out) == 3
+
+
+def test_flagship_partial_resume(tmp_path):
+    """Deleting ONE done-marker re-emits exactly that partition's rows."""
+    import os
+
+    out_dir = str(tmp_path / "flagp")
+    r1 = flagship(SF, out_dir=out_dir).to_pandas()
+    m1 = {m["key"]: m for m in lineage.load_manifest(out_dir)}
+    assert len(m1) >= 2
+    victim = sorted(m1)[0]
+    os.remove(os.path.join(lineage.manifest_dir(out_dir), f"{victim}.json"))
+    r2 = flagship(SF, out_dir=out_dir).to_pandas()
+    assert len(r2) == m1[victim]["rows"]
+    # marker restored, digest-xor lineage metric identical
+    m2 = {m["key"]: m for m in lineage.load_manifest(out_dir)}
+    assert m2[victim]["digest_xor"] == m1[victim]["digest_xor"]
+    assert len(m2) == len(m1)
