@@ -187,36 +187,144 @@ def cosine_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_rows: int = 65536,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs: directed (id_a, id_b) with
     cosine similarity ≥ threshold, a ≠ b.
 
-    Plan: normalized matrix broadcast once (ray.put); each batch does one
-    numpy matmul block against it. The scale path swaps the broadcast for
-    LSH bucketing (see ann_lsh_topk) — this exact variant is the oracle
-    baseline and the right plan whenever the embedding table fits a worker.
+    Exact blocked-matmul plan, memory-bounded at every hop: the corpus is
+    streamed through the driver ONE CHUNK AT A TIME (``iter_batches`` —
+    never a whole-table ``take_all``) and each normalized chunk is
+    ``ray.put`` once; a single ``map_batches`` pass then matmuls every
+    data block against each chunk ref in turn. Work is the inherent
+    O(n²/chunk) of an exact all-pairs scan, but no worker (or the driver)
+    ever holds more than one chunk + one batch, and chunks live in the
+    object store (spillable, fetched zero-copy per node). For the
+    approximate sub-quadratic path see ``cosine_dup_pairs_lsh``.
     """
-    rows = embeddings.select_columns([id_col, vec_col]).take_all()
-    rows.sort(key=lambda r: r[id_col])
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    m = _norm_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
-    ref = ray.put((ids, m))
+    chunk_refs = []
+    for b in embeddings.select_columns([id_col, vec_col]).iter_batches(
+        batch_size=chunk_rows, batch_format="pyarrow"
+    ):
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            continue
+        m = _norm_rows(np.array(b.column(vec_col).to_pylist(), dtype=np.float64))
+        chunk_refs.append(ray.put((ids, m)))
 
     def _scan(t: pa.Table) -> pa.Table:
-        aids, am = ray.get(ref)
-        qid = t.column(id_col).to_numpy(zero_copy_only=False)
+        qid = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         qm = _norm_rows(
             np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
         )
-        sims = qm @ am.T
-        hit = sims >= threshold
-        hit &= qid[:, None] != aids[None, :]
-        r, c = np.nonzero(hit)
+        out_a, out_b = [], []
+        for ref in chunk_refs:
+            aids, am = ray.get(ref)
+            sims = qm @ am.T
+            hit = sims >= threshold
+            hit &= qid[:, None] != aids[None, :]
+            r, c = np.nonzero(hit)
+            out_a.append(qid[r])
+            out_b.append(aids[c])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
         return pa.table(
             {
-                "id_a": pa.array(qid[r].astype(np.int64)),
-                "id_b": pa.array(aids[c]),
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
             }
         )
 
     return embeddings.map_batches(_scan, batch_format="pyarrow")
+
+
+def cosine_dup_pairs_lsh(
+    embeddings: ray.data.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 5,
+    dim: int | None = None,
+) -> ray.data.Dataset:
+    """Approximate near-duplicate pairs — the sub-quadratic scale path.
+
+    Random-hyperplane (SimHash) signatures; each vector is emitted into
+    ``bands`` band buckets; ONE groupby((band, bucket)) co-locates
+    candidates; per bucket a single matmul emits directed pairs with
+    cosine ≥ threshold; a final groupby dedups pairs found in several
+    bands. Work is Σ bucket², not corpus² — recall governed by
+    ``n_planes``/``bands`` (more bands → higher recall, more shuffle).
+    Same output schema as the exact ``cosine_dup_pairs``.
+    """
+    if dim is None:
+        dim = len(embeddings.take(1)[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    band_bits = n_planes // bands
+    pw = np.uint64(1) << np.arange(band_bits, dtype=np.uint64)
+    pref = ray.put(planes)
+
+    def _emit(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 vec_col: pa.array([], pa.list_(pa.float64()))}
+            )
+        pl = ray.get(pref)
+        mn = _norm_rows(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
+        sig = (mn @ pl > 0).astype(np.uint64)
+        vec_list = pa.array(mn.tolist(), pa.list_(pa.float64()))
+        parts = []
+        for b in range(bands):
+            bk = (sig[:, b * band_bits: (b + 1) * band_bits] * pw).sum(axis=1)
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(ids), b, dtype=np.int64)),
+                        "bucket": pa.array(bk.astype(np.int64)),
+                        id_col: pa.array(ids),
+                        vec_col: vec_list,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    tiled = embeddings.select_columns([id_col, vec_col]).map_batches(
+        _emit, batch_format="pyarrow"
+    )
+
+    def _bucket_pairs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if len(ids) < 2:
+            return empty
+        mn = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        out_a, out_b = [], []
+        # chunk the probe side so a hot bucket never allocates a B×B matrix
+        for s in range(0, len(ids), 1024):
+            q = slice(s, s + 1024)
+            sims = mn[q] @ mn.T
+            hit = sims >= threshold
+            hit &= ids[q, None] != ids[None, :]
+            r, c = np.nonzero(hit)
+            out_a.append(ids[q][r])
+            out_b.append(ids[c])
+        if not out_a:
+            return empty
+        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                         "id_b": pa.array(np.concatenate(out_b))})
+
+    return (
+        tiled.groupby(["band", "bucket"])
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .count()
+        .select_columns(["id_a", "id_b"])
+    )

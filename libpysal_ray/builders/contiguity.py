@@ -34,6 +34,7 @@ import ray.data
 
 from libpysal_ray.core import edges as E
 from libpysal_ray.core.graph import RayGraph
+from libpysal_ray.core.joins import grouped_by_key
 
 
 def _f2i(a: np.ndarray) -> np.ndarray:
@@ -120,16 +121,13 @@ def _bucket_pairs(t: pa.Table) -> pa.Table:
 
 
 def _pairs_sorted_block(key_cols: list[str]):
-    """Vectorized multi-group pair emission over a key-SORTED block.
+    """Vectorized multi-group pair emission over a key-SORTED table.
 
-    Ray's sort range-partitions with consistent boundary handling, so rows
-    with equal keys never straddle blocks — the same guarantee map_groups
-    relies on. Instead of one Python call per vertex bucket (the map_groups
-    cost model), this processes every bucket in the block at once: groups
-    are found by run-length over the sorted keys, then pair cross-products
-    are emitted per group-SIZE class with one broadcasted numpy op each
-    (bucket sizes are tiny — ≤4 for lattice vertices — so there are only a
-    handful of size classes per block).
+    Groups are found by run-length over the sorted keys, then pair
+    cross-products are emitted per group-SIZE class with one broadcasted
+    numpy op each (bucket sizes are tiny — ≤4 for lattice vertices — so
+    there are only a handful of size classes per table). Feed through
+    ``grouped_by_key`` so co-location of equal keys is guaranteed.
     """
 
     def f(t: pa.Table) -> pa.Table:
@@ -172,8 +170,8 @@ def queen(polygons: ray.data.Dataset) -> RayGraph:
         {"polygon_id": "focal"}
     )
     verts = polygons.map_batches(_explode_vertices, batch_format="pyarrow")
-    pairs = verts.sort(["kx", "ky"]).map_batches(
-        _pairs_sorted_block(["kx", "ky"]), batch_format="pyarrow"
+    pairs = grouped_by_key(
+        verts, ["kx", "ky"], _pairs_sorted_block(["kx", "ky"])
     )
     edges = E.dedup(
         pairs.map_batches(E.batch_dedup, batch_format="pyarrow")
@@ -187,8 +185,10 @@ def rook(polygons: ray.data.Dataset) -> RayGraph:
         {"polygon_id": "focal"}
     )
     segs = polygons.map_batches(_explode_edges, batch_format="pyarrow")
-    pairs = segs.sort(["k1x", "k1y", "k2x", "k2y"]).map_batches(
-        _pairs_sorted_block(["k1x", "k1y", "k2x", "k2y"]), batch_format="pyarrow"
+    pairs = grouped_by_key(
+        segs,
+        ["k1x", "k1y", "k2x", "k2y"],
+        _pairs_sorted_block(["k1x", "k1y", "k2x", "k2y"]),
     )
     edges = E.dedup(
         pairs.map_batches(E.batch_dedup, batch_format="pyarrow")
@@ -243,10 +243,10 @@ def block(
             return E.empty_edges()
         return E.edge_table(np.concatenate(fs), np.concatenate(ns), 1.0)
 
-    edges = (
-        table.map_batches(_code, batch_format="pyarrow")
-        .sort("__rh")
-        .map_batches(_allgroups, batch_format="pyarrow")
+    edges = grouped_by_key(
+        table.map_batches(_code, batch_format="pyarrow"),
+        ["__rh"],
+        _allgroups,
     )
     return RayGraph(E.resolve_isolates(edges, ids))
 
@@ -308,8 +308,8 @@ def rook_perimeter(polygons: ray.data.Dataset) -> RayGraph:
             np.concatenate(out_w),
         )
 
-    pairs = segs.sort(["k1x", "k1y", "k2x", "k2y"]).map_batches(
-        _pairs_with_len, batch_format="pyarrow"
+    pairs = grouped_by_key(
+        segs, ["k1x", "k1y", "k2x", "k2y"], _pairs_with_len
     )
     # a pair may share several segments → their lengths SUM
     edges = E.dedup(pairs, keep="sum")

@@ -47,6 +47,13 @@ def netw(
     def _ids(t: pa.Table) -> pa.Table:
         o = t.column(o_col).to_numpy(zero_copy_only=False).astype(np.int64)
         d = t.column(d_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        for name, v in ((o_col, o), (d_col, d)):
+            if len(v) and (v.min() < 0 or v.max() >= SPAN):
+                raise ValueError(
+                    f"netw: node ids in column {name!r} must lie in "
+                    f"[0, 2**21) for packed link ids; got range "
+                    f"[{v.min()}, {v.max()}]"
+                )
         return pa.table(
             {"lid": pa.array(o * SPAN + d), "o": pa.array(o), "d": pa.array(d)}
         )
@@ -139,10 +146,14 @@ def odw(
 
     oo = wo.edges.map_batches(E.drop_isolate_markers, batch_format="pyarrow")
     edges = oo.map_batches(_cross, batch_format="pyarrow")
-    # id universe: all (o, d) combinations of the two id sets
+    # id universe: all (o, d) combinations of the two id sets.  Destination
+    # ids come from ALL focal ids of wd.edges (isolate marker rows included)
+    # so a d-side isolate still yields flow rows, symmetric with the o side.
     from libpysal_ray.core.graph import ids_dataset
 
-    d_ids = np.unique(d_tbl["focal"].to_numpy(np.int64))
+    d_ids = np.unique(
+        ids_dataset(wd.edges).to_pandas()["focal"].to_numpy(np.int64)
+    )
     d_ref = ray.put(d_ids)
 
     def _flow_ids(t: pa.Table) -> pa.Table:
@@ -180,6 +191,15 @@ def vecw(
     names = list(cols)
 
     def _emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "tile": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                    "core": pa.array([], pa.bool_()),
+                    **{c: pa.array([], pa.float64()) for c in names},
+                }
+            )
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         v = np.stack(
             [

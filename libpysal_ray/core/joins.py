@@ -126,6 +126,52 @@ def cogroup_pairs(
     )
 
 
+def grouped_by_key(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    fn,
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Apply ``fn`` (which expects a key-SORTED table) to hash buckets.
+
+    Physical plan: append ``__gb = hash(key_cols) % num_buckets``, ONE
+    ``groupby(__gb)`` shuffle (the documented all-rows-of-a-key-together
+    guarantee), then inside each bucket lexsort by the key columns and run
+    the vectorized multi-group kernel on the whole bucket at once. Same
+    single-shuffle cost as a ``sort`` + block-scan plan, but it relies only
+    on groupby semantics — not on the undocumented invariants that equal
+    sort keys never straddle sort output blocks and that
+    ``map_batches(batch_size=None)`` consumes whole blocks (ADVICE r01).
+
+    Key columns must be int64 (bit patterns / hashes). ``num_buckets``
+    bounds parallelism of the vectorized scan; at web scale raise it
+    toward the cluster's total core count.
+    """
+    from libpysal_ray.core.hashing import splitmix64
+
+    nb = np.uint64(num_buckets)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            k = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            h = splitmix64(h ^ k.view(np.uint64))
+        return t.append_column("__gb", pa.array((h % nb).astype(np.int64)))
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        keys = [
+            t.column(c).to_numpy(zero_copy_only=False) for c in key_cols
+        ]
+        order = np.lexsort(keys[::-1])
+        return fn(t.take(pa.array(order)))
+
+    return (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(_bucket, batch_format="pyarrow")
+    )
+
+
 def pair_anti(
     left: ray.data.Dataset, right_keys: ray.data.Dataset
 ) -> ray.data.Dataset:

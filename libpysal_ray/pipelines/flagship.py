@@ -279,10 +279,14 @@ def flagship(
         return out
 
     # ONE shuffle on cell_salted. Hash repartition (no boundary sampling,
-    # one pass) when the context enables it; else a range sort — both
-    # co-locate equal keys within blocks and sort within the block, which
-    # is all _finalize_block needs.
+    # one pass) when the context enables it; else a hash-bucketed groupby
+    # — both guarantee every row of a cell_salted group lands in exactly
+    # one task, which _finalize_block's per-group checkpoint write needs
+    # (a range sort does NOT document that equal keys never straddle
+    # blocks; a straddled group would double-write its partition marker).
     from ray.data.context import DataContext, ShuffleStrategy
+
+    from libpysal_ray.core.joins import grouped_by_key
 
     if DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
         try:
@@ -292,9 +296,8 @@ def flagship(
         shuffled = joined.repartition(
             max(16, 2 * ncpu), keys=["cell_salted"], sort=True
         )
-    else:
-        shuffled = joined.sort("cell_salted")
-    return shuffled.map_batches(_finalize_block, batch_format="pyarrow")
+        return shuffled.map_batches(_finalize_block, batch_format="pyarrow")
+    return grouped_by_key(joined, ["cell_salted"], _finalize_block)
 
 
 def _empty_result() -> pa.Table:

@@ -548,6 +548,16 @@ def q_emb_neardup(sf_dir: str):
     return cosine_dup_pairs(emb, threshold=0.4)
 
 
+def q_emb_neardup_lsh(sf_dir: str):
+    """Sub-quadratic LSH-bucketed near-dup pairs (approximate — no SQL
+    oracle; recall vs the exact variant is covered by pytest)."""
+    from libpysal_ray.ann.knn import cosine_dup_pairs_lsh
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    return cosine_dup_pairs_lsh(emb, threshold=0.4)
+
+
 def q_wclip_band(sf_dir: str):
     """distance_band(50) clipped by distance_band(30) mask == band(30)."""
     pts = _points(sf_dir).materialize()
@@ -737,6 +747,7 @@ QUERIES = {
     "symdiff_queen_rook": q_symdiff_queen_rook,
     "kernel_diag": q_kernel_diag,
     "gravity_band": q_gravity_band,
+    "emb_neardup_lsh": q_emb_neardup_lsh,
 }
 
 _PAIR_DIST = (
@@ -868,12 +879,12 @@ FROM documents
 """,
     "quality": """
 SELECT doc_id,
-       ( (length(text) - length(replace(text, ' the ', ''))) / 5
+       CAST( (length(text) - length(replace(text, ' the ', ''))) / 5
        + (length(text) - length(replace(text, ' and ', ''))) / 5
        + (length(text) - length(replace(text, ' of ', ''))) / 4
        + (length(text) - length(replace(text, ' to ', ''))) / 4
        + (length(text) - length(replace(text, ' is ', ''))) / 4
-       ) AS stop_hits,
+       AS BIGINT) AS stop_hits,
        CAST(( (length(text) - length(replace(text, ' the ', ''))) / 5
        + (length(text) - length(replace(text, ' and ', ''))) / 5
        + (length(text) - length(replace(text, ' of ', ''))) / 4
@@ -1197,6 +1208,30 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id <> b.vec_id
   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+ORACLE_SQL["ngram_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(tk) - 4),
+                   i -> array_to_string(tk[i:i+4], ' ')))) AS g
+  FROM toks WHERE len(tk) >= 5
+  UNION ALL
+  SELECT doc_id, array_to_string(tk, ' ') AS g
+  FROM toks WHERE len(tk) < 5 AND len(tk) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 """
 
 ORACLE_SQL["wclip_band"] = f"""

@@ -78,11 +78,6 @@ def read_gwt(path: str) -> RayGraph:
             focal.append(int(parts[0]))
             neighbor.append(int(parts[1]))
             weight.append(float(parts[2]))
-    ds = E.from_arrays(
-        np.asarray(focal, np.int64),
-        np.asarray(neighbor, np.int64),
-        np.asarray(weight, np.float64),
-    )
     return RayGraph.from_arrays(
         np.asarray(focal, np.int64),
         np.asarray(neighbor, np.int64),

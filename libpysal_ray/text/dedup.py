@@ -27,21 +27,19 @@ def exact_dedup(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
     """(doc_id, n_dupes): per identical-text group, the minimum id survives
-    with the duplicate count. One shuffle on the digest."""
+    with the duplicate count. One shuffle on the digest, native Min/Count
+    aggregates (partial pre-aggregation per block, no per-group Python)."""
+    from ray.data.aggregate import Count, Min
+
     from libpysal_ray.text.analysis import md5_hex
 
-    hashed = md5_hex(ds.select_columns([id_col, text_col]), text_col)
-
-    def _keep(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                id_col: pa.array([int(ids.min())], pa.int64()),
-                "n_dupes": pa.array([len(ids)], pa.int64()),
-            }
-        )
-
-    return hashed.groupby("text_md5").map_groups(_keep, batch_format="pyarrow")
+    hashed = md5_hex(ds.select_columns([id_col, text_col]), text_col).drop_columns(
+        [text_col]
+    )
+    g = hashed.groupby("text_md5").aggregate(Min(id_col), Count())
+    return g.rename_columns(
+        {f"min({id_col})": id_col, "count()": "n_dupes"}
+    ).select_columns([id_col, "n_dupes"])
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
@@ -103,6 +101,15 @@ def minhash_signatures(
     )
 
 
+def _list_col_matrix(col, m: int) -> np.ndarray:
+    """Fixed-length list<int64> column → (n, m) numpy, zero-copy per chunk."""
+    ch = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(ch, pa.ChunkedArray):  # 0-chunk edge
+        return np.empty((0, m), dtype=np.int64)
+    flat = ch.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, m)
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -112,17 +119,25 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     seed: int = 13,
+    max_bucket: int = 10_000,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (a, b, jaccard) with a < b.
 
     signatures → per-band bucket keys (md5 of the band slice) → ONE
-    groupby(band, bucket) emits candidate pairs → dedup pairs → exact
-    Jaccard verify on estimated signature agreement.
+    groupby(band, bucket) emits candidate pairs → dedup pairs →
+    signature-estimated Jaccard verify (mean matching minhashes — the
+    standard scalable verify; see ngram_jaccard_pairs for the exact
+    shingle-set verify built on top of this).
 
-    The verify step uses the signature-estimated Jaccard (mean matching
-    minhashes) — the standard scalable verify; exact shingle-set Jaccard
-    would require re-reading texts for candidates (a broadcast join at
-    small candidate counts; planned refinement).
+    The verify is fully distributed: candidate pairs are bucket-joined
+    against the signature Dataset on each endpoint and compared with one
+    vectorized matrix equality per batch — no driver-side signature map,
+    no whole-corpus materialization.
+
+    Buckets larger than ``max_bucket`` emit STAR pairs (every member ↔ the
+    bucket minimum) instead of the full O(B²) cross product: near-dup
+    cluster connectivity is preserved at O(B) output, and nothing is
+    silently dropped.
     """
     sigs = minhash_signatures(ds, id_col, text_col, k, m, seed).materialize()
     rows_per_band = m // bands
@@ -151,9 +166,14 @@ def minhash_lsh_pairs(
 
     def _pairs(t: pa.Table) -> pa.Table:
         ids = np.unique(t.column(id_col).to_numpy(zero_copy_only=False))
-        if len(ids) < 2 or len(ids) > 10_000:
+        if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
+        if len(ids) > max_bucket:
+            # hot bucket: star to the minimum id — O(B) pairs, cluster
+            # connectivity preserved, no silent drop.
+            return pa.table({"a": pa.array(np.full(len(ids) - 1, ids[0])),
+                             "b": pa.array(ids[1:])})
         aa = np.repeat(ids, len(ids))
         bb = np.tile(ids, len(ids))
         keep = aa < bb
@@ -168,33 +188,34 @@ def minhash_lsh_pairs(
         .select_columns(["a", "b"])
     )
 
-    # verify: signature-estimated jaccard via broadcast signature lookup
-    sig_pd = sigs.to_pandas()
-    import ray as _ray
+    # verify: signature-estimated jaccard via DISTRIBUTED bucket-joins —
+    # pairs pick up sig_a then sig_b, compared vectorized per batch.
+    from libpysal_ray.core import joins as J
 
-    sig_map = {
-        int(r[id_col]): np.asarray(r["sig"], dtype=np.int64)
-        for _, r in sig_pd.iterrows()
-    }
-    ref = _ray.put(sig_map)
+    sa = sigs.rename_columns({id_col: "a", "sig": "sig_a"})
+    sb = sigs.rename_columns({id_col: "b", "sig": "sig_b"})
+    j2 = J.bucket_join(J.bucket_join(cands, sa, on="a"), sb, on="b")
 
     def _verify(t: pa.Table) -> pa.Table:
-        mp = _ray.get(ref)
-        a_ = t.column("a").to_numpy(zero_copy_only=False)
-        b_ = t.column("b").to_numpy(zero_copy_only=False)
-        jac = np.array(
-            [float((mp[x] == mp[y]).mean()) for x, y in zip(a_, b_)]
-        )
+        if t.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()),
+                 "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        A = _list_col_matrix(t.column("sig_a"), m)
+        B = _list_col_matrix(t.column("sig_b"), m)
+        jac = (A == B).mean(axis=1)
         keep = jac >= jaccard_threshold
         return pa.table(
             {
-                "a": pa.array(a_[keep]),
-                "b": pa.array(b_[keep]),
+                "a": t.column("a").filter(pa.array(keep)),
+                "b": t.column("b").filter(pa.array(keep)),
                 "jaccard": pa.array(jac[keep]),
             }
         )
 
-    return cands.map_batches(_verify, batch_format="pyarrow")
+    return j2.map_batches(_verify, batch_format="pyarrow")
 
 
 def simhash64(
@@ -245,54 +266,79 @@ def ngram_jaccard_pairs(
     LSH recall sweep → exact verification, so the output has no LSH false
     positives). Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    The verify stage joins each candidate pair's shingle sets via a
-    broadcast of the (small) candidate doc set — at corpus scale the
-    pair list is grouped by band bucket and verified per bucket instead.
+    Fully distributed verify: the candidate doc-id set is semi-joined
+    against the corpus (bucket_join, one shuffle) so ONLY candidate docs
+    get shingled; candidate pairs then bucket-join their two shingle sets
+    and each batch computes exact Jaccard with sorted-array intersections
+    (numpy per pair, spread across the cluster) — no driver-side pair
+    loop, no whole-corpus shingle map.
     """
-    cands = minhash_lsh_pairs(
-        ds, jaccard_threshold=0.0, k=k, id_col=id_col, text_col=text_col,
-        m=m, bands=bands,
-    ).take_all()
-    if not cands:
-        return ray.data.from_arrow(
-            pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())}))
-    need = sorted({int(r["a"]) for r in cands} |
-                  {int(r["b"]) for r in cands})
-    need_arr = np.asarray(need, dtype=np.int64)
-    need_ref = ray.put(need_arr)
+    from libpysal_ray.core import joins as J
+
+    cands = (
+        minhash_lsh_pairs(
+            ds, jaccard_threshold=0.0, k=k, id_col=id_col,
+            text_col=text_col, m=m, bands=bands,
+        )
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    need = (
+        cands.select_columns(["a"]).rename_columns({"a": id_col})
+        .union(cands.select_columns(["b"]).rename_columns({"b": id_col}))
+        .groupby(id_col)
+        .count()
+        .select_columns([id_col])
+    )
+    docs = J.bucket_join(
+        ds.select_columns([id_col, text_col]), need, on=id_col, how="semi"
+    )
 
     def _shingles(t: pa.Table) -> pa.Table:
-        na = ray.get(need_ref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        m = np.isin(ids, na)
         out_i, out_s = [], []
-        texts = t.column(text_col).to_pylist()
-        for j in np.flatnonzero(m):
-            hs = np.unique(_shingle_hashes(texts[j], k)).astype(np.int64)
-            out_i.append(int(ids[j]))
+        for i, txt in zip(ids, t.column(text_col).to_pylist()):
+            hs = _shingle_hashes(txt, k).astype(np.int64)
+            out_i.append(int(i))
             out_s.append(hs.tolist())
         return pa.table({"doc": pa.array(out_i, pa.int64()),
                          "sh": pa.array(out_s, pa.list_(pa.int64()))})
 
-    sh_rows = ds.map_batches(_shingles, batch_format="pyarrow").take_all()
-    sh_map = {int(r["doc"]): np.asarray(r["sh"], np.int64)
-              for r in sh_rows}
-    out_a, out_b, out_j = [], [], []
-    for r in cands:
-        a, b = int(r["a"]), int(r["b"])
-        sa, sb = sh_map.get(a), sh_map.get(b)
-        if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
-            continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        jac = inter / union if union else 0.0
-        if jac >= jaccard_threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(jac)
-    return ray.data.from_arrow(
-        pa.table({"id_a": pa.array(out_a, pa.int64()),
-                  "id_b": pa.array(out_b, pa.int64()),
-                  "jaccard": pa.array(out_j, pa.float64())}))
+    shingles = docs.map_batches(_shingles, batch_format="pyarrow")
+    ja = shingles.rename_columns({"doc": "a", "sh": "sh_a"})
+    jb = shingles.rename_columns({"doc": "b", "sh": "sh_b"})
+    j2 = J.bucket_join(J.bucket_join(cands, ja, on="a"), jb, on="b")
+
+    def _jac(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        a_ = t.column("a").to_numpy(zero_copy_only=False)
+        b_ = t.column("b").to_numpy(zero_copy_only=False)
+        sh_a = t.column("sh_a").to_pylist()
+        sh_b = t.column("sh_b").to_pylist()
+        jac = np.zeros(len(a_), dtype=np.float64)
+        for i, (sa, sb) in enumerate(zip(sh_a, sh_b)):
+            na, nb_ = len(sa), len(sb)
+            if na == 0 and nb_ == 0:
+                jac[i] = -1.0  # both empty → excluded below
+                continue
+            inter = len(
+                np.intersect1d(
+                    np.asarray(sa, np.int64), np.asarray(sb, np.int64),
+                    assume_unique=True,
+                )
+            )
+            union = na + nb_ - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= jaccard_threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a_[keep].astype(np.int64)),
+                "id_b": pa.array(b_[keep].astype(np.int64)),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return j2.map_batches(_jac, batch_format="pyarrow")
