@@ -1,0 +1,429 @@
+"""Delaunay triangulation and Voronoi-cell contiguity builders.
+
+Reference semantics: graph/_triangulation.py:126-199 (``_delaunay`` — the
+full Delaunay edge set via scipy), graph/_triangulation.py:345-428 and
+weights/contiguity.py:619-694 (``_voronoi`` / ``Voronoi`` — rook contiguity
+of Voronoi cells clipped to the point bounding box), golden-dict test
+weights/tests/test_contiguity.py:205-217. No scipy/shapely in this
+environment; both algorithms here are from-scratch numpy.
+
+Two physical paths:
+
+* ``delaunay`` / ``voronoi`` — exact global triangulation via an
+  incremental Bowyer-Watson (public-domain algorithm; Bowyer 1981, Watson
+  1981) vectorized over the live triangle set per insertion. Global
+  triangulation is inherently a small-layer operation (the reference holds
+  it in scipy in-process the same way); guarded by ``max_points`` with the
+  bounded builder as the scale path.
+* ``delaunay_bounded(points, max_radius)`` — the DISTRIBUTED scale path:
+  the radius-bounded Delaunay graph (the 1-skeleton of the alpha-complex
+  at alpha = max_radius): edge (i, j) survives iff SOME empty circle
+  through i and j has radius ≤ max_radius. Unlike the unbounded graph
+  this is exactly tileable: every witness circle lies inside
+  ball(i, 2·max_radius), so a tile shuffle with halo = 2R (the same
+  ``tile_points`` shuffle as the distance builders) sees every point that
+  can matter. Per tile the test is a vectorized linear-programming-in-one-
+  variable: circles through (i, j) are parameterized by their center
+  m + t·u on the bisector; "k strictly inside" is the linear inequality
+  a·t < b with a = 2u·(i-k), b = |i|²-|k|²-2m·(i-k), so the edge lives
+  iff the closed allowed interval [max lower, min upper] ∩ [-tmax, tmax]
+  is non-empty (tmax² = R² - d²/4). The same formula is expressible in
+  SQL, which is what the DuckDB oracle runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from libpysal_ray.builders.distance import tile_points
+from libpysal_ray.core import edges as E
+from libpysal_ray.core.graph import RayGraph
+
+_PCHUNK = 256  # candidate-pair chunk per witness matrix
+
+
+def _circumcircles(X: np.ndarray, Y: np.ndarray, tris: np.ndarray):
+    """Circumcenter + squared radius per triangle (vectorized)."""
+    ax, ay = X[tris[:, 0]], Y[tris[:, 0]]
+    bx, by = X[tris[:, 1]], Y[tris[:, 1]]
+    cx, cy = X[tris[:, 2]], Y[tris[:, 2]]
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    d = np.where(d == 0.0, 1e-300, d)
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+    uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+    return ux, uy, r2
+
+
+def _bw_once(px: np.ndarray, py: np.ndarray, D: float):
+    """One Bowyer-Watson pass with super vertices at distance ~D."""
+    n = len(px)
+    minx, maxx = float(px.min()), float(px.max())
+    miny, maxy = float(py.min()), float(py.max())
+    span = max(maxx - minx, maxy - miny, 1.0)
+    cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+    X = np.concatenate([px, [cx - 1.5 * D, cx + 1.5 * D, cx]])
+    Y = np.concatenate([py, [cy - D, cy - D, cy + 1.5 * D]])
+    tris = np.array([[n, n + 1, n + 2]], dtype=np.int64)
+    ccx, ccy, r2 = _circumcircles(X, Y, tris)
+    # insertion in Morton-ish order (spatial locality keeps cavities small)
+    order = np.lexsort(
+        (py, np.floor((px - minx) / (span / 64)).astype(np.int64))
+    )
+    for p in order:
+        dx = X[p] - ccx
+        dy = Y[p] - ccy
+        bad = dx * dx + dy * dy <= r2 * (1.0 + 1e-12)
+        badt = tris[bad]
+        ed = badt[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
+        ed.sort(axis=1)
+        uniq, counts = np.unique(ed, axis=0, return_counts=True)
+        boundary = uniq[counts == 1]
+        new = np.column_stack(
+            [np.full(len(boundary), p, dtype=np.int64), boundary]
+        )
+        nccx, nccy, nr2 = _circumcircles(X, Y, new)
+        keep = ~bad
+        tris = np.concatenate([tris[keep], new])
+        ccx = np.concatenate([ccx[keep], nccx])
+        ccy = np.concatenate([ccy[keep], nccy])
+        r2 = np.concatenate([r2[keep], nr2])
+    real = (tris < n).all(axis=1)
+    rmax = float(np.sqrt(r2[real].max())) if real.any() else 0.0
+    return tris, rmax, span
+
+
+def bowyer_watson(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Delaunay triangulation of points ∪ super-triangle — returns (T, 3)
+    vertex-index triangles INCLUDING those touching the 3 super vertices
+    (indices n, n+1, n+2); callers filter as needed.
+
+    This is the EXACT Delaunay of the augmented point set; restricted to
+    real vertices it can MISS true Delaunay edges of the data whose empty
+    circles are so large they contain a super vertex (near-collinear hull
+    triples make such circles arbitrarily large). Every such masked edge
+    has both endpoints adjacent to a super vertex, so ``delaunay`` repairs
+    them exactly with ``_interval_alive`` over that small vertex set; the
+    Voronoi builder needs no repair because a masked edge's dual Voronoi
+    edge lies ≳ D/4 ≈ 7 spans outside the data bbox and is clipped away
+    regardless."""
+    n = len(px)
+    if n < 2:
+        return np.empty((0, 3), dtype=np.int64)
+    minx, maxx = float(px.min()), float(px.max())
+    miny, maxy = float(py.min()), float(py.max())
+    span = max(maxx - minx, maxy - miny, 1.0)
+    tris, _rmax, _span = _bw_once(px, py, 30.0 * span)
+    return tris
+
+
+def _collect_points(
+    points: ray.data.Dataset, id_col: str, x_col: str, y_col: str,
+    max_points: int,
+):
+    parts = [
+        b
+        for b in points.select_columns([id_col, x_col, y_col]).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    t = pa.concat_tables(parts)
+    if t.num_rows > max_points:
+        raise ValueError(
+            f"global triangulation over {t.num_rows} points exceeds "
+            f"max_points={max_points}; use delaunay_bounded(points, R) — "
+            "the tiled radius-bounded path — at this scale"
+        )
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids, x, y
+
+
+def _check_unique(x: np.ndarray, y: np.ndarray) -> None:
+    """Reference parity: coplanar (duplicate) points make triangulations
+    ill-posed and raise by default (graph/_triangulation.py coplanar
+    ='raise'; CoplanarError)."""
+    uniq = np.unique(np.column_stack([x, y]), axis=0)
+    if len(uniq) != len(x):
+        raise ValueError(
+            f"{len(x) - len(uniq)} duplicate point locations; "
+            "triangulation is undefined for coplanar points "
+            "(reference coplanar='raise' semantics)"
+        )
+
+
+def _real_edges(tris: np.ndarray, n: int) -> np.ndarray:
+    """Distinct undirected edges among real vertices (< n), as (E, 2)."""
+    ed = tris[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
+    ed = ed[(ed[:, 0] < n) & (ed[:, 1] < n)]
+    ed.sort(axis=1)
+    return np.unique(ed, axis=0)
+
+
+def delaunay(
+    points: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_points: int = 2_000_000,
+) -> RayGraph:
+    """Full Delaunay graph (reference ``_delaunay``), small-layer path.
+
+    Exact: the Bowyer-Watson pass gives Delaunay(P ∪ super) whose
+    real-real edges are a subset of Delaunay(P); the (rare) edges masked
+    by the finite super triangle are restored by the exact empty-circle
+    interval test over super-adjacent vertices (see ``bowyer_watson``)."""
+    ids, x, y = _collect_points(points, id_col, x_col, y_col, max_points)
+    ed = _delaunay_edge_indices(x, y)
+    f = np.concatenate([ed[:, 0], ed[:, 1]])
+    nbr = np.concatenate([ed[:, 1], ed[:, 0]])
+    edges = E.from_arrays(ids[f], ids[nbr], 1.0)
+    id_ds = points.select_columns([id_col]).rename_columns({id_col: "focal"})
+    return RayGraph(E.resolve_isolates(edges, id_ds))
+
+
+def _delaunay_edge_indices(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Exact Delaunay edge set as sorted (E, 2) positional index pairs:
+    Bowyer-Watson + super-masked-edge repair (see ``bowyer_watson``)."""
+    n = len(x)
+    _check_unique(x, y)
+    tris = bowyer_watson(x, y)
+    ed = _real_edges(tris, n)
+    sup = tris[(tris >= n).any(axis=1)]
+    hull = np.unique(sup[sup < n])
+    if len(hull) >= 2:
+        hi_, hj_ = np.triu_indices(len(hull), 1)
+        pi, pj = hull[hi_], hull[hj_]
+        alive = _interval_alive(
+            x[pi], y[pi], x[pj], y[pj], pi, pj, x, y,
+            np.arange(n), np.inf,
+        )
+        extra = np.column_stack([pi[alive], pj[alive]])
+        ed = np.unique(np.concatenate([ed, extra]), axis=0)
+    return ed
+
+
+def voronoi(
+    points: ray.data.Dataset,
+    clip: str = "bounding_box",
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_points: int = 2_000_000,
+) -> RayGraph:
+    """Rook contiguity of Voronoi cells (reference ``Voronoi`` /
+    ``_voronoi``): Delaunay edges whose dual Voronoi edge retains positive
+    length after clipping to the point bounding box (``clip=None`` keeps
+    the full Delaunay — in theory the unclipped rook graph).
+
+    The dual edge of Delaunay edge (i, j) is the segment between the
+    circumcenters of its two flanking triangles (a ray from the single
+    flanking circumcenter for hull edges); clipping is Liang-Barsky
+    against the bbox — no polygon construction needed.
+    """
+    ids, x, y = _collect_points(points, id_col, x_col, y_col, max_points)
+    n = len(ids)
+    if clip is None:
+        ed = _delaunay_edge_indices(x, y)
+    else:
+        if clip != "bounding_box":
+            raise NotImplementedError(
+                "clip must be None or 'bounding_box' (convex_hull / "
+                "alpha_shape need the hull machinery of cg/alpha_shapes.py)"
+            )
+        _check_unique(x, y)
+        tris = bowyer_watson(x, y)
+        ed = _clipped_dual_edges(tris, x, y, n)
+    f = np.concatenate([ed[:, 0], ed[:, 1]])
+    nbr = np.concatenate([ed[:, 1], ed[:, 0]])
+    edges = E.from_arrays(ids[f], ids[nbr], 1.0)
+    id_ds = points.select_columns([id_col]).rename_columns({id_col: "focal"})
+    return RayGraph(E.resolve_isolates(edges, id_ds))
+
+
+def _clipped_dual_edges(
+    tris: np.ndarray, x: np.ndarray, y: np.ndarray, n: int
+) -> np.ndarray:
+    """Delaunay edges whose dual Voronoi edge intersects the point bbox
+    with positive length."""
+    X = x
+    Y = y
+    # full-coordinate arrays including super vertices were only internal to
+    # bowyer_watson; rebuild the same extension for circumcenters
+    minx, maxx = float(x.min()), float(x.max())
+    miny, maxy = float(y.min()), float(y.max())
+    span = max(maxx - minx, maxy - miny, 1.0)
+    cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+    Xe = np.concatenate([X, [cx - 30 * span, cx + 30 * span, cx]])
+    Ye = np.concatenate([Y, [cy - 20 * span, cy - 20 * span, cy + 30 * span]])
+
+    real = (tris < n).all(axis=1)
+    rt = tris[real]
+    ccx, ccy, _ = _circumcircles(Xe, Ye, rt)
+
+    # map undirected real edge -> flanking real triangles (≤ 2)
+    ed = rt[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
+    tri_of = np.repeat(np.arange(len(rt)), 3)
+    opp = rt[:, [2, 0, 1]].reshape(-1)  # vertex opposite each edge
+    ed_s = np.sort(ed, axis=1)
+    key = ed_s[:, 0] * np.int64(n) + ed_s[:, 1]
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq, start = np.unique(key_s, return_index=True)
+    count = np.diff(np.append(start, len(key_s)))
+
+    out = []
+    for m in (1, 2):
+        sel = count == m
+        if not sel.any():
+            continue
+        s = start[sel]
+        e0 = ed_s[order[s]]
+        t0 = tri_of[order[s]]
+        p0x, p0y = ccx[t0], ccy[t0]
+        if m == 2:
+            t1 = tri_of[order[s + 1]]
+            p1x, p1y = ccx[t1], ccy[t1]
+        else:
+            # hull edge: ray outward (away from the opposite vertex)
+            i, j = e0[:, 0], e0[:, 1]
+            mx_, my_ = (X[i] + X[j]) / 2, (Y[i] + Y[j]) / 2
+            dx_, dy_ = -(Y[j] - Y[i]), (X[j] - X[i])
+            L = np.sqrt(dx_ * dx_ + dy_ * dy_)
+            dx_, dy_ = dx_ / L, dy_ / L
+            ov = opp[order[s]]
+            flip = (dx_ * (mx_ - X[ov]) + dy_ * (my_ - Y[ov])) < 0
+            dx_ = np.where(flip, -dx_, dx_)
+            dy_ = np.where(flip, -dy_, dy_)
+            # extent long enough to cross the bbox even when a sliver
+            # triangle puts its circumcenter far outside it
+            ext = 2.0 * (np.hypot(p0x - cx, p0y - cy) + 10 * span)
+            p1x = p0x + dx_ * ext
+            p1y = p0y + dy_ * ext
+        keep = _segment_in_box(p0x, p0y, p1x, p1y, minx, maxx, miny, maxy)
+        out.append(e0[keep])
+    if not out:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.concatenate(out)
+
+
+def _segment_in_box(
+    x0, y0, x1, y1, minx, maxx, miny, maxy
+) -> np.ndarray:
+    """True per segment iff its intersection with the box has positive
+    length (vectorized Liang-Barsky)."""
+    dx = x1 - x0
+    dy = y1 - y0
+    t0 = np.zeros(len(np.atleast_1d(x0)))
+    t1 = np.ones_like(t0)
+    ok = np.ones_like(t0, dtype=bool)
+    for p, q in (
+        (-dx, x0 - minx),
+        (dx, maxx - x0),
+        (-dy, y0 - miny),
+        (dy, maxy - y0),
+    ):
+        para = p == 0
+        ok &= ~(para & (q < 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        ent = (p < 0)
+        t0 = np.where(~para & ent, np.maximum(t0, r), t0)
+        t1 = np.where(~para & ~ent, np.minimum(t1, r), t1)
+    return ok & (t0 < t1)
+
+
+def delaunay_bounded(
+    points: ray.data.Dataset,
+    max_radius: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> RayGraph:
+    """Radius-bounded Delaunay graph (alpha-complex 1-skeleton) — the
+    distributed scale path; see module docstring for the derivation.
+
+    ONE tile shuffle (cell = halo = 2R); per tile a vectorized candidate
+    scan + one-variable interval test per pair. Edges are emitted from
+    each endpoint's home tile (graph symmetric, no dedup pass needed)."""
+    R = float(max_radius)
+    me = 2.0 * R
+    tiled = tile_points(points, me, me, id_col=id_col, x_col=x_col,
+                        y_col=y_col)
+
+    def _tile(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ci = np.flatnonzero(core)
+        out_f, out_n = [], []
+        for s in range(0, len(ci), _PCHUNK):
+            c = ci[s: s + _PCHUNK]
+            d2 = (x[c, None] - x[None, :]) ** 2 + (y[c, None] - y[None, :]) ** 2
+            cand = (d2 <= me * me) & (ids[c, None] != ids[None, :])
+            pr, pc = np.nonzero(cand)
+            if len(pr) == 0:
+                continue
+            gi = c[pr]  # focal point index
+            gj = pc  # neighbor point index
+            keep = _interval_alive(
+                x[gi], y[gi], x[gj], y[gj], ids[gi], ids[gj], x, y, ids, R
+            )
+            out_f.append(ids[gi][keep])
+            out_n.append(ids[gj][keep])
+        if not out_f:
+            return E.empty_edges()
+        return E.edge_table(
+            np.concatenate(out_f), np.concatenate(out_n), 1.0
+        )
+
+    edges = tiled.groupby("tile").map_groups(_tile, batch_format="pyarrow")
+    id_ds = points.select_columns([id_col]).rename_columns({id_col: "focal"})
+    return RayGraph(E.resolve_isolates(edges, id_ds))
+
+
+def _interval_alive(
+    xi, yi, xj, yj, idi, idj, kx, ky, kid, R: float
+) -> np.ndarray:
+    """Vectorized pair-survival test: for each pair row p, does an empty
+    circle of radius ≤ R pass through (i_p, j_p) given witness points k?
+    (R = inf ⇒ unbounded Delaunay test.)"""
+    P = len(xi)
+    d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+    d = np.sqrt(d2)
+    if np.isinf(R):
+        tmax = np.full(P, np.inf)
+    else:
+        tmax = np.sqrt(np.maximum(R * R - d2 / 4.0, 0.0))
+    mx, my = (xi + xj) / 2.0, (yi + yj) / 2.0
+    ux, uy = (yj - yi) / d, (xi - xj) / d
+    alive = np.ones(P, dtype=bool)
+    # chunk pairs; witnesses full
+    for s in range(0, P, _PCHUNK):
+        sl = slice(s, s + min(_PCHUNK, P - s))
+        dxk = xi[sl, None] - kx[None, :]
+        dyk = yi[sl, None] - ky[None, :]
+        a = 2.0 * (ux[sl, None] * dxk + uy[sl, None] * dyk)
+        b = (
+            xi[sl, None] ** 2 + yi[sl, None] ** 2
+            - kx[None, :] ** 2 - ky[None, :] ** 2
+            - 2.0 * (mx[sl, None] * dxk + my[sl, None] * dyk)
+        )
+        selfm = (kid[None, :] == idi[sl, None]) | (kid[None, :] == idj[sl, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = b / a
+        lower = np.where((a > 0) & ~selfm, q, -np.inf).max(axis=1)
+        upper = np.where((a < 0) & ~selfm, q, np.inf).min(axis=1)
+        dead = ((a == 0) & (b > 0) & ~selfm).any(axis=1)
+        lo = np.maximum(lower, -tmax[sl])
+        hi = np.minimum(upper, tmax[sl])
+        alive[sl] = ~dead & (lo <= hi)
+    return alive

@@ -71,6 +71,27 @@ def _points(sf_dir: str) -> ray.data.Dataset:
     return geocode_ids(_docs(sf_dir, ["doc_id"]), "doc_id", grid=GRID)
 
 
+def _points_jittered(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, x, y) hash coords in [0, GRID) plus a deterministic
+    sub-integer jitter (multiples of 2^-16, exactly representable) so
+    triangulation inputs have no duplicate or cocircular-tie locations.
+    Every arithmetic step is mirrored bit-for-bit by _PTSJ_SQL."""
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = ((ids * 2654435761) % 4294967296 % GRID).astype(np.float64) + (
+            (ids * 40503 + 7) % 65536
+        ).astype(np.float64) / 65536.0
+        y = ((ids * 2246822519) % 4294967296 % GRID).astype(np.float64) + (
+            (ids * 30011 + 3) % 65536
+        ).astype(np.float64) / 65536.0
+        return pa.table(
+            {"doc_id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)}
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+
+
 def _real(g) -> ray.data.Dataset:
     return g.edges.map_batches(drop_isolate_markers, batch_format="pyarrow")
 
@@ -101,6 +122,34 @@ pts AS (
          CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
          CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y
   FROM documents
+)"""
+
+_PTSJ_SQL = f"""
+ptsj AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE)
+           + CAST((doc_id * 40503 + 7) % 65536 AS DOUBLE) / 65536.0 AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE)
+           + CAST((doc_id * 30011 + 3) % 65536 AS DOUBLE) / 65536.0 AS y
+  FROM documents
+)"""
+
+# empty-circle interval test per candidate pair (see builders/delaunay.py
+# module docstring): constraints from every witness k, aggregated
+_DELAUNAY_CON_SQL = """
+con AS (
+  SELECT p.i, p.j,
+         max(CASE WHEN kk.a > 0 THEN kk.b / kk.a END) AS lo,
+         min(CASE WHEN kk.a < 0 THEN kk.b / kk.a END) AS hi,
+         bool_or(kk.a = 0 AND kk.b > 0) AS dead
+  FROM pairs p
+  LEFT JOIN LATERAL (
+    SELECT 2*(p.ux*(p.xi - k.x) + p.uy*(p.yi - k.y)) AS a,
+           p.xi*p.xi + p.yi*p.yi - k.x*k.x - k.y*k.y
+             - 2*(p.mx*(p.xi - k.x) + p.my*(p.yi - k.y)) AS b
+    FROM ptsj k WHERE k.doc_id <> p.i AND k.doc_id <> p.j
+  ) kk ON TRUE
+  GROUP BY p.i, p.j
 )"""
 
 _ROOK_SQL = f"""
@@ -502,6 +551,32 @@ def q_gabriel(sf_dir: str):
     return _real(gabriel(_points(sf_dir), max_edge=120.0, id_col="doc_id"))
 
 
+def q_delaunay(sf_dir: str):
+    """Full Delaunay graph (Bowyer-Watson engine path; the oracle runs the
+    independent empty-circle interval characterization in SQL)."""
+    from libpysal_ray.builders.delaunay import delaunay
+
+    return _real(delaunay(_points_jittered(sf_dir), id_col="doc_id"))
+
+
+def q_delaunay_r(sf_dir: str):
+    """Radius-bounded Delaunay (alpha-complex 1-skeleton) — the tiled
+    distributed path."""
+    from libpysal_ray.builders.delaunay import delaunay_bounded
+
+    return _real(
+        delaunay_bounded(_points_jittered(sf_dir), max_radius=60.0,
+                         id_col="doc_id")
+    )
+
+
+def q_voronoi(sf_dir: str):
+    """Rook contiguity of Voronoi cells clipped to the point bbox."""
+    from libpysal_ray.builders.delaunay import voronoi
+
+    return _real(voronoi(_points_jittered(sf_dir), id_col="doc_id"))
+
+
 def q_rng(sf_dir: str):
     from libpysal_ray.builders.triangulation import relative_neighborhood
 
@@ -748,6 +823,9 @@ QUERIES = {
     "kernel_diag": q_kernel_diag,
     "gravity_band": q_gravity_band,
     "emb_neardup_lsh": q_emb_neardup_lsh,
+    "delaunay": q_delaunay,
+    "delaunay_r": q_delaunay_r,
+    "voronoi": q_voronoi,
 }
 
 _PAIR_DIST = (
@@ -1208,6 +1286,85 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id <> b.vec_id
   AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+_PAIRS_J_SQL = """
+pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j,
+         a.x AS xi, a.y AS yi, b.x AS xj, b.y AS yj,
+         (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS d2,
+         (a.x + b.x)/2 AS mx, (a.y + b.y)/2 AS my,
+         (b.y - a.y)/sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS ux,
+         (a.x - b.x)/sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS uy
+  FROM ptsj a JOIN ptsj b ON a.doc_id < b.doc_id
+"""
+
+ORACLE_SQL["delaunay"] = f"""
+WITH {_PTSJ_SQL},
+{_PAIRS_J_SQL}),
+{_DELAUNAY_CON_SQL},
+und AS (
+  SELECT i, j FROM con
+  WHERE NOT coalesce(dead, FALSE)
+    AND coalesce(lo, -1e308) <= coalesce(hi, 1e308)
+)
+SELECT i AS focal, j AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
+UNION ALL
+SELECT j AS focal, i AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
+"""
+
+ORACLE_SQL["delaunay_r"] = f"""
+WITH {_PTSJ_SQL},
+{_PAIRS_J_SQL}
+  WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 4*60.0*60.0
+),
+{_DELAUNAY_CON_SQL},
+und AS (
+  SELECT c.i, c.j FROM con c JOIN pairs p ON p.i = c.i AND p.j = c.j
+  WHERE NOT coalesce(c.dead, FALSE)
+    AND greatest(coalesce(c.lo, -1e308), -sqrt(60.0*60.0 - p.d2/4.0))
+        <= least(coalesce(c.hi, 1e308), sqrt(60.0*60.0 - p.d2/4.0))
+)
+SELECT i AS focal, j AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
+UNION ALL
+SELECT j AS focal, i AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
+"""
+
+ORACLE_SQL["voronoi"] = f"""
+WITH {_PTSJ_SQL},
+box AS (
+  SELECT min(x) AS minx, max(x) AS maxx, min(y) AS miny, max(y) AS maxy
+  FROM ptsj
+),
+{_PAIRS_J_SQL}),
+{_DELAUNAY_CON_SQL},
+und AS (
+  SELECT c.i, c.j FROM con c
+  JOIN pairs p ON p.i = c.i AND p.j = c.j
+  CROSS JOIN box
+  WHERE NOT coalesce(c.dead, FALSE)
+    AND NOT (p.ux = 0 AND (p.mx < box.minx OR p.mx > box.maxx))
+    AND NOT (p.uy = 0 AND (p.my < box.miny OR p.my > box.maxy))
+    AND greatest(
+          coalesce(c.lo, -1e308),
+          CASE WHEN p.ux > 0 THEN (box.minx - p.mx)/p.ux
+               WHEN p.ux < 0 THEN (box.maxx - p.mx)/p.ux
+               ELSE -1e308 END,
+          CASE WHEN p.uy > 0 THEN (box.miny - p.my)/p.uy
+               WHEN p.uy < 0 THEN (box.maxy - p.my)/p.uy
+               ELSE -1e308 END)
+      < least(
+          coalesce(c.hi, 1e308),
+          CASE WHEN p.ux > 0 THEN (box.maxx - p.mx)/p.ux
+               WHEN p.ux < 0 THEN (box.minx - p.mx)/p.ux
+               ELSE 1e308 END,
+          CASE WHEN p.uy > 0 THEN (box.maxy - p.my)/p.uy
+               WHEN p.uy < 0 THEN (box.miny - p.my)/p.uy
+               ELSE 1e308 END)
+)
+SELECT i AS focal, j AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
+UNION ALL
+SELECT j AS focal, i AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
 """
 
 ORACLE_SQL["ngram_jaccard"] = """

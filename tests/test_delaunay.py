@@ -1,0 +1,178 @@
+"""Delaunay / Voronoi builders vs brute-force characterizations.
+
+Brute oracle: edge (i, j) is Delaunay iff the one-variable empty-circle
+interval test passes (closed interval, R = inf); radius-bounded variant
+clamps to [-tmax, tmax]; bbox-Voronoi rook adjacency additionally
+intersects the box constraints strictly. Reference semantics:
+graph/_triangulation.py:126-199 (_delaunay), 345-428 (_voronoi),
+weights/tests/test_contiguity.py:205-217 (golden fixture points).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.builders.delaunay import (
+    _delaunay_edge_indices,
+    _interval_alive,
+    bowyer_watson,
+    _clipped_dual_edges,
+    delaunay,
+    delaunay_bounded,
+    voronoi,
+)
+
+
+def _brute_delaunay(x, y, R=np.inf):
+    n = len(x)
+    ii, jj = np.triu_indices(n, 1)
+    alive = _interval_alive(
+        x[ii], y[ii], x[jj], y[jj], ii, jj, x, y, np.arange(n), R
+    )
+    return {(int(a), int(b)) for a, b in zip(ii[alive], jj[alive])}
+
+
+def _pts_ds(ids, x, y):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(ids.astype(np.int64)),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+    )
+
+
+def test_delaunay_indices_match_brute():
+    rng = np.random.default_rng(11)
+    for n in (30, 120, 300):
+        x = rng.random(n) * 100
+        y = rng.random(n) * 100
+        got = {(int(a), int(b)) for a, b in _delaunay_edge_indices(x, y)}
+        assert got == _brute_delaunay(x, y)
+
+
+def test_delaunay_duplicate_points_raise():
+    x = np.array([0.0, 1.0, 1.0, 2.0])
+    y = np.array([0.0, 1.0, 1.0, 0.0])
+    with pytest.raises(ValueError, match="coplanar"):
+        _delaunay_edge_indices(x, y)
+
+
+def test_delaunay_dataset_roundtrip(ray_session):
+    rng = np.random.default_rng(3)
+    n = 80
+    ids = rng.permutation(10_000)[:n].astype(np.int64)  # sparse ids
+    x = rng.random(n) * 50
+    y = rng.random(n) * 50
+    g = delaunay(_pts_ds(ids, x, y))
+    ed = {
+        (int(r["focal"]), int(r["neighbor"]))
+        for r in g.edges.take_all()
+        if r["weight"] != 0.0
+    }
+    want_idx = _brute_delaunay(x, y)
+    want = {(int(ids[a]), int(ids[b])) for a, b in want_idx}
+    want |= {(b, a) for a, b in want}
+    assert ed == want
+
+
+def test_delaunay_bounded_matches_clamped_brute(ray_session):
+    rng = np.random.default_rng(5)
+    n = 150
+    ids = np.arange(n).astype(np.int64)
+    x = rng.random(n) * 200
+    y = rng.random(n) * 200
+    R = 25.0
+    g = delaunay_bounded(_pts_ds(ids, x, y), max_radius=R)
+    got = {
+        (int(r["focal"]), int(r["neighbor"]))
+        for r in g.edges.take_all()
+        if r["weight"] != 0.0
+    }
+    want = _brute_delaunay(x, y, R=R)
+    want |= {(b, a) for a, b in want}
+    assert got == want
+    # bounded is a subgraph of the full graph
+    full = _brute_delaunay(x, y)
+    full |= {(b, a) for a, b in full}
+    assert got <= full
+
+
+def _brute_voronoi_bbox(x, y):
+    """Strict positive-length shared boundary inside the point bbox."""
+    n = len(x)
+    minx, maxx = x.min(), x.max()
+    miny, maxy = y.min(), y.max()
+    out = set()
+    ids = np.arange(n)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = np.hypot(x[i] - x[j], y[i] - y[j])
+            mx, my = (x[i] + x[j]) / 2, (y[i] + y[j]) / 2
+            ux, uy = (y[j] - y[i]) / d, (x[i] - x[j]) / d
+            a = 2 * (ux * (x[i] - x) + uy * (y[i] - y))
+            b = (
+                x[i] ** 2 + y[i] ** 2 - x**2 - y**2
+                - 2 * (mx * (x[i] - x) + my * (y[i] - y))
+            )
+            m = (ids != i) & (ids != j)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = b / a
+            lo = np.where((a > 0) & m, q, -np.inf).max()
+            hi = np.where((a < 0) & m, q, np.inf).min()
+            if ((a == 0) & (b > 0) & m).any():
+                continue
+            # box constraints on the bisector parameter
+            dead = False
+            for u, mc, lo_b, hi_b in (
+                (ux, mx, minx, maxx),
+                (uy, my, miny, maxy),
+            ):
+                if u > 0:
+                    lo = max(lo, (lo_b - mc) / u)
+                    hi = min(hi, (hi_b - mc) / u)
+                elif u < 0:
+                    lo = max(lo, (hi_b - mc) / u)
+                    hi = min(hi, (lo_b - mc) / u)
+                elif mc < lo_b or mc > hi_b:
+                    dead = True
+            if not dead and lo < hi:
+                out.add((i, j))
+    return out
+
+
+def test_voronoi_bbox_matches_brute(ray_session):
+    rng = np.random.default_rng(21)
+    for n in (20, 60):
+        ids = np.arange(n).astype(np.int64)
+        x = rng.random(n) * 30
+        y = rng.random(n) * 30
+        g = voronoi(_pts_ds(ids, x, y))
+        got = {
+            (int(r["focal"]), int(r["neighbor"]))
+            for r in g.edges.take_all()
+            if r["weight"] != 0.0
+        }
+        want = _brute_voronoi_bbox(x, y)
+        want |= {(b, a) for a, b in want}
+        assert got == want
+
+
+def test_voronoi_golden_fixture_points():
+    """The reference golden fixture (test_contiguity.py:205-217) uses the
+    legacy weights.Voronoi default clip='alpha_shape'; our builder
+    implements the graph._voronoi default clip='bounding_box'. On these 5
+    points the bbox clip keeps one extra short boundary (0-1); assert the
+    bbox semantics against the independent brute characterization and
+    that the alpha-clip golden dict is a subgraph of ours."""
+    np.random.seed(12345)
+    pts = np.random.random((5, 2)) * 10 + 10
+    x, y = pts[:, 0].copy(), pts[:, 1].copy()
+    tris = bowyer_watson(x, y)
+    ed = {(int(a), int(b)) for a, b in _clipped_dual_edges(tris, x, y, 5)}
+    assert ed == _brute_voronoi_bbox(x, y)
+    golden = {(0, 2), (0, 3), (0, 4), (1, 2), (2, 4), (3, 4)}
+    assert golden <= ed
