@@ -486,3 +486,78 @@ def fuzzy(
         pairs.map_batches(E.batch_dedup, batch_format="pyarrow"), keep="max"
     )
     return RayGraph(E.resolve_isolates(edges, ids))
+
+
+def nonplanar_neighbors(
+    g: RayGraph,
+    polygons: ray.data.Dataset,
+    tolerance: float = 0.001,
+) -> RayGraph:
+    """Island repair for non-planar polygon coverages
+    (util.py:1346-1467 ``nonplanar_neighbors``): every ISLAND (isolate) of
+    ``g`` gains neighbors that its polygon intersects after buffering by
+    ``tolerance × min(total-bounds extent)``. (The reference runs a plain
+    ``intersects`` pass first, then dilates every original island — the
+    first pass is a subset of the dilated pass, so the union is exactly
+    the dilated predicate.)
+
+    Plan: reuse the ``fuzzy`` tile pipeline at the dilation distance, then
+    restrict its edges to pairs touching an island via two distributed
+    semi-joins — the second-pass island-restricted join. Returns a graph
+    whose edges are g's edges ∪ the new island joins (symmetric).
+    """
+    from libpysal_ray.core import joins as J
+
+    # islands = isolate marker rows of g
+    def _isol(t: pa.Table) -> pa.Table:
+        f = t.column("focal").to_numpy(zero_copy_only=False)
+        n = t.column("neighbor").to_numpy(zero_copy_only=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False)
+        keep = (f == n) & (w == 0.0)
+        return pa.table({"focal": pa.array(f[keep])})
+
+    islands = g.edges.map_batches(_isol, batch_format="pyarrow").materialize()
+    if islands.count() == 0:
+        return g
+
+    def _bounds(t: pa.Table) -> pa.Table:
+        xs = t.column("xs").to_pylist()
+        ys = t.column("ys").to_pylist()
+        x = np.concatenate([np.asarray(v) for v in xs])
+        y = np.concatenate([np.asarray(v) for v in ys])
+        return pa.table(
+            {
+                "x0": pa.array([float(x.min())]),
+                "x1": pa.array([float(x.max())]),
+                "y0": pa.array([float(y.min())]),
+                "y1": pa.array([float(y.max())]),
+            }
+        )
+
+    b = polygons.map_batches(_bounds, batch_format="pyarrow")
+    ext = min(
+        float(b.max("x1")) - float(b.min("x0")),
+        float(b.max("y1")) - float(b.min("y0")),
+    )
+    distance = tolerance * ext
+
+    fz = fuzzy(polygons, tolerance=distance)
+    fz_real = fz.edges.map_batches(
+        E.drop_isolate_markers, batch_format="pyarrow"
+    ).materialize()
+    by_focal = J.bucket_join(fz_real, islands, on="focal", how="semi")
+    isl_nbr = islands.map_batches(
+        lambda t: pa.table({"neighbor": t.column("focal")}),
+        batch_format="pyarrow",
+    ).materialize()
+    by_nbr = J.bucket_join(fz_real, isl_nbr, on="neighbor", how="semi")
+    new = E.dedup(by_focal.union(by_nbr), keep="max")
+    real_g = g.edges.map_batches(
+        E.drop_isolate_markers, batch_format="pyarrow"
+    )
+    merged = E.dedup(real_g.union(new), keep="max")
+    from libpysal_ray.core.graph import ids_dataset
+
+    out = RayGraph(E.resolve_isolates(merged, ids_dataset(g.edges)))
+    out.non_planar_joins = new
+    return out

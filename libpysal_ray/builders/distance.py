@@ -360,9 +360,183 @@ def knn(
     x_col: str = "x",
     y_col: str = "y",
     cs: float | None = None,
+    coplanar: str = "ignore",
+    seed: int = 0,
 ) -> RayGraph:
-    """KNN weights — binary, k non-self nearest (distance.py:91-164)."""
+    """KNN weights — binary, k non-self nearest (distance.py:91-164).
+
+    ``coplanar`` handles duplicate point locations (web-corpus geocodes
+    collide constantly), mirroring graph/_kernel.py:264-369:
+
+    * 'ignore' (engine default): duplicates keep deterministic
+      (distance, id) tie order — no reference equivalent, but stable.
+    * 'raise': error when any location holds >1 observation.
+    * 'jitter': deterministic per-id micro-displacement (span × 1e-9;
+      derived from splitmix64(id), so it is cluster-size-independent —
+      the reference uses a global RNG and a polar-conversion slip that
+      displaces by ~1 unit, graph/_utils.py:65-97; we keep the intent,
+      not the slip), then the normal build.
+    * 'clique': KNN over unique sites only; each duplicate inherits its
+      site representative's neighborhood symmetrically (weight copied)
+      plus a weight-0 link to the representative
+      (graph/_utils.py:104-126 `_induce_cliques` — note it links clique
+      members to the representative, not to each other).
+    """
+    from libpysal_ray.core import joins as J
+    from libpysal_ray.core.hashing import splitmix64
+
     ids = points.select_columns([id_col]).rename_columns({id_col: "focal"})
+
+    if coplanar not in ("ignore", "raise", "jitter", "clique"):
+        raise ValueError(coplanar)
+
+    if coplanar == "jitter":
+        span = float(
+            max(
+                points.max(x_col) - points.min(x_col),
+                points.max(y_col) - points.min(y_col),
+                1.0,
+            )
+        )
+        eps = span * 1e-9
+
+        def _jit(t: pa.Table) -> pa.Table:
+            i = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            u = splitmix64(i.view(np.uint64) ^ np.uint64(seed))
+            theta = (u / np.float64(2**64)) * 2.0 * np.pi
+            r = np.sqrt(
+                splitmix64(u) / np.float64(2**64)
+            ) * eps
+            return pa.table(
+                {
+                    id_col: pa.array(i),
+                    x_col: pa.array(x + r * np.cos(theta)),
+                    y_col: pa.array(y + r * np.sin(theta)),
+                }
+            )
+
+        jittered = points.select_columns([id_col, x_col, y_col]).map_batches(
+            _jit, batch_format="pyarrow"
+        )
+        return knn(jittered, k, id_col, x_col, y_col, cs, coplanar="ignore")
+
+    if coplanar in ("raise", "clique"):
+        # site table: one shuffle on the exact (x, y) bit pattern;
+        # representative = min id per site
+        def _key(t: pa.Table) -> pa.Table:
+            x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {
+                    "__kx": pa.array((x + 0.0).view(np.int64)),
+                    "__ky": pa.array((y + 0.0).view(np.int64)),
+                    id_col: t.column(id_col),
+                }
+            )
+
+        def _sites(t: pa.Table) -> pa.Table:
+            kx = t.column("__kx").to_numpy(zero_copy_only=False)
+            ky = t.column("__ky").to_numpy(zero_copy_only=False)
+            i = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(i) == 0:
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()),
+                     "__rep": pa.array([], pa.int64())}
+                )
+            change = np.r_[True, (kx[1:] != kx[:-1]) | (ky[1:] != ky[:-1])]
+            grp = np.cumsum(change) - 1
+            rep = np.full(grp[-1] + 1, np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(rep, grp, i)
+            return pa.table(
+                {id_col: pa.array(i), "__rep": pa.array(rep[grp])}
+            )
+
+        site = J.grouped_by_key(
+            points.select_columns([id_col, x_col, y_col]).map_batches(
+                _key, batch_format="pyarrow"
+            ),
+            ["__kx", "__ky"],
+            _sites,
+        ).materialize()
+        import pyarrow.compute as pc
+
+        n_dupes = site.map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.not_equal(
+                                        t.column(id_col), t.column("__rep")
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        if not n_dupes:
+            pass  # no duplicates — fall through to the plain build
+        elif coplanar == "raise":
+            raise ValueError(
+                f"{n_dupes} observations share a location with another; "
+                "KNN is undefined for coplanar points "
+                "(coplanar='raise'; use 'jitter' or 'clique')"
+            )
+        else:  # clique
+            dup = site.filter(expr=f"{id_col} != __rep")
+            rep_ids = site.filter(expr=f"{id_col} == __rep").select_columns(
+                [id_col]
+            )
+            reps_pts = J.bucket_join(
+                points.select_columns([id_col, x_col, y_col]),
+                rep_ids,
+                on=id_col,
+                how="semi",
+            )
+            base = knn(reps_pts, k, id_col, x_col, y_col, cs,
+                       coplanar="ignore")
+            real = base.edges.map_batches(
+                E.drop_isolate_markers, batch_format="pyarrow"
+            ).materialize()
+            # each duplicate c inherits rep n's out-neighbors symmetrically
+            inherit = J.bucket_join(
+                real.rename_columns({"focal": "__rep"}),
+                dup.rename_columns({id_col: "__c"}),
+                on="__rep",
+            )
+
+            def _expand(t: pa.Table) -> pa.Table:
+                c = t.column("__c").to_numpy(zero_copy_only=False)
+                nb = t.column("neighbor").to_numpy(zero_copy_only=False)
+                w = t.column("weight").to_numpy(zero_copy_only=False)
+                return E.edge_table(
+                    np.concatenate([c, nb]),
+                    np.concatenate([nb, c]),
+                    np.concatenate([w, w]),
+                )
+
+            def _site_links(t: pa.Table) -> pa.Table:
+                c = t.column(id_col).to_numpy(zero_copy_only=False)
+                r = t.column("__rep").to_numpy(zero_copy_only=False)
+                return E.edge_table(
+                    np.concatenate([c, r]),
+                    np.concatenate([r, c]),
+                    0.0,
+                )
+
+            edges = real.union(
+                inherit.map_batches(_expand, batch_format="pyarrow")
+            ).union(dup.map_batches(_site_links, batch_format="pyarrow"))
+            return RayGraph(E.resolve_isolates(edges, ids))
+
     e = knn_edges_with_dist(points, k, id_col, x_col, y_col, cs)
 
     def _mk(t: pa.Table) -> pa.Table:
@@ -470,15 +644,36 @@ def kernel(
         selfrows = bw_tbl.map_batches(_self_rows, batch_format="pyarrow")
         alledges = knn_e.union(selfrows)
         from libpysal_ray.core import joins as J
+        from libpysal_ray.core.graph import BROADCAST_ROW_LIMIT
 
-        bw_pd = bw_tbl.to_pandas()
-        withbw = J.broadcast_lookup(
-            alledges,
-            bw_pd["focal"].to_numpy(np.int64),
-            bw_pd["max(dist)"].to_numpy(np.float64) * eps,
-            key_col="focal",
-            out_col="bw",
-        )
+        bw_tbl = bw_tbl.materialize()
+        if bw_tbl.count() <= BROADCAST_ROW_LIMIT:
+            bw_pd = bw_tbl.to_pandas()
+            withbw = J.broadcast_lookup(
+                alledges,
+                bw_pd["focal"].to_numpy(np.int64),
+                bw_pd["max(dist)"].to_numpy(np.float64) * eps,
+                key_col="focal",
+                out_col="bw",
+            )
+        else:
+            # 100 TB path: per-focal bandwidths stay a Dataset and attach
+            # via a distributed bucket_join on focal
+            bw_ds = bw_tbl.map_batches(
+                lambda t: pa.table(
+                    {
+                        "focal": t.column("focal"),
+                        "bw": pa.array(
+                            t.column("max(dist)").to_numpy(
+                                zero_copy_only=False
+                            )
+                            * eps
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            withbw = J.bucket_join(alledges, bw_ds, on="focal")
 
         def _eval(t: pa.Table) -> pa.Table:
             d = t.column("dist").to_numpy(zero_copy_only=False)

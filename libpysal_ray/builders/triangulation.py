@@ -13,25 +13,27 @@ closed-form pairwise-triple definitions that need no triangulation:
 * RNG (Toussaint): edge (i, j) survives iff no k with
   max(d(i,k), d(j,k)) ≤ d(i,j)  (gabriel.py:230-240).
 
-Engine plan: candidate pairs from the tiled distance-band builder (a
-``max_edge`` length bound — Gabriel/RNG edges are locally short, and the
-bound makes the operator well-defined under tiling); the triple test runs
-vectorized per candidate batch against the broadcast point set. At corpus
-scale the broadcast side is replaced by per-tile points with halo =
-max_edge (any witness k for a pair (i,j) lies within d_ij of both
-endpoints, so the halo covers it).
+Engine plan: ONE tile shuffle (``tile_points``, cell = halo = max_edge)
+co-locates every candidate pair with every possible witness: a witness k
+for pair (i, j) satisfies d(i,k) ≤ d(i,j) ≤ max_edge (both definitions
+imply it), so k is within the halo of i's home tile. Per tile the
+candidate scan and the triple test are one vectorized kernel — no
+broadcast of the global point set, no driver collect; pairs are emitted
+from each endpoint's home tile (the graphs are symmetric, so both
+directions arrive without a dedup pass).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import ray
 import ray.data
 
-from libpysal_ray.builders.distance import distance_band
+from libpysal_ray.builders.distance import tile_points
 from libpysal_ray.core import edges as E
 from libpysal_ray.core.graph import RayGraph
+
+_PCHUNK = 512  # candidate-pair chunk per witness matrix
 
 
 def _filtered_band(
@@ -42,62 +44,55 @@ def _filtered_band(
     x_col: str = "x",
     y_col: str = "y",
 ) -> RayGraph:
-    pts = points.materialize()
-    tbl_parts = []
-    for b in pts.select_columns([id_col, x_col, y_col]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        tbl_parts.append(b)
-    all_tbl = pa.concat_tables(tbl_parts)
-    aid = all_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    ax = all_tbl.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
-    ay = all_tbl.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
-    order = np.argsort(aid, kind="stable")
-    ref = ray.put((aid[order], ax[order], ay[order]))
+    me = float(max_edge)
+    tiled = tile_points(points, me, me, id_col=id_col, x_col=x_col,
+                        y_col=y_col)
 
-    band = distance_band(pts, threshold=max_edge, id_col=id_col,
-                         x_col=x_col, y_col=y_col)
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        ncpu = 8
-    # the band edge table is compacted to few blocks; re-split so the
-    # O(pairs × points) witness scan fans out across the cluster
-    cand = band.edges.repartition(max(8, ncpu)).map_batches(
-        E.drop_isolate_markers, batch_format="pyarrow"
-    )
+    def _tile(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ci = np.flatnonzero(core)
+        out_f, out_n = [], []
+        for s in range(0, len(ci), _PCHUNK):
+            c = ci[s: s + _PCHUNK]
+            d2c = (x[c, None] - x[None, :]) ** 2 + \
+                  (y[c, None] - y[None, :]) ** 2
+            cand = (d2c <= me * me) & (ids[c, None] != ids[None, :])
+            pr, pc = np.nonzero(cand)
+            if len(pr) == 0:
+                continue
+            gi = c[pr]
+            gj = pc
+            ix, iy, jx, jy = x[gi], y[gi], x[gj], y[gj]
+            d2ij = d2c[pr, pc]
+            keep = np.ones(len(gi), dtype=bool)
+            for ps in range(0, len(gi), _PCHUNK):
+                sl = slice(ps, ps + _PCHUNK)
+                d2ik = (ix[sl, None] - x[None, :]) ** 2 + \
+                       (iy[sl, None] - y[None, :]) ** 2
+                d2jk = (jx[sl, None] - x[None, :]) ** 2 + \
+                       (jy[sl, None] - y[None, :]) ** 2
+                self_mask = (ids[None, :] == ids[gi][sl, None]) | \
+                            (ids[None, :] == ids[gj][sl, None])
+                if kind == "gabriel":
+                    wit = (d2ik + d2jk) <= d2ij[sl, None]
+                else:  # rng
+                    wit = np.maximum(d2ik, d2jk) <= d2ij[sl, None]
+                wit &= ~self_mask
+                keep[sl] = ~wit.any(axis=1)
+            out_f.append(ids[gi][keep])
+            out_n.append(ids[gj][keep])
+        if not out_f:
+            return E.empty_edges()
+        return E.edge_table(
+            np.concatenate(out_f), np.concatenate(out_n), 1.0
+        )
 
-    def _test(t: pa.Table) -> pa.Table:
-        ids_s, xs, ys = ray.get(ref)
-        f = t.column("focal").to_numpy(zero_copy_only=False)
-        n = t.column("neighbor").to_numpy(zero_copy_only=False)
-        fi = np.searchsorted(ids_s, f)
-        ni = np.searchsorted(ids_s, n)
-        ix, iy = xs[fi], ys[fi]
-        jx, jy = xs[ni], ys[ni]
-        d2ij = (ix - jx) ** 2 + (iy - jy) ** 2
-        keep = np.ones(len(f), dtype=bool)
-        # witness scan in chunks of candidate pairs × all points
-        CH = 256
-        for s in range(0, len(f), CH):
-            sl = slice(s, s + CH)
-            d2ik = (ix[sl, None] - xs[None, :]) ** 2 + \
-                   (iy[sl, None] - ys[None, :]) ** 2
-            d2jk = (jx[sl, None] - xs[None, :]) ** 2 + \
-                   (jy[sl, None] - ys[None, :]) ** 2
-            self_mask = (ids_s[None, :] == f[sl, None]) | \
-                        (ids_s[None, :] == n[sl, None])
-            if kind == "gabriel":
-                wit = (d2ik + d2jk) <= d2ij[sl, None]
-            else:  # rng
-                wit = np.maximum(d2ik, d2jk) <= d2ij[sl, None]
-            wit &= ~self_mask
-            keep[sl] = ~wit.any(axis=1)
-        return t.filter(pa.array(keep))
-
-    out = cand.map_batches(_test, batch_format="pyarrow")
-    ids = pts.select_columns([id_col]).rename_columns({id_col: "focal"})
-    return RayGraph(E.resolve_isolates(out, ids))
+    edges = tiled.groupby("tile").map_groups(_tile, batch_format="pyarrow")
+    ids = points.select_columns([id_col]).rename_columns({id_col: "focal"})
+    return RayGraph(E.resolve_isolates(edges, ids))
 
 
 def gabriel(points: ray.data.Dataset, max_edge: float, **kw) -> RayGraph:

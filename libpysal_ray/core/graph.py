@@ -41,6 +41,55 @@ from libpysal_ray.core import joins as J
 
 ALLOWED_TRANSFORMATIONS = ("O", "B", "R", "D", "V")
 
+# Above this many rows, per-focal scalar tables (row sums, attribute
+# vectors) stop being driver-broadcast and switch to a distributed
+# bucket_join — the 100 TB path. Tuned so the broadcast side stays well
+# under a worker heap (~80 MB of (id, float) pairs).
+BROADCAST_ROW_LIMIT = 5_000_000
+
+
+def _attach_attr(
+    edges: ray.data.Dataset,
+    attrs,
+    values=None,
+    key_col: str = "neighbor",
+    out_col: str = "__y",
+    default: float = 0.0,
+    id_col: str = "id",
+    val_col: str = "value",
+) -> ray.data.Dataset:
+    """Attach an attribute column onto the edge table by ``key_col``.
+
+    ``attrs`` is either a numpy id array (+ ``values``) — broadcast once
+    via ray.put — or an attribute ``Dataset`` with (id_col, val_col)
+    columns, joined via a distributed bucket_join (left join; missing
+    keys get ``default``). The Dataset path is the 100 TB form: no
+    driver-side attribute materialization at any size."""
+    if isinstance(attrs, ray.data.Dataset):
+        a = attrs.select_columns([id_col, val_col]).rename_columns(
+            {id_col: key_col, val_col: out_col}
+        )
+        joined = J.bucket_join(edges, a, on=key_col, how="left")
+
+        def _fill(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            idx = t.schema.get_field_index(out_col)
+            col = pc.cast(t.column(out_col), pa.float64())
+            return t.set_column(
+                idx, out_col, pc.fill_null(col, pa.scalar(default, pa.float64()))
+            )
+
+        return joined.map_batches(_fill, batch_format="pyarrow")
+    return J.broadcast_lookup(
+        edges,
+        np.asarray(attrs, dtype=np.int64),
+        np.asarray(values, dtype=np.float64),
+        key_col=key_col,
+        out_col=out_col,
+        default=default,
+    )
+
 
 def _batch_unique_focal(t: pa.Table) -> pa.Table:
     """Per-batch distinct — the combiner that shrinks the unique shuffle."""
@@ -175,19 +224,28 @@ class RayGraph:
 
         if code == "R":
             # Two-pass, fully vectorized: native groupby(focal).sum →
-            # per-focal row sums (n rows, the small side by construction) →
-            # broadcast via ray.put → per-edge divide. No per-group Python,
-            # no join shuffle of the edge table. (For row-sum tables too big
-            # for a broadcast, swap the lookup for J.hash_join on focal.)
-            sums = ds.groupby("focal").sum("weight").to_pandas()
-            out = J.broadcast_lookup(
-                ds,
-                sums["focal"].to_numpy(np.int64),
-                sums["sum(weight)"].to_numpy(np.float64),
-                key_col="focal",
-                out_col="__rs",
-                default=0.0,
-            )
+            # per-focal row sums → per-edge divide. Below
+            # BROADCAST_ROW_LIMIT focals the row sums are a driver
+            # broadcast (ray.put once); above it they stay a Dataset and
+            # attach via a distributed bucket_join on focal — no n-row
+            # driver materialization at web scale.
+            sums_ds = ds.groupby("focal").sum("weight").materialize()
+            if sums_ds.count() <= BROADCAST_ROW_LIMIT:
+                sums = sums_ds.to_pandas()
+                out = J.broadcast_lookup(
+                    ds,
+                    sums["focal"].to_numpy(np.int64),
+                    sums["sum(weight)"].to_numpy(np.float64),
+                    key_col="focal",
+                    out_col="__rs",
+                    default=0.0,
+                )
+            else:
+                out = J.bucket_join(
+                    ds,
+                    sums_ds.rename_columns({"sum(weight)": "__rs"}),
+                    on="focal",
+                )
 
             def _r(t: pa.Table) -> pa.Table:
                 w = t.column("weight").to_numpy(zero_copy_only=False)
@@ -211,8 +269,8 @@ class RayGraph:
 
         if code == "V":
             # pass 1: s_ij = w_ij / sqrt(sum_j w_ij^2) per row — native
-            # groupby sum of w² + broadcast divide (same plan as 'R')
-            sq = ds.map_batches(
+            # groupby sum of w² + divide (same size-switched plan as 'R')
+            sq_ds = ds.map_batches(
                 lambda t: pa.table(
                     {
                         "focal": t.column("focal"),
@@ -223,15 +281,34 @@ class RayGraph:
                     }
                 ),
                 batch_format="pyarrow",
-            ).groupby("focal").sum("__w2").to_pandas()
-            withq = J.broadcast_lookup(
-                ds,
-                sq["focal"].to_numpy(np.int64),
-                np.sqrt(sq["sum(__w2)"].to_numpy(np.float64)),
-                key_col="focal",
-                out_col="__q",
-                default=0.0,
-            )
+            ).groupby("focal").sum("__w2").materialize()
+            if sq_ds.count() <= BROADCAST_ROW_LIMIT:
+                sq = sq_ds.to_pandas()
+                withq = J.broadcast_lookup(
+                    ds,
+                    sq["focal"].to_numpy(np.int64),
+                    np.sqrt(sq["sum(__w2)"].to_numpy(np.float64)),
+                    key_col="focal",
+                    out_col="__q",
+                    default=0.0,
+                )
+            else:
+                sqrt_ds = sq_ds.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "focal": t.column("focal"),
+                            "__q": pa.array(
+                                np.sqrt(
+                                    t.column("sum(__w2)").to_numpy(
+                                        zero_copy_only=False
+                                    )
+                                )
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                withq = J.bucket_join(ds, sqrt_ds, on="focal")
 
             def _v1(t: pa.Table) -> pa.Table:
                 w = t.column("weight").to_numpy(zero_copy_only=False)
@@ -272,18 +349,28 @@ class RayGraph:
     # ------------------------------------------------------------- lag
     def lag(
         self,
-        attr_ids: np.ndarray,
-        attr_values: np.ndarray,
+        attr_ids,
+        attr_values=None,
         broadcast: bool = True,
         num_partitions: int = 16,
+        id_col: str = "id",
+        val_col: str = "value",
     ) -> ray.data.Dataset:
         """Numeric spatial lag: (Wy)_i = sum_j w_ij * y_j.
 
         Semantics: weights/spatial_lag.py:16-88 / graph/base.py:2357-2413.
-        Plan: attach y on ``neighbor`` (broadcast lookup or hash join), then
-        ``groupby(focal).sum(weight*y)``. Returns Dataset (focal, lag).
-        """
-        if broadcast:
+        ``attr_ids`` is either a numpy id array (+ ``attr_values``; joined
+        by broadcast when ``broadcast`` else bucket_join) or an attribute
+        ``Dataset`` with (id_col, val_col) — the 100 TB path, attached via
+        a distributed bucket_join on ``neighbor`` with no driver-side
+        materialization. Then ``groupby(focal).sum(weight*y)``. Returns
+        Dataset (focal, lag)."""
+        if isinstance(attr_ids, ray.data.Dataset):
+            withy = _attach_attr(
+                self._edges, attr_ids, key_col="neighbor", out_col="__y",
+                default=0.0, id_col=id_col, val_col=val_col,
+            )
+        elif broadcast:
             withy = J.broadcast_lookup(
                 self._edges,
                 np.asarray(attr_ids, dtype=np.int64),
@@ -319,55 +406,94 @@ class RayGraph:
 
     def lag_categorical(
         self,
-        attr_ids: np.ndarray,
-        attr_codes: np.ndarray,
+        attr_ids,
+        attr_codes=None,
         ties: str = "raise",
         seed: int = 42,
+        id_col: str = "id",
+        val_col: str = "value",
     ) -> ray.data.Dataset:
         """Categorical lag: weighted modal neighbor label (int codes).
 
-        Semantics: weights/spatial_lag.py:91-241 (tie policies). Plan:
-        attach code on neighbor → groupby(focal) → per-group weighted
-        bincount argmax. ``ties``: 'raise' | 'random' (seeded by focal id —
-        cluster-size independent) | 'tryself' is approximated by including
-        the focal's own label with weight 0 (reference adds self weight).
-        Returns Dataset (focal, lag_code).
-        """
-        withc = J.broadcast_lookup(
-            self._edges,
-            np.asarray(attr_ids, dtype=np.int64),
-            np.asarray(attr_codes, dtype=np.float64),
-            key_col="neighbor",
-            out_col="__c",
-            default=np.nan,
+        Semantics: weights/spatial_lag.py:91-241 (tie policies 'raise' |
+        'random' (seeded by focal id — cluster-size independent) |
+        'lowest' | 'highest'). ``attr_ids`` may be a numpy id array
+        (+ ``attr_codes``, broadcast) or an attribute Dataset.
+
+        Plan (fully vectorized — no per-focal Python): attach code on
+        neighbor, then ONE hash-bucket groupby on focal; inside each
+        bucket the (focal, code) weight totals come from np.unique +
+        np.add.at over the whole bucket, and the per-focal argmax with
+        tie policy is a lexsort + run-length scan. Focals whose neighbors
+        all lack codes emit -1.
+        Returns Dataset (focal, lag_code)."""
+        withc = _attach_attr(
+            self._edges, attr_ids, attr_codes, key_col="neighbor",
+            out_col="__c", default=np.nan, id_col=id_col, val_col=val_col,
         )
 
-        def _modal(t: pa.Table) -> pa.Table:
-            f = int(t.column("focal")[0].as_py())
+        def _modal_block(t: pa.Table) -> pa.Table:
+            f = t.column("focal").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
             w = t.column("weight").to_numpy(zero_copy_only=False)
             c = t.column("__c").to_numpy(zero_copy_only=False)
+            all_f = np.unique(f)
             ok = ~np.isnan(c) & (w != 0.0)
-            if not ok.any():
-                return pa.table({"focal": pa.array([f], pa.int64()),
-                                 "lag_code": pa.array([-1], pa.int64())})
-            codes = c[ok].astype(np.int64)
-            ww = w[ok]
-            tot = np.zeros(codes.max() + 1)
-            np.add.at(tot, codes, ww)
-            best = np.flatnonzero(tot == tot.max())
-            if len(best) > 1:
-                if ties == "raise":
-                    raise ValueError(f"tie in categorical lag for focal {f}")
-                if ties == "random":
-                    rng = np.random.default_rng(seed + f)
-                    best = best[rng.integers(0, len(best), 1)]
-                elif ties == "highest":
-                    best = best[-1:]  # legacy policy (spatial_lag.py:183-241)
-                # 'lowest' (legacy): flatnonzero is ascending → best[0]
-            return pa.table({"focal": pa.array([f], pa.int64()),
-                             "lag_code": pa.array([int(best[0])], pa.int64())})
+            f_, c_, w_ = f[ok], c[ok].astype(np.int64), w[ok]
+            if len(f_):
+                fc = np.column_stack([f_, c_])
+                uniq, inv = np.unique(fc, axis=0, return_inverse=True)
+                tot = np.zeros(len(uniq))
+                np.add.at(tot, inv, w_)
+                uf, uc = uniq[:, 0], uniq[:, 1]
+                # per-focal argmax: sort by (focal, -total, code)
+                order = np.lexsort((uc, -tot, uf))
+                uf_s, uc_s, tot_s = uf[order], uc[order], tot[order]
+                first = np.flatnonzero(
+                    np.r_[True, uf_s[1:] != uf_s[:-1]]
+                )
+                ends = np.append(first[1:], len(uf_s))
+                tied = (ends > first + 1) & (
+                    tot_s[np.minimum(first + 1, len(uf_s) - 1)]
+                    == tot_s[first]
+                )
+                best = uc_s[first].copy()
+                if tied.any():
+                    if ties == "raise":
+                        raise ValueError(
+                            f"tie in categorical lag for focal "
+                            f"{int(uf_s[first[tied][0]])}"
+                        )
+                    for gi in np.flatnonzero(tied):
+                        s, e = first[gi], ends[gi]
+                        cand = uc_s[s:e][tot_s[s:e] == tot_s[s]]
+                        if ties == "random":
+                            rng = np.random.default_rng(
+                                seed + int(uf_s[s])
+                            )
+                            best[gi] = cand[
+                                rng.integers(0, len(cand), 1)[0]
+                            ]
+                        elif ties == "highest":
+                            best[gi] = cand.max()
+                        else:  # 'lowest' — ascending code order
+                            best[gi] = cand.min()
+                # map winners back onto the full focal list (searchsorted —
+                # uf_s[first] is ascending by lexsort construction)
+                codes_out = np.full(len(all_f), -1, dtype=np.int64)
+                keys = uf_s[first]
+                pos = np.searchsorted(keys, all_f)
+                posc = np.clip(pos, 0, len(keys) - 1)
+                hit = (pos < len(keys)) & (keys[posc] == all_f)
+                codes_out[hit] = best[posc[hit]]
+            else:
+                codes_out = np.full(len(all_f), -1, dtype=np.int64)
+            return pa.table(
+                {"focal": pa.array(all_f), "lag_code": pa.array(codes_out)}
+            )
 
-        return withc.groupby("focal").map_groups(_modal, batch_format="pyarrow")
+        return J.grouped_by_key(withc, ["focal"], _modal_block)
 
     # ------------------------------------------------------ graph algebra
     def _real_edges(self) -> ray.data.Dataset:
@@ -773,24 +899,25 @@ class RayGraph:
 
     def describe(
         self,
-        attr_ids: np.ndarray,
-        attr_values: np.ndarray,
+        attr_ids,
+        attr_values=None,
         stats: tuple[str, ...] = ("count", "sum", "mean", "min", "max", "std", "median", "nunique", "mode"),
         q: tuple[float, float] | None = None,
+        id_col: str = "id",
+        val_col: str = "value",
     ) -> ray.data.Dataset:
         """Per-focal stats over neighbor attribute values
-        (base.py:2874-2989). Join attr on neighbor (broadcast) →
+        (base.py:2874-2989). ``attr_ids`` is a numpy id array
+        (+ ``attr_values``, broadcast) or an attribute Dataset (bucket_join
+        — no driver materialization). Join attr on neighbor →
         groupby(focal) with NATIVE vectorized aggregates for
         count/sum/mean/min/max/std; median/nunique/mode (not expressible as
         distributive aggregates) fall back to per-group reducers and are
         joined back on focal."""
-        withy = J.broadcast_lookup(
-            self._real_edges(),
-            np.asarray(attr_ids, np.int64),
-            np.asarray(attr_values, np.float64),
-            key_col="neighbor",
-            out_col="__y",
-            default=np.nan,
+        withy = _attach_attr(
+            self._real_edges(), attr_ids, attr_values,
+            key_col="neighbor", out_col="__y", default=np.nan,
+            id_col=id_col, val_col=val_col,
         ).map_batches(
             # NaN→null so Arrow-native aggregates skip missing attrs, plus a
             # non-null indicator for the count stat
@@ -943,15 +1070,35 @@ class RayGraph:
             tri.groupby("focal").sum("weight")
             .rename_columns({"sum(weight)": "__t"})
         )
-        cards = self.cardinalities().to_pandas()
-        out = J.broadcast_lookup(
-            tcount,
-            cards["focal"].to_numpy(np.int64),
-            cards["cardinality"].to_numpy(np.float64),
-            key_col="focal",
-            out_col="__k",
-            default=0.0,
-        )
+        cards_ds = self.cardinalities().materialize()
+        if cards_ds.count() <= BROADCAST_ROW_LIMIT:
+            cards = cards_ds.to_pandas()
+            out = J.broadcast_lookup(
+                tcount,
+                cards["focal"].to_numpy(np.int64),
+                cards["cardinality"].to_numpy(np.float64),
+                key_col="focal",
+                out_col="__k",
+                default=0.0,
+            )
+        else:
+            out = J.bucket_join(
+                tcount,
+                cards_ds.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "focal": t.column("focal"),
+                            "__k": pa.array(
+                                t.column("cardinality")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.float64)
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                on="focal",
+            )
 
         def _coef(t: pa.Table) -> pa.Table:
             tt = t.column("__t").to_numpy(zero_copy_only=False)
@@ -965,15 +1112,16 @@ class RayGraph:
 
         withc = out.map_batches(_coef, batch_format="pyarrow")
         # nodes with no triangle rows still need a 0.0 row
-        zeros = ray.data.from_arrow(
-            pa.table(
+        zeros = cards_ds.map_batches(
+            lambda t: pa.table(
                 {
-                    "focal": pa.array(cards["focal"].to_numpy(np.int64)),
+                    "focal": t.column("focal"),
                     "cluster_coef": pa.array(
-                        np.zeros(len(cards), np.float64)
+                        np.zeros(t.num_rows, np.float64)
                     ),
                 }
-            )
+            ),
+            batch_format="pyarrow",
         )
         both = withc.union(zeros)
         return (
@@ -1046,14 +1194,22 @@ class RayGraph:
         return out
 
     def n_components(self, max_driver_edges: int = 5_000_000) -> tuple[int, ray.data.Dataset]:
-        """(n_components, labels Dataset (focal, component)).
+        """(n_components, labels Dataset (focal, component)); the
+        component label is the minimum node id of the component (both
+        paths and the SQL oracle agree on this invariant).
 
-        Driver-side union-find streamed over edge batches for graphs up to
-        ``max_driver_edges``; the 100-TB path is iterative min-label
-        propagation (hash joins until fixpoint) — not needed for the
-        reference-parity layer sizes (reference itself calls scipy's
-        connected_components on a CSR, weights.py:549-569).
+        Driver-side union-find streamed over edge batches for graphs up
+        to ``max_driver_edges``; above that the DISTRIBUTED path runs
+        iterative min-label propagation with pointer jumping
+        (label(i) ← label(label(i)) each round — O(log diameter) rounds),
+        converging when the monotone-decreasing global label sum stops
+        changing (one cheap aggregate per round, no compare join).
+        Reference semantics: scipy connected_components on CSR,
+        weights.py:549-569.
         """
+        n_edges = self._edges.count()
+        if n_edges > max_driver_edges:
+            return self._components_distributed()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -1067,8 +1223,6 @@ class RayGraph:
         cnt = 0
         for batch in self._edges.iter_batches(batch_format="pyarrow"):
             cnt += batch.num_rows
-            if cnt > max_driver_edges:
-                raise RuntimeError("graph too large for driver components; use label propagation")
             f = batch.column("focal").to_numpy(zero_copy_only=False)
             n = batch.column("neighbor").to_numpy(zero_copy_only=False)
             w = batch.column("weight").to_numpy(zero_copy_only=False)
@@ -1092,6 +1246,186 @@ class RayGraph:
             )
         )
         return ncomp, lab
+
+    def _components_distributed(
+        self, single_block_limit: int = 4_000_000
+    ) -> tuple[int, ray.data.Dataset]:
+        """Distributed connected components by LOCAL-CONTRACTION
+        supersteps (the practical large-graph plan; cf. Kiveris et al.'s
+        contraction family):
+
+        per level: (1) each edge block runs an in-memory vectorized
+        min-label fixpoint (numpy ``minimum.at`` + pointer jumping — no
+        per-edge Python) emitting a (node → local component min) mapping;
+        (2) conflicting block-local roots reconcile through ONE
+        groupby(node).min; (3) edges contract through the mapping (two
+        bucket_joins) and self-loops/duplicates drop. Each level
+        collapses every within-block structure, so a handful of levels
+        resolve even adversarial graphs; once the surviving edge set fits
+        one block it is contracted in a single partition and the loop
+        ends. Final labels compose the per-level mappings back-to-front
+        with left bucket_joins (a root with no later entry is its own
+        component representative). The component label is the component's
+        minimum node id — the global minimum maps to itself at every
+        level, so composition preserves it."""
+        real = self._real_edges().select_columns(["focal", "neighbor"])
+        und = real.union(
+            real.rename_columns({"focal": "neighbor", "neighbor": "focal"})
+        ).materialize()
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+
+        def _local(t: pa.Table) -> pa.Table:
+            f = t.column("focal").to_numpy(zero_copy_only=False)
+            n = t.column("neighbor").to_numpy(zero_copy_only=False)
+            if len(f) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "root": pa.array([], pa.int64())})
+            nodes, inv = np.unique(
+                np.concatenate([f, n]), return_inverse=True
+            )
+            fi, ni = inv[: len(f)], inv[len(f):]
+            lab = np.arange(len(nodes))
+            while True:
+                new = lab.copy()
+                np.minimum.at(new, fi, lab[ni])
+                np.minimum.at(new, ni, lab[fi])
+                new = new[new]  # pointer jump — logarithmic convergence
+                if (new == lab).all():
+                    break
+                lab = new
+            return pa.table(
+                {"node": pa.array(nodes), "root": pa.array(nodes[lab])}
+            )
+
+        def _ren(ds: ray.data.Dataset, mapping: dict) -> ray.data.Dataset:
+            # map_batches-based rename: Dataset.rename_columns is lazy and
+            # its schema() can report the PRE-rename names to bucket_join
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {mapping.get(c, c): t.column(c) for c in t.schema.names}
+                )
+
+            return ds.map_batches(f, batch_format="pyarrow")
+
+        mappings: list[ray.data.Dataset] = []
+        cur = und
+        for _level in range(12):
+            cnt = cur.count()
+            if cnt == 0:
+                break
+            nparts = 1 if cnt <= single_block_limit else max(16, ncpu)
+            mapping = (
+                cur.repartition(nparts)
+                .map_batches(_local, batch_format="pyarrow")
+                .groupby("node")
+                .min("root")
+                .rename_columns({"min(root)": "root"})
+                .materialize()
+            )
+            mappings.append(mapping)
+            if nparts == 1:
+                break
+            # contract edges through the mapping, drop self/dup edges
+            m_f = _ren(mapping, {"node": "focal", "root": "__rf"})
+            m_n = _ren(mapping, {"node": "neighbor", "root": "__rn"})
+
+            def _contract(t: pa.Table) -> pa.Table:
+                rf = t.column("__rf").to_numpy(zero_copy_only=False)
+                rn = t.column("__rn").to_numpy(zero_copy_only=False)
+                keep = rf != rn
+                return pa.table(
+                    {
+                        "focal": pa.array(rf[keep]),
+                        "neighbor": pa.array(rn[keep]),
+                    }
+                )
+
+            stepped = J.bucket_join(
+                J.bucket_join(cur, m_f, on="focal"), m_n, on="neighbor"
+            ).map_batches(_contract, batch_format="pyarrow")
+            cur = (
+                stepped.groupby(["focal", "neighbor"])
+                .count()
+                .select_columns(["focal", "neighbor"])
+                .materialize()
+            )
+
+        # compose mappings back-to-front: labels(node) at level i follows
+        # root into level i+1's labels; roots absent there are final
+        labels = mappings[-1] if mappings else None
+        for m in reversed(mappings[:-1]):
+            nxt = _ren(labels, {"node": "__j", "root": "__c"})
+            j = J.bucket_join(
+                _ren(m, {"root": "__j"}), nxt, on="__j", how="left"
+            )
+
+            def _resolve(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                out = pc.if_else(
+                    pc.is_null(t.column("__c")),
+                    t.column("__j"),
+                    t.column("__c"),
+                )
+                return pa.table(
+                    {"node": t.column("node"), "root": out}
+                )
+
+            labels = j.map_batches(
+                _resolve, batch_format="pyarrow"
+            ).materialize()
+
+        # nodes with no real edges (isolates) label themselves
+        all_ids = ids_dataset(self._edges)
+        if labels is None:
+            labels = all_ids.map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("focal"), "root": t.column("focal")}
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            iso = J.bucket_join(
+                all_ids.map_batches(
+                    lambda t: pa.table({"node": t.column("focal")}),
+                    batch_format="pyarrow",
+                ),
+                labels.select_columns(["node"]),
+                on="node",
+                how="anti",
+            ).map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "root": t.column("node")}
+                ),
+                batch_format="pyarrow",
+            )
+            labels = labels.union(iso).materialize()
+
+        ncomp = (
+            labels.select_columns(["root"])
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "root": pa.array(
+                            np.unique(
+                                t.column("root").to_numpy(
+                                    zero_copy_only=False
+                                )
+                            )
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("root")
+            .count()
+            .count()
+        )
+        out = labels.rename_columns({"node": "focal", "root": "component"})
+        return ncomp, out
 
 
 def _binarize(t: pa.Table) -> pa.Table:

@@ -238,7 +238,8 @@ def bucket_join(
     self-joins: same one-shuffle cost, but no join-actor startup latency
     and the per-bucket kernel is a single vectorized probe.
 
-    ``how``: inner | semi | anti (semi/anti keep left columns only).
+    ``how``: inner | left | semi | anti (semi/anti keep left columns
+    only; left keeps unmatched left rows with nulls in the right columns).
     Non-key column names must be disjoint between the two sides.
     """
     from libpysal_ray.core.hashing import splitmix64
@@ -305,6 +306,12 @@ def bucket_join(
         if how == "anti":
             keep = li[cnt == 0]
             return t.take(pa.array(keep)).select(out_cols)
+        if how == "left" and (cnt == 0).any():
+            # unmatched left rows already carry nulls in the right columns
+            # (built by _prep) — emit them as-is alongside the inner rows
+            unmatched = t.take(pa.array(li[cnt == 0])).select(out_cols)
+        else:
+            unmatched = None
         total = int(cnt.sum())
         l_rep = np.repeat(np.arange(len(lk)), cnt)
         starts = np.repeat(lo, cnt)
@@ -317,6 +324,9 @@ def bucket_join(
             cols[c] = lt.column(c)
         for c in rval:
             cols[c] = rt.column(c)
-        return pa.table(cols)
+        inner = pa.table(cols)
+        if unmatched is not None:
+            inner = pa.concat_tables([inner.select(out_cols), unmatched])
+        return inner
 
     return u.groupby("__b").map_groups(_probe, batch_format="pyarrow")

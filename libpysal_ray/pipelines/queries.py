@@ -59,6 +59,43 @@ def _queen_g(sf_dir: str):
                  lambda: queen(_lattice_polys(sf_dir)).cache())
 
 
+def _knn4_g(sf_dir: str):
+    from libpysal_ray.builders.distance import knn
+
+    return _memo(("knn4", sf_dir),
+                 lambda: knn(_points(sf_dir), k=4, id_col="doc_id").cache())
+
+
+def _grav50_g(sf_dir: str):
+    """distance_band(50) with gravity weights w = d^-1, built ONCE: the
+    binary band(50), the derived band(30) (w ≥ 1/30 ⟺ d ≤ 30 — exact for
+    the integer-coordinate points), the gravity query and the w_clip query
+    all reuse this single tiled build."""
+    return _memo(
+        ("grav50", sf_dir),
+        lambda: distance_band(
+            _points(sf_dir), threshold=50.0, binary=False, alpha=-1.0,
+            id_col="doc_id",
+        ).cache(),
+    )
+
+
+def _binarize(g):
+    from libpysal_ray.core.graph import RayGraph as _RG
+
+    def _f(t: pa.Table) -> pa.Table:
+        w = t.column("weight").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "focal": t.column("focal"),
+                "neighbor": t.column("neighbor"),
+                "weight": pa.array(np.where(w != 0, 1.0, 0.0)),
+            }
+        )
+
+    return _RG(g.edges.map_batches(_f, batch_format="pyarrow"))
+
+
 # --------------------------------------------------------------- inputs
 def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     from libpysal_ray.sources.read import read_parquet_sized
@@ -225,8 +262,7 @@ def q_knn4(sf_dir: str):
 
 
 def q_distance_band50(sf_dir: str):
-    g = distance_band(_points(sf_dir), threshold=50.0, id_col="doc_id")
-    return _real(g)
+    return _real(_binarize(_grav50_g(sf_dir)))
 
 
 def q_kernel_triangular(sf_dir: str):
@@ -258,6 +294,55 @@ def q_spatial_lag(sf_dir: str):
         attrs.column("doc_id").to_numpy(),
         attrs.column("n_chars").to_numpy().astype(np.float64),
     )
+
+
+def _add_sid(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """Replace int id col with the string id 'd<id>' — lexicographic order
+    deliberately differs from numeric order (d10 < d2), mirroring the
+    reference's shuffled-string-id graph test parametrization
+    (graph/tests/test_base.py:17-62)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t.column(col).to_numpy(zero_copy_only=False)
+        t = t.drop_columns([col])
+        return t.append_column("sid", pa.array([f"d{i}" for i in ids]))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def q_knn4_str(sf_dir: str):
+    """KNN(4) over STRING observation ids via DenseIdCodec: encode →
+    build → decode. Ties break on (distance, encoded id) = (distance,
+    string sort order), which the oracle mirrors with ORDER BY dist, sid."""
+    from libpysal_ray.builders.distance import knn
+    from libpysal_ray.core.ids import DenseIdCodec
+
+    pts = _add_sid(_points(sf_dir), "doc_id")
+    codec = DenseIdCodec.from_dataset(pts, "sid")
+    enc = codec.encode(pts, "sid", "id")
+    g = knn(enc, k=4, id_col="id")
+    return codec.decode(_real(g), ("focal", "neighbor"))
+
+
+def q_rook_str(sf_dir: str):
+    """Rook lattice contiguity over STRING polygon ids via DenseIdCodec."""
+    from libpysal_ray.builders.contiguity import rook
+    from libpysal_ray.core.ids import DenseIdCodec
+
+    polys = _add_sid(_lattice_polys(sf_dir), "polygon_id")
+    codec = DenseIdCodec.from_dataset(polys, "sid")
+    enc = codec.encode(polys, "sid", "polygon_id")
+    g = rook(enc)
+    return codec.decode(_real(g), ("focal", "neighbor"))
+
+
+def q_spatial_lag_ds(sf_dir: str):
+    """Spatial lag with the attribute fed as a DATASET (the 100 TB path:
+    no driver-side attribute array; distributed bucket_join on neighbor).
+    Same oracle as spatial_lag."""
+    g = _rook_g(sf_dir)
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"])
+    return g.lag(attrs, id_col="doc_id", val_col="n_chars")
 
 
 def q_higher_order2(sf_dir: str):
@@ -419,24 +504,15 @@ def q_remap_rook(sf_dir: str):
 
 
 def q_symmetrize_knn(sf_dir: str):
-    from libpysal_ray.builders.distance import knn
-
-    g = knn(_points(sf_dir), k=4, id_col="doc_id")
-    return _real(g.symmetrize("union"))
+    return _real(_knn4_g(sf_dir).symmetrize("union"))
 
 
 def q_mutual_knn(sf_dir: str):
-    from libpysal_ray.builders.distance import knn
-
-    g = knn(_points(sf_dir), k=4, id_col="doc_id")
-    return _real(g.symmetrize("intersection"))
+    return _real(_knn4_g(sf_dir).symmetrize("intersection"))
 
 
 def q_asymmetry_knn(sf_dir: str):
-    from libpysal_ray.builders.distance import knn
-
-    g = knn(_points(sf_dir), k=4, id_col="doc_id")
-    return g.asymmetries()
+    return _knn4_g(sf_dir).asymmetries()
 
 
 def q_describe_rook(sf_dir: str):
@@ -634,10 +710,31 @@ def q_emb_neardup_lsh(sf_dir: str):
 
 
 def q_wclip_band(sf_dir: str):
-    """distance_band(50) clipped by distance_band(30) mask == band(30)."""
-    pts = _points(sf_dir).materialize()
-    g50 = distance_band(pts, threshold=50.0, id_col="doc_id")
-    g30 = distance_band(pts, threshold=30.0, id_col="doc_id")
+    """distance_band(50) clipped by distance_band(30) mask == band(30).
+    Both bands derive from the one memoized gravity build: band(30) =
+    gravity edges with w ≥ 1/30 (⟺ d ≤ 30, exact on integer coords)."""
+    from libpysal_ray.core.graph import RayGraph as _RG
+
+    grav = _grav50_g(sf_dir)
+    g50 = _binarize(grav)
+
+    def _cut30(t: pa.Table) -> pa.Table:
+        w = t.column("weight").to_numpy(zero_copy_only=False)
+        f = t.column("focal").to_numpy(zero_copy_only=False)
+        n = t.column("neighbor").to_numpy(zero_copy_only=False)
+        marker = (f == n) & (w == 0.0)
+        keep = marker | (w >= 1.0 / 30.0)
+        return pa.table(
+            {
+                "focal": pa.array(f[keep]),
+                "neighbor": pa.array(n[keep]),
+                "weight": pa.array(
+                    np.where(marker[keep], 0.0, 1.0)
+                ),
+            }
+        )
+
+    g30 = _RG(grav.edges.map_batches(_cut30, batch_format="pyarrow"))
     return _real(g50.w_clip(g30))
 
 
@@ -656,9 +753,11 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_components_band(sf_dir: str):
-    """Connected components of distance_band(60): (focal, component)."""
+    """Connected components of distance_band(60): (focal, component) with
+    component = min node id. max_driver_edges=0 forces the DISTRIBUTED
+    min-label-propagation path (the 100 TB plan) even at test scale."""
     g = distance_band(_points(sf_dir), threshold=60.0, id_col="doc_id")
-    _n, labels = g.n_components()
+    _n, labels = g.n_components(max_driver_edges=0)
     return labels
 
 
@@ -758,11 +857,7 @@ def q_kernel_diag(sf_dir: str):
 
 def q_gravity_band(sf_dir: str):
     """Gravity weights: distance band with w = d^alpha (alpha = -1)."""
-    g = distance_band(
-        _points(sf_dir), threshold=50.0, binary=False, alpha=-1.0,
-        id_col="doc_id",
-    )
-    return _real(g)
+    return _real(_grav50_g(sf_dir))
 
 
 QUERIES = {
@@ -826,6 +921,9 @@ QUERIES = {
     "delaunay": q_delaunay,
     "delaunay_r": q_delaunay_r,
     "voronoi": q_voronoi,
+    "spatial_lag_ds": q_spatial_lag_ds,
+    "knn4_str": q_knn4_str,
+    "rook_str": q_rook_str,
 }
 
 _PAIR_DIST = (
@@ -1365,6 +1463,57 @@ und AS (
 SELECT i AS focal, j AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
 UNION ALL
 SELECT j AS focal, i AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
+"""
+
+ORACLE_SQL["knn4_str"] = f"""
+WITH {_PTS_SQL},
+s AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS sid, x, y FROM pts),
+d AS (
+  SELECT a.sid AS focal, b.sid AS neighbor,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+  FROM s a, s b WHERE a.sid <> b.sid
+),
+r AS (
+  SELECT focal, neighbor,
+         ROW_NUMBER() OVER (PARTITION BY focal
+                            ORDER BY dist, neighbor) AS rn
+  FROM d
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM r WHERE rn <= 4
+"""
+
+ORACLE_SQL["rook_str"] = f"""
+WITH g AS (
+  SELECT 'd' || CAST(doc_id AS VARCHAR) AS sid,
+         doc_id // {LCOLS} AS r, doc_id % {LCOLS} AS c
+  FROM documents
+)
+SELECT a.sid AS focal, b.sid AS neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM g a JOIN g b
+  ON (a.r = b.r AND abs(a.c - b.c) = 1)
+  OR (a.c = b.c AND abs(a.r - b.r) = 1)
+"""
+
+ORACLE_SQL["components_band"] = f"""
+WITH RECURSIVE {_PTS_SQL},
+e AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor
+  FROM pts a, pts b
+  WHERE a.doc_id <> b.doc_id AND {_PAIR_DIST} <= 60
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM pts
+  UNION
+  SELECT r.a, e.neighbor FROM reach r JOIN e ON e.focal = r.b
+)
+SELECT a AS focal, min(b) AS component FROM reach GROUP BY a
+"""
+
+ORACLE_SQL["spatial_lag_ds"] = f"""
+WITH {_ROOK_SQL}
+SELECT adj.focal AS focal, CAST(SUM(d.n_chars) AS DOUBLE) AS lag
+FROM adj JOIN documents d ON adj.neighbor = d.doc_id
+GROUP BY adj.focal
 """
 
 ORACLE_SQL["ngram_jaccard"] = """
