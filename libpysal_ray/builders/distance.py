@@ -551,6 +551,50 @@ def knn(
     )
 
 
+def _optimize_bandwidth(
+    d: np.ndarray, function: str, max_sample: int = 1_000_000,
+    iters: int = 100,
+) -> float:
+    """Entropy-maximizing bandwidth (graph/_kernel.py:412-435
+    ``_optimize_bandwidth`` semantics): minimize the negative entropy of
+    the histogram of kernel values over bw ∈ (0, 2·max(d)], sqrt-count
+    bins on (0, 1). scipy's bounded Brent is replaced by a golden-section
+    search (no scipy in this environment) — same bounded scalar
+    optimization, deterministic. Above ``max_sample`` distances the loss
+    runs on a deterministic stride sample (the histogram is a population
+    statistic; the subsample estimate converges at 1/√n)."""
+    d = np.asarray(d, dtype=np.float64)
+    if len(d) > max_sample:
+        d = d[:: len(d) // max_sample + 1]
+    n_bins = max(int(len(d) ** 0.5), 1)
+
+    def loss(bw: float) -> float:
+        if bw <= 0:
+            return np.inf
+        ku = evaluate_kernel(d / bw, function)
+        bins, _ = np.histogram(ku, bins=n_bins, range=(0.0, 1.0))
+        p = bins / max(bins.sum(), 1)
+        nz = p[p > 0]
+        return float((nz * np.log(nz)).sum())  # = -entropy
+
+    lo, hi = 1e-12, float(d.max()) * 2.0
+    invphi = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    c_ = b - invphi * (b - a)
+    d_ = a + invphi * (b - a)
+    fc, fd = loss(c_), loss(d_)
+    for _ in range(iters):
+        if fc < fd:
+            b, d_, fd = d_, c_, fc
+            c_ = b - invphi * (b - a)
+            fc = loss(c_)
+        else:
+            a, c_, fc = c_, d_, fd
+            d_ = a + invphi * (b - a)
+            fd = loss(d_)
+    return float((a + b) / 2.0)
+
+
 def kernel(
     points: ray.data.Dataset,
     k: int = 2,
@@ -587,6 +631,9 @@ def kernel(
             # exact quantile for a distributed t-digest sketch.
             d = knn_e.select_columns(["dist"]).to_pandas()["dist"].to_numpy()
             bw_global = float(np.quantile(d, 0.25))
+        elif bandwidth == "auto" and fixed:
+            d = knn_e.select_columns(["dist"]).to_pandas()["dist"].to_numpy()
+            bw_global = _optimize_bandwidth(d, function)
         elif fixed:
             bw_global = float(kth.max("bw")) * eps
         else:

@@ -692,6 +692,120 @@ class RayGraph:
         )
         return diff.count() == 0
 
+    def isomorphic(self, other: "RayGraph", max_nodes: int = 2000) -> bool:
+        """Structural isomorphism (graph/_set_ops.py:197-207; the
+        reference delegates to networkx, absent here).
+
+        Staged exactly like the reference: cheap DISTRIBUTED invariant
+        screens first — node/edge counts, then the sorted degree
+        sequence (one groupby each) — mirroring
+        ``faster_could_be_isomorphic``; only graphs that survive fall to
+        a driver-side backtracking matcher (most-constrained-first, a
+        VF2-style search), bounded by ``max_nodes`` (isomorphism needs
+        the full adjacency in one place — the reference holds it in
+        networkx the same way)."""
+        if self.n() != other.n():
+            return False
+        a = self._real_edges()
+        b = other._real_edges()
+        if a.count() != b.count():
+            return False
+        deg_a = sorted(
+            r["cardinality"] for r in self.cardinalities().take_all()
+        )
+        deg_b = sorted(
+            r["cardinality"] for r in other.cardinalities().take_all()
+        )
+        if deg_a != deg_b:
+            return False
+        if self.n() > max_nodes:
+            raise NotImplementedError(
+                f"exact isomorphism above {max_nodes} nodes; the degree "
+                "screen passed — use domain knowledge or raise max_nodes"
+            )
+
+        def _adj(g: "RayGraph"):
+            adj: dict[int, set] = {}
+            for r in g.edges.take_all():
+                f_, n_ = int(r["focal"]), int(r["neighbor"])
+                adj.setdefault(f_, set())
+                if not (f_ == n_ and r["weight"] == 0.0):
+                    adj[f_].add(n_)
+                    adj.setdefault(n_, set()).add(f_)
+            return adj
+
+        aa, bb = _adj(self), _adj(other)
+        order = sorted(aa, key=lambda u: -len(aa[u]))
+        by_deg: dict[int, list] = {}
+        for v_, s in bb.items():
+            by_deg.setdefault(len(s), []).append(v_)
+        mapping: dict[int, int] = {}
+        used: set = set()
+
+        def bt(i: int) -> bool:
+            if i == len(order):
+                return True
+            u = order[i]
+            for v_ in by_deg.get(len(aa[u]), []):
+                if v_ in used:
+                    continue
+                ok = True
+                for un, um in mapping.items():
+                    if (un in aa[u]) != (um in bb[v_]):
+                        ok = False
+                        break
+                if ok:
+                    mapping[u] = v_
+                    used.add(v_)
+                    if bt(i + 1):
+                        return True
+                    del mapping[u]
+                    used.discard(v_)
+            return False
+
+        return bt(0)
+
+    def to_coo(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(row, col, data, ids) COO arrays over dense positions sorted by
+        id — the WSP/scipy-interop export (weights.py sparse property;
+        driver-side, small-layer: the 100 TB graph IS the edge Dataset)."""
+        ids = np.sort(
+            np.array(
+                [r["focal"] for r in ids_dataset(self._edges).take_all()],
+                dtype=np.int64,
+            )
+        )
+        rows, cols, data = [], [], []
+        for b in E.canonical(self._real_edges()).iter_batches(
+            batch_format="pyarrow"
+        ):
+            rows.append(
+                np.searchsorted(
+                    ids, b.column("focal").to_numpy(zero_copy_only=False)
+                )
+            )
+            cols.append(
+                np.searchsorted(
+                    ids, b.column("neighbor").to_numpy(zero_copy_only=False)
+                )
+            )
+            data.append(b.column("weight").to_numpy(zero_copy_only=False))
+        if rows:
+            return (
+                np.concatenate(rows), np.concatenate(cols),
+                np.concatenate(data), ids,
+            )
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.float64), ids
+
+    def to_csr(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(indptr, indices, data, ids) CSR arrays (sorted row-major)."""
+        row, col, data, ids = self.to_coo()
+        order = np.lexsort((col, row))
+        row, col, data = row[order], col[order], data[order]
+        indptr = np.searchsorted(row, np.arange(len(ids) + 1))
+        return indptr, col, data, ids
+
     def w_clip(self, mask: "RayGraph") -> "RayGraph":
         """Keep self's weights only where mask has a (nonzero) link
         (set_operations.py:389-513)."""
@@ -773,18 +887,55 @@ class RayGraph:
             E.resolve_isolates(out, self._edges.select_columns(["focal"]))
         )
 
-    def fill_diagonal(self, value: float = 1.0) -> "RayGraph":
-        """Set self-loop weights (util.py:830-892 / base.py:2795-2872)."""
+    def fill_diagonal(
+        self, value=1.0, id_col: str = "id", val_col: str = "value"
+    ) -> "RayGraph":
+        """Set self-loop weights (util.py:830-892 / base.py:2795-2872).
+
+        ``value``: scalar, (ids, values) numpy pair, or an attribute
+        Dataset with (id_col, val_col) — per-observation diagonal values,
+        the reference's array variant (util.py:830-892 accepts a vector
+        aligned to id_order)."""
         ids = ids_dataset(self._edges)
         no_diag = self._edges.filter(expr="focal != neighbor")
-        diag = ids.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t.column("focal"), t.column("focal"),
-                 pa.array(np.full(t.num_rows, float(value)))],
-                schema=E.EDGE_SCHEMA,
-            ),
-            batch_format="pyarrow",
-        )
+        if isinstance(value, (int, float)):
+            diag = ids.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("focal"), t.column("focal"),
+                     pa.array(np.full(t.num_rows, float(value)))],
+                    schema=E.EDGE_SCHEMA,
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            base = ids.map_batches(
+                lambda t: pa.table(
+                    {
+                        "focal": t.column("focal"),
+                        "neighbor": t.column("focal"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            if isinstance(value, ray.data.Dataset):
+                withv = _attach_attr(
+                    base, value, key_col="focal", out_col="__v",
+                    default=0.0, id_col=id_col, val_col=val_col,
+                )
+            else:
+                v_ids, v_vals = value
+                withv = _attach_attr(
+                    base, np.asarray(v_ids), np.asarray(v_vals),
+                    key_col="focal", out_col="__v", default=0.0,
+                )
+            diag = withv.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("focal"), t.column("neighbor"),
+                     t.column("__v")],
+                    schema=E.EDGE_SCHEMA,
+                ),
+                batch_format="pyarrow",
+            )
         return RayGraph(no_diag.union(diag))
 
     def eliminate_zeros(self) -> "RayGraph":

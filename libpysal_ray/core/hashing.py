@@ -52,3 +52,79 @@ def hash_strings_u64(strs, seed: int = 0) -> np.ndarray:
             h = (h ^ np.uint64(b)) * fnv_prime
         out[i] = h
     return splitmix64(out)
+
+
+def _string_array_parts(arr):
+    """(bytes uint8, starts, lens) of a non-null pyarrow string array."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                        count=len(arr) + 1 + arr.offset)[arr.offset:]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts = off[:-1].astype(np.int64)
+    lens = np.diff(off).astype(np.int64)
+    return data, starts, lens
+
+
+def hash_string_array_u64(arr, seed: int = 0) -> np.ndarray:
+    """FULLY VECTORIZED 64-bit hash of a pyarrow string array.
+
+    Position-mixed byte terms summed per string (np.add.reduceat over the
+    raw Arrow data buffer — zero per-string Python), then a splitmix
+    finalizer over (sum ^ length). Order sensitivity comes from the
+    position term inside each byte's mix; collision odds are the usual
+    ~2^-64 birthday terms. This is the hot-path replacement for the
+    per-byte ``hash_strings_u64`` loop (kept for tiny inputs)."""
+    data, starts, lens = _string_array_parts(arr)
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return splitmix64(np.full(n, np.uint64(seed)))
+    seg_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, lens)
+    flat = data[np.repeat(starts, lens) + pos]
+    term = splitmix64(
+        (flat.astype(np.uint64) << np.uint64(8))
+        ^ (pos.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        ^ np.uint64(seed)
+    )
+    # reduceat only at non-empty segment starts (consecutive non-empty
+    # starts bound exactly one string's bytes; empty strings sum to 0)
+    ne = lens > 0
+    sums = np.zeros(n, dtype=np.uint64)
+    sums[ne] = np.add.reduceat(term, seg_starts[ne])
+    return splitmix64(sums ^ lens.astype(np.uint64) ^ np.uint64(seed))
+
+
+def tokenize_hash(col, seed: int = 0):
+    """Whitespace-tokenize a pyarrow string column and hash every token —
+    all vectorized. Returns (token_hashes uint64, doc_offsets int64) with
+    doc i's tokens at ``token_hashes[doc_offsets[i]:doc_offsets[i+1]]``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lst = pc.utf8_split_whitespace(col)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.flatten()
+    off = np.frombuffer(lst.buffers()[1], dtype=np.int32,
+                        count=len(lst) + 1 + lst.offset)[lst.offset:]
+    doc_off = (off - off[0]).astype(np.int64)
+    th = hash_string_array_u64(flat, seed)
+    # drop empty tokens (leading/trailing whitespace artifacts)
+    _, starts, lens = _string_array_parts(flat)
+    keep = lens > 0
+    if not keep.all():
+        # recompute offsets over kept tokens
+        doc_idx = np.repeat(np.arange(len(doc_off) - 1), np.diff(doc_off))
+        th = th[keep]
+        doc_idx = doc_idx[keep]
+        counts = np.bincount(doc_idx, minlength=len(doc_off) - 1)
+        doc_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return th, doc_off

@@ -336,6 +336,42 @@ def q_rook_str(sf_dir: str):
     return codec.decode(_real(g), ("focal", "neighbor"))
 
 
+def _points_lonlat(sf_dir: str) -> ray.data.Dataset:
+    """Jittered points scaled onto the globe (lon ∈ [-180, 180),
+    lat ∈ [-86, 86)) — same arithmetic mirrored in the SQL oracles."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lon": pa.array(x * 0.36 - 180.0),
+                "lat": pa.array(y * 0.172 - 86.0),
+            }
+        )
+
+    return _points_jittered(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
+def q_knn_arc(sf_dir: str):
+    """Great-circle KNN(4) via the XYZ chord trick + 3-d tile shuffle."""
+    from libpysal_ray.builders.sphere import knn_arc
+
+    return _real(knn_arc(_points_lonlat(sf_dir), k=4, id_col="doc_id"))
+
+
+def q_band_arc(sf_dir: str):
+    """Great-circle distance band (1200 km) via the chord threshold."""
+    from libpysal_ray.builders.sphere import distance_band_arc
+
+    return _real(
+        distance_band_arc(
+            _points_lonlat(sf_dir), arc_threshold=1200.0, id_col="doc_id"
+        )
+    )
+
+
 def q_spatial_lag_ds(sf_dir: str):
     """Spatial lag with the attribute fed as a DATASET (the 100 TB path:
     no driver-side attribute array; distributed bucket_join on neighbor).
@@ -924,6 +960,8 @@ QUERIES = {
     "spatial_lag_ds": q_spatial_lag_ds,
     "knn4_str": q_knn4_str,
     "rook_str": q_rook_str,
+    "knn_arc": q_knn_arc,
+    "band_arc": q_band_arc,
 }
 
 _PAIR_DIST = (
@@ -1463,6 +1501,44 @@ und AS (
 SELECT i AS focal, j AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
 UNION ALL
 SELECT j AS focal, i AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
+"""
+
+_XYZ_SQL = """
+ll AS (
+  SELECT doc_id, x*0.36 - 180.0 AS lon, y*0.172 - 86.0 AS lat FROM ptsj
+),
+xyz AS (
+  SELECT doc_id,
+         6371.0*cos(radians(lat))*cos(radians(lon)) AS px,
+         6371.0*cos(radians(lat))*sin(radians(lon)) AS py,
+         6371.0*sin(radians(lat)) AS pz
+  FROM ll
+),
+chords AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor,
+         sqrt((a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py)
+              + (a.pz-b.pz)*(a.pz-b.pz)) AS chord
+  FROM xyz a, xyz b WHERE a.doc_id <> b.doc_id
+)"""
+
+ORACLE_SQL["knn_arc"] = f"""
+WITH {_PTSJ_SQL},
+{_XYZ_SQL},
+r AS (
+  SELECT focal, neighbor,
+         ROW_NUMBER() OVER (PARTITION BY focal
+                            ORDER BY chord, neighbor) AS rn
+  FROM chords
+)
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM r WHERE rn <= 4
+"""
+
+ORACLE_SQL["band_arc"] = f"""
+WITH {_PTSJ_SQL},
+{_XYZ_SQL}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM chords
+WHERE chord <= 2.0*6371.0*sin(1200.0/(2.0*6371.0))
 """
 
 ORACLE_SQL["knn4_str"] = f"""

@@ -6,7 +6,8 @@ per row — cheap relative to I/O and embarrassingly parallel).
 
 Ops: token counting (whitespace), quality scoring (stopword/length ratios),
 language-ID (stopword-hit heuristic over ~8 languages), document
-fingerprinting (Rabin-Karp rolling hash over tokens).
+fingerprinting (order-sensitive positional token hash, fully vectorized
+via core.hashing.tokenize_hash).
 """
 
 from __future__ import annotations
@@ -31,7 +32,6 @@ _LANG_STOPWORDS = {
 }
 
 _FP_BASE = np.uint64(1000003)
-_FP_MOD_MASK = np.uint64((1 << 61) - 1)
 
 
 def token_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
@@ -92,20 +92,33 @@ def lang_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
 
 
 def fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    """(…, fp): Rabin-Karp rolling hash over the md5 of each token —
-    order-sensitive 61-bit document fingerprint."""
+    """(…, fp): order-sensitive 63-bit document fingerprint — FULLY
+    vectorized positional hash: each token hash is mixed with its
+    position, summed per document (np.add.reduceat over the flat token
+    array), and finalized. Order sensitivity comes from the position
+    term; equal token multisets in different orders fingerprint
+    differently, same contract as the previous rolling-hash form."""
 
     def _f(t: pa.Table) -> pa.Table:
-        out = np.zeros(t.num_rows, dtype=np.uint64)
-        for i, s in enumerate(t.column(text_col).to_pylist()):
-            h = np.uint64(0)
-            for tok in s.split():
-                th = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                )
-                h = (h * _FP_BASE + th) & _FP_MOD_MASK
-            out[i] = h
-        return t.append_column("fp", pa.array(out.astype(np.int64)))
+        from libpysal_ray.core.hashing import splitmix64, tokenize_hash
+
+        n_docs = t.num_rows
+        th, off = tokenize_hash(t.column(text_col))
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if len(th):
+            lens = np.diff(off)
+            seg = off[:-1]
+            pos = np.arange(len(th), dtype=np.uint64) - np.repeat(
+                seg.astype(np.uint64), lens
+            )
+            term = splitmix64(th ^ (pos * _FP_BASE))
+            ne = lens > 0
+            out[ne] = np.add.reduceat(term, seg[ne])
+            out = splitmix64(out ^ lens.astype(np.uint64))
+            out[~ne] = 0
+        return t.append_column(
+            "fp", pa.array((out >> np.uint64(1)).astype(np.int64))
+        )
 
     return ds.map_batches(_f, batch_format="pyarrow")
 

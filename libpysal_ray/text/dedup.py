@@ -14,8 +14,6 @@
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -42,21 +40,46 @@ def exact_dedup(
     ).select_columns([id_col, "n_dupes"])
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i: i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(
-        np.array(
-            [
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                for s in shingles
-            ],
-            dtype=np.uint64,
-        )
-    )
+def _flat_shingles(col, k: int):
+    """Vectorized k-token shingle hashes for a whole batch.
+
+    Returns (sh uint64, sh_doc int64, n_docs): one row per shingle
+    WINDOW (duplicates kept — min-hash is unaffected by multiplicity;
+    exact-Jaccard callers unique per doc), sorted by document. Tokens
+    hash via the flat Arrow tokenizer (core.hashing.tokenize_hash — no
+    per-token Python); windows combine k consecutive token hashes with
+    k shifted splitmix rounds. Docs with 0 < L < k tokens fold all L
+    tokens into one shingle (the reference's join-all fallback)."""
+    from libpysal_ray.core.hashing import splitmix64, tokenize_hash
+
+    th, off = tokenize_hash(col)
+    n_docs = len(off) - 1
+    lens = np.diff(off)
+    total = len(th)
+    parts_h, parts_d = [], []
+    if total >= k:
+        W = total - k + 1
+        acc = np.zeros(W, np.uint64)
+        for j in range(k):
+            acc = splitmix64(acc ^ th[j: j + W])
+        doc_of = np.repeat(np.arange(n_docs), lens)
+        valid = doc_of[:W] == doc_of[k - 1:]
+        parts_h.append(acc[valid])
+        parts_d.append(doc_of[:W][valid])
+    short = np.flatnonzero((lens > 0) & (lens < k))
+    for d in short:
+        seg = th[off[d]: off[d + 1]]
+        a = np.zeros(1, np.uint64)
+        for x in seg:
+            a = splitmix64(a ^ x)
+        parts_h.append(a)
+        parts_d.append(np.array([d], np.int64))
+    if not parts_h:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64), n_docs)
+    sh = np.concatenate(parts_h)
+    sd = np.concatenate(parts_d)
+    order = np.argsort(sd, kind="stable")
+    return sh[order], sd[order], n_docs
 
 
 def _perm_params(m: int, seed: int = 13) -> tuple[np.ndarray, np.ndarray]:
@@ -74,25 +97,46 @@ def minhash_signatures(
     m: int = 64,
     seed: int = 13,
 ) -> ray.data.Dataset:
-    """(doc_id, sig: list<int64>[m]) — vectorized per doc: min over
-    (a*h+b mod 2^61-1) for each of m universal-hash permutations."""
+    """(doc_id, sig: list<int64>[m]) — FULLY vectorized across the batch:
+    flat shingle hashes (see _flat_shingles) → (shingles, m) universal
+    hash matrix → per-doc min via np.minimum.reduceat over the doc
+    segments. No per-document Python; peak memory bounded by chunking
+    the shingle rows."""
     a, b = _perm_params(m, seed)
 
     def _f(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        sigs = []
-        for s in t.column(text_col).to_pylist():
-            h = _shingle_hashes(s, k)
-            if len(h) == 0:
-                sigs.append(np.zeros(m, dtype=np.int64).tolist())
-                continue
-            # (m, n_shingles) universal hash, min over shingles
-            v = (a[:, None] * (h[None, :] & _MERSENNE61) + b[:, None]) % _MERSENNE61
-            sigs.append(v.min(axis=1).astype(np.int64).tolist())
+        sh, sd, n_docs = _flat_shingles(t.column(text_col), k)
+        sig = np.zeros((n_docs, m), dtype=np.int64)
+        if len(sh):
+            counts = np.bincount(sd, minlength=n_docs)
+            seg = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            ne = counts > 0
+            # chunk over shingle rows so (rows × m) stays ~32 MB
+            step = max(1, 65536)
+            doc_starts = seg[ne]
+            # process contiguous shingle ranges aligned to doc boundaries
+            lo = 0
+            d_idx = np.flatnonzero(ne)
+            while lo < len(d_idx):
+                hi = lo
+                row0 = seg[d_idx[lo]]
+                row1 = row0
+                while hi < len(d_idx) and row1 - row0 < step:
+                    row1 = seg[d_idx[hi]] + counts[d_idx[hi]]
+                    hi += 1
+                hh = sh[row0:row1]
+                v = (
+                    a[None, :] * (hh[:, None] & _MERSENNE61) + b[None, :]
+                ) % _MERSENNE61
+                starts_rel = seg[d_idx[lo:hi]] - row0
+                mins = np.minimum.reduceat(v, starts_rel, axis=0)
+                sig[d_idx[lo:hi]] = mins.astype(np.int64)
+                lo = hi
         return pa.table(
             {
                 id_col: pa.array(ids.astype(np.int64)),
-                "sig": pa.array(sigs, pa.list_(pa.int64())),
+                "sig": pa.array(sig.tolist(), pa.list_(pa.int64())),
             }
         )
 
@@ -143,24 +187,27 @@ def minhash_lsh_pairs(
     rows_per_band = m // bands
 
     def _buckets(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        sig = t.column("sig").to_pylist()
+        """Vectorized band keys: chained splitmix over each band's
+        signature columns (one pass per band over the whole batch)."""
+        from libpysal_ray.core.hashing import splitmix64
+
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sig = _list_col_matrix(t.column("sig"), m).view(np.uint64)
         out_b, out_h, out_i = [], [], []
-        for i, s in zip(ids, sig):
-            arr = np.asarray(s, dtype=np.int64)
-            for bnd in range(bands):
-                sl = arr[bnd * rows_per_band: (bnd + 1) * rows_per_band]
-                hb = int.from_bytes(
-                    hashlib.md5(sl.tobytes() + bytes([bnd])).digest()[:8], "big"
-                ) >> 1
-                out_b.append(bnd)
-                out_h.append(hb)
-                out_i.append(int(i))
+        for bnd in range(bands):
+            acc = np.full(len(ids), np.uint64(bnd + 1))
+            for j in range(bnd * rows_per_band, (bnd + 1) * rows_per_band):
+                acc = splitmix64(acc ^ sig[:, j])
+            out_b.append(np.full(len(ids), bnd, dtype=np.int64))
+            out_h.append((acc >> np.uint64(1)).astype(np.int64))
+            out_i.append(ids)
         return pa.table(
             {
-                "band": pa.array(out_b, pa.int64()),
-                "bucket": pa.array(out_h, pa.int64()),
-                id_col: pa.array(out_i, pa.int64()),
+                "band": pa.array(np.concatenate(out_b)),
+                "bucket": pa.array(np.concatenate(out_h)),
+                id_col: pa.array(np.concatenate(out_i)),
             }
         )
 
@@ -221,22 +268,37 @@ def minhash_lsh_pairs(
 def simhash64(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
-    """(doc_id, simhash, band0..band3): 64-bit SimHash + 16-bit bands for
-    near-dup bucketing."""
+    """(doc_id, simhash, band0..band3): 64-bit SimHash (Charikar 2002) +
+    16-bit bands for near-dup bucketing. FULLY vectorized: flat token
+    hashes for the whole batch (core.hashing.tokenize_hash), per-doc
+    UNIQUE tokens by lexsort-dedup, bitplane ±1 scatter-add per doc."""
 
     def _f(t: pa.Table) -> pa.Table:
+        from libpysal_ray.core.hashing import tokenize_hash
+
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        out = np.zeros(t.num_rows, dtype=np.uint64)
-        for i, s in enumerate(t.column(text_col).to_pylist()):
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in set(s.split()):
-                th = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                )
-                bits = (th >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == np.uint64(1), 1, -1)
-            bits_out = (acc > 0).astype(np.uint64)
-            out[i] = np.bitwise_or.reduce(bits_out << np.arange(64, dtype=np.uint64))
+        n_docs = t.num_rows
+        th, off = tokenize_hash(t.column(text_col))
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if len(th):
+            doc_idx = np.repeat(np.arange(n_docs), np.diff(off))
+            order = np.lexsort((th, doc_idx))
+            di, ts = doc_idx[order], th[order]
+            keep = np.r_[True, (di[1:] != di[:-1]) | (ts[1:] != ts[:-1])]
+            di, ts = di[keep], ts[keep]
+            shifts = np.arange(64, dtype=np.uint64)
+            acc = np.zeros((n_docs, 64), dtype=np.int64)
+            # chunk the (tokens × 64) bit matrix to ~32 MB
+            step = 65536
+            for s in range(0, len(ts), step):
+                sl = slice(s, s + step)
+                bits = (
+                    (ts[sl, None] >> shifts[None, :]) & np.uint64(1)
+                ).astype(np.int64)
+                np.add.at(acc, di[sl], bits * 2 - 1)
+            out = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1
+            )
         cols = {
             id_col: pa.array(ids.astype(np.int64)),
             "simhash": pa.array(out.astype(np.int64)),
@@ -295,14 +357,24 @@ def ngram_jaccard_pairs(
     )
 
     def _shingles(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        out_i, out_s = [], []
-        for i, txt in zip(ids, t.column(text_col).to_pylist()):
-            hs = _shingle_hashes(txt, k).astype(np.int64)
-            out_i.append(int(i))
-            out_s.append(hs.tolist())
-        return pa.table({"doc": pa.array(out_i, pa.int64()),
-                         "sh": pa.array(out_s, pa.list_(pa.int64()))})
+        """Per-doc UNIQUE sorted shingle hash sets, vectorized."""
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sh, sd, n_docs = _flat_shingles(t.column(text_col), k)
+        out_s: list = [[] for _ in range(n_docs)]
+        if len(sh):
+            order = np.lexsort((sh, sd))
+            di, hs = sd[order], sh[order]
+            keep = np.r_[True, (di[1:] != di[:-1]) | (hs[1:] != hs[:-1])]
+            di, hs = di[keep], hs[keep]
+            counts = np.bincount(di, minlength=n_docs)
+            seg = np.concatenate([[0], np.cumsum(counts)])
+            hi = hs.astype(np.int64)
+            for d in range(n_docs):
+                out_s[d] = hi[seg[d]: seg[d + 1]].tolist()
+        return pa.table({"doc": pa.array(ids), "sh": pa.array(
+            out_s, pa.list_(pa.int64()))})
 
     shingles = docs.map_batches(_shingles, batch_format="pyarrow")
     ja = shingles.rename_columns({"doc": "a", "sh": "sh_a"})

@@ -1,0 +1,196 @@
+"""fill_diagonal vector variant, isomorphic, CSR/COO export, kernel
+bandwidth='auto', spherical builders."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.builders.lattice import lat2graph
+from libpysal_ray.core import edges as E
+from libpysal_ray.core.graph import RayGraph
+
+
+def _g(f, n, w=1.0, ids=None):
+    f = np.asarray(f, np.int64)
+    n = np.asarray(n, np.int64)
+    ed = E.from_arrays(f, n, w)
+    if ids is None:
+        ids = np.unique(np.concatenate([f, n]))
+    return RayGraph(E.resolve_isolates(ed, np.asarray(ids, np.int64)))
+
+
+def test_fill_diagonal_vector(ray_session):
+    g = _g([0, 1], [1, 0], ids=[0, 1, 2])
+    out = g.fill_diagonal((np.array([0, 1, 2]), np.array([5.0, 6.0, 7.0])))
+    got = {
+        (int(r["focal"]), int(r["neighbor"])): r["weight"]
+        for r in out.edges.take_all()
+    }
+    assert got[(0, 0)] == 5.0 and got[(1, 1)] == 6.0 and got[(2, 2)] == 7.0
+    assert got[(0, 1)] == 1.0
+
+
+def test_fill_diagonal_dataset(ray_session):
+    g = _g([0, 1], [1, 0], ids=[0, 1, 2])
+    attrs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0, 1, 2], pa.int64()),
+                "value": pa.array([1.5, 2.5, 3.5]),
+            }
+        )
+    )
+    out = g.fill_diagonal(attrs)
+    got = {
+        (int(r["focal"]), int(r["neighbor"])): r["weight"]
+        for r in out.edges.take_all()
+    }
+    assert got[(2, 2)] == 3.5
+
+
+def test_isomorphic(ray_session):
+    # path 0-1-2 vs path 10-20-30 (relabeled) → isomorphic
+    g1 = _g([0, 1, 1, 2], [1, 0, 2, 1])
+    g2 = _g([10, 20, 20, 30], [20, 10, 30, 20])
+    assert g1.isomorphic(g2)
+    # path vs triangle → not
+    g3 = _g([0, 1, 1, 2, 2, 0], [1, 0, 2, 1, 0, 2])
+    assert not g1.isomorphic(g3)
+    # same degree sequence, different structure: hexagon vs two triangles
+    hexg = _g([0, 1, 2, 3, 4, 5], [1, 2, 3, 4, 5, 0])
+    hexg = hexg.symmetrize("union")
+    tri2 = _g([0, 1, 2, 3, 4, 5], [1, 2, 0, 4, 5, 3]).symmetrize("union")
+    assert not hexg.isomorphic(tri2)
+
+
+def test_to_csr_roundtrip(ray_session):
+    g = lat2graph(3, 3, rook=True)
+    indptr, indices, data, ids = g.to_csr()
+    assert len(ids) == 9
+    # rook 3x3 degree sequence: corners 2, edges 3, center 4
+    deg = np.diff(indptr)
+    assert sorted(deg.tolist()) == [2, 2, 2, 2, 3, 3, 3, 3, 4]
+    assert data.sum() == 24.0  # 2*s0 edges... s0 = 24 directed pairs
+
+
+def test_kernel_auto_bandwidth(ray_session):
+    from libpysal_ray.builders.distance import (
+        _optimize_bandwidth,
+        kernel,
+    )
+    from libpysal_ray.functions.kernels import evaluate_kernel
+
+    rng = np.random.default_rng(4)
+    d = rng.random(500) * 10
+
+    def entropy_at(bw):
+        ku = evaluate_kernel(d / bw, "gaussian")
+        bins, _ = np.histogram(ku, bins=int(len(d) ** 0.5), range=(0, 1))
+        p = bins / bins.sum()
+        nz = p[p > 0]
+        return -(nz * np.log(nz)).sum()
+
+    bw = _optimize_bandwidth(d, "gaussian")
+    assert entropy_at(bw) >= entropy_at(bw * 0.5) - 1e-9
+    assert entropy_at(bw) >= entropy_at(bw * 2.0) - 1e-9
+
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(30, dtype=np.int64)),
+                "x": pa.array(rng.random(30) * 100),
+                "y": pa.array(rng.random(30) * 100),
+            }
+        )
+    )
+    g = kernel(pts, k=3, bandwidth="auto", fixed=True, function="gaussian")
+    assert g.edges.count() > 0
+
+
+def test_sphere_arc_vs_brute(ray_session):
+    from libpysal_ray.builders.sphere import (
+        arcdist,
+        distance_band_arc,
+        knn_arc_edges,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 60
+    lon = rng.random(n) * 360 - 180
+    lat = rng.random(n) * 160 - 80
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(n, dtype=np.int64)),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+    )
+    # brute great-circle distances
+    D = np.zeros((n, n))
+    for i in range(n):
+        D[i] = arcdist(np.full(n, lon[i]), np.full(n, lat[i]), lon, lat)
+
+    # distance band 3000 km
+    g = distance_band_arc(pts, arc_threshold=3000.0)
+    got = {
+        (int(r["focal"]), int(r["neighbor"]))
+        for r in g.edges.take_all()
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
+    }
+    want = {
+        (i, j)
+        for i in range(n)
+        for j in range(n)
+        if i != j and D[i, j] <= 3000.0
+    }
+    assert got == want
+
+    # knn k=3 by arc
+    e = knn_arc_edges(pts, k=3)
+    got_k = {}
+    for r in e.take_all():
+        got_k.setdefault(int(r["focal"]), set()).add(int(r["neighbor"]))
+    for i in range(n):
+        order = sorted((D[i, j], j) for j in range(n) if j != i)[:3]
+        assert got_k[i] == {j for _, j in order}, i
+
+
+def test_shapefile_roundtrip_and_contiguity(ray_session, tmp_path):
+    """Write a 2x2 lattice of unit squares as .shp/.dbf, read back,
+    build rook — expect the 2x2 rook lattice adjacency."""
+    from libpysal_ray.builders.contiguity import rook
+    from libpysal_ray.sources.shapefile import (
+        read_shapefile,
+        write_dbf,
+        write_shp_polygons,
+    )
+
+    polys = []
+    for r in range(2):
+        for c in range(2):
+            polys.append(
+                (
+                    [c, c + 1, c + 1, c],
+                    [r, r, r + 1, r + 1],
+                )
+            )
+    shp = str(tmp_path / "lat.shp")
+    dbf = str(tmp_path / "lat.dbf")
+    write_shp_polygons(shp, polys)
+    write_dbf(dbf, {"NAME": ["a", "b", "c", "d"], "VAL": [1, 2, 3, 4]})
+    ds = read_shapefile(shp, dbf)
+    rows = ds.take_all()
+    assert len(rows) == 4
+    assert sorted(r["NAME"] for r in rows) == ["a", "b", "c", "d"]
+    assert sorted(int(r["VAL"]) for r in rows) == [1, 2, 3, 4]
+    g = rook(ds.select_columns(["polygon_id", "xs", "ys"]))
+    got = {
+        (int(r["focal"]), int(r["neighbor"]))
+        for r in g.edges.take_all()
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
+    }
+    want = {(0, 1), (1, 0), (0, 2), (2, 0), (1, 3), (3, 1), (2, 3), (3, 2)}
+    assert got == want
