@@ -427,3 +427,102 @@ def _interval_alive(
         hi = np.minimum(upper, tmax[sl])
         alive[sl] = ~dead & (lo <= hi)
     return alive
+
+
+def _alpha_boundary(tris_real: np.ndarray, keep: np.ndarray) -> np.ndarray:
+    """Boundary edges (appear in exactly one kept triangle) as (E, 2)."""
+    kt = tris_real[keep]
+    if len(kt) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    ed = kt[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
+    ed.sort(axis=1)
+    uniq, counts = np.unique(ed, axis=0, return_counts=True)
+    return uniq[counts == 1]
+
+
+def _complex_connected(tris_kept: np.ndarray) -> bool:
+    """True iff kept triangles form one edge-connected component."""
+    if len(tris_kept) == 0:
+        return False
+    ed = tris_kept[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
+    ed.sort(axis=1)
+    nodes, inv = np.unique(ed, return_inverse=True)
+    inv = inv.reshape(-1, 2)
+    lab = np.arange(len(nodes))
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, inv[:, 0], lab[inv[:, 1]])
+        np.minimum.at(new, inv[:, 1], lab[inv[:, 0]])
+        new = new[new]
+        if (new == lab).all():
+            break
+        lab = new
+    return len(np.unique(lab)) == 1
+
+
+def alpha_shape_edges(
+    points: ray.data.Dataset,
+    alpha: float | None = None,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_points: int = 2_000_000,
+) -> tuple[np.ndarray, float]:
+    """Alpha-shape boundary edges (cg/alpha_shapes.py:385-580 semantics,
+    Edelsbrunner-Kirkpatrick-Seidel 1983): keep Delaunay triangles with
+    circumradius ≤ 1/alpha; the shape boundary is the edges flanked by
+    exactly one kept triangle.
+
+    ``alpha=None`` → auto (``alpha_shape_auto``): the smallest radius at
+    which every point is covered by a kept triangle AND the kept complex
+    is one connected piece — both predicates are monotone in the radius,
+    so the search is a binary search over the sorted circumradii instead
+    of the reference's linear scan. Returns (boundary id pairs (E, 2),
+    chosen radius)."""
+    ids, x, y = _collect_points(points, id_col, x_col, y_col, max_points)
+    n = len(ids)
+    _check_unique(x, y)
+    tris = bowyer_watson(x, y)
+    real = (tris < n).all(axis=1)
+    rt = tris[real]
+    minx, maxx = float(x.min()), float(x.max())
+    miny, maxy = float(y.min()), float(y.max())
+    span = max(maxx - minx, maxy - miny, 1.0)
+    cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+    D = 30.0 * span
+    Xe = np.concatenate([x, [cx - 1.5 * D, cx + 1.5 * D, cx]])
+    Ye = np.concatenate([y, [cy - D, cy - D, cy + 1.5 * D]])
+    _, _, r2 = _circumcircles(Xe, Ye, rt)
+    radii = np.sqrt(r2)
+
+    def boundary_at(r: float) -> np.ndarray:
+        return _alpha_boundary(rt, radii <= r)
+
+    if alpha is not None:
+        ed = boundary_at(1.0 / alpha)
+        return ids[ed.ravel()].reshape(-1, 2), 1.0 / alpha
+
+    order = np.unique(radii)
+
+    def ok(r: float) -> bool:
+        keep = radii <= r
+        kt = rt[keep]
+        if len(kt) == 0:
+            return False
+        covered = np.zeros(n, dtype=bool)
+        covered[np.unique(kt)] = True
+        return covered.all() and _complex_connected(kt)
+
+    lo, hi = 0, len(order) - 1
+    if not ok(order[hi]):
+        ed = boundary_at(order[hi])
+        return ids[ed.ravel()].reshape(-1, 2), float(order[hi])
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if ok(order[mid]):
+            hi = mid
+        else:
+            lo = mid + 1
+    r = float(order[lo])
+    ed = boundary_at(r)
+    return ids[ed.ravel()].reshape(-1, 2), r

@@ -20,6 +20,11 @@ import ray.data
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
+# below this many candidate pairs, near-dup verify collects the (bounded)
+# endpoint signatures / shingle sets once and broadcasts them; above it,
+# distributed bucket_joins run with no driver materialization at any size
+VERIFY_BROADCAST_PAIRS = 100_000
+
 
 def exact_dedup(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
@@ -235,9 +240,60 @@ def minhash_lsh_pairs(
         .select_columns(["a", "b"])
     )
 
-    # verify: signature-estimated jaccard via DISTRIBUTED bucket-joins —
-    # pairs pick up sig_a then sig_b, compared vectorized per batch.
+    # verify: signature-estimated jaccard. Size-switched like the
+    # transform row sums: below VERIFY_BROADCAST_PAIRS candidate pairs
+    # the (bounded) endpoint signatures are collected once via a filtered
+    # stream and broadcast — verification still runs vectorized inside
+    # map_batches; above it, two DISTRIBUTED bucket_joins attach sig_a /
+    # sig_b with no driver materialization at any corpus size.
     from libpysal_ray.core import joins as J
+
+    cands = cands.materialize()
+    n_pairs = cands.count()
+
+    def _verify_tbl(a_, b_, A, B):
+        jac = (A == B).mean(axis=1) if len(a_) else np.empty(0)
+        keep = jac >= jaccard_threshold
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(a_)[keep]),
+                "b": pa.array(np.asarray(b_)[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    if n_pairs <= VERIFY_BROADCAST_PAIRS:
+        crows = cands.take_all()
+        need = np.unique(
+            np.concatenate(
+                [
+                    np.array([r["a"] for r in crows], np.int64),
+                    np.array([r["b"] for r in crows], np.int64),
+                ]
+            )
+        ) if n_pairs else np.empty(0, np.int64)
+        nref = ray.put(need)
+
+        def _pick(t: pa.Table) -> pa.Table:
+            na = ray.get(nref)
+            ids_ = t.column(id_col).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(ids_, na)))
+
+        rows = sigs.map_batches(_pick, batch_format="pyarrow").take_all()
+        keys = np.array([r[id_col] for r in rows], np.int64)
+        mat = np.array([r["sig"] for r in rows], np.int64).reshape(-1, m)
+        order = np.argsort(keys)
+        sref = ray.put((keys[order], mat[order]))
+
+        def _verify_b(t: pa.Table) -> pa.Table:
+            ks, ms = ray.get(sref)
+            a_ = t.column("a").to_numpy(zero_copy_only=False)
+            b_ = t.column("b").to_numpy(zero_copy_only=False)
+            A = ms[np.searchsorted(ks, a_)]
+            B = ms[np.searchsorted(ks, b_)]
+            return _verify_tbl(a_, b_, A, B)
+
+        return cands.map_batches(_verify_b, batch_format="pyarrow")
 
     sa = sigs.rename_columns({id_col: "a", "sig": "sig_a"})
     sb = sigs.rename_columns({id_col: "b", "sig": "sig_b"})
@@ -252,14 +308,10 @@ def minhash_lsh_pairs(
             )
         A = _list_col_matrix(t.column("sig_a"), m)
         B = _list_col_matrix(t.column("sig_b"), m)
-        jac = (A == B).mean(axis=1)
-        keep = jac >= jaccard_threshold
-        return pa.table(
-            {
-                "a": t.column("a").filter(pa.array(keep)),
-                "b": t.column("b").filter(pa.array(keep)),
-                "jaccard": pa.array(jac[keep]),
-            }
+        return _verify_tbl(
+            t.column("a").to_numpy(zero_copy_only=False),
+            t.column("b").to_numpy(zero_copy_only=False),
+            A, B,
         )
 
     return j2.map_batches(_verify, batch_format="pyarrow")
@@ -345,6 +397,82 @@ def ngram_jaccard_pairs(
         .select_columns(["a", "b"])
         .materialize()
     )
+    n_pairs = cands.count()
+    if n_pairs <= VERIFY_BROADCAST_PAIRS:
+        # size-switched small path: collect the BOUNDED candidate doc
+        # shingle sets once (filtered stream, ≤ 2·n_pairs docs) and verify
+        # vectorized inside map_batches over the pair table
+        crows = cands.take_all()
+        need_arr = np.unique(
+            np.concatenate(
+                [
+                    np.array([r["a"] for r in crows], np.int64),
+                    np.array([r["b"] for r in crows], np.int64),
+                ]
+            )
+        ) if n_pairs else np.empty(0, np.int64)
+        nref = ray.put(need_arr)
+
+        def _pick_sh(t: pa.Table) -> pa.Table:
+            na = ray.get(nref)
+            ids_ = t.column(id_col).to_numpy(zero_copy_only=False)
+            sub = t.filter(pa.array(np.isin(ids_, na)))
+            sids = sub.column(id_col).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            sh, sd, n_docs = _flat_shingles(sub.column(text_col), k)
+            out_i, out_s = [], []
+            if len(sh):
+                counts = np.bincount(sd, minlength=n_docs)
+                seg = np.concatenate([[0], np.cumsum(counts)])
+                for d in range(n_docs):
+                    u = np.unique(sh[seg[d]: seg[d + 1]]).astype(np.int64)
+                    out_i.append(int(sids[d]))
+                    out_s.append(u.tolist())
+            else:
+                for d in range(n_docs):
+                    out_i.append(int(sids[d]))
+                    out_s.append([])
+            return pa.table(
+                {"doc": pa.array(out_i, pa.int64()),
+                 "sh": pa.array(out_s, pa.list_(pa.int64()))}
+            )
+
+        rows = ds.select_columns([id_col, text_col]).map_batches(
+            _pick_sh, batch_format="pyarrow"
+        ).take_all()
+        sh_map = {int(r["doc"]): np.asarray(r["sh"], np.int64)
+                  for r in rows}
+        mref = ray.put(sh_map)
+
+        def _jac_b(t: pa.Table) -> pa.Table:
+            mp = ray.get(mref)
+            a_ = t.column("a").to_numpy(zero_copy_only=False)
+            b_ = t.column("b").to_numpy(zero_copy_only=False)
+            jac = np.zeros(len(a_))
+            for i, (x, y_) in enumerate(zip(a_, b_)):
+                sa_, sb_ = mp.get(int(x)), mp.get(int(y_))
+                if sa_ is None or sb_ is None or (
+                    len(sa_) == 0 and len(sb_) == 0
+                ):
+                    jac[i] = -1.0
+                    continue
+                inter = len(
+                    np.intersect1d(sa_, sb_, assume_unique=True)
+                )
+                union = len(sa_) + len(sb_) - inter
+                jac[i] = inter / union if union else 0.0
+            keep = jac >= jaccard_threshold
+            return pa.table(
+                {
+                    "id_a": pa.array(a_[keep].astype(np.int64)),
+                    "id_b": pa.array(b_[keep].astype(np.int64)),
+                    "jaccard": pa.array(jac[keep]),
+                }
+            )
+
+        return cands.map_batches(_jac_b, batch_format="pyarrow")
+
     need = (
         cands.select_columns(["a"]).rename_columns({"a": id_col})
         .union(cands.select_columns(["b"]).rename_columns({"b": id_col}))

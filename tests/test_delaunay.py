@@ -176,3 +176,28 @@ def test_voronoi_golden_fixture_points():
     assert ed == _brute_voronoi_bbox(x, y)
     golden = {(0, 2), (0, 3), (0, 4), (1, 2), (2, 4), (3, 4)}
     assert golden <= ed
+
+
+def test_alpha_shape_grid(ray_session):
+    """Jittered 5x5 grid: at radius 0.8 (> any unit-square circumradius)
+    the alpha-shape boundary is exactly the outer ring (16 edges); the
+    auto search picks the smallest covering+connected radius, whose
+    boundary may include hole rings (reference allows holes) but always
+    contains the outer ring vertices."""
+    from libpysal_ray.builders.delaunay import alpha_shape_edges
+
+    rng = np.random.default_rng(2)
+    xs, ys = np.meshgrid(np.arange(5.0), np.arange(5.0))
+    x = xs.ravel() + rng.random(25) * 0.01
+    y = ys.ravel() + rng.random(25) * 0.01
+    ids = np.arange(25, dtype=np.int64)
+    pts = _pts_ds(ids, x, y)
+    outer = {i for i in range(25) if i % 5 in (0, 4) or i // 5 in (0, 4)}
+
+    ed, r = alpha_shape_edges(pts, alpha=1.0 / 0.8)
+    assert len(ed) == 16
+    assert {int(v) for v in np.unique(ed)} == outer
+
+    ed_a, r_a = alpha_shape_edges(pts)
+    assert r_a <= 0.8
+    assert outer <= {int(v) for v in np.unique(ed_a)}
