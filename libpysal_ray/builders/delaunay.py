@@ -232,15 +232,22 @@ def voronoi(
     n = len(ids)
     if clip is None:
         ed = _delaunay_edge_indices(x, y)
-    else:
-        if clip != "bounding_box":
-            raise NotImplementedError(
-                "clip must be None or 'bounding_box' (convex_hull / "
-                "alpha_shape need the hull machinery of cg/alpha_shapes.py)"
-            )
+    elif clip == "bounding_box":
         _check_unique(x, y)
         tris = bowyer_watson(x, y)
         ed = _clipped_dual_edges(tris, x, y, n)
+    elif clip == "alpha_shape":
+        # the legacy weights.Voronoi default (contiguity.py:619): cells
+        # clipped to the auto alpha shape — adjacency = dual edges with
+        # positive-length intersection with the kept-triangle union
+        _check_unique(x, y)
+        tris = bowyer_watson(x, y)
+        ed = _alpha_clipped_dual_edges(tris, x, y, n)
+    else:
+        raise NotImplementedError(
+            "clip must be None, 'bounding_box' or 'alpha_shape' "
+            "(convex_hull needs the hull machinery of cg/alpha_shapes.py)"
+        )
     f = np.concatenate([ed[:, 0], ed[:, 1]])
     nbr = np.concatenate([ed[:, 1], ed[:, 0]])
     edges = E.from_arrays(ids[f], ids[nbr], 1.0)
@@ -248,25 +255,24 @@ def voronoi(
     return RayGraph(E.resolve_isolates(edges, id_ds))
 
 
-def _clipped_dual_edges(
-    tris: np.ndarray, x: np.ndarray, y: np.ndarray, n: int
-) -> np.ndarray:
-    """Delaunay edges whose dual Voronoi edge intersects the point bbox
-    with positive length."""
-    X = x
-    Y = y
-    # full-coordinate arrays including super vertices were only internal to
-    # bowyer_watson; rebuild the same extension for circumcenters
+def _dual_segments(tris: np.ndarray, x: np.ndarray, y: np.ndarray, n: int):
+    """Dual Voronoi segment per real Delaunay edge.
+
+    Returns (edges (E, 2), p0x, p0y, p1x, p1y, rt, keep_tri_radii²):
+    interior edges span their two flanking circumcenters; hull edges are
+    outward rays truncated far beyond the data (long enough to cross any
+    bounded clip region even when a sliver triangle pushes its
+    circumcenter far away)."""
     minx, maxx = float(x.min()), float(x.max())
     miny, maxy = float(y.min()), float(y.max())
     span = max(maxx - minx, maxy - miny, 1.0)
     cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
-    Xe = np.concatenate([X, [cx - 30 * span, cx + 30 * span, cx]])
-    Ye = np.concatenate([Y, [cy - 20 * span, cy - 20 * span, cy + 30 * span]])
+    Xe = np.concatenate([x, [cx - 30 * span, cx + 30 * span, cx]])
+    Ye = np.concatenate([y, [cy - 20 * span, cy - 20 * span, cy + 30 * span]])
 
     real = (tris < n).all(axis=1)
     rt = tris[real]
-    ccx, ccy, _ = _circumcircles(Xe, Ye, rt)
+    ccx, ccy, r2 = _circumcircles(Xe, Ye, rt)
 
     # map undirected real edge -> flanking real triangles (≤ 2)
     ed = rt[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
@@ -276,10 +282,10 @@ def _clipped_dual_edges(
     key = ed_s[:, 0] * np.int64(n) + ed_s[:, 1]
     order = np.argsort(key, kind="stable")
     key_s = key[order]
-    uniq, start = np.unique(key_s, return_index=True)
+    _uniq, start = np.unique(key_s, return_index=True)
     count = np.diff(np.append(start, len(key_s)))
 
-    out = []
+    e_all, p0x_a, p0y_a, p1x_a, p1y_a = [], [], [], [], []
     for m in (1, 2):
         sel = count == m
         if not sel.any():
@@ -294,24 +300,136 @@ def _clipped_dual_edges(
         else:
             # hull edge: ray outward (away from the opposite vertex)
             i, j = e0[:, 0], e0[:, 1]
-            mx_, my_ = (X[i] + X[j]) / 2, (Y[i] + Y[j]) / 2
-            dx_, dy_ = -(Y[j] - Y[i]), (X[j] - X[i])
+            mx_, my_ = (x[i] + x[j]) / 2, (y[i] + y[j]) / 2
+            dx_, dy_ = -(y[j] - y[i]), (x[j] - x[i])
             L = np.sqrt(dx_ * dx_ + dy_ * dy_)
             dx_, dy_ = dx_ / L, dy_ / L
             ov = opp[order[s]]
-            flip = (dx_ * (mx_ - X[ov]) + dy_ * (my_ - Y[ov])) < 0
+            flip = (dx_ * (mx_ - x[ov]) + dy_ * (my_ - y[ov])) < 0
             dx_ = np.where(flip, -dx_, dx_)
             dy_ = np.where(flip, -dy_, dy_)
-            # extent long enough to cross the bbox even when a sliver
-            # triangle puts its circumcenter far outside it
             ext = 2.0 * (np.hypot(p0x - cx, p0y - cy) + 10 * span)
             p1x = p0x + dx_ * ext
             p1y = p0y + dy_ * ext
-        keep = _segment_in_box(p0x, p0y, p1x, p1y, minx, maxx, miny, maxy)
-        out.append(e0[keep])
-    if not out:
-        return np.empty((0, 2), dtype=np.int64)
-    return np.concatenate(out)
+        e_all.append(e0)
+        p0x_a.append(p0x)
+        p0y_a.append(p0y)
+        p1x_a.append(p1x)
+        p1y_a.append(p1y)
+    if not e_all:
+        z = np.empty(0)
+        return (np.empty((0, 2), np.int64), z, z, z, z, rt,
+                np.sqrt(r2))
+    return (
+        np.concatenate(e_all),
+        np.concatenate(p0x_a), np.concatenate(p0y_a),
+        np.concatenate(p1x_a), np.concatenate(p1y_a),
+        rt, np.sqrt(r2),
+    )
+
+
+def _clipped_dual_edges(
+    tris: np.ndarray, x: np.ndarray, y: np.ndarray, n: int
+) -> np.ndarray:
+    """Delaunay edges whose dual Voronoi edge intersects the point bbox
+    with positive length."""
+    e0, p0x, p0y, p1x, p1y, _rt, _radii = _dual_segments(tris, x, y, n)
+    if len(e0) == 0:
+        return e0
+    minx, maxx = float(x.min()), float(x.max())
+    miny, maxy = float(y.min()), float(y.max())
+    keep = _segment_in_box(p0x, p0y, p1x, p1y, minx, maxx, miny, maxy)
+    return e0[keep]
+
+
+def _alpha_clipped_dual_edges(
+    tris: np.ndarray, x: np.ndarray, y: np.ndarray, n: int
+) -> np.ndarray:
+    """Delaunay edges whose dual Voronoi edge retains positive length
+    inside the AUTO alpha shape (= union of kept Delaunay triangles at
+    the smallest covered+connected radius). A segment has positive-length
+    intersection with the triangle union iff it does with SOME kept
+    triangle (the triangles tile the shape), so the test is a per-segment
+    convex clip against bbox-prefiltered kept triangles."""
+    e0, p0x, p0y, p1x, p1y, rt, radii = _dual_segments(tris, x, y, n)
+    if len(e0) == 0:
+        return e0
+
+    # auto alpha radius: same monotone binary search as alpha_shape_edges
+    order = np.unique(radii)
+
+    def ok(r: float) -> bool:
+        kt = rt[radii <= r]
+        if len(kt) == 0:
+            return False
+        covered = np.zeros(n, dtype=bool)
+        covered[np.unique(kt)] = True
+        return covered.all() and _complex_connected(kt)
+
+    if not ok(order[-1]):
+        r = float(order[-1])
+    else:
+        lo, hi = 0, len(order) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if ok(order[mid]):
+                hi = mid
+            else:
+                lo = mid + 1
+        r = float(order[lo])
+    kt = rt[radii <= r]
+
+    ax, ay = x[kt[:, 0]], y[kt[:, 0]]
+    bx, by = x[kt[:, 1]], y[kt[:, 1]]
+    cx_, cy_ = x[kt[:, 2]], y[kt[:, 2]]
+    # orient counter-clockwise so inward normals are consistent
+    area2 = (bx - ax) * (cy_ - ay) - (by - ay) * (cx_ - ax)
+    sw = area2 < 0
+    bx2 = np.where(sw, cx_, bx)
+    by2 = np.where(sw, cy_, by)
+    cx2 = np.where(sw, bx, cx_)
+    cy2 = np.where(sw, by, cy_)
+    bx, by, cx_, cy_ = bx2, by2, cx2, cy2
+    tminx = np.minimum.reduce([ax, bx, cx_])
+    tmaxx = np.maximum.reduce([ax, bx, cx_])
+    tminy = np.minimum.reduce([ay, by, cy_])
+    tmaxy = np.maximum.reduce([ay, by, cy_])
+
+    keep = np.zeros(len(e0), dtype=bool)
+    for s in range(len(e0)):
+        sx0, sy0, sx1, sy1 = p0x[s], p0y[s], p1x[s], p1y[s]
+        pre = (
+            (tminx <= max(sx0, sx1))
+            & (tmaxx >= min(sx0, sx1))
+            & (tminy <= max(sy0, sy1))
+            & (tmaxy >= min(sy0, sy1))
+        )
+        if not pre.any():
+            continue
+        ti = np.flatnonzero(pre)
+        dx, dy = sx1 - sx0, sy1 - sy0
+        t0v = np.zeros(len(ti))
+        t1v = np.ones(len(ti))
+        alive = np.ones(len(ti), dtype=bool)
+        for ex0, ey0, ex1, ey1 in (
+            (ax[ti], ay[ti], bx[ti], by[ti]),
+            (bx[ti], by[ti], cx_[ti], cy_[ti]),
+            (cx_[ti], cy_[ti], ax[ti], ay[ti]),
+        ):
+            nx_, ny_ = -(ey1 - ey0), ex1 - ex0  # inward normal (CCW)
+            num = nx_ * (sx0 - ex0) + ny_ * (sy0 - ey0)
+            den = nx_ * dx + ny_ * dy
+            inside0 = num
+            para = den == 0
+            alive &= ~(para & (inside0 < 0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tcross = -num / den
+            ent = den > 0  # moving into the half-plane
+            t0v = np.where(~para & ent, np.maximum(t0v, tcross), t0v)
+            t1v = np.where(~para & ~ent, np.minimum(t1v, tcross), t1v)
+        if (alive & (t0v < t1v)).any():
+            keep[s] = True
+    return e0[keep]
 
 
 def _segment_in_box(

@@ -178,6 +178,28 @@ def test_voronoi_golden_fixture_points():
     assert golden <= ed
 
 
+def test_voronoi_alpha_clip_golden(ray_session):
+    """weights.Voronoi default clip='alpha_shape' golden dict
+    (weights/tests/test_contiguity.py:205-217) reproduced EXACTLY by the
+    alpha-clipped dual-edge path."""
+    np.random.seed(12345)
+    pts = np.random.random((5, 2)) * 10 + 10
+    ds = _pts_ds(np.arange(5), pts[:, 0].copy(), pts[:, 1].copy())
+    g = voronoi(ds, clip="alpha_shape")
+    nbrs = {i: [] for i in range(5)}
+    for r in g.edges.take_all():
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0):
+            nbrs[int(r["focal"])].append(int(r["neighbor"]))
+    nbrs = {k: sorted(v) for k, v in nbrs.items()}
+    assert nbrs == {
+        0: [2, 3, 4],
+        1: [2],
+        2: [0, 1, 4],
+        3: [0, 4],
+        4: [0, 2, 3],
+    }
+
+
 def test_alpha_shape_grid(ray_session):
     """Jittered 5x5 grid: at radius 0.8 (> any unit-square circumradius)
     the alpha-shape boundary is exactly the outer ring (16 edges); the
