@@ -16,4 +16,42 @@ Nothing here calls ``ray.init()`` — the caller owns the Ray session.
 from libpysal_ray.core.graph import RayGraph
 
 __all__ = ["RayGraph"]
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    """Lazy convenience access to the builder families without importing
+    every module at package import (keeps Ray worker import cost low):
+    ``libpysal_ray.queen / rook / knn / distance_band / kernel /
+    delaunay / voronoi / knn_arc / ...``."""
+    _BUILDERS = {
+        "queen": "libpysal_ray.builders.contiguity",
+        "rook": "libpysal_ray.builders.contiguity",
+        "rook_perimeter": "libpysal_ray.builders.contiguity",
+        "block": "libpysal_ray.builders.contiguity",
+        "fuzzy": "libpysal_ray.builders.contiguity",
+        "nonplanar_neighbors": "libpysal_ray.builders.contiguity",
+        "knn": "libpysal_ray.builders.distance",
+        "distance_band": "libpysal_ray.builders.distance",
+        "kernel": "libpysal_ray.builders.distance",
+        "delaunay": "libpysal_ray.builders.delaunay",
+        "delaunay_bounded": "libpysal_ray.builders.delaunay",
+        "voronoi": "libpysal_ray.builders.delaunay",
+        "alpha_shape_edges": "libpysal_ray.builders.delaunay",
+        "gabriel": "libpysal_ray.builders.triangulation",
+        "relative_neighborhood": "libpysal_ray.builders.triangulation",
+        "knn_arc": "libpysal_ray.builders.sphere",
+        "distance_band_arc": "libpysal_ray.builders.sphere",
+        "arcdist": "libpysal_ray.builders.sphere",
+        "lat2graph": "libpysal_ray.builders.lattice",
+        "hexlat2graph": "libpysal_ray.builders.lattice",
+        "read_shapefile": "libpysal_ray.sources.shapefile",
+        "read_gal": "libpysal_ray.sources.weights_io",
+        "read_gwt": "libpysal_ray.sources.weights_io",
+        "read_mtx": "libpysal_ray.sources.weights_io",
+    }
+    if name in _BUILDERS:
+        import importlib
+
+        return getattr(importlib.import_module(_BUILDERS[name]), name)
+    raise AttributeError(name)

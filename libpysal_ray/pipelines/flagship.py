@@ -210,6 +210,9 @@ def flagship(
     # neighbor-set attach + digest-XOR lineage + checkpointed write
     done = lineage.load_done(out_dir) if out_dir else set()
     done_ref = ray.put(done)
+    import uuid as _uuid
+
+    run_id = _uuid.uuid4().hex[:12]
     out_dir_v = out_dir
 
     def _finalize_block(t: pa.Table) -> pa.Table:
@@ -275,18 +278,19 @@ def flagship(
                 lineage.write_partition(
                     out_dir_v, str(int(cs[s])), out.slice(s, e - s),
                     metrics={"digest_xor": int(xors[gi])},
+                    run_id=run_id,
                 )
         return out
 
     # ONE shuffle on cell_salted. Hash repartition (no boundary sampling,
-    # one pass) when the context enables it; else a hash-bucketed groupby
-    # — both guarantee every row of a cell_salted group lands in exactly
-    # one task, which _finalize_block's per-group checkpoint write needs
-    # (a range sort does NOT document that equal keys never straddle
-    # blocks; a straddled group would double-write its partition marker).
+    # one pass) when the context enables it; else a range sort +
+    # whole-block map (batch_size=None pinned). The sort path relies on
+    # equal keys not straddling sort output blocks — NOT documented by
+    # Ray — so the per-partition checkpoint write carries this run's id
+    # and FAILS LOUDLY on a second write of the same key within the run
+    # (lineage.write_partition), instead of silently corrupting the
+    # checkpoint if that behavior ever changes (ADVICE r01).
     from ray.data.context import DataContext, ShuffleStrategy
-
-    from libpysal_ray.core.joins import grouped_by_key
 
     if DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
         try:
@@ -296,8 +300,11 @@ def flagship(
         shuffled = joined.repartition(
             max(16, 2 * ncpu), keys=["cell_salted"], sort=True
         )
-        return shuffled.map_batches(_finalize_block, batch_format="pyarrow")
-    return grouped_by_key(joined, ["cell_salted"], _finalize_block)
+    else:
+        shuffled = joined.sort("cell_salted")
+    return shuffled.map_batches(
+        _finalize_block, batch_format="pyarrow", batch_size=None
+    )
 
 
 def _empty_result() -> pa.Table:

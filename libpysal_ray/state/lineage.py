@@ -52,12 +52,42 @@ def load_manifest(out_dir: str) -> list[dict]:
 
 
 def write_partition(
-    out_dir: str, key: str, table: pa.Table, metrics: dict | None = None
+    out_dir: str, key: str, table: pa.Table, metrics: dict | None = None,
+    run_id: str | None = None,
 ) -> dict:
-    """Atomically write one partition + its done-marker. Idempotent:
-    re-running a finished partition overwrites with identical content."""
+    """Atomically write one partition + its done-marker. Idempotent
+    across runs: re-running a finished partition overwrites with
+    identical content. WITHIN one run (same ``run_id``) a second write of
+    the same key fails loudly — it means the shuffle delivered one key
+    group to two tasks (e.g. equal sort keys straddling block boundaries,
+    ADVICE r01), which would silently corrupt the checkpoint otherwise."""
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    if run_id is not None:
+        mpath0 = os.path.join(manifest_dir(out_dir), f"{key}.json")
+        if os.path.exists(mpath0):
+            try:
+                with open(mpath0) as fh:
+                    prev = json.load(fh)
+            except Exception:
+                prev = {}
+            if prev.get("run_id") == run_id and (
+                prev.get("rows") != table.num_rows
+                or (
+                    metrics
+                    and "digest_xor" in metrics
+                    and prev.get("digest_xor") != metrics["digest_xor"]
+                )
+            ):
+                # same run, DIFFERENT content: the shuffle delivered one
+                # key group to two tasks (straddled sort boundary) — an
+                # identical rewrite (task retry) is fine, this is not
+                raise RuntimeError(
+                    f"partition {key!r} written twice with differing "
+                    f"content in run {run_id} — a shuffle key group "
+                    "straddled task boundaries; checkpoint would be "
+                    "corrupt"
+                )
     t0 = time.time()
     data_path = os.path.join(out_dir, f"part-{key}.parquet")
     tmp = data_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -68,6 +98,7 @@ def write_partition(
         "rows": table.num_rows,
         "bytes": table.nbytes,
         "wall_s": time.time() - t0,
+        **({"run_id": run_id} if run_id is not None else {}),
         **(metrics or {}),
     }
     mpath = os.path.join(manifest_dir(out_dir), f"{key}.json")
