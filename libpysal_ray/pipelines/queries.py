@@ -1570,6 +1570,41 @@ FROM g a JOIN g b
   OR (a.c = b.c AND abs(a.r - b.r) = 1)
 """
 
+def _lang_id_sql() -> str:
+    """SQL twin of text.analysis.lang_id: per-language padded-substring
+    stopword counts (replace-consume — equal to pc.count_substring on
+    non-overlapping patterns), argmax with alphabetical tie-break (=
+    np.argmax first index over sorted languages)."""
+    from libpysal_ray.text.analysis import _LANG_STOPWORDS
+
+    langs = sorted(_LANG_STOPWORDS)
+    score_exprs = []
+    for lg in langs:
+        parts = [
+            f"(length(text) - length(replace(text, ' {w} ', '')))"
+            f" / {len(w) + 2}"
+            for w in _LANG_STOPWORDS[lg]
+        ]
+        score_exprs.append(f"({' + '.join(parts)}) AS s_{lg}")
+    cols = ", ".join("s_" + lg for lg in langs)
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents),
+u AS (
+  SELECT doc_id, lang, score FROM s
+  UNPIVOT (score FOR lang IN ({cols}))
+),
+r AS (
+  SELECT doc_id, substr(lang, 3) AS lang_pred,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang) AS rn
+  FROM u
+)
+SELECT doc_id, lang_pred FROM r WHERE rn = 1
+"""
+
+
+ORACLE_SQL["lang_id"] = _lang_id_sql()
+
 ORACLE_SQL["components_band"] = f"""
 WITH RECURSIVE {_PTS_SQL},
 e AS (
