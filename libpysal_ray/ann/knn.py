@@ -328,3 +328,114 @@ def cosine_dup_pairs_lsh(
         .count()
         .select_columns(["id_a", "id_b"])
     )
+
+
+def ann_ivf_topk(
+    embeddings: ray.data.Dataset,
+    query_ids,
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """IVF (inverted-file) approximate cosine top-k — the
+    coarse-quantizer scale path alongside ``ann_lsh_topk``.
+
+    1. centroids = a deterministic uniform sample of ``n_centroids``
+       vectors (smallest splitmix64(id ^ seed) — computable per block,
+       merged once on the driver: bounded, no corpus materialization);
+    2. every vector is assigned to its nearest centroid inside one
+       ``map_batches`` pass against the broadcast centroid matrix;
+    3. each query probes its ``nprobe`` nearest centroids and scans ONLY
+       vectors assigned to those lists; per-block local top-k + one
+       groupby(query) merge, exactly like the exact path.
+
+    Recall grows with nprobe (nprobe = n_centroids ⇒ exact). Same output
+    schema as ``ann_topk``.
+    """
+    from libpysal_ray.core.hashing import splitmix64
+
+    qid, qm = _collect_queries(embeddings, query_ids, id_col, vec_col)
+    qn = _norm_rows(qm)
+
+    # 1. deterministic centroid sample (block-local top-C by hash, one
+    # small driver merge)
+    def _cand(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "__h": pa.array([], pa.int64()),
+                             vec_col: t.column(vec_col)})
+        h = splitmix64(ids.view(np.uint64) ^ np.uint64(seed))
+        order = np.argsort(h)[:n_centroids]
+        sub = t.take(pa.array(order))
+        return pa.table(
+            {
+                id_col: sub.column(id_col),
+                "__h": pa.array((h[order] >> np.uint64(1)).astype(np.int64)),
+                vec_col: sub.column(vec_col),
+            }
+        )
+
+    crows = (
+        embeddings.select_columns([id_col, vec_col])
+        .map_batches(_cand, batch_format="pyarrow")
+        .take_all()
+    )
+    crows.sort(key=lambda r: r["__h"])
+    crows = crows[:n_centroids]
+    cm = _norm_rows(np.array([r[vec_col] for r in crows], dtype=np.float64))
+    cref = ray.put(cm)
+    qprobe = np.argsort(-(qn @ cm.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    qref = ray.put((qid, qn, qprobe))
+
+    def _local(t: pa.Table) -> pa.Table:
+        cm_ = ray.get(cref)
+        qids, qmat, probe = ray.get(qref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        mn = _norm_rows(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
+        assign = np.argmax(mn @ cm_.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            cand = np.isin(assign, probe[qi]) & (ids != qids[qi])
+            if not cand.any():
+                continue
+            ci = np.flatnonzero(cand)
+            sims = mn[ci] @ qmat[qi]
+            take = min(k, len(ci))
+            ord_ = np.lexsort((ids[ci], -sims))[:take]
+            out_q.append(np.full(take, qids[qi]))
+            out_n.append(ids[ci][ord_])
+            out_s.append(sims[ord_])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        s = t.column("sim").to_numpy(zero_copy_only=False)
+        nb = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        ord_ = np.lexsort((nb, -s))[:k]
+        out = t.take(pa.array(ord_))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(ord_) + 1, dtype=np.int64))
+        )
+
+    return (
+        embeddings.map_batches(_local, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge, batch_format="pyarrow")
+    )

@@ -372,6 +372,26 @@ def q_band_arc(sf_dir: str):
     )
 
 
+def q_near_dedup(sf_dir: str):
+    """Full near-dedup decision pipeline: LSH pairs → distributed
+    connected components → per-cluster min-id survivor (keep flags)."""
+    from libpysal_ray.text.dedup import near_dedup_survivors
+
+    return near_dedup_survivors(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (approximate; recall covered by pytest
+    vs the exact path at nprobe = n_centroids)."""
+    from libpysal_ray.ann.knn import ann_ivf_topk
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk(
+        emb, query_ids=range(10), k=5, n_centroids=16, nprobe=4
+    ).select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def q_spatial_lag_ds(sf_dir: str):
     """Spatial lag with the attribute fed as a DATASET (the 100 TB path:
     no driver-side attribute array; distributed bucket_join on neighbor).
@@ -962,6 +982,8 @@ QUERIES = {
     "rook_str": q_rook_str,
     "knn_arc": q_knn_arc,
     "band_arc": q_band_arc,
+    "near_dedup": q_near_dedup,
+    "ann_ivf": q_ann_ivf,
 }
 
 _PAIR_DIST = (

@@ -542,3 +542,57 @@ def ngram_jaccard_pairs(
         )
 
     return j2.map_batches(_jac, batch_format="pyarrow")
+
+
+def near_dedup_survivors(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    m: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    seed: int = 13,
+) -> ray.data.Dataset:
+    """(doc_id, cluster, keep): the full near-dedup decision pipeline —
+    MinHash+LSH pairs → connected components over the pair graph
+    (RayGraph's distributed local-contraction supersteps) → per-cluster
+    min-id survivor. ``keep`` is True for survivors and for documents
+    with no near-duplicate. This is the composition a training-data
+    pipeline actually runs: the output is a keep/drop decision per
+    document, not a pair list."""
+    from libpysal_ray.core import edges as E
+    from libpysal_ray.core.graph import RayGraph
+
+    pairs = minhash_lsh_pairs(
+        ds, id_col=id_col, text_col=text_col, k=k, m=m, bands=bands,
+        jaccard_threshold=jaccard_threshold, seed=seed,
+    )
+
+    def _as_edges(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return E.edge_table(
+            np.concatenate([a, b]), np.concatenate([b, a]), 1.0
+        )
+
+    ids = ds.select_columns([id_col]).rename_columns({id_col: "focal"})
+    g = RayGraph(
+        E.resolve_isolates(
+            pairs.map_batches(_as_edges, batch_format="pyarrow"), ids
+        )
+    )
+    _n, labels = g.n_components(max_driver_edges=0)
+
+    def _decide(t: pa.Table) -> pa.Table:
+        f = t.column("focal").to_numpy(zero_copy_only=False)
+        c = t.column("component").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(f),
+                "cluster": pa.array(c),
+                "keep": pa.array(f == c),  # component label = min id
+            }
+        )
+
+    return labels.map_batches(_decide, batch_format="pyarrow")

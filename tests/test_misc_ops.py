@@ -194,3 +194,59 @@ def test_shapefile_roundtrip_and_contiguity(ray_session, tmp_path):
     }
     want = {(0, 1), (1, 0), (0, 2), (2, 0), (1, 3), (3, 1), (2, 3), (3, 2)}
     assert got == want
+
+
+def test_near_dedup_survivors_consistency(ray_session):
+    """Every LSH near-dup pair shares a cluster; survivors are exactly
+    the cluster minima; non-duplicated docs keep themselves."""
+    from libpysal_ray.text.dedup import (
+        minhash_lsh_pairs,
+        near_dedup_survivors,
+    )
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    pairs = [
+        (int(r["a"]), int(r["b"]))
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).take_all()
+    ]
+    out = {
+        int(r["doc_id"]): (int(r["cluster"]), bool(r["keep"]))
+        for r in near_dedup_survivors(docs).take_all()
+    }
+    assert len(out) == docs.count()
+    for a, b in pairs:
+        assert out[a][0] == out[b][0], (a, b)
+    clusters: dict = {}
+    for d, (c, _k) in out.items():
+        clusters.setdefault(c, []).append(d)
+    for c, members in clusters.items():
+        assert c == min(members)
+        for d in members:
+            assert out[d][1] == (d == c)
+
+
+def test_ann_ivf_full_probe_equals_exact(ray_session):
+    from libpysal_ray.ann.knn import ann_ivf_topk, ann_topk
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_topk(emb, range(5), k=3).take_all()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_ivf_topk(
+            emb, range(5), k=3, n_centroids=8, nprobe=8
+        ).take_all()
+    }
+    assert full == exact
+    # partial probe: results are a valid ranking drawn from probed lists
+    part = ann_ivf_topk(
+        emb, range(5), k=3, n_centroids=8, nprobe=2
+    ).take_all()
+    assert len(part) > 0
+    for r in part:
+        assert r["rank"] in (1, 2, 3)
