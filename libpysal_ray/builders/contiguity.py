@@ -197,56 +197,71 @@ def rook(polygons: ray.data.Dataset) -> RayGraph:
 
 
 def block(
-    table: ray.data.Dataset, id_col: str, regime_col: str
+    table: ray.data.Dataset, id_col: str, regime_col: str, salt: int = 8
 ) -> RayGraph:
     """Block/regime weights: members of a regime are mutual neighbors
     excluding self (util.py:235-294, graph/_contiguity.py:209-237).
 
-    One sort shuffle on the hashed regime key + a vectorized multi-group
-    cross product per block. Hot regimes emit O(m²) edges — that is the
-    operator's defined output size, not a plan artifact. The regime key is
-    shuffled as a 64-bit hash: string sort keys cost ~3x in Ray's sort
-    path, and a 64-bit collision merging two regimes is ~2^-64 per pair.
+    Regimes are HOT KEYS by construction (a web corpus has a handful of
+    languages over billions of pages), so the cross product is emitted
+    through a ``salt × salt`` GRID: member u with salt s(u) goes to the
+    ``salt`` groups (s(u), j) in the left role and (i, s(u)) in the right
+    role; group (i, j) crosses its left×right sides, so pair (u, v) lands
+    exactly once — in (s(u), s(v)) — and the hottest regime fans out over
+    salt² parallel tasks of ~(m/salt)² work each instead of one O(m²)
+    task. Replication is 2·salt small key rows per member; the regime key
+    travels as a 64-bit hash (collision ~2^-64).
     """
-    from libpysal_ray.core.hashing import hash_strings_u64
+    from libpysal_ray.core.hashing import hash_strings_u64, splitmix64
 
+    S = max(1, int(salt))
     ids = table.select_columns([id_col]).rename_columns({id_col: "focal"})
 
-    def _code(t: pa.Table) -> pa.Table:
+    def _emit(t: pa.Table) -> pa.Table:
         vals = [str(v) for v in t.column(regime_col).to_pylist()]
-        h = (hash_strings_u64(vals) >> np.uint64(1)).astype(np.int64)
+        rh = (hash_strings_u64(vals) >> np.uint64(1)).astype(np.int64)
+        i = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        su = (splitmix64(i.view(np.uint64)) % np.uint64(S)).astype(np.int64)
+        n = len(i)
+        out_rh, out_cell, out_id, out_side = [], [], [], []
+        for j in range(S):
+            # left role: groups (su, j)
+            out_rh.append(rh)
+            out_cell.append(su * S + j)
+            out_id.append(i)
+            out_side.append(np.zeros(n, dtype=np.int8))
+            # right role: groups (j, su)
+            out_rh.append(rh)
+            out_cell.append(np.full(n, j, dtype=np.int64) * S + su)
+            out_id.append(i)
+            out_side.append(np.ones(n, dtype=np.int8))
         return pa.table(
-            {id_col: t.column(id_col), "__rh": pa.array(h)}
+            {
+                "__rh": pa.array(np.concatenate(out_rh)),
+                "__cell": pa.array(np.concatenate(out_cell)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "__side": pa.array(np.concatenate(out_side)),
+            }
         )
 
-    def _allgroups(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return E.empty_edges()
-        k = t.column("__rh").to_numpy(zero_copy_only=False)
+    def _cross(t: pa.Table) -> pa.Table:
+        side = t.column("__side").to_numpy(zero_copy_only=False)
         p = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        change = np.zeros(len(k), dtype=bool)
-        change[0] = True
-        change[1:] = k[1:] != k[:-1]
-        starts = np.flatnonzero(change)
-        sizes = np.diff(np.append(starts, len(k)))
-        fs, ns = [], []
-        for s, m in zip(starts, sizes):
-            if m < 2:
-                continue
-            sub = p[s:s + m]
-            f = np.repeat(sub, m)
-            n = np.tile(sub, m)
-            keep = f != n
-            fs.append(f[keep])
-            ns.append(n[keep])
-        if not fs:
+        left = p[side == 0]
+        right = p[side == 1]
+        if len(left) == 0 or len(right) == 0:
             return E.empty_edges()
-        return E.edge_table(np.concatenate(fs), np.concatenate(ns), 1.0)
+        f = np.repeat(left, len(right))
+        n = np.tile(right, len(left))
+        keep = f != n
+        if not keep.any():
+            return E.empty_edges()
+        return E.edge_table(f[keep], n[keep], 1.0)
 
-    edges = grouped_by_key(
-        table.map_batches(_code, batch_format="pyarrow"),
-        ["__rh"],
-        _allgroups,
+    edges = (
+        table.map_batches(_emit, batch_format="pyarrow")
+        .groupby(["__rh", "__cell"])
+        .map_groups(_cross, batch_format="pyarrow")
     )
     return RayGraph(E.resolve_isolates(edges, ids))
 
