@@ -7,4 +7,6 @@ from libpysal_ray.multimodal.stages import (  # noqa: F401
     extract_features,
     resize_images,
     sample_audio_frames,
+    sample_video_frames,
+    VideoFrameSampler,
 )

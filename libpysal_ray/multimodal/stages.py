@@ -37,6 +37,10 @@ def fake_audio_bytes(n: int, seed: int) -> bytes:
     return b"AUD" + struct.pack("<II", n, seed)
 
 
+def fake_video_bytes(nf: int, h: int, w: int, seed: int) -> bytes:
+    return b"VID" + struct.pack("<HHHI", nf, h, w, seed)
+
+
 def _noise(n: int, seed: int) -> np.ndarray:
     idx = np.arange(n, dtype=np.uint64) + (np.uint64(seed) << np.uint64(32))
     return (splitmix64(idx) >> np.uint64(40)).astype(np.float32) / 16777216.0
@@ -55,6 +59,11 @@ def _decode_payload(raw: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
         if n > _MAX_DECODED:
             raise ValueError("audio too long")
         return _noise(n, seed), (n,)
+    if raw[:3] == b"VID":
+        nf, h, w, seed = struct.unpack("<HHHI", raw[3:13])
+        if nf * h * w > _MAX_DECODED:
+            raise ValueError("video too large")
+        return _noise(nf * h * w, seed), (nf, h, w)
     raise NotImplementedError(
         "real image/audio codecs are not available in this environment; "
         "payload must use the deterministic fake encoding"
@@ -151,6 +160,46 @@ class AudioFrameSampler:
         )
 
 
+class VideoFrameSampler:
+    """Actor-pool stage: decode video + keep every ``stride``-th FRAME,
+    emitting the flat float32 samples plus (n_frames_kept, h, w) shape
+    columns — the Arrow-friendly tensor layout shared with ImageDecoder.
+    A real deployment swaps the decode for pyav/ffmpeg frame extraction;
+    the Ray plumbing (actor state, small batches for wide payloads,
+    per-frame stride selection) is the real thing."""
+
+    def __init__(self, stride: int = 2, media_col: str = "media",
+                 id_col: str = "doc_id"):
+        self.stride = stride
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, offs = [], [0]
+        nfk, hh, ww = [], [], []
+        for raw in t.column(self.media_col).to_pylist():
+            arr, shape = _decode_payload(raw)
+            nf, h, w = shape
+            frames = arr.reshape(nf, h * w)[:: self.stride]
+            flat.append(frames.ravel())
+            offs.append(offs[-1] + frames.size)
+            nfk.append(frames.shape[0])
+            hh.append(h)
+            ww.append(w)
+        vals = np.concatenate(flat) if flat else np.empty(0, np.float32)
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "frames": pa.ListArray.from_arrays(
+                    pa.array(np.asarray(offs, np.int32)), pa.array(vals)
+                ),
+                "n_frames": pa.array(np.asarray(nfk, np.int64)),
+                "height": pa.array(np.asarray(hh, np.int64)),
+                "width": pa.array(np.asarray(ww, np.int64)),
+            }
+        )
+
+
 def attach_fake_media(
     ds: ray.data.Dataset, kind: str = "image", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
@@ -162,6 +211,13 @@ def attach_fake_media(
         if kind == "image":
             payload = [
                 fake_image_bytes(16 + int(i) % 17, 16 + int(i) % 13, int(i))
+                for i in ids
+            ]
+        elif kind == "video":
+            payload = [
+                fake_video_bytes(
+                    8 + int(i) % 9, 8 + int(i) % 5, 8 + int(i) % 7, int(i)
+                )
                 for i in ids
             ]
         else:
@@ -219,6 +275,24 @@ def sample_audio_frames(
 ) -> ray.data.Dataset:
     return ds.map_batches(
         AudioFrameSampler,
+        fn_constructor_args=(stride,),
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_video_frames(
+    ds: ray.data.Dataset,
+    stride: int = 2,
+    concurrency: int | tuple = (2, 8),
+    batch_size: int = 128,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Video payloads are the widest — smaller batches than image/audio."""
+    return ds.map_batches(
+        VideoFrameSampler,
         fn_constructor_args=(stride,),
         fn_constructor_kwargs={"id_col": id_col},
         batch_format="pyarrow",

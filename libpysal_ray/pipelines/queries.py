@@ -854,6 +854,18 @@ def q_audio_frames(sf_dir: str):
     return out.map_batches(_n, batch_format="pyarrow")
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame sampling: (doc_id, n_frames, height, width) after
+    stride-2 frame selection (actor pool over fake-codec payloads)."""
+    from libpysal_ray.multimodal import attach_fake_media, sample_video_frames
+
+    docs = _docs(sf_dir, ["doc_id"])
+    out = sample_video_frames(
+        attach_fake_media(docs, "video"), stride=2, concurrency=(1, 4)
+    )
+    return out.select_columns(["doc_id", "n_frames", "height", "width"])
+
+
 
 
 def q_perimeter(sf_dir: str):
@@ -984,6 +996,7 @@ QUERIES = {
     "band_arc": q_band_arc,
     "near_dedup": q_near_dedup,
     "ann_ivf": q_ann_ivf,
+    "video_frames": q_video_frames,
 }
 
 _PAIR_DIST = (
@@ -1626,6 +1639,17 @@ SELECT doc_id, lang_pred FROM r WHERE rn = 1
 
 
 ORACLE_SQL["lang_id"] = _lang_id_sql()
+
+# the fake-codec video payload is deterministic in doc_id (multimodal
+# stages module docstring), so the frame-sampling plumbing has a closed
+# form: nf = 8 + id%9 frames, stride 2 keeps ceil(nf/2)
+ORACLE_SQL["video_frames"] = """
+SELECT doc_id,
+       (8 + doc_id % 9 + 1) // 2 AS n_frames,
+       8 + doc_id % 5 AS height,
+       8 + doc_id % 7 AS width
+FROM documents
+"""
 
 ORACLE_SQL["components_band"] = f"""
 WITH RECURSIVE {_PTS_SQL},

@@ -62,3 +62,24 @@ def test_audio_frame_sampling():
 def test_unknown_codec_raises():
     with pytest.raises(NotImplementedError):
         _decode_payload(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_video_frame_sampler(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.multimodal import attach_fake_media, sample_video_frames
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(20, dtype=np.int64))})
+    )
+    out = sample_video_frames(attach_fake_media(docs, "video"), stride=2)
+    rows = {int(r["doc_id"]): r for r in out.take_all()}
+    assert len(rows) == 20
+    for i, r in rows.items():
+        nf = 8 + i % 9
+        kept = (nf + 1) // 2
+        h, w = 8 + i % 5, 8 + i % 7
+        assert r["n_frames"] == kept and r["height"] == h and r["width"] == w
+        assert len(r["frames"]) == kept * h * w
