@@ -206,3 +206,37 @@ def test_lag_categorical(w33):
     assert out[4] in (0, 1)  # neighbors 1(1),3(1),5(0),7(0) → tie 2-2
     with pytest.raises(Exception):
         w33.lag_categorical(np.arange(9), codes, ties="raise").take_all()
+
+
+def test_bucket_join_left(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.core.joins import bucket_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 4], pa.int64()),
+                "lv": pa.array([10, 20, 30, 40, 41], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([2, 4], pa.int64()),
+                "rv": pa.array([200, 400], pa.int64()),
+            }
+        )
+    )
+    rows = bucket_join(left, right, on="k", how="left").take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in rows)
+    assert got == [
+        (1, 10, None),
+        (2, 20, 200),
+        (3, 30, None),
+        (4, 40, 400),
+        (4, 41, 400),
+    ]
