@@ -115,37 +115,60 @@ def odw(
     row-standardizes both inputs first (spintW.py:62-64), then
     W_flow[(o1,d1),(o2,d2)] = Wo[o1,o2] * Wd[d1,d2].
 
-    Plan: broadcast the (typically small) destination graph's edge list;
-    one stateless pass over the origin edge table emits the cross product.
+    Plan: the destination edge list is streamed through the driver in
+    BOUNDED chunks (``iter_batches`` — never a whole-table collect), each
+    ``ray.put`` once; one stateless pass over the origin edge table emits
+    the cross product against every chunk ref in turn (same
+    chunked-broadcast shape as ann.cosine_dup_pairs — no worker or driver
+    ever holds more than one chunk, chunks live spillable in the object
+    store). Output size is the inherent |Eo|·|Ed| Kronecker cardinality.
     Flow id = o * d_span + d.
     """
     if transform:
         wo = wo.transform(transform)
         wd = wd.transform(transform)
     dd = wd.edges.map_batches(E.drop_isolate_markers, batch_format="pyarrow")
-    d_tbl = dd.to_pandas()
-    ref = ray.put(
-        (
-            d_tbl["focal"].to_numpy(np.int64),
-            d_tbl["neighbor"].to_numpy(np.int64),
-            d_tbl["weight"].to_numpy(np.float64),
+    chunk_refs = []
+    for b in dd.iter_batches(batch_size=262_144, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        chunk_refs.append(
+            ray.put(
+                (
+                    b.column("focal").to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    ),
+                    b.column("neighbor").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64),
+                    b.column("weight").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.float64),
+                )
+            )
         )
-    )
 
     def _cross(t: pa.Table) -> pa.Table:
-        df, dn, dw = ray.get(ref)
         of = t.column("focal").to_numpy(zero_copy_only=False)
         on = t.column("neighbor").to_numpy(zero_copy_only=False)
         ow = t.column("weight").to_numpy(zero_copy_only=False)
-        m = len(df)
         k = len(of)
-        f = np.repeat(of, m) * d_span + np.tile(df, k)
-        n = np.repeat(on, m) * d_span + np.tile(dn, k)
-        w = np.repeat(ow, m) * np.tile(dw, k)
-        return E.edge_table(f, n, w)
+        outs = []
+        for ref in chunk_refs:
+            df, dn, dw = ray.get(ref)
+            m = len(df)
+            f = np.repeat(of, m) * d_span + np.tile(df, k)
+            n = np.repeat(on, m) * d_span + np.tile(dn, k)
+            w = np.repeat(ow, m) * np.tile(dw, k)
+            outs.append(E.edge_table(f, n, w))
+        if not outs:
+            return E.empty_edges()
+        return pa.concat_tables(outs)
 
-    oo = wo.edges.map_batches(E.drop_isolate_markers, batch_format="pyarrow")
-    edges = oo.map_batches(_cross, batch_format="pyarrow")
+    oo = wo.edges.map_batches(
+        E.drop_isolate_markers, batch_format="pyarrow"
+    )
+    edges = oo.map_batches(_cross, batch_format="pyarrow", batch_size=4096)
     # id universe: all (o, d) combinations of the two id sets.  Destination
     # ids come from ALL focal ids of wd.edges (isolate marker rows included)
     # so a d-side isolate still yields flow rows, symmetric with the o side.
