@@ -55,12 +55,14 @@ def hash_strings_u64(strs, seed: int = 0) -> np.ndarray:
 
 
 def _string_array_parts(arr):
-    """(bytes uint8, starts, lens) of a non-null pyarrow string array."""
+    """(bytes uint8, starts, lens) of a non-null pyarrow string array
+    (string → int32 offsets, large_string → int64 offsets)."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=odt,
                         count=len(arr) + 1 + arr.offset)[arr.offset:]
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     starts = off[:-1].astype(np.int64)
@@ -113,7 +115,8 @@ def tokenize_hash(col, seed: int = 0):
     if isinstance(lst, pa.ChunkedArray):
         lst = lst.combine_chunks()
     flat = lst.flatten()
-    off = np.frombuffer(lst.buffers()[1], dtype=np.int32,
+    lodt = np.int64 if pa.types.is_large_list(lst.type) else np.int32
+    off = np.frombuffer(lst.buffers()[1], dtype=lodt,
                         count=len(lst) + 1 + lst.offset)[lst.offset:]
     doc_off = (off - off[0]).astype(np.int64)
     th = hash_string_array_u64(flat, seed)
