@@ -606,6 +606,7 @@ def kernel(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    taper: bool = False,
 ) -> RayGraph:
     """Kernel weights (reference Kernel, distance.py:480-745).
 
@@ -613,6 +614,8 @@ def kernel(
     aggregate — two-pass pipeline); neighbors = all within bw (self incl).
     adaptive: bw_i = per-point k-th NN distance × eps; neighbors = the
     k+1 NN set (self incl). z = d / bw; kernel per `functions.kernels`.
+    ``taper=True`` drops zero-weight edges post-eval (graph/_kernel.py:259
+    — gives infinite-support kernels compact support too).
     """
     ids = points.select_columns([id_col]).rename_columns({id_col: "focal"})
 
@@ -744,5 +747,10 @@ def kernel(
             return E.edge_table(f, n, w)
 
         edges = edges.map_batches(_diag, batch_format="pyarrow")
+
+    if taper:
+        # graph/_kernel.py:259 d.eliminate_zeros(): drop zero weights
+        # (kernel support boundary / z > 1 for infinite-support kernels)
+        edges = edges.filter(expr="weight != 0.0")
 
     return RayGraph(E.resolve_isolates(edges, ids))

@@ -250,3 +250,54 @@ def test_ann_ivf_full_probe_equals_exact(ray_session):
     assert len(part) > 0
     for r in part:
         assert r["rank"] in (1, 2, 3)
+
+
+def test_kernel_taper_drops_zero_weights(ray_session):
+    from libpysal_ray.builders.distance import kernel
+
+    # collinear unit grid with bandwidth exactly 1: neighbors at d=1 get
+    # triangular weight max(1-z, 0) = 0 — the exact support boundary
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(5, dtype=np.int64)),
+                "x": pa.array(np.arange(5, dtype=np.float64)),
+                "y": pa.array(np.zeros(5)),
+            }
+        )
+    )
+    plain = kernel(pts, bandwidth=1.0, fixed=True, function="triangular")
+    tapered = kernel(
+        pts, bandwidth=1.0, fixed=True, function="triangular", taper=True
+    )
+    wz = [
+        r
+        for r in plain.edges.take_all()
+        if r["weight"] == 0.0 and r["focal"] != r["neighbor"]
+    ]
+    assert len(wz) == 8  # each of 4 adjacent pairs, both directions
+    for r in tapered.edges.take_all():
+        if r["focal"] != r["neighbor"]:
+            assert r["weight"] != 0.0
+
+
+def test_lineage_straddle_guard(tmp_path):
+    import pyarrow as pa
+
+    from libpysal_ray.state import lineage
+
+    t1 = pa.table({"a": pa.array([1, 2], pa.int64())})
+    t2 = pa.table({"a": pa.array([3], pa.int64())})
+    out = str(tmp_path / "ckpt")
+    lineage.write_partition(out, "k1", t1, metrics={"digest_xor": 7},
+                            run_id="r1")
+    # identical rewrite (task retry) is allowed
+    lineage.write_partition(out, "k1", t1, metrics={"digest_xor": 7},
+                            run_id="r1")
+    # different content in the SAME run = straddled shuffle group → raise
+    with pytest.raises(RuntimeError, match="straddled"):
+        lineage.write_partition(out, "k1", t2, metrics={"digest_xor": 9},
+                                run_id="r1")
+    # a NEW run may overwrite (resume semantics unchanged)
+    lineage.write_partition(out, "k1", t2, metrics={"digest_xor": 9},
+                            run_id="r2")
