@@ -583,6 +583,19 @@ def q_describe_rook(sf_dir: str):
     )
 
 
+def q_describe_rook_ds(sf_dir: str):
+    """describe() fed an attribute DATASET (distributed bucket_join path;
+    same oracle as describe_rook)."""
+    g = _rook_g(sf_dir)
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"])
+    return g.describe(
+        attrs,
+        stats=("count", "sum", "mean", "min", "max"),
+        id_col="doc_id",
+        val_col="n_chars",
+    )
+
+
 def q_subgraph_rook(sf_dir: str):
     g = _rook_g(sf_dir)
     return _real(g.subgraph(np.arange(200, dtype=np.int64)))
@@ -997,6 +1010,7 @@ QUERIES = {
     "near_dedup": q_near_dedup,
     "ann_ivf": q_ann_ivf,
     "video_frames": q_video_frames,
+    "describe_rook_ds": q_describe_rook_ds,
 }
 
 _PAIR_DIST = (
@@ -1639,6 +1653,8 @@ SELECT doc_id, lang_pred FROM r WHERE rn = 1
 
 
 ORACLE_SQL["lang_id"] = _lang_id_sql()
+
+ORACLE_SQL["describe_rook_ds"] = ORACLE_SQL["describe_rook"]
 
 # the fake-codec video payload is deterministic in doc_id (multimodal
 # stages module docstring), so the frame-sampling plumbing has a closed
