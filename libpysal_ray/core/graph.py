@@ -815,9 +815,23 @@ class RayGraph:
         )
         return RayGraph(E.resolve_isolates(out, ids_dataset(self._edges)))
 
-    def subgraph(self, keep_ids: np.ndarray) -> "RayGraph":
+    def subgraph(self, keep_ids) -> "RayGraph":
         """w_subset / Graph.subgraph (set_operations.py:337-386,
-        base.py:2708-2770): broadcast id-set semi-join + isolate re-resolve."""
+        base.py:2708-2770): id-set semi-join + isolate re-resolve.
+        ``keep_ids`` may be a numpy array (broadcast semi-join) or a
+        Dataset with a ``focal`` id column — the 100 TB path: two
+        distributed bucket_join semi-joins, no driver id set."""
+        if isinstance(keep_ids, ray.data.Dataset):
+            ids_ds = keep_ids.select_columns(["focal"]).materialize()
+            out = J.bucket_join(
+                self._real_edges(), ids_ds, on="focal", how="semi"
+            )
+            nbr_keys = ids_ds.map_batches(
+                lambda t: pa.table({"neighbor": t.column("focal")}),
+                batch_format="pyarrow",
+            )
+            out = J.bucket_join(out, nbr_keys, on="neighbor", how="semi")
+            return RayGraph(E.resolve_isolates(out, ids_ds))
         keep = np.asarray(keep_ids, dtype=np.int64)
         out = E.filter_ids(self._real_edges(), keep, mode="both")
         return RayGraph(E.resolve_isolates(out, keep))

@@ -240,3 +240,24 @@ def test_bucket_join_left(ray_session):
         (4, 40, 400),
         (4, 41, 400),
     ]
+
+
+def test_subgraph_dataset_path_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.builders.lattice import lat2graph
+
+    g = lat2graph(6, 6, rook=True)
+    keep = np.arange(0, 18, dtype=np.int64)
+    a = {
+        (r["focal"], r["neighbor"], r["weight"])
+        for r in g.subgraph(keep).edges.take_all()
+    }
+    ds = ray.data.from_arrow(pa.table({"focal": pa.array(keep)}))
+    b = {
+        (r["focal"], r["neighbor"], r["weight"])
+        for r in g.subgraph(ds).edges.take_all()
+    }
+    assert a == b
