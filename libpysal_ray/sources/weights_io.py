@@ -140,3 +140,41 @@ def write_mtx(g: RayGraph, path: str) -> None:
             w = batch.column("weight").to_numpy(zero_copy_only=False)
             for i in range(len(f)):
                 out.write(f"{int(f[i]) + 1} {int(nb[i]) + 1} {w[i]:.10g}\n")
+
+
+def read_arcgis_text(path: str) -> RayGraph:
+    """ArcGIS ASCII text weights (io/iohandlers/arcgis_txt.py): line 1 is
+    the id-variable header; then (origin, destination, weight) triplets
+    with integer ids. Zero-weight SELF-neighbor rows are ignored
+    (arcgis_txt.py semantics — ArcGIS treats absent self entries as 0)."""
+    focal, neighbor, weight = [], [], []
+    with open(path) as f:
+        f.readline()  # header: id variable name
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            o, d, w = int(parts[0]), int(parts[1]), float(parts[2])
+            if o == d and w == 0.0:
+                continue
+            focal.append(o)
+            neighbor.append(d)
+            weight.append(w)
+    return RayGraph.from_arrays(
+        np.asarray(focal, np.int64),
+        np.asarray(neighbor, np.int64),
+        np.asarray(weight, np.float64),
+    )
+
+
+def write_arcgis_text(g: RayGraph, path: str, id_var: str = "ID") -> None:
+    with open(path, "w") as out:
+        out.write(f"{id_var}\n")
+        for batch in E.canonical(
+            g.edges.map_batches(E.drop_isolate_markers, batch_format="pyarrow")
+        ).iter_batches(batch_format="pyarrow"):
+            f = batch.column("focal").to_numpy(zero_copy_only=False)
+            nb = batch.column("neighbor").to_numpy(zero_copy_only=False)
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+            for i in range(len(f)):
+                out.write(f"{int(f[i])} {int(nb[i])} {w[i]:.10g}\n")

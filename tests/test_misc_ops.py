@@ -301,3 +301,27 @@ def test_lineage_straddle_guard(tmp_path):
     # a NEW run may overwrite (resume semantics unchanged)
     lineage.write_partition(out, "k1", t2, metrics={"digest_xor": 9},
                             run_id="r2")
+
+
+def test_arcgis_text_roundtrip(ray_session, tmp_path):
+    from libpysal_ray.builders.lattice import lat2graph
+    from libpysal_ray.sources.weights_io import (
+        read_arcgis_text,
+        write_arcgis_text,
+    )
+
+    g = lat2graph(3, 4, rook=True).transform("R")
+    p = str(tmp_path / "w.txt")
+    write_arcgis_text(g, p)
+    g2 = read_arcgis_text(p)
+    a = {
+        (r["focal"], r["neighbor"]): round(r["weight"], 9)
+        for r in g.edges.take_all()
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
+    }
+    b = {
+        (r["focal"], r["neighbor"]): round(r["weight"], 9)
+        for r in g2.edges.take_all()
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
+    }
+    assert a == b
