@@ -519,8 +519,13 @@ def _interval_alive(
     d = np.sqrt(d2)
     if np.isinf(R):
         tmax = np.full(P, np.inf)
+        too_far = np.zeros(P, dtype=bool)
     else:
         tmax = np.sqrt(np.maximum(R * R - d2 / 4.0, 0.0))
+        # no circle of radius ≤ R passes through points farther than 2R
+        # apart — dead regardless of witnesses (the clamped tmax=0 would
+        # otherwise wrongly test the > R diametral circle)
+        too_far = d2 > 4.0 * R * R
     mx, my = (xi + xj) / 2.0, (yi + yj) / 2.0
     ux, uy = (yj - yi) / d, (xi - xj) / d
     alive = np.ones(P, dtype=bool)
@@ -543,7 +548,7 @@ def _interval_alive(
         dead = ((a == 0) & (b > 0) & ~selfm).any(axis=1)
         lo = np.maximum(lower, -tmax[sl])
         hi = np.minimum(upper, tmax[sl])
-        alive[sl] = ~dead & (lo <= hi)
+        alive[sl] = ~dead & (lo <= hi) & ~too_far[sl]
     return alive
 
 

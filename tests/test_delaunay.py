@@ -223,3 +223,30 @@ def test_alpha_shape_grid(ray_session):
     ed_a, r_a = alpha_shape_edges(pts)
     assert r_a <= 0.8
     assert outer <= {int(v) for v in np.unique(ed_a)}
+
+
+def test_delaunay_bounded_clustered_blobs(ray_session):
+    """Tight clusters with inter-blob gaps > 2R: the bounded graph must
+    drop cross-blob pairs (no radius-≤R circle exists through points more
+    than 2R apart) and match the interval brute exactly."""
+    rng = np.random.default_rng(99)
+    n = 120
+    cx = rng.choice([0.0, 50.0, 100.0], n)
+    x = cx + rng.random(n) * 2
+    y = rng.choice([0.0, 40.0], n) + rng.random(n) * 2
+    _, idx = np.unique(np.column_stack([x, y]), axis=0, return_index=True)
+    x, y = x[idx], y[idx]
+    ids = np.arange(len(x)).astype(np.int64)
+    R = 30.0
+    g = delaunay_bounded(_pts_ds(ids, x, y), max_radius=R)
+    got = {
+        (int(r["focal"]), int(r["neighbor"]))
+        for r in g.edges.take_all()
+        if r["weight"] != 0.0
+    }
+    want = _brute_delaunay(x, y, R=R)
+    want |= {(b, a) for a, b in want}
+    assert got == want
+    # cross-blob pairs farther than 2R never appear
+    for a, b in got:
+        assert np.hypot(x[a] - x[b], y[a] - y[b]) <= 2 * R
