@@ -416,8 +416,6 @@ def fuzzy(
     )
     if cell_size is None:
         # one driver-side pass over bboxes to pick a tile size
-        import pyarrow.compute as pc
-
         def _spans(t: pa.Table) -> pa.Table:
             spans = []
             for xs, ys in zip(t.column("xs").to_pylist(),

@@ -18,11 +18,9 @@ full relation on the driver.
 
 from __future__ import annotations
 
-from typing import Iterable
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 EDGE_SCHEMA = pa.schema(

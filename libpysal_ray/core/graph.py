@@ -27,7 +27,6 @@ only at the serialize/compare boundary.
 
 from __future__ import annotations
 
-import math
 from typing import Callable
 
 import numpy as np

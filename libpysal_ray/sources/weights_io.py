@@ -17,8 +17,6 @@ edge order — the Dataset is never collected whole.
 from __future__ import annotations
 
 import numpy as np
-import pyarrow as pa
-import ray.data
 
 from libpysal_ray.core import edges as E
 from libpysal_ray.core.graph import RayGraph
