@@ -325,3 +325,19 @@ def test_arcgis_text_roundtrip(ray_session, tmp_path):
         if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
     }
     assert a == b
+
+
+def test_cosine_lsh_pairs_subset_of_exact(ray_session):
+    from libpysal_ray.ann.knn import cosine_dup_pairs, cosine_dup_pairs_lsh
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs(emb, 0.4, chunk_rows=37).take_all()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs_lsh(emb, 0.4).take_all()
+    }
+    assert len(approx) > 0
+    assert approx <= exact  # LSH never invents pairs (post-verify exact)
