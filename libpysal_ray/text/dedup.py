@@ -178,10 +178,13 @@ def minhash_lsh_pairs(
     standard scalable verify; see ngram_jaccard_pairs for the exact
     shingle-set verify built on top of this).
 
-    The verify is fully distributed: candidate pairs are bucket-joined
-    against the signature Dataset on each endpoint and compared with one
-    vectorized matrix equality per batch — no driver-side signature map,
-    no whole-corpus materialization.
+    The verify is size-switched (VERIFY_BROADCAST_PAIRS): above the
+    threshold, candidate pairs are bucket-joined against the signature
+    Dataset on each endpoint and compared with one vectorized matrix
+    equality per batch — no driver-side signature map, no whole-corpus
+    materialization at any size; below it, the BOUNDED endpoint
+    signatures are collected through a filtered stream and broadcast
+    (verification still runs vectorized inside map_batches).
 
     Buckets larger than ``max_bucket`` emit STAR pairs (every member ↔ the
     bucket minimum) instead of the full O(B²) cross product: near-dup
