@@ -176,3 +176,35 @@ def write_arcgis_text(g: RayGraph, path: str, id_var: str = "ID") -> None:
             w = batch.column("weight").to_numpy(zero_copy_only=False)
             for i in range(len(f)):
                 out.write(f"{int(f[i])} {int(nb[i])} {w[i]:.10g}\n")
+
+
+def read_dat(path: str) -> RayGraph:
+    """LeSage MatLab ``.dat`` weights (io/iohandlers/dat.py): headerless
+    (origin, destination, weight) triplets, record numbers starting at 1
+    (ids may be written as floats — ``5.0`` reads as id 5)."""
+    focal, neighbor, weight = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            focal.append(int(float(parts[0])))
+            neighbor.append(int(float(parts[1])))
+            weight.append(float(parts[2]))
+    return RayGraph.from_arrays(
+        np.asarray(focal, np.int64),
+        np.asarray(neighbor, np.int64),
+        np.asarray(weight, np.float64),
+    )
+
+
+def write_dat(g: RayGraph, path: str) -> None:
+    with open(path, "w") as out:
+        for batch in E.canonical(
+            g.edges.map_batches(E.drop_isolate_markers, batch_format="pyarrow")
+        ).iter_batches(batch_format="pyarrow"):
+            f = batch.column("focal").to_numpy(zero_copy_only=False)
+            nb = batch.column("neighbor").to_numpy(zero_copy_only=False)
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+            for i in range(len(f)):
+                out.write(f"{int(f[i])} {int(nb[i])} {w[i]:.10g}\n")

@@ -341,3 +341,23 @@ def test_cosine_lsh_pairs_subset_of_exact(ray_session):
     }
     assert len(approx) > 0
     assert approx <= exact  # LSH never invents pairs (post-verify exact)
+
+
+def test_dat_roundtrip(ray_session, tmp_path):
+    from libpysal_ray.sources.weights_io import read_dat, write_dat
+
+    g = lat2graph(3, 3, rook=True).transform("R")
+    p = str(tmp_path / "w.dat")
+    write_dat(g, p)
+    g2 = read_dat(p)
+    a = {
+        (r["focal"], r["neighbor"]): round(r["weight"], 9)
+        for r in g.edges.take_all()
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
+    }
+    b = {
+        (r["focal"], r["neighbor"]): round(r["weight"], 9)
+        for r in g2.edges.take_all()
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
+    }
+    assert a == b
