@@ -204,3 +204,48 @@ def write_dbf(path: str, cols: dict[str, list]) -> None:
                 else:
                     f.write(str(v).ljust(flen).encode("ascii")[:flen])
         f.write(b"\x1a")
+
+
+def parse_wkt_polygon(wkt: str) -> tuple[list, list]:
+    """Outer ring (xs, ys) of a WKT POLYGON (io parity with the
+    reference's WKT reader, io/iohandlers/wkt.py; interior rings —
+    holes — are ignored, matching the contiguity builders' outer-ring
+    schema)."""
+    s = wkt.strip()
+    up = s.upper()
+    if not up.startswith("POLYGON"):
+        raise ValueError(f"not a WKT POLYGON: {s[:40]!r}")
+    inner = s[s.index("(") + 1:s.rindex(")")]
+    # first ring = up to the first ring-closing paren
+    ring = inner[inner.index("(") + 1:inner.index(")")]
+    xs, ys = [], []
+    for pair in ring.split(","):
+        px, py = pair.split()[:2]
+        xs.append(float(px))
+        ys.append(float(py))
+    return xs, ys
+
+
+def polygons_from_wkt(
+    ds: ray.data.Dataset, wkt_col: str = "wkt", id_col: str = "polygon_id"
+) -> ray.data.Dataset:
+    """(id, wkt) Dataset → the engine polygon schema
+    (polygon_id, xs, ys) — a vectorless map_batches parse, so WKT-keyed
+    web tables feed the contiguity builders directly."""
+
+    def _parse(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        xs_out, ys_out = [], []
+        for w in t.column(wkt_col).to_pylist():
+            xs, ys = parse_wkt_polygon(w)
+            xs_out.append(xs)
+            ys_out.append(ys)
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids),
+                "xs": pa.array(xs_out, pa.list_(pa.float64())),
+                "ys": pa.array(ys_out, pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(_parse, batch_format="pyarrow")

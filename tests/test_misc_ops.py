@@ -361,3 +361,33 @@ def test_dat_roundtrip(ray_session, tmp_path):
         if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
     }
     assert a == b
+
+
+def test_wkt_polygons_feed_rook(ray_session):
+    from libpysal_ray.builders.contiguity import rook
+    from libpysal_ray.sources.shapefile import polygons_from_wkt
+
+    wkts = []
+    for r in range(2):
+        for c in range(2):
+            ring = (
+                f"POLYGON (({c} {r}, {c+1} {r}, {c+1} {r+1}, "
+                f"{c} {r+1}, {c} {r}))"
+            )
+            wkts.append(ring)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "polygon_id": pa.array(np.arange(4, dtype=np.int64)),
+                "wkt": pa.array(wkts),
+            }
+        )
+    )
+    g = rook(polygons_from_wkt(ds))
+    got = {
+        (int(r["focal"]), int(r["neighbor"]))
+        for r in g.edges.take_all()
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
+    }
+    want = {(0, 1), (1, 0), (0, 2), (2, 0), (1, 3), (3, 1), (2, 3), (3, 2)}
+    assert got == want
