@@ -49,6 +49,9 @@ def __getattr__(name):
         "read_gal": "libpysal_ray.sources.weights_io",
         "read_gwt": "libpysal_ray.sources.weights_io",
         "read_mtx": "libpysal_ray.sources.weights_io",
+        "read_arcgis_text": "libpysal_ray.sources.weights_io",
+        "read_dat": "libpysal_ray.sources.weights_io",
+        "polygons_from_wkt": "libpysal_ray.sources.shapefile",
     }
     if name in _BUILDERS:
         import importlib
