@@ -208,3 +208,39 @@ def write_dat(g: RayGraph, path: str) -> None:
             w = batch.column("weight").to_numpy(zero_copy_only=False)
             for i in range(len(f)):
                 out.write(f"{int(f[i])} {int(nb[i])} {w[i]:.10g}\n")
+
+
+def read_csv_weights(path: str, header: bool = True) -> RayGraph:
+    """Adjacency-list CSV (io parity with io/iohandlers/csvWrapper.py's
+    weights use): comma-separated (origin, destination[, weight]) rows;
+    weight defaults to 1.0 when the column is absent."""
+    focal, neighbor, weight = [], [], []
+    with open(path) as f:
+        if header:
+            f.readline()
+        for line in f:
+            parts = [p.strip() for p in line.split(",")]
+            if len(parts) < 2 or not parts[0]:
+                continue
+            focal.append(int(float(parts[0])))
+            neighbor.append(int(float(parts[1])))
+            weight.append(float(parts[2]) if len(parts) > 2 and parts[2]
+                          else 1.0)
+    return RayGraph.from_arrays(
+        np.asarray(focal, np.int64),
+        np.asarray(neighbor, np.int64),
+        np.asarray(weight, np.float64),
+    )
+
+
+def write_csv_weights(g: RayGraph, path: str) -> None:
+    with open(path, "w") as out:
+        out.write("focal,neighbor,weight\n")
+        for batch in E.canonical(
+            g.edges.map_batches(E.drop_isolate_markers, batch_format="pyarrow")
+        ).iter_batches(batch_format="pyarrow"):
+            f = batch.column("focal").to_numpy(zero_copy_only=False)
+            nb = batch.column("neighbor").to_numpy(zero_copy_only=False)
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+            for i in range(len(f)):
+                out.write(f"{int(f[i])},{int(nb[i])},{w[i]:.10g}\n")

@@ -391,3 +391,26 @@ def test_wkt_polygons_feed_rook(ray_session):
     }
     want = {(0, 1), (1, 0), (0, 2), (2, 0), (1, 3), (3, 1), (2, 3), (3, 2)}
     assert got == want
+
+
+def test_csv_weights_roundtrip(ray_session, tmp_path):
+    from libpysal_ray.sources.weights_io import (
+        read_csv_weights,
+        write_csv_weights,
+    )
+
+    g = lat2graph(3, 3, rook=False)  # queen lattice
+    p = str(tmp_path / "w.csv")
+    write_csv_weights(g, p)
+    g2 = read_csv_weights(p)
+    a = {
+        (r["focal"], r["neighbor"]): round(r["weight"], 9)
+        for r in g.edges.take_all()
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
+    }
+    b = {
+        (r["focal"], r["neighbor"]): round(r["weight"], 9)
+        for r in g2.edges.take_all()
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
+    }
+    assert a == b
