@@ -183,16 +183,21 @@ def main() -> None:
         if flag_t and rows.get("flagship")
         else None
     )
+    # ONE COMPACT line, LAST on stdout — the driver machine-parses the
+    # final stdout line and truncates long tails, so no spaces, 2-decimal
+    # timings (VERDICT r2 "What's wrong" #6).
+    sys.stdout.flush()
     print(json.dumps({
         "metric": "total_pipeline_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "rows": rows,
         "flagship_rows_per_sec": flag_rps,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-    }))
+    }, separators=(",", ":")))
+    sys.stdout.flush()
     import ray
 
     ray.shutdown()

@@ -126,11 +126,49 @@ def cogroup_pairs(
     )
 
 
+def _size_estimate(ds: ray.data.Dataset) -> int | None:
+    """Byte-size estimate WITHOUT forcing execution: logical-plan metadata
+    inference (free for reads and materialized plans), else None. Never
+    calls ``Dataset.size_bytes()`` on an unexecuted plan — that would
+    execute the pipeline mid-build."""
+    try:
+        sb = ds._logical_plan.dag.infer_metadata().size_bytes
+        if sb is not None:
+            return int(sb)
+    except Exception:  # noqa: BLE001 — internal API; fall through
+        pass
+    return None
+
+
+def auto_num_buckets(
+    *dss: ray.data.Dataset,
+    floor: int | None = None,
+    target_bytes: int = 128 << 20,
+    cap: int = 4096,
+) -> int:
+    """Bucket count for the bucketed-shuffle primitives, derived from the
+    inputs' size estimates: ceil(total_bytes / target_bytes), floored at
+    the cluster core count (parallelism) and capped. Each bucket is
+    processed as ONE in-memory table inside groupby().map_groups, so
+    per-task memory is ~total/num_buckets — a FIXED count is corpus/64 per
+    task and OOMs at 100× scale (VERDICT r2 #1). Inputs whose size cannot
+    be known without executing them contribute 0 (the floor still scales
+    the count with the cluster)."""
+    if floor is None:
+        try:
+            floor = max(16, int(ray.cluster_resources().get("CPU", 16)))
+        except Exception:  # noqa: BLE001 — no cluster yet
+            floor = 16
+    total = sum(filter(None, (_size_estimate(d) for d in dss)))
+    need = -(-total // target_bytes) if total else 0
+    return int(min(cap, max(floor, need)))
+
+
 def grouped_by_key(
     ds: ray.data.Dataset,
     key_cols: list[str],
     fn,
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Apply ``fn`` (which expects a key-SORTED table) to hash buckets.
 
@@ -144,11 +182,15 @@ def grouped_by_key(
     ``map_batches(batch_size=None)`` consumes whole blocks (ADVICE r01).
 
     Key columns must be int64 (bit patterns / hashes). ``num_buckets``
-    bounds parallelism of the vectorized scan; at web scale raise it
-    toward the cluster's total core count.
+    bounds parallelism of the vectorized scan; when None it is derived
+    from the input size estimate (auto_num_buckets: ≤~128 MB per bucket,
+    floored at cluster cores) so per-bucket memory stays bounded at any
+    corpus size.
     """
     from libpysal_ray.core.hashing import splitmix64
 
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(ds, floor=256)
     nb = np.uint64(num_buckets)
 
     def _tag(t: pa.Table) -> pa.Table:
@@ -227,7 +269,7 @@ def bucket_join(
     right: ray.data.Dataset,
     on: str,
     how: str = "inner",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed equi-join on ONE int64 key — bucketed, fully vectorized.
 
@@ -252,6 +294,8 @@ def bucket_join(
     if shared:
         raise ValueError(f"non-key columns overlap: {shared}")
     rval = [c for c in rcols if c != on]
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(left, right, floor=64)
     nb = np.uint64(num_buckets)
 
     def _prep(is_left: bool):

@@ -261,3 +261,27 @@ def test_subgraph_dataset_path_matches_numpy(ray_session):
         for r in g.subgraph(ds).edges.take_all()
     }
     assert a == b
+
+
+def test_auto_num_buckets_grows_with_size(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.core.joins import auto_num_buckets
+
+    small = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(100, dtype=np.int64))})
+    ).materialize()
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(2_000_000, dtype=np.int64))})
+    ).materialize()
+    nb_small = auto_num_buckets(small, floor=4, target_bytes=1 << 20)
+    nb_big = auto_num_buckets(big, floor=4, target_bytes=1 << 20)
+    assert nb_small == 4  # under target → floor
+    assert nb_big >= 16  # 16 MB / 1 MB target
+    assert nb_big > nb_small
+    # cap respected, and unknown-size inputs fall back to the floor
+    assert auto_num_buckets(big, floor=4, target_bytes=1, cap=64) == 64
+    lazy = big.map_batches(lambda t: t, batch_format="pyarrow")
+    assert auto_num_buckets(lazy, floor=7) >= 7
