@@ -1768,3 +1768,15 @@ FROM pts a, pts b
 WHERE a.doc_id <> b.doc_id AND {_PAIR_DIST} <= 50
 """
 
+
+# ------------------------------------------------ hash-chain oracles (r3)
+# The text/near-dup operators bottom out in the splitmix64 mixer, which
+# pipelines/oracle_hash mirrors bit-for-bit in DuckDB HUGEINT macros —
+# converting the whole minhash/simhash/fingerprint/near-dedup family from
+# rows-only to value-exact oracle rows.
+from libpysal_ray.pipelines import oracle_hash as _oh  # noqa: E402
+
+ORACLE_SQL["fingerprint"] = _oh.with_macros(_oh.FINGERPRINT_SQL)
+ORACLE_SQL["simhash"] = _oh.with_macros(_oh.SIMHASH_SQL)
+ORACLE_SQL["minhash_pairs"] = _oh.with_macros(_oh.MINHASH_PAIRS_SQL)
+ORACLE_SQL["near_dedup"] = _oh.with_macros(_oh.NEAR_DEDUP_SQL)
