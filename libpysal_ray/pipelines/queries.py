@@ -533,9 +533,33 @@ def q_ann_lsh(sf_dir: str):
 
 
 def q_flagship(sf_dir: str):
+    """Flagship pipeline, flattened to its row-level oracle form: one row
+    per (url, neighbor-of-assigned-polygon); empty neighbor sets emit a
+    single neighbor = -1 row so unmatched points stay visible. entry()
+    keeps the nested neighbor_set schema."""
     from libpysal_ray.pipelines.flagship import flagship
 
-    return flagship(sf_dir)
+    out = flagship(sf_dir)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ns = t.column("neighbor_set")
+        if isinstance(ns, pa.ChunkedArray):
+            ns = ns.combine_chunks()
+        offs = np.asarray(ns.offsets)
+        cnt = np.diff(offs)
+        vals = ns.flatten().to_numpy(zero_copy_only=False)
+        # rows with empty sets contribute one -1 row
+        reps = np.maximum(cnt, 1)
+        idx = np.repeat(np.arange(t.num_rows), reps)
+        nbr = np.full(int(reps.sum()), -1, dtype=np.int64)
+        has = np.repeat(cnt > 0, reps)
+        nbr[has] = vals
+        sub = t.select(["url", "cell", "polygon_id", "digest_ok"]).take(
+            pa.array(idx)
+        )
+        return sub.append_column("neighbor", pa.array(nbr))
+
+    return out.map_batches(_explode, batch_format="pyarrow")
 
 
 
@@ -1780,3 +1804,12 @@ ORACLE_SQL["fingerprint"] = _oh.with_macros(_oh.FINGERPRINT_SQL)
 ORACLE_SQL["simhash"] = _oh.with_macros(_oh.SIMHASH_SQL)
 ORACLE_SQL["minhash_pairs"] = _oh.with_macros(_oh.MINHASH_PAIRS_SQL)
 ORACLE_SQL["near_dedup"] = _oh.with_macros(_oh.NEAR_DEDUP_SQL)
+
+# -------------------------------------- fixed-seed constant oracles (r3)
+from libpysal_ray.pipelines import oracle_ann as _oa  # noqa: E402
+
+ORACLE_SQL["ann_lsh"] = _oa.ANN_LSH_SQL
+ORACLE_SQL["emb_neardup_lsh"] = _oa.EMB_NEARDUP_LSH_SQL
+ORACLE_SQL["ann_ivf"] = _oh.with_macros(_oa.ANN_IVF_SQL)
+ORACLE_SQL["image_features"] = _oh.with_macros(_oa.IMAGE_FEATURES_SQL)
+ORACLE_SQL["flagship"] = _oa.FLAGSHIP_SQL

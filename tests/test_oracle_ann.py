@@ -1,0 +1,61 @@
+"""Pins for the fixed-seed-constant oracles (pipelines/oracle_ann.py).
+
+No Ray needed: these verify the numpy-evaluation-order claims the SQL
+mirrors rely on, and that the embedded constants equal the operators'.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from libpysal_ray.pipelines import oracle_ann as oa
+
+
+def test_planes_literals_roundtrip():
+    """repr-emitted double literals parse back to the identical IEEE
+    double (DuckDB's decimal parser is correctly rounded, like float())."""
+    rng = np.random.default_rng(oa.LSH_SEED)
+    planes = rng.standard_normal((oa.DIM, oa.N_PLANES))
+    for v in planes.ravel()[:64]:
+        assert float(repr(float(v))) == v
+
+
+def test_std64_matches_numpy_pairwise():
+    """The written-out 8-accumulator sum == np.std for 64 dyadic pixels."""
+    rng = np.random.default_rng(3)
+    for _ in range(500):
+        m = rng.integers(0, 1 << 24, 64).astype(np.float64)
+        a = m / (1 << 24)
+        mean = a.sum() / 64.0
+        s = (a - mean) * (a - mean)
+        r = list(s[:8])
+        for i in range(8, 64, 8):
+            for j in range(8):
+                r[j] = r[j] + s[i + j]
+        tot = ((r[0] + r[1]) + (r[2] + r[3])) + (
+            (r[4] + r[5]) + (r[6] + r[7])
+        )
+        assert np.sqrt(tot / 64.0) == a.std()
+
+
+def test_p95_matches_numpy_lerp():
+    """b - (b-a)*(1-g) (numpy's t>=0.5 lerp branch) == np.percentile."""
+    rng = np.random.default_rng(4)
+    vi = (95.0 / 100.0) * 63.0
+    g = vi - np.floor(vi)
+    assert g >= 0.5  # the branch the SQL hard-codes
+    for _ in range(500):
+        a = rng.integers(0, 1 << 24, 64).astype(np.float64) / (1 << 24)
+        sv = np.sort(a)
+        assert sv[60] - (sv[60] - sv[59]) * (1.0 - g) == np.percentile(a, 95)
+
+
+def test_fake_pixel_values_are_dyadic():
+    """Every fake-codec pixel is m/2^24 exactly, float32-representable —
+    the premise of the exact-sum f_mean claim."""
+    from libpysal_ray.multimodal.stages import _noise
+
+    v = _noise(1000, 7)
+    scaled = v.astype(np.float64) * (1 << 24)
+    assert (scaled == np.round(scaled)).all()
+    assert (scaled >= 0).all() and (scaled < (1 << 24)).all()
