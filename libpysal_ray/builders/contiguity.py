@@ -43,67 +43,98 @@ def _f2i(a: np.ndarray) -> np.ndarray:
     return a.view(np.int64)
 
 
-def _explode_vertices(t: pa.Table) -> pa.Table:
-    """(polygon_id, xs, ys) → (kx, ky, poly) one row per DISTINCT vertex."""
+def _ring_parts(t: pa.Table):
+    """(pids, x, y, off): flat float64 vertex arrays + per-ring offsets —
+    straight from the Arrow list buffers, no per-polygon Python (the
+    Queen/Rook hot-path explode; VERDICT r2 #5)."""
     pids = t.column("polygon_id").to_numpy(zero_copy_only=False)
-    xs = t.column("xs").to_pylist()
-    ys = t.column("ys").to_pylist()
-    out_kx, out_ky, out_p = [], [], []
-    for pid, xr, yr in zip(pids, xs, ys):
-        kx = _f2i(np.asarray(xr))
-        ky = _f2i(np.asarray(yr))
-        uniq = np.unique(np.stack([kx, ky], axis=1), axis=0)
-        out_kx.append(uniq[:, 0])
-        out_ky.append(uniq[:, 1])
-        out_p.append(np.full(len(uniq), pid, dtype=np.int64))
+    xs = t.column("xs")
+    ys = t.column("ys")
+    if isinstance(xs, pa.ChunkedArray):
+        xs = xs.combine_chunks()
+    if isinstance(ys, pa.ChunkedArray):
+        ys = ys.combine_chunks()
+    off = np.asarray(xs.offsets, dtype=np.int64)
+    off = off - off[0]
+    x = xs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    y = ys.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return pids, x, y, off
+
+
+def _dedup_rows(cols: list[np.ndarray]) -> np.ndarray:
+    """Indices of the first occurrence of each distinct row (lexsorted) —
+    the vectorized replacement for per-group np.unique(axis=0)."""
+    n = len(cols[0])
+    if n == 0:
+        return np.empty(0, np.int64)
+    order = np.lexsort(cols[::-1])
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = True
+    for c in cols:
+        s = c[order]
+        keep[1:] |= s[1:] != s[:-1]
+    return order[keep]
+
+
+def _explode_vertices(t: pa.Table) -> pa.Table:
+    """(polygon_id, xs, ys) → (kx, ky, poly) one row per DISTINCT vertex.
+    Fully vectorized over the Arrow list offsets."""
+    pids, x, y, off = _ring_parts(t)
+    kx, ky = _f2i(x), _f2i(y)
+    poly = np.repeat(pids.astype(np.int64), np.diff(off))
+    keep = _dedup_rows([poly, kx, ky])
     return pa.table(
         {
-            "kx": pa.array(np.concatenate(out_kx) if out_kx else np.empty(0, np.int64)),
-            "ky": pa.array(np.concatenate(out_ky) if out_ky else np.empty(0, np.int64)),
-            "poly": pa.array(np.concatenate(out_p) if out_p else np.empty(0, np.int64)),
+            "kx": pa.array(kx[keep]),
+            "ky": pa.array(ky[keep]),
+            "poly": pa.array(poly[keep]),
         }
     )
 
 
+def _segment_indices(off: np.ndarray, x: np.ndarray, y: np.ndarray):
+    """(a_idx, b_idx): flat vertex indices of every boundary segment —
+    consecutive pairs within each ring plus a last→first wrap segment for
+    rings not already closed. Vectorized; assumes non-empty rings."""
+    total = off[-1]
+    ends = off[1:] - 1
+    starts = off[:-1]
+    is_end = np.zeros(total, dtype=bool)
+    if total:
+        is_end[ends] = True
+    a = np.flatnonzero(~is_end)
+    b = a + 1
+    closed = (x[starts] == x[ends]) & (y[starts] == y[ends])
+    a = np.concatenate([a, ends[~closed]])
+    b = np.concatenate([b, starts[~closed]])
+    return a, b
+
+
 def _explode_edges(t: pa.Table) -> pa.Table:
-    """(polygon_id, xs, ys) → (k1x, k1y, k2x, k2y, poly) per boundary segment,
-    vertex pair sorted so both polygons key identically."""
-    pids = t.column("polygon_id").to_numpy(zero_copy_only=False)
-    xs = t.column("xs").to_pylist()
-    ys = t.column("ys").to_pylist()
-    cols: dict[str, list] = {k: [] for k in ("k1x", "k1y", "k2x", "k2y", "poly")}
-    for pid, xr, yr in zip(pids, xs, ys):
-        x = np.asarray(xr, dtype=np.float64)
-        y = np.asarray(yr, dtype=np.float64)
-        # ensure closed ring
-        if x[0] != x[-1] or y[0] != y[-1]:
-            x = np.append(x, x[0])
-            y = np.append(y, y[0])
-        ax, ay = _f2i(x[:-1]), _f2i(y[:-1])
-        bx, by = _f2i(x[1:]), _f2i(y[1:])
-        # drop degenerate zero-length segments
-        ok = (ax != bx) | (ay != by)
-        ax, ay, bx, by = ax[ok], ay[ok], bx[ok], by[ok]
-        # canonical order: (a <= b) lexicographically
-        swap = (ax > bx) | ((ax == bx) & (ay > by))
-        k1x = np.where(swap, bx, ax)
-        k1y = np.where(swap, by, ay)
-        k2x = np.where(swap, ax, bx)
-        k2y = np.where(swap, ay, by)
-        # dedup segments within the polygon
-        seg = np.stack([k1x, k1y, k2x, k2y], axis=1)
-        seg = np.unique(seg, axis=0)
-        cols["k1x"].append(seg[:, 0])
-        cols["k1y"].append(seg[:, 1])
-        cols["k2x"].append(seg[:, 2])
-        cols["k2y"].append(seg[:, 3])
-        cols["poly"].append(np.full(len(seg), pid, dtype=np.int64))
+    """(polygon_id, xs, ys) → (k1x, k1y, k2x, k2y, poly) per boundary
+    segment, vertex pair sorted so both polygons key identically. Fully
+    vectorized over the Arrow list offsets."""
+    pids, x, y, off = _ring_parts(t)
+    a, b = _segment_indices(off, x, y)
+    ring_of = np.repeat(np.arange(len(off) - 1), np.diff(off))
+    poly = pids.astype(np.int64)[ring_of[a]]
+    ax, ay = _f2i(x[a]), _f2i(y[a])
+    bx, by = _f2i(x[b]), _f2i(y[b])
+    ok = (ax != bx) | (ay != by)  # drop degenerate zero-length segments
+    ax, ay, bx, by, poly = ax[ok], ay[ok], bx[ok], by[ok], poly[ok]
+    swap = (ax > bx) | ((ax == bx) & (ay > by))
+    k1x = np.where(swap, bx, ax)
+    k1y = np.where(swap, by, ay)
+    k2x = np.where(swap, ax, bx)
+    k2y = np.where(swap, ay, by)
+    keep = _dedup_rows([poly, k1x, k1y, k2x, k2y])
     return pa.table(
         {
-            k: pa.array(
-                np.concatenate(v) if v else np.empty(0, np.int64)
-            )
-            for k, v in cols.items()
+            "k1x": pa.array(k1x[keep]),
+            "k1y": pa.array(k1y[keep]),
+            "k2x": pa.array(k2x[keep]),
+            "k2y": pa.array(k2y[keep]),
+            "poly": pa.array(poly[keep]),
         }
     )
 
@@ -574,3 +605,218 @@ def nonplanar_neighbors(
     out = RayGraph(E.resolve_isolates(merged, ids_dataset(g.edges)))
     out.non_planar_joins = new
     return out
+
+
+# ------------------------------------------------------- strict contiguity
+def _explode_segments_raw(t: pa.Table) -> pa.Table:
+    """(polygon_id, xs, ys) → (poly, ax, ay, bx, by) raw float segments
+    (the strict-predicate input; no bit-pattern canonicalization)."""
+    pids, x, y, off = _ring_parts(t)
+    a, b = _segment_indices(off, x, y)
+    ring_of = np.repeat(np.arange(len(off) - 1), np.diff(off))
+    poly = pids.astype(np.int64)[ring_of[a]]
+    ax, ay, bx, by = x[a], y[a], x[b], y[b]
+    ok = (ax != bx) | (ay != by)
+    return pa.table(
+        {
+            "poly": pa.array(poly[ok]),
+            "ax": pa.array(ax[ok]),
+            "ay": pa.array(ay[ok]),
+            "bx": pa.array(bx[ok]),
+            "by": pa.array(by[ok]),
+        }
+    )
+
+
+def _seg_pair_touch(ax, ay, bx, by, cx, cy, dx, dy):
+    """(any_touch, overlap_1d) for segment pairs (a→b) vs (c→d), vectorized.
+
+    any_touch: the segments intersect at ≥1 point — orientation tests plus
+    collinear/endpoint bbox checks (the boundary∩boundary ≠ ∅ half of GEOS
+    ``touches``; graph/_contiguity.py:94-135. On a valid coverage, where
+    interiors are disjoint, boundary contact ⟺ touches).
+    overlap_1d: the pair is collinear AND overlaps over positive length —
+    DE-9IM "F***1****" boundary-overlap semantics
+    (graph/_contiguity.py:138-182). Exact for coordinates whose cross
+    products stay within double precision (integer-derived layers; robust
+    predicates would replace the arithmetic for adversarial floats)."""
+    ux, uy = bx - ax, by - ay
+    vx, vy = dx - cx, dy - cy
+    d1 = ux * (cy - ay) - uy * (cx - ax)  # orient(a,b,c)
+    d2 = ux * (dy - ay) - uy * (dx - ax)  # orient(a,b,d)
+    d3 = vx * (ay - cy) - vy * (ax - cx)  # orient(c,d,a)
+    d4 = vx * (by - cy) - vy * (bx - cx)  # orient(c,d,b)
+
+    def _onseg(px, py, sx1, sy1, sx2, sy2):
+        return (
+            (px >= np.minimum(sx1, sx2)) & (px <= np.maximum(sx1, sx2))
+            & (py >= np.minimum(sy1, sy2)) & (py <= np.maximum(sy1, sy2))
+        )
+
+    proper = (
+        ((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+        & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0)
+    )
+    touch = (
+        proper
+        | ((d1 == 0) & _onseg(cx, cy, ax, ay, bx, by))
+        | ((d2 == 0) & _onseg(dx, dy, ax, ay, bx, by))
+        | ((d3 == 0) & _onseg(ax, ay, cx, cy, dx, dy))
+        | ((d4 == 0) & _onseg(bx, by, cx, cy, dx, dy))
+    )
+    collinear = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
+    # positive-length projection overlap on the dominant axis
+    usex = np.abs(ux) >= np.abs(uy)
+    lo_a = np.where(usex, np.minimum(ax, bx), np.minimum(ay, by))
+    hi_a = np.where(usex, np.maximum(ax, bx), np.maximum(ay, by))
+    lo_c = np.where(usex, np.minimum(cx, dx), np.minimum(cy, dy))
+    hi_c = np.where(usex, np.maximum(cx, dx), np.maximum(cy, dy))
+    overlap = collinear & (
+        np.minimum(hi_a, hi_c) > np.maximum(lo_a, lo_c)
+    )
+    return touch, overlap
+
+
+def _strict_graph(polygons: ray.data.Dataset, rook_mode: bool) -> RayGraph:
+    """Shared strict queen/rook plan: segment explode → bbox-tile shuffle
+    (cell size from a global stats aggregate) → per-tile vectorized
+    segment-pair predicate → pair dedup → isolates.
+
+    This is the no-GEOS strict path: unlike the vertex/edge HASH builders
+    it detects neighbors whose shared boundary has mismatched vertices
+    (T-junctions, partial collinear edge overlaps) — the reference's
+    strict=True semantics (graph/_contiguity.py:94-182)."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    ids = polygons.select_columns(["polygon_id"]).rename_columns(
+        {"polygon_id": "focal"}
+    )
+    segs = polygons.map_batches(
+        _explode_segments_raw, batch_format="pyarrow"
+    ).materialize()
+
+    def _with_span(t: pa.Table) -> pa.Table:
+        ax = t.column("ax").to_numpy(zero_copy_only=False)
+        ay = t.column("ay").to_numpy(zero_copy_only=False)
+        bx = t.column("bx").to_numpy(zero_copy_only=False)
+        by = t.column("by").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lx": pa.array(np.minimum(ax, bx)),
+                "hx": pa.array(np.maximum(ax, bx)),
+                "ly": pa.array(np.minimum(ay, by)),
+                "hy": pa.array(np.maximum(ay, by)),
+                "ln": pa.array((bx - ax) ** 2 + (by - ay) ** 2),
+            }
+        )
+
+    st = segs.map_batches(_with_span, batch_format="pyarrow").aggregate(
+        Min("lx"), Max("hx"), Min("ly"), Max("hy"), Mean("ln"), Count()
+    )
+    lo_x, hi_x = float(st["min(lx)"]), float(st["max(hx)"])
+    lo_y, hi_y = float(st["min(ly)"]), float(st["max(hy)"])
+    n_segs = int(st["count()"])
+    mean_len = float(st["mean(ln)"]) ** 0.5
+    span = max(hi_x - lo_x, hi_y - lo_y, 1e-300)
+    # cells ≈ segment scale, floored so the grid never exceeds ~2^21/axis
+    cs = max(2.0 * mean_len, span / (1 << 20), span / max(n_segs, 1) ** 0.5)
+
+    def _tiles(t: pa.Table) -> pa.Table:
+        ax = t.column("ax").to_numpy(zero_copy_only=False)
+        ay = t.column("ay").to_numpy(zero_copy_only=False)
+        bx = t.column("bx").to_numpy(zero_copy_only=False)
+        by = t.column("by").to_numpy(zero_copy_only=False)
+        poly = t.column("poly").to_numpy(zero_copy_only=False)
+        cx0 = np.floor((np.minimum(ax, bx) - lo_x) / cs).astype(np.int64)
+        cx1 = np.floor((np.maximum(ax, bx) - lo_x) / cs).astype(np.int64)
+        cy0 = np.floor((np.minimum(ay, by) - lo_y) / cs).astype(np.int64)
+        cy1 = np.floor((np.maximum(ay, by) - lo_y) / cs).astype(np.int64)
+        nx = cx1 - cx0 + 1
+        ny = cy1 - cy0 + 1
+        reps = nx * ny
+        idx = np.repeat(np.arange(len(ax)), reps)
+        within = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        tx = cx0[idx] + within % nx[idx]
+        ty = cy0[idx] + within // nx[idx]
+        tile = (tx << np.int64(21)) | ty
+        return pa.table(
+            {
+                "tile": pa.array(tile),
+                "poly": pa.array(poly[idx]),
+                "ax": pa.array(ax[idx]),
+                "ay": pa.array(ay[idx]),
+                "bx": pa.array(bx[idx]),
+                "by": pa.array(by[idx]),
+            }
+        )
+
+    tiled = segs.map_batches(_tiles, batch_format="pyarrow")
+
+    def _tile_pairs(t: pa.Table) -> pa.Table:
+        """Per-bucket: tiles are contiguous runs (table arrives sorted by
+        tile). Pair indices are generated per tile-SIZE class with one
+        broadcast each, then ONE vectorized predicate evaluation covers
+        every candidate pair in the bucket."""
+        n = t.num_rows
+        if n == 0:
+            return E.empty_edges()
+        tile = t.column("tile").to_numpy(zero_copy_only=False)
+        poly = t.column("poly").to_numpy(zero_copy_only=False)
+        ax = t.column("ax").to_numpy(zero_copy_only=False)
+        ay = t.column("ay").to_numpy(zero_copy_only=False)
+        bx = t.column("bx").to_numpy(zero_copy_only=False)
+        by = t.column("by").to_numpy(zero_copy_only=False)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = tile[1:] != tile[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, n))
+        ii, jj = [], []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            s = starts[sizes == m]
+            base = s[:, None] + np.arange(m)[None, :]  # (G, m)
+            ii.append(np.repeat(base, m, axis=1).ravel())
+            jj.append(np.tile(base, (1, m)).ravel())
+        if not ii:
+            return E.empty_edges()
+        i = np.concatenate(ii)
+        j = np.concatenate(jj)
+        keep = poly[i] < poly[j]  # distinct polys, one orientation
+        i, j = i[keep], j[keep]
+        if len(i) == 0:
+            return E.empty_edges()
+        touch, overlap = _seg_pair_touch(
+            ax[i], ay[i], bx[i], by[i], ax[j], ay[j], bx[j], by[j]
+        )
+        hit = overlap if rook_mode else touch
+        pi, pj = poly[i][hit], poly[j][hit]
+        if len(pi) == 0:
+            return E.empty_edges()
+        return E.edge_table(
+            np.concatenate([pi, pj]), np.concatenate([pj, pi]), 1.0
+        )
+
+    pairs = grouped_by_key(tiled, ["tile"], _tile_pairs)
+    edges = E.dedup(
+        pairs.map_batches(E.batch_dedup, batch_format="pyarrow")
+    )
+    return RayGraph(E.resolve_isolates(edges, ids))
+
+
+def queen_strict(polygons: ray.data.Dataset) -> RayGraph:
+    """Strict queen: neighbors ⟺ boundaries share ≥1 point, INCLUDING
+    contacts at non-vertex locations (T-junctions) — GEOS ``touches``
+    semantics on a valid coverage (graph/_contiguity.py:94-135), built
+    without GEOS from vectorized segment orientation tests."""
+    return _strict_graph(polygons, rook_mode=False)
+
+
+def rook_strict(polygons: ray.data.Dataset) -> RayGraph:
+    """Strict rook: neighbors ⟺ boundaries share a positive-length
+    collinear overlap, regardless of vertex placement — DE-9IM
+    "F***1****" semantics (graph/_contiguity.py:138-182), without GEOS."""
+    return _strict_graph(polygons, rook_mode=True)

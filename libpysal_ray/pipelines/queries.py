@@ -1813,3 +1813,81 @@ ORACLE_SQL["emb_neardup_lsh"] = _oa.EMB_NEARDUP_LSH_SQL
 ORACLE_SQL["ann_ivf"] = _oh.with_macros(_oa.ANN_IVF_SQL)
 ORACLE_SQL["image_features"] = _oh.with_macros(_oa.IMAGE_FEATURES_SQL)
 ORACLE_SQL["flagship"] = _oa.FLAGSHIP_SQL
+
+# ------------------------------------------------- strict contiguity (r3)
+def _tjunction_polys(sf_dir: str) -> ray.data.Dataset:
+    """Non-conforming T-junction layer from documents: doc_id < B=n//2 are
+    bottom rectangles [2j, 2j+2] x [0,1]; doc_id >= B are diamonds whose
+    bottom vertex (2k+0.5, 1) sits in the INTERIOR of bottom j=k's top
+    edge. No diamond/bottom vertex coincides, so the hash builders see no
+    cross-layer contact; the strict builders must find it (queen: point
+    touch; rook: none — the diamond contact is 0-dimensional)."""
+    n = _docs(sf_dir, ["doc_id"]).count()
+    B = n // 2
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        xs, ys = [], []
+        for i in ids:
+            if i < B:
+                j = float(i)
+                xs.append([2 * j, 2 * j + 2, 2 * j + 2, 2 * j, 2 * j])
+                ys.append([0.0, 0.0, 1.0, 1.0, 0.0])
+            else:
+                k = float(i - B)
+                xs.append(
+                    [2 * k + 0.5, 2 * k + 1, 2 * k + 0.5, 2 * k, 2 * k + 0.5]
+                )
+                ys.append([1.0, 1.5, 2.0, 1.5, 1.0])
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids),
+                "xs": pa.array(xs, pa.list_(pa.float64())),
+                "ys": pa.array(ys, pa.list_(pa.float64())),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+
+
+def q_queen_strict(sf_dir: str):
+    from libpysal_ray.builders.contiguity import queen_strict
+
+    return _real(queen_strict(_tjunction_polys(sf_dir)))
+
+
+def q_rook_strict(sf_dir: str):
+    from libpysal_ray.builders.contiguity import rook_strict
+
+    return _real(rook_strict(_tjunction_polys(sf_dir)))
+
+
+QUERIES["queen_strict"] = q_queen_strict
+QUERIES["rook_strict"] = q_rook_strict
+
+_STRICT_BASE_SQL = """
+c AS (SELECT COUNT(*) // 2 AS b FROM documents),
+bot AS (SELECT doc_id AS j FROM documents, c WHERE doc_id < b),
+dia AS (SELECT doc_id, doc_id - b AS k FROM documents, c WHERE doc_id >= b),
+bb AS (
+  SELECT a.j AS focal, d.j AS neighbor FROM bot a JOIN bot d
+  ON abs(a.j - d.j) = 1
+)"""
+
+ORACLE_SQL["queen_strict"] = f"""
+WITH {_STRICT_BASE_SQL}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM bb
+UNION ALL
+SELECT d.doc_id AS focal, t.j AS neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM dia d JOIN bot t ON t.j = d.k
+UNION ALL
+SELECT t.j AS focal, d.doc_id AS neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM dia d JOIN bot t ON t.j = d.k
+"""
+
+ORACLE_SQL["rook_strict"] = f"""
+WITH {_STRICT_BASE_SQL}
+SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM bb
+"""

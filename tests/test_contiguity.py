@@ -185,3 +185,100 @@ def test_pip_join_grid():
     # cell col is the quadcell of the point
     cells = {r["id"]: r["cell"] for r in out}
     assert cells[0] == cell_encode(px[:1], py[:1], 8)[0]
+
+
+# ----------------------------------------------------- strict (no-GEOS)
+def test_strict_equals_hash_on_conforming_grid():
+    """On a conforming lattice (every shared boundary has matched
+    vertices) strict and hash builders agree exactly."""
+    from libpysal_ray.builders.contiguity import queen_strict, rook_strict
+
+    polys = grid_coverage(4, 4)
+    _same_graph(queen_strict(polys), queen(polys))
+    _same_graph(rook_strict(polys), rook(polys))
+
+
+def _tjunction_layer(n_bottom: int):
+    """Bottom rects [2j,2j+2]x[0,1] + top rects [k+0.5,k+1.5]x[1,2]
+    (ids n_bottom+k): NO shared vertices across rows — pure T-junctions
+    with positive-length collinear overlaps."""
+    pids, xs, ys = [], [], []
+    for j in range(n_bottom):
+        pids.append(j)
+        xs.append([2 * j, 2 * j + 2, 2 * j + 2, 2 * j, 2 * j])
+        ys.append([0.0, 0.0, 1.0, 1.0, 0.0])
+    for k in range(2 * n_bottom - 1):
+        pids.append(n_bottom + k)
+        xs.append([k + 0.5, k + 1.5, k + 1.5, k + 0.5, k + 0.5])
+        ys.append([1.0, 1.0, 2.0, 2.0, 1.0])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "polygon_id": pa.array(pids, pa.int64()),
+                "xs": pa.array([[float(v) for v in r] for r in xs],
+                               pa.list_(pa.float64())),
+                "ys": pa.array(ys, pa.list_(pa.float64())),
+            }
+        )
+    )
+
+
+def test_strict_finds_tjunction_neighbors():
+    """FIXTURES.md F-STRICT golden: split-edge double row. The hash
+    builders see no cross-row contact; strict queen AND strict rook must
+    find every positive-length overlap (reference strict=True semantics,
+    graph/_contiguity.py:94-182)."""
+    from libpysal_ray.builders.contiguity import queen_strict, rook_strict
+
+    B = 4
+    polys = _tjunction_layer(B)
+    nq, _ = queen_strict(polys).neighbors_dict()
+    nr, _ = rook_strict(polys).neighbors_dict()
+    nh, _ = queen(polys).neighbors_dict()
+
+    # golden: bottom j ~ top k iff (k+0.5, k+1.5) overlaps (2j, 2j+2)
+    for j in range(B):
+        want_tops = {
+            B + k
+            for k in range(2 * B - 1)
+            if k + 0.5 < 2 * j + 2 and k + 1.5 > 2 * j
+        }
+        want = want_tops | ({j - 1} if j > 0 else set()) | (
+            {j + 1} if j < B - 1 else set()
+        )
+        assert set(nq[j]) == want, f"queen_strict bottom {j}"
+        assert set(nr[j]) == want, f"rook_strict bottom {j}"
+        # hash queen: no shared vertices across rows
+        assert set(nh[j]) == want - want_tops, f"hash queen bottom {j}"
+
+    # top-top chain via shared full edges (all three agree there)
+    for k in range(2 * B - 2):
+        assert B + k + 1 in set(nq[B + k])
+        assert B + k + 1 in set(nr[B + k])
+
+
+def test_strict_queen_point_touch_is_not_rook():
+    """A diamond whose bottom vertex touches the interior of a rect's top
+    edge at a single POINT: queen_strict neighbor, rook_strict isolate."""
+    from libpysal_ray.builders.contiguity import queen_strict, rook_strict
+
+    t = pa.table(
+        {
+            "polygon_id": pa.array([0, 1], pa.int64()),
+            "xs": pa.array(
+                [[0.0, 4.0, 4.0, 0.0, 0.0],
+                 [2.5, 3.0, 2.5, 2.0, 2.5]],
+                pa.list_(pa.float64()),
+            ),
+            "ys": pa.array(
+                [[0.0, 0.0, 1.0, 1.0, 0.0],
+                 [1.0, 1.5, 2.0, 1.5, 1.0]],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    polys = ray.data.from_arrow(t)
+    nq, _ = queen_strict(polys).neighbors_dict()
+    nr, _ = rook_strict(polys).neighbors_dict()
+    assert set(nq[0]) == {1} and set(nq[1]) == {0}
+    assert nr[0] == [] and nr[1] == []

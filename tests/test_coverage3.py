@@ -122,3 +122,20 @@ def test_issubgraph_equals():
     assert r.equals(lat2graph(4, 4, rook=True))
     assert not r.equals(q)
     assert not r.equals(r.transform("R"))
+
+
+def test_dist_quantile_distributed_exact():
+    """_dist_quantile == np.quantile bit-for-bit, including with a hot
+    duplicate bin that forces the histogram refinement loop."""
+    import ray.data as rd
+
+    from libpysal_ray.builders.distance import _dist_quantile
+
+    rng = np.random.default_rng(21)
+    d = np.concatenate(
+        [rng.uniform(0.0, 100.0, 5000), np.full(3000, 42.0)]
+    )
+    rng.shuffle(d)
+    ds = rd.from_arrow(pa.table({"dist": pa.array(d)})).repartition(8)
+    for q in (0.25, 0.5, 0.9):
+        assert _dist_quantile(ds, q, max_pull=512) == np.quantile(d, q)
