@@ -28,16 +28,49 @@ from libpysal_ray.core import edges as E
 from libpysal_ray.core.graph import RayGraph
 
 
+def _gen_offsets(criterion: str, k: int) -> list[tuple[int, int]]:
+    """Undirected offset generators for the k-order WINDOW neighborhood:
+    queen = Chebyshev distance ≤ k, rook = Manhattan distance ≤ k — the
+    offset sets _compute_chunk enumerates order-by-order
+    (weights/raster.py:797-873; rook's order-1 corners appear iff
+    k/order ≥ 2, which is exactly the Manhattan-≤-k diamond)."""
+    offs = []
+    for dr in range(0, k + 1):
+        for dc in range(-k, k + 1):
+            if dr == 0 and dc <= 0:
+                continue  # lower half = mirrors of the upper generators
+            dist = (
+                max(abs(dr), abs(dc))
+                if criterion == "queen"
+                else abs(dr) + abs(dc)
+            )
+            if dist <= k:
+                offs.append((dr, dc))
+    return offs
+
+
 def raster_contiguity(
     cells: ray.data.Dataset,
     nrows: int,
     ncols: int,
     criterion: str = "rook",
     nodata: float | None = None,
+    k: int = 1,
+    include_nodata: bool = False,
 ) -> RayGraph:
-    offsets = [(0, 1), (1, 0)]  # E, S — undirected generators
-    if criterion == "queen":
-        offsets += [(1, 1), (1, -1)]  # SE, SW (raster.py:807-873)
+    """``k``: contiguity order, lower orders included (da2WSP semantics,
+    weights/raster.py:186-330). ``include_nodata=False`` (default) makes
+    k-order neighborhoods path-based — reachable within ≤k hops through
+    VALID cells (the reference's Σ_{x≤k} matrix-power branch,
+    raster.py:318-330) — built here as higher_order(k, lower_order=True)
+    over the order-1 graph (k−1 distributed self-joins).
+    ``include_nodata=True`` treats nodata as passable when selecting
+    higher-order neighbors (the numba branch): pure window offsets, no
+    extra shuffle beyond the one claims cogroup."""
+    if k > 1 and not include_nodata:
+        base = raster_contiguity(cells, nrows, ncols, criterion, nodata)
+        return base.higher_order(k, lower_order=True)
+    offsets = _gen_offsets(criterion, k)
 
     def _claims(t: pa.Table) -> pa.Table:
         band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1891,3 +1891,78 @@ ORACLE_SQL["rook_strict"] = f"""
 WITH {_STRICT_BASE_SQL}
 SELECT focal, neighbor, CAST(1.0 AS DOUBLE) AS weight FROM bb
 """
+
+# --------------------------------------------------- raster k-order (r3)
+def _raster_cells(sf_dir: str):
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    nrows = (n + LCOLS - 1) // LCOLS
+
+    def _cells(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band": pa.array(np.zeros(len(ids), np.int64)),
+                "row": pa.array((ids // LCOLS).astype(np.int64)),
+                "col": pa.array((ids % LCOLS).astype(np.int64)),
+                "value": pa.array(
+                    np.where(nc % 7 == 0, -1.0, nc.astype(np.float64))
+                ),
+            }
+        )
+
+    return docs.map_batches(_cells, batch_format="pyarrow"), nrows
+
+
+def q_raster_rook_k2(sf_dir: str):
+    """Order-2 rook raster contiguity, path-based (include_nodata=False:
+    reachable within ≤2 hops through VALID cells — the reference's
+    matrix-power branch, weights/raster.py:318-330)."""
+    cells, nrows = _raster_cells(sf_dir)
+    g = raster_contiguity(cells, nrows, LCOLS, "rook", nodata=-1.0, k=2)
+    return _real(g)
+
+
+def q_raster_queen_k2_nodata(sf_dir: str):
+    """Order-2 queen raster contiguity with include_nodata=True: window
+    semantics — valid cells within Chebyshev distance ≤2, nodata passable
+    (the reference's numba offset-enumeration branch)."""
+    cells, nrows = _raster_cells(sf_dir)
+    g = raster_contiguity(
+        cells, nrows, LCOLS, "queen", nodata=-1.0, k=2, include_nodata=True
+    )
+    return _real(g)
+
+
+QUERIES["raster_rook_k2"] = q_raster_rook_k2
+QUERIES["raster_queen_k2_nodata"] = q_raster_queen_k2_nodata
+
+_RASTER_VALID_SQL = f"""
+v AS (
+  SELECT doc_id // {LCOLS} AS r, doc_id % {LCOLS} AS c,
+         (doc_id // {LCOLS}) * {LCOLS} + doc_id % {LCOLS} AS cid
+  FROM documents WHERE n_chars % 7 <> 0
+)"""
+
+ORACLE_SQL["raster_rook_k2"] = f"""
+WITH {_RASTER_VALID_SQL},
+adj1 AS (
+  SELECT a.cid AS f, b.cid AS n FROM v a JOIN v b
+  ON (a.r = b.r AND abs(a.c - b.c) = 1)
+  OR (a.c = b.c AND abs(a.r - b.r) = 1)
+),
+upto2 AS (
+  SELECT f, n FROM adj1
+  UNION
+  SELECT a.f, b.n FROM adj1 a JOIN adj1 b ON a.n = b.f WHERE a.f <> b.n
+)
+SELECT f AS focal, n AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM upto2
+"""
+
+ORACLE_SQL["raster_queen_k2_nodata"] = f"""
+WITH {_RASTER_VALID_SQL}
+SELECT a.cid AS focal, b.cid AS neighbor, CAST(1.0 AS DOUBLE) AS weight
+FROM v a, v b
+WHERE greatest(abs(a.r - b.r), abs(a.c - b.c)) BETWEEN 1 AND 2
+"""

@@ -282,3 +282,42 @@ def test_strict_queen_point_touch_is_not_rook():
     nr, _ = rook_strict(polys).neighbors_dict()
     assert set(nq[0]) == {1} and set(nq[1]) == {0}
     assert nr[0] == [] and nr[1] == []
+
+
+def test_raster_k2_path_vs_window_nodata():
+    """k=2 with a nodata bridge cell: include_nodata=True (window) keeps
+    the pair whose only 2-hop path crosses nodata; include_nodata=False
+    (path-based, da2WSP matrix-power branch) drops it."""
+    # 1x5 strip: cells 0 1 2 3 4, cell 2 nodata → 0-2-4 bridge broken
+    t = pa.table(
+        {
+            "band": pa.array([0] * 5, pa.int64()),
+            "row": pa.array([0] * 5, pa.int64()),
+            "col": pa.array(list(range(5)), pa.int64()),
+            "value": pa.array([1.0, 1.0, -1.0, 1.0, 1.0]),
+        }
+    )
+    cells = ray.data.from_arrow(t)
+    g_path = raster_contiguity(cells, 1, 5, "rook", nodata=-1.0, k=2)
+    g_win = raster_contiguity(
+        cells, 1, 5, "rook", nodata=-1.0, k=2, include_nodata=True
+    )
+    np_, _ = g_path.neighbors_dict()
+    nw, _ = g_win.neighbors_dict()
+    # window: 1~3 via Manhattan 2 through the nodata cell; path: blocked
+    assert 3 in nw[1] and 1 in nw[3]
+    assert 3 not in np_[1]
+    # both: 0~1 (order 1) and 3~4
+    assert 1 in np_[0] and 1 in nw[0]
+    # isolate-free valid cells all present
+    assert set(np_) == {0, 1, 3, 4} and set(nw) == {0, 1, 3, 4}
+
+
+def test_raster_offsets_window_shape():
+    from libpysal_ray.builders.raster import _gen_offsets
+
+    q2 = _gen_offsets("queen", 2)
+    r2 = _gen_offsets("rook", 2)
+    # full window halves: queen 12 of 24 offsets, rook diamond 6 of 12
+    assert len(q2) == 12 and len(r2) == 6
+    assert (1, 1) in r2 and (2, 2) not in r2 and (2, 2) in q2
