@@ -239,6 +239,31 @@ def cosine_dup_pairs(
     return embeddings.map_batches(_scan, batch_format="pyarrow")
 
 
+# above this corpus size the exact O(n²/chunk) all-pairs plan stops being
+# the right default; the LSH band-bucket plan takes over (the minhash
+# verify's VERIFY_BROADCAST_PAIRS size-switch pattern)
+COSINE_EXACT_MAX_ROWS = 200_000
+
+
+def cosine_dup_pairs_auto(
+    embeddings: ray.data.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_max_rows: int = COSINE_EXACT_MAX_ROWS,
+) -> ray.data.Dataset:
+    """Size-switched near-duplicate pairs: EXACT blocked-matmul below
+    ``exact_max_rows`` corpus rows (where O(n²) compute and the chunk-ref
+    object-store pins are cheap), the sub-quadratic LSH band-bucket plan
+    above (approximate; recall pinned vs exact in pytest). This is the
+    default entry a pipeline should call — neither branch materializes
+    the corpus on the driver."""
+    n = embeddings.count()
+    if n <= exact_max_rows:
+        return cosine_dup_pairs(embeddings, threshold, id_col, vec_col)
+    return cosine_dup_pairs_lsh(embeddings, threshold, id_col, vec_col)
+
+
 def cosine_dup_pairs_lsh(
     embeddings: ray.data.Dataset,
     threshold: float,

@@ -492,6 +492,18 @@ def delaunay_bounded(
                 continue
             gi = c[pr]  # focal point index
             gj = pc  # neighbor point index
+            # coincident locations make the pair's chord direction NaN and
+            # every interval constraint a no-op — the duplicate pair would
+            # silently gain an edge. Mirror the exact path's _check_unique
+            # / reference coplanar='raise' (ADVICE r2 #3).
+            dup = d2[pr, pc] == 0.0
+            if dup.any():
+                i_, j_ = ids[gi[dup][0]], ids[gj[dup][0]]
+                raise ValueError(
+                    "delaunay_bounded: coincident point locations (ids "
+                    f"{int(i_)} and {int(j_)}); deduplicate or jitter the "
+                    "input (reference coplanar='raise' semantics)"
+                )
             keep = _interval_alive(
                 x[gi], y[gi], x[gj], y[gj], ids[gi], ids[gj], x, y, ids, R
             )

@@ -286,7 +286,14 @@ def knn_arc_edges(
     )
     if unresolved_ids:
         uq = np.array([r["focal"] for r in unresolved_ids], dtype=np.int64)
-        qrows = points.map_batches(
+        # CHUNKED fallback (ADVICE r2 #5): the unresolved query set is
+        # streamed in bounded chunks — each chunk is one ray.put + one
+        # scan pass — so clustered inputs with a large unresolved
+        # fraction never pin an O(U) payload on the driver or run one
+        # O(U×n) task. Each focal lives in exactly one chunk, so the
+        # per-chunk groupby(focal) merge is still the global top-k.
+        q_chunk = 65536
+        qfiltered = points.map_batches(
             lambda t: t.filter(
                 pa.array(
                     np.isin(
@@ -295,16 +302,15 @@ def knn_arc_edges(
                 )
             ),
             batch_format="pyarrow",
-        ).take_all()
-        qid = np.array([r[id_col] for r in qrows], dtype=np.int64)
-        qx, qy, qz = _to_xyz(
-            np.array([r[lon_col] for r in qrows], dtype=np.float64),
-            np.array([r[lat_col] for r in qrows], dtype=np.float64),
-            radius,
         )
-        qref = ray.put((qid, np.stack([qx, qy, qz], axis=1)))
 
-        def _scan(t: pa.Table) -> pa.Table:
+        def _scan_for(qref):
+            def _scan(t: pa.Table) -> pa.Table:
+                return _scan_impl(t, qref)
+
+            return _scan
+
+        def _scan_impl(t: pa.Table, qref) -> pa.Table:
             qi, qv = ray.get(qref)
             i = t.column(id_col).to_numpy(zero_copy_only=False)
             x_, y_, z_ = _to_xyz(
@@ -355,12 +361,29 @@ def knn_arc_edges(
                     break
             return t.take(pa.array(np.array(keep, dtype=np.int64)))
 
-        fallback = (
-            points.map_batches(_scan, batch_format="pyarrow")
-            .groupby("focal")
-            .map_groups(_merge_topk, batch_format="pyarrow")
-        )
-        out = resolved.union(fallback)
+        parts = []
+        for qb in qfiltered.iter_batches(
+            batch_size=q_chunk, batch_format="pyarrow"
+        ):
+            qid = qb.column(id_col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            qx, qy, qz = _to_xyz(
+                qb.column(lon_col).to_numpy(zero_copy_only=False),
+                qb.column(lat_col).to_numpy(zero_copy_only=False),
+                radius,
+            )
+            qref = ray.put((qid, np.stack([qx, qy, qz], axis=1)))
+            parts.append(
+                points.map_batches(
+                    _scan_for(qref), batch_format="pyarrow"
+                )
+                .groupby("focal")
+                .map_groups(_merge_topk, batch_format="pyarrow")
+            )
+        out = resolved
+        for p in parts:
+            out = out.union(p)
     else:
         out = resolved
 

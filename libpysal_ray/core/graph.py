@@ -430,6 +430,14 @@ class RayGraph:
             self._edges, attr_ids, attr_codes, key_col="neighbor",
             out_col="__c", default=np.nan, id_col=id_col, val_col=val_col,
         )
+        if ties == "tryself":
+            # the focal's OWN label joins the tally on a tie
+            # (spatial_lag.py:236-240): attach it as a second column
+            withc = _attach_attr(
+                withc, attr_ids, attr_codes, key_col="focal",
+                out_col="__fc", default=np.nan, id_col=id_col,
+                val_col=val_col,
+            )
 
         def _modal_block(t: pa.Table) -> pa.Table:
             f = t.column("focal").to_numpy(zero_copy_only=False).astype(
@@ -464,18 +472,69 @@ class RayGraph:
                             f"tie in categorical lag for focal "
                             f"{int(uf_s[first[tied][0]])}"
                         )
+                    if ties == "tryself":
+                        # per-focal own code + mean neighbor weight
+                        fc = t.column("__fc").to_numpy(
+                            zero_copy_only=False
+                        )
+                        # rows of one focal carry identical __fc values
+                        own_arr = np.full(len(all_f), np.nan)
+                        own_arr[np.searchsorted(all_f, f)] = fc
+                        mw_sum = np.zeros(len(all_f))
+                        mw_cnt = np.zeros(len(all_f))
+                        pos_f = np.searchsorted(all_f, f_)
+                        np.add.at(mw_sum, pos_f, w_)
+                        np.add.at(mw_cnt, pos_f, 1.0)
                     for gi in np.flatnonzero(tied):
                         s, e = first[gi], ends[gi]
                         cand = uc_s[s:e][tot_s[s:e] == tot_s[s]]
+                        rng = np.random.default_rng(seed + int(uf_s[s]))
                         if ties == "random":
-                            rng = np.random.default_rng(
-                                seed + int(uf_s[s])
-                            )
                             best[gi] = cand[
                                 rng.integers(0, len(cand), 1)[0]
                             ]
                         elif ties == "highest":
                             best[gi] = cand.max()
+                        elif ties == "tryself":
+                            # add mean neighbor weight to the own-label
+                            # tally, re-resolve, random if still tied
+                            # (reference _resolve_ties 'tryself' branch)
+                            fid = int(uf_s[s])
+                            own = own_arr[int(np.searchsorted(all_f, fid))]
+                            if np.isnan(own):
+                                best[gi] = cand[
+                                    rng.integers(0, len(cand), 1)[0]
+                                ]
+                                continue
+                            own = int(own)
+                            fpos = int(
+                                np.searchsorted(all_f, fid)
+                            )
+                            mw = (
+                                mw_sum[fpos] / mw_cnt[fpos]
+                                if mw_cnt[fpos]
+                                else 0.0
+                            )
+                            in_g = uc_s[s:e] == own
+                            own_base = (
+                                float(tot_s[s:e][in_g][0])
+                                if in_g.any()
+                                else 0.0
+                            )
+                            own_tot = own_base + mw
+                            if own_tot > tot_s[s]:
+                                best[gi] = own
+                            elif own_tot == tot_s[s]:
+                                winners = np.unique(
+                                    np.append(cand, own)
+                                )
+                                best[gi] = winners[
+                                    rng.integers(0, len(winners), 1)[0]
+                                ]
+                            else:
+                                best[gi] = cand[
+                                    rng.integers(0, len(cand), 1)[0]
+                                ]
                         else:  # 'lowest' — ascending code order
                             best[gi] = cand.min()
                 # map winners back onto the full focal list (searchsorted —
@@ -722,22 +781,44 @@ class RayGraph:
                 f"exact isomorphism above {max_nodes} nodes; the degree "
                 "screen passed — use domain knowledge or raise max_nodes"
             )
+        # Asymmetric graphs (e.g. KNN) must be matched over DIRECTED
+        # adjacency — the reference converts them to nx.DiGraph
+        # (base.py:2522-2525). Symmetrizing would conflate graphs with
+        # the same undirected skeleton but different edge orientations
+        # (ADVICE r2 #1).
+        directed = (
+            self.asymmetries().count() > 0
+            or other.asymmetries().count() > 0
+        )
 
         def _adj(g: "RayGraph"):
-            adj: dict[int, set] = {}
+            """(out_sets, in_sets) — identical views when undirected."""
+            out: dict[int, set] = {}
+            inn: dict[int, set] = {}
             for r in g.edges.take_all():
                 f_, n_ = int(r["focal"]), int(r["neighbor"])
-                adj.setdefault(f_, set())
+                out.setdefault(f_, set())
+                inn.setdefault(f_, set())
                 if not (f_ == n_ and r["weight"] == 0.0):
-                    adj[f_].add(n_)
-                    adj.setdefault(n_, set()).add(f_)
-            return adj
+                    out[f_].add(n_)
+                    inn.setdefault(n_, set()).add(f_)
+                    out.setdefault(n_, set())
+                    if not directed:
+                        out[n_].add(f_)
+                        inn[f_].add(n_)
+            return out, inn
 
-        aa, bb = _adj(self), _adj(other)
-        order = sorted(aa, key=lambda u: -len(aa[u]))
-        by_deg: dict[int, list] = {}
-        for v_, s in bb.items():
-            by_deg.setdefault(len(s), []).append(v_)
+        (ao, ai), (bo, bi) = _adj(self), _adj(other)
+        if directed:
+            # (out-degree, in-degree) multiset screen
+            if sorted((len(ao[u]), len(ai[u])) for u in ao) != sorted(
+                (len(bo[v]), len(bi[v])) for v in bo
+            ):
+                return False
+        order = sorted(ao, key=lambda u: -(len(ao[u]) + len(ai[u])))
+        by_deg: dict[tuple, list] = {}
+        for v_ in bo:
+            by_deg.setdefault((len(bo[v_]), len(bi[v_])), []).append(v_)
         mapping: dict[int, int] = {}
         used: set = set()
 
@@ -745,12 +826,14 @@ class RayGraph:
             if i == len(order):
                 return True
             u = order[i]
-            for v_ in by_deg.get(len(aa[u]), []):
+            for v_ in by_deg.get((len(ao[u]), len(ai[u])), []):
                 if v_ in used:
                     continue
                 ok = True
                 for un, um in mapping.items():
-                    if (un in aa[u]) != (um in bb[v_]):
+                    if (un in ao[u]) != (um in bo[v_]) or (
+                        un in ai[u]
+                    ) != (um in bi[v_]):
                         ok = False
                         break
                 if ok:
@@ -878,17 +961,15 @@ class RayGraph:
         if len(iso_df) == 0 or "focal" not in iso_df.columns:
             return self
         iso = iso_df["focal"].to_numpy(np.int64)
+        # islands-only focal set: the tile scan queries |islands| points,
+        # not the whole corpus (every point still serves as a candidate)
         knn1 = knn_edges_with_dist(points, k=1, id_col=id_col,
-                                   x_col=x_col, y_col=y_col)
-        iso_ref = ray.put(np.sort(iso))
+                                   x_col=x_col, y_col=y_col,
+                                   query_ids=iso)
 
         def _keep_iso(t: pa.Table) -> pa.Table:
-            keep = np.isin(
-                t.column("focal").to_numpy(zero_copy_only=False),
-                ray.get(iso_ref),
-            )
-            f = t.column("focal").to_numpy(zero_copy_only=False)[keep]
-            nb = t.column("neighbor").to_numpy(zero_copy_only=False)[keep]
+            f = t.column("focal").to_numpy(zero_copy_only=False)
+            nb = t.column("neighbor").to_numpy(zero_copy_only=False)
             # edge + reverse, binary weight (reference w_knn1 weights)
             return E.edge_table(
                 np.concatenate([f, nb]), np.concatenate([nb, f]), 1.0
@@ -1476,9 +1557,11 @@ class RayGraph:
 
         mappings: list[ray.data.Dataset] = []
         cur = und
+        converged = False
         for _level in range(12):
             cnt = cur.count()
             if cnt == 0:
+                converged = True
                 break
             nparts = 1 if cnt <= single_block_limit else max(16, ncpu)
             mapping = (
@@ -1491,6 +1574,7 @@ class RayGraph:
             )
             mappings.append(mapping)
             if nparts == 1:
+                converged = True
                 break
             # contract edges through the mapping, drop self/dup edges
             m_f = _ren(mapping, {"node": "focal", "root": "__rf"})
@@ -1517,6 +1601,16 @@ class RayGraph:
                 .materialize()
             )
 
+        if not converged:
+            # labels composed from a partially-contracted graph would be
+            # silently wrong — fail loudly instead (ADVICE r2 #2). Each
+            # level contracts every local component to one node, so 12
+            # supersteps cover any graph a sane partitioning produces.
+            raise RuntimeError(
+                "distributed connected components did not converge in 12 "
+                "contraction supersteps; raise single_block_limit or "
+                "partition count"
+            )
         # compose mappings back-to-front: labels(node) at level i follows
         # root into level i+1's labels; roots absent there are final
         labels = mappings[-1] if mappings else None

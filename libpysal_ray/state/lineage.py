@@ -64,30 +64,41 @@ def write_partition(
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
     if run_id is not None:
-        mpath0 = os.path.join(manifest_dir(out_dir), f"{key}.json")
-        if os.path.exists(mpath0):
-            try:
-                with open(mpath0) as fh:
-                    prev = json.load(fh)
-            except Exception:
-                prev = {}
-            if prev.get("run_id") == run_id and (
-                prev.get("rows") != table.num_rows
-                or (
-                    metrics
-                    and "digest_xor" in metrics
-                    and prev.get("digest_xor") != metrics["digest_xor"]
-                )
-            ):
-                # same run, DIFFERENT content: the shuffle delivered one
-                # key group to two tasks (straddled sort boundary) — an
-                # identical rewrite (task retry) is fine, this is not
+        # ATOMIC per-(run_id, key) sentinel: content is written to a tmp
+        # file and os.link'ed into place — link fails with EEXIST if any
+        # other writer got there first, closing the read-check-write race
+        # of the former manifest inspection (ADVICE r2 #4). An identical
+        # rewrite (task retry) is allowed; differing content means the
+        # shuffle delivered one key group to two tasks.
+        content = json.dumps(
+            {
+                "rows": table.num_rows,
+                "digest_xor": (metrics or {}).get("digest_xor"),
+            },
+            sort_keys=True,
+        )
+        spath = os.path.join(
+            manifest_dir(out_dir), f"{key}.run-{run_id}.sentinel"
+        )
+        stmp = spath + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(stmp, "w") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(stmp, spath)
+        except FileExistsError:
+            with open(spath) as fh:
+                prev = fh.read()
+            if prev != content:
                 raise RuntimeError(
                     f"partition {key!r} written twice with differing "
                     f"content in run {run_id} — a shuffle key group "
                     "straddled task boundaries; checkpoint would be "
                     "corrupt"
-                )
+                ) from None
+        finally:
+            os.unlink(stmp)
     t0 = time.time()
     data_path = os.path.join(out_dir, f"part-{key}.parquet")
     tmp = data_path + f".tmp-{uuid.uuid4().hex[:8]}"

@@ -285,3 +285,26 @@ def test_auto_num_buckets_grows_with_size(ray_session):
     assert auto_num_buckets(big, floor=4, target_bytes=1, cap=64) == 64
     lazy = big.map_batches(lambda t: t, batch_format="pyarrow")
     assert auto_num_buckets(lazy, floor=7) >= 7
+
+
+def test_lag_categorical_tryself(w33):
+    """'tryself' (spatial_lag.py:236-240): a tie is broken by adding the
+    MEAN neighbor weight to the focal's own label tally."""
+    codes = np.array([0, 1, 0, 1, 0, 0, 0, 0, 0])
+    out = {r["focal"]: r["lag_code"] for r in
+           w33.lag_categorical(np.arange(9), codes,
+                               ties="tryself").take_all()}
+    # focal 6: neighbors 3 (code 1), 7 (code 0) -> tie; own code 0 wins
+    assert out[6] == 0
+    # focal 4: neighbors 1,3 (code 1), 5,7 (code 0) -> tie; own code 0
+    assert out[4] == 0
+    # focal 8 untied: both neighbors code 0
+    assert out[8] == 0
+    # own label NOT among the tied winners and too weak -> random among
+    # the original candidates (still deterministic per seeded focal rng)
+    codes2 = np.array([2, 1, 2, 1, 2, 0, 0, 0, 0])
+    # focal 6: neighbors 3 (1), 7 (0) tie; own code 0 -> own IS candidate
+    out2 = {r["focal"]: r["lag_code"] for r in
+            w33.lag_categorical(np.arange(9), codes2,
+                                ties="tryself").take_all()}
+    assert out2[6] == 0

@@ -414,3 +414,33 @@ def test_csv_weights_roundtrip(ray_session, tmp_path):
         if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
     }
     assert a == b
+
+
+def test_isomorphic_directed_orientation(ray_session):
+    """Asymmetric graphs with the same undirected skeleton but different
+    edge ORIENTATIONS are not isomorphic (ADVICE r2: the reference goes
+    through nx.DiGraph for asymmetric graphs, base.py:2522-2525)."""
+    import numpy as np
+
+    from libpysal_ray.core import edges as E
+    from libpysal_ray.core.graph import RayGraph
+
+    def g_of(pairs, n):
+        f = np.array([p[0] for p in pairs], np.int64)
+        nb = np.array([p[1] for p in pairs], np.int64)
+        ids = ray.data.from_arrow(
+            pa.table({"focal": pa.array(np.arange(n, dtype=np.int64))})
+        )
+        return RayGraph(
+            E.resolve_isolates(
+                ray.data.from_arrow(E.edge_table(f, nb, 1.0)), ids
+            )
+        )
+
+    # directed path 0→1→2  vs  0→1←2: same skeleton, different orientation
+    g1 = g_of([(0, 1), (1, 2)], 3)
+    g2 = g_of([(0, 1), (2, 1)], 3)
+    assert not g1.isomorphic(g2)
+    # 0→1→2 vs 10→20→30 relabeled IS isomorphic
+    g3 = g_of([(0, 2), (2, 1)], 3)
+    assert g1.isomorphic(g3)
