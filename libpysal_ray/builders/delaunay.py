@@ -243,10 +243,28 @@ def voronoi(
         _check_unique(x, y)
         tris = bowyer_watson(x, y)
         ed = _alpha_clipped_dual_edges(tris, x, y, n)
+    elif clip == "convex_hull":
+        # cells clipped to the point hull (cg/voronoi.py clip='convex_hull'
+        # / graph/_triangulation.py:345-428): adjacency = dual edges with
+        # positive-length intersection with the hull polygon
+        _check_unique(x, y)
+        tris = bowyer_watson(x, y)
+        hx, hy = _convex_hull(x, y)
+        ed = _poly_clipped_dual_edges(tris, x, y, n, hx, hy)
+    elif isinstance(clip, tuple) and len(clip) == 2:
+        # explicit clip polygon (xs, ys) — CONVEX only (the parametric
+        # half-plane clip; a concave Polygon would need even-odd span
+        # splitting, out of scope)
+        _check_unique(x, y)
+        tris = bowyer_watson(x, y)
+        hx = np.asarray(clip[0], dtype=np.float64)
+        hy = np.asarray(clip[1], dtype=np.float64)
+        hx, hy = _ensure_convex_ccw(hx, hy)
+        ed = _poly_clipped_dual_edges(tris, x, y, n, hx, hy)
     else:
         raise NotImplementedError(
-            "clip must be None, 'bounding_box' or 'alpha_shape' "
-            "(convex_hull needs the hull machinery of cg/alpha_shapes.py)"
+            "clip must be None, 'bounding_box', 'convex_hull', "
+            "'alpha_shape', or an explicit CONVEX (xs, ys) polygon"
         )
     f = np.concatenate([ed[:, 0], ed[:, 1]])
     nbr = np.concatenate([ed[:, 1], ed[:, 0]])
@@ -429,6 +447,92 @@ def _alpha_clipped_dual_edges(
             t1v = np.where(~para & ~ent, np.minimum(t1v, tcross), t1v)
         if (alive & (t0v < t1v)).any():
             keep[s] = True
+    return e0[keep]
+
+
+def _convex_hull(x: np.ndarray, y: np.ndarray):
+    """Andrew's monotone chain (public-domain algorithm): CCW hull
+    vertices, no repeated closing vertex."""
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+
+    def _chain(idx):
+        out: list[int] = []
+        for i in idx:
+            while len(out) >= 2:
+                ox1, oy1 = xs[out[-2]], ys[out[-2]]
+                ox2, oy2 = xs[out[-1]], ys[out[-1]]
+                if (ox2 - ox1) * (ys[i] - oy1) - (oy2 - oy1) * (
+                    xs[i] - ox1
+                ) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = _chain(range(len(xs)))
+    upper = _chain(range(len(xs) - 1, -1, -1))
+    hull = lower[:-1] + upper[:-1]
+    return xs[hull], ys[hull]
+
+
+def _ensure_convex_ccw(hx: np.ndarray, hy: np.ndarray):
+    """Validate convexity; reorient CW input to CCW; drop a duplicated
+    closing vertex."""
+    if len(hx) > 1 and hx[0] == hx[-1] and hy[0] == hy[-1]:
+        hx, hy = hx[:-1], hy[:-1]
+    if len(hx) < 3:
+        raise ValueError("clip polygon needs >= 3 vertices")
+    ex = np.roll(hx, -1) - hx
+    ey = np.roll(hy, -1) - hy
+    cross = ex * np.roll(ey, -1) - ey * np.roll(ex, -1)
+    if (cross >= 0).all():
+        return hx, hy
+    if (cross <= 0).all():
+        return hx[::-1].copy(), hy[::-1].copy()
+    raise NotImplementedError("explicit clip polygon must be convex")
+
+
+def _segment_in_convex(
+    x0, y0, x1, y1, hx: np.ndarray, hy: np.ndarray
+) -> np.ndarray:
+    """True per segment iff its intersection with the CCW convex polygon
+    has positive length — the Liang-Barsky parametric clip generalized to
+    arbitrary half-planes (Cyrus–Beck)."""
+    dx = x1 - x0
+    dy = y1 - y0
+    t0 = np.zeros(len(np.atleast_1d(x0)))
+    t1 = np.ones_like(t0)
+    ok = np.ones_like(t0, dtype=bool)
+    m = len(hx)
+    for i in range(m):
+        ex0, ey0 = hx[i], hy[i]
+        ex1, ey1 = hx[(i + 1) % m], hy[(i + 1) % m]
+        # interior is LEFT of the CCW edge: N = (-(ey1-ey0), ex1-ex0)
+        nx_, ny_ = -(ey1 - ey0), ex1 - ex0
+        s = nx_ * dx + ny_ * dy  # slope of N·(P(t) − E0)
+        q = nx_ * (x0 - ex0) + ny_ * (y0 - ey0)
+        para = s == 0
+        ok &= ~(para & (q < 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = -q / s
+        ent = s > 0  # f increasing → t ≥ r is inside
+        t0 = np.where(~para & ent, np.maximum(t0, r), t0)
+        t1 = np.where(~para & ~ent, np.minimum(t1, r), t1)
+    return ok & (t0 < t1)
+
+
+def _poly_clipped_dual_edges(
+    tris: np.ndarray, x: np.ndarray, y: np.ndarray, n: int,
+    hx: np.ndarray, hy: np.ndarray,
+) -> np.ndarray:
+    """Delaunay edges whose dual Voronoi edge intersects the convex
+    polygon with positive length."""
+    e0, p0x, p0y, p1x, p1y, _rt, _radii = _dual_segments(tris, x, y, n)
+    if len(e0) == 0:
+        return e0
+    keep = _segment_in_convex(p0x, p0y, p1x, p1y, hx, hy)
     return e0[keep]
 
 

@@ -1969,3 +1969,66 @@ SELECT a.cid AS focal, b.cid AS neighbor, CAST(1.0 AS DOUBLE) AS weight
 FROM v a, v b
 WHERE greatest(abs(a.r - b.r), abs(a.c - b.c)) BETWEEN 1 AND 2
 """
+
+# ------------------------------------------------ voronoi polygon clip (r3)
+# diamond |x-500| + |y-500| <= 450 — a CONVEX explicit clip polygon; in
+# the rotated frame (x+y, y-x) it is the bbox [550,1450] x [-450,450], so
+# the oracle is the bbox voronoi SQL over rotated dual-line coordinates.
+_VPOLY = (
+    [950.0, 500.0, 50.0, 500.0],
+    [500.0, 950.0, 500.0, 50.0],
+)
+
+
+def q_voronoi_poly(sf_dir: str):
+    """Voronoi rook contiguity clipped to an explicit convex polygon
+    (the diamond above) — the Cyrus–Beck parametric clip path."""
+    from libpysal_ray.builders.delaunay import voronoi
+
+    return _real(
+        voronoi(
+            _points_jittered(sf_dir),
+            clip=(np.array(_VPOLY[0]), np.array(_VPOLY[1])),
+            id_col="doc_id",
+        )
+    )
+
+
+QUERIES["voronoi_poly"] = q_voronoi_poly
+
+ORACLE_SQL["voronoi_poly"] = f"""
+WITH {_PTSJ_SQL},
+{_PAIRS_J_SQL}),
+{_DELAUNAY_CON_SQL},
+rot AS (
+  SELECT i, j, mx + my AS rmx, my - mx AS rmy,
+         ux + uy AS rux, uy - ux AS ruy
+  FROM pairs
+),
+und AS (
+  SELECT c.i, c.j FROM con c
+  JOIN rot p ON p.i = c.i AND p.j = c.j
+  WHERE NOT coalesce(c.dead, FALSE)
+    AND NOT (p.rux = 0 AND (p.rmx < 550 OR p.rmx > 1450))
+    AND NOT (p.ruy = 0 AND (p.rmy < -450 OR p.rmy > 450))
+    AND greatest(
+          coalesce(c.lo, -1e308),
+          CASE WHEN p.rux > 0 THEN (550 - p.rmx)/p.rux
+               WHEN p.rux < 0 THEN (1450 - p.rmx)/p.rux
+               ELSE -1e308 END,
+          CASE WHEN p.ruy > 0 THEN (-450 - p.rmy)/p.ruy
+               WHEN p.ruy < 0 THEN (450 - p.rmy)/p.ruy
+               ELSE -1e308 END)
+      < least(
+          coalesce(c.hi, 1e308),
+          CASE WHEN p.rux > 0 THEN (1450 - p.rmx)/p.rux
+               WHEN p.rux < 0 THEN (550 - p.rmx)/p.rux
+               ELSE 1e308 END,
+          CASE WHEN p.ruy > 0 THEN (450 - p.rmy)/p.ruy
+               WHEN p.ruy < 0 THEN (-450 - p.rmy)/p.ruy
+               ELSE 1e308 END)
+)
+SELECT i AS focal, j AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
+UNION ALL
+SELECT j AS focal, i AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
+"""

@@ -250,3 +250,71 @@ def test_delaunay_bounded_clustered_blobs(ray_session):
     # cross-blob pairs farther than 2R never appear
     for a, b in got:
         assert np.hypot(x[a] - x[b], y[a] - y[b]) <= 2 * R
+
+
+def test_voronoi_convex_hull_clip(ray_session):
+    """convex_hull clip == explicit-polygon clip fed the computed hull,
+    and is a subgraph of the bbox clip (hull ⊆ bbox)."""
+    import numpy as np
+
+    from libpysal_ray.builders.delaunay import _convex_hull, voronoi
+
+    rng = np.random.default_rng(17)
+    n = 60
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(n, dtype=np.int64)),
+                "x": pa.array(rng.uniform(0, 100, n)),
+                "y": pa.array(rng.uniform(0, 100, n)),
+            }
+        )
+    ).materialize()
+    tbl = pts.to_pandas()
+    hx, hy = _convex_hull(tbl["x"].to_numpy(), tbl["y"].to_numpy())
+
+    g_hull = voronoi(pts, clip="convex_hull")
+    g_poly = voronoi(pts, clip=(hx, hy))
+    g_bbox = voronoi(pts, clip="bounding_box")
+    nh, _ = g_hull.neighbors_dict()
+    npl, _ = g_poly.neighbors_dict()
+    nb, _ = g_bbox.neighbors_dict()
+    assert {k: sorted(v) for k, v in nh.items()} == {
+        k: sorted(v) for k, v in npl.items()
+    }
+    for k, v in nh.items():
+        assert set(v) <= set(nb[k]), f"hull edge not in bbox graph at {k}"
+
+
+def test_convex_hull_monotone_chain():
+    import numpy as np
+
+    from libpysal_ray.builders.delaunay import _convex_hull
+
+    # unit square + interior points → hull is exactly the 4 corners, CCW
+    x = np.array([0.0, 1.0, 1.0, 0.0, 0.5, 0.3, 0.7])
+    y = np.array([0.0, 0.0, 1.0, 1.0, 0.5, 0.6, 0.2])
+    hx, hy = _convex_hull(x, y)
+    assert len(hx) == 4
+    area2 = np.sum(hx * np.roll(hy, -1) - np.roll(hx, -1) * hy)
+    assert area2 == 2.0  # CCW, area 1
+
+
+def test_explicit_clip_polygon_validation():
+    import numpy as np
+    import pytest as _pt
+
+    from libpysal_ray.builders.delaunay import _ensure_convex_ccw
+
+    # CW square gets reoriented
+    hx, hy = _ensure_convex_ccw(
+        np.array([0.0, 0.0, 1.0, 1.0]), np.array([0.0, 1.0, 1.0, 0.0])
+    )
+    area2 = np.sum(hx * np.roll(hy, -1) - np.roll(hx, -1) * hy)
+    assert area2 > 0
+    # concave polygon raises
+    with _pt.raises(NotImplementedError):
+        _ensure_convex_ccw(
+            np.array([0.0, 2.0, 1.0, 2.0, 0.0]),
+            np.array([0.0, 0.0, 1.0, 2.0, 2.0]),
+        )
