@@ -51,6 +51,8 @@ def __getattr__(name):
         "read_mtx": "libpysal_ray.sources.weights_io",
         "read_arcgis_text": "libpysal_ray.sources.weights_io",
         "read_dat": "libpysal_ray.sources.weights_io",
+        "read_arcgis_dbf": "libpysal_ray.sources.weights_io",
+        "read_swm": "libpysal_ray.sources.weights_io",
         "polygons_from_wkt": "libpysal_ray.sources.shapefile",
     }
     if name in _BUILDERS:

@@ -244,3 +244,122 @@ def write_csv_weights(g: RayGraph, path: str) -> None:
             w = batch.column("weight").to_numpy(zero_copy_only=False)
             for i in range(len(f)):
                 out.write(f"{int(f[i])},{int(nb[i])},{w[i]:.10g}\n")
+
+
+# ---------------------------------------------- ArcGIS binary formats (r3)
+def read_arcgis_dbf(path: str) -> RayGraph:
+    """ArcGIS DBF weights table (io/iohandlers/arcgis_dbf.py:36-163):
+    columns (ID, NID, WEIGHT) — or 4 columns with a leading RECORD_ID —
+    one row per directed edge, integer ids."""
+    from libpysal_ray.sources.shapefile import read_dbf
+
+    cols = read_dbf(path)
+    names = list(cols)
+    if len(names) == 3:
+        i_c, j_c, w_c = names
+    elif len(names) == 4:
+        _rec, i_c, j_c, w_c = names
+    else:
+        raise ValueError(
+            "a weights .dbf requires 3 data columns (or 4 with a leading "
+            "record id)"
+        )
+    focal = np.asarray([int(v) for v in cols[i_c]], np.int64)
+    neighbor = np.asarray([int(v) for v in cols[j_c]], np.int64)
+    weight = np.asarray([float(v) for v in cols[w_c]], np.float64)
+    return RayGraph.from_arrays(focal, neighbor, weight)
+
+
+def write_arcgis_dbf(g: RayGraph, path: str, id_var: str = "ID") -> None:
+    """One DBF row per directed edge, header [id_var, NID, WEIGHT]
+    (arcgis_dbf.py:230-243); isolate markers encoded by absence."""
+    ids, nids, ws = [], [], []
+    for batch in E.canonical(g.edges).iter_batches(batch_format="pyarrow"):
+        f = batch.column("focal").to_numpy(zero_copy_only=False)
+        nb = batch.column("neighbor").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        for i in range(len(f)):
+            if f[i] == nb[i] and w[i] == 0.0:
+                continue
+            ids.append(int(f[i]))
+            nids.append(int(nb[i]))
+            ws.append(float(w[i]))
+    from libpysal_ray.sources.shapefile import write_dbf
+
+    write_dbf(path, {id_var: ids, "NID": nids, "WEIGHT": ws})
+
+
+def read_swm(path: str) -> RayGraph:
+    """ArcGIS .swm binary weights (io/iohandlers/arcgis_swm.py:15-237):
+    header line (``id_var;srs`` old style, or ``KEY@VALUE;...`` new style
+    with optional FIXEDWEIGHTS), then little-endian records
+    (org:int32, m:int32, m*int32 neighbor ids, m*float64 weights —
+    or ONE float64 when fixed — and a float64 weight sum, present only
+    when m > 0, matching the reference reader)."""
+    import struct as _s
+
+    focal, neighbor, weight, all_ids = [], [], [], []
+    with open(path, "rb") as f:
+        header = f.readline().decode()
+        fixed = False
+        if "@" in header:
+            hd = dict(
+                item.split("@", 1)
+                for item in header.strip().split(";")
+                if "@" in item
+            )
+            fixed = hd.get("FIXEDWEIGHTS", "").upper().strip() == "TRUE"
+        no_obs, _row_std = _s.unpack("<2l", f.read(8))
+        for _ in range(no_obs):
+            org, m = _s.unpack("<2l", f.read(8))
+            all_ids.append(org)
+            if m > 0:
+                nghs = _s.unpack(f"<{m}l", f.read(4 * m))
+                if fixed:
+                    (w0,) = _s.unpack("<d", f.read(8))
+                    ws = [w0] * m
+                else:
+                    ws = _s.unpack(f"<{m}d", f.read(8 * m))
+                f.read(8)  # W_SUM
+                focal.extend([org] * m)
+                neighbor.extend(nghs)
+                weight.extend(ws)
+    ds = E.from_arrays(
+        np.asarray(focal, np.int64),
+        np.asarray(neighbor, np.int64),
+        np.asarray(weight, np.float64),
+    )
+    return RayGraph(E.resolve_isolates(ds, np.asarray(all_ids, np.int64)))
+
+
+def write_swm(
+    g: RayGraph, path: str, id_var: str = "Unknown", srs: str = "Unknown",
+    row_std: bool = False,
+) -> None:
+    """Old-style SWM (``id_var;srs`` header — what the reference writer
+    emits, arcgis_swm.py:266-276). The per-observation weight sum is
+    written only for m > 0, matching the reference READER's layout (its
+    writer emits the sum unconditionally, which its own reader cannot
+    parse back for isolates — we mirror the reader)."""
+    import struct as _s
+
+    rows: dict[int, tuple[list[int], list[float]]] = {}
+    for batch in E.canonical(g.edges).iter_batches(batch_format="pyarrow"):
+        f = batch.column("focal").to_numpy(zero_copy_only=False)
+        nb = batch.column("neighbor").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        for i in range(len(f)):
+            rows.setdefault(int(f[i]), ([], []))
+            if not (f[i] == nb[i] and w[i] == 0.0):
+                rows[int(f[i])][0].append(int(nb[i]))
+                rows[int(f[i])][1].append(float(w[i]))
+    with open(path, "wb") as out:
+        out.write(f"{id_var};{srs}\n".encode())
+        out.write(_s.pack("<2l", len(rows), int(row_std)))
+        for org in sorted(rows):
+            nghs, ws = rows[org]
+            out.write(_s.pack("<2l", org, len(nghs)))
+            if nghs:
+                out.write(_s.pack(f"<{len(nghs)}l", *nghs))
+                out.write(_s.pack(f"<{len(ws)}d", *ws))
+                out.write(_s.pack("<d", sum(ws)))

@@ -444,3 +444,70 @@ def test_isomorphic_directed_orientation(ray_session):
     # 0→1→2 vs 10→20→30 relabeled IS isomorphic
     g3 = g_of([(0, 2), (2, 1)], 3)
     assert g1.isomorphic(g3)
+
+
+def _edge_map(g):
+    return {
+        (r["focal"], r["neighbor"]): round(r["weight"], 9)
+        for r in g.edges.take_all()
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
+    }
+
+
+def test_arcgis_dbf_roundtrip(ray_session, tmp_path):
+    from libpysal_ray.sources.weights_io import (
+        read_arcgis_dbf, write_arcgis_dbf,
+    )
+
+    g = lat2graph(3, 3, rook=True).transform("R")
+    p = str(tmp_path / "w.dbf")
+    write_arcgis_dbf(g, p)
+    # WEIGHT is an N(13,6) DBF field (arcgis_dbf.py:240) — 6 decimals is
+    # the format's own precision
+    got = {k: round(v, 6) for k, v in _edge_map(read_arcgis_dbf(p)).items()}
+    want = {k: round(v, 6) for k, v in _edge_map(g).items()}
+    assert got == want
+
+
+def test_swm_roundtrip_with_isolate(ray_session, tmp_path):
+    import numpy as np
+
+    from libpysal_ray.core import edges as Ed
+    from libpysal_ray.core.graph import RayGraph
+    from libpysal_ray.sources.weights_io import read_swm, write_swm
+
+    # graph with an isolate (node 3) — SWM encodes it as a 0-neighbor row
+    ds = Ed.from_arrays(
+        np.array([0, 1, 1, 2], np.int64),
+        np.array([1, 0, 2, 1], np.int64),
+        np.array([1.0, 1.0, 0.5, 0.5]),
+    )
+    g = RayGraph(Ed.resolve_isolates(ds, np.arange(4, dtype=np.int64)))
+    p = str(tmp_path / "w.swm")
+    write_swm(g, p, id_var="MYID", srs="WGS84")
+    g2 = read_swm(p)
+    assert _edge_map(g2) == _edge_map(g)
+    assert g2.n() == 4  # the isolate survives the roundtrip
+
+
+def test_swm_new_version_fixed_weights(ray_session, tmp_path):
+    """New-style header with FIXEDWEIGHTS@TRUE: one shared float per
+    observation (arcgis_swm.py:179-238)."""
+    import struct
+
+    from libpysal_ray.sources.weights_io import read_swm
+
+    p = str(tmp_path / "fixed.swm")
+    with open(p, "wb") as f:
+        f.write(
+            b"VERSION@10.1;UNIQUEID@ID;SPATIALREFNAME@GCS;"
+            b"FIXEDWEIGHTS@TRUE\n"
+        )
+        f.write(struct.pack("<2l", 2, 0))
+        f.write(struct.pack("<2l", 0, 2))       # obs 0: 2 neighbors
+        f.write(struct.pack("<2l", 1, 7))       # neighbor ids 1, 7
+        f.write(struct.pack("<d", 0.25))        # ONE fixed weight
+        f.write(struct.pack("<d", 0.5))         # w_sum
+        f.write(struct.pack("<2l", 1, 0))       # obs 1: isolate
+    g = read_swm(p)
+    assert _edge_map(g) == {(0, 1): 0.25, (0, 7): 0.25}
