@@ -110,16 +110,23 @@ class ImageResizer:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         pix = t.column("pixels")
-        hs = t.column("h").to_numpy(zero_copy_only=False)
-        ws = t.column("w").to_numpy(zero_copy_only=False)
-        out = np.empty((t.num_rows, self.oh * self.ow), np.float32)
-        for i in range(t.num_rows):
-            a = np.asarray(pix[i].as_py(), dtype=np.float32).reshape(
-                hs[i], ws[i]
-            )
-            ri = (np.arange(self.oh) * hs[i] // self.oh)[:, None]
-            ci = (np.arange(self.ow) * ws[i] // self.ow)[None, :]
-            out[i] = a[ri, ci].ravel()
+        if isinstance(pix, pa.ChunkedArray):
+            pix = pix.combine_chunks()
+        hs = t.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        ws = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        poffs = np.asarray(pix.offsets, dtype=np.int64)
+        starts = (poffs - poffs[0])[:-1]
+        flat = pix.flatten().to_numpy(zero_copy_only=False)
+        # one broadcast gather for the whole batch (no per-image Python):
+        # idx[i, r, c] = start_i + (r*h_i // oh)*w_i + (c*w_i // ow)
+        ri = (np.arange(self.oh)[None, :] * hs[:, None]) // self.oh
+        ci = (np.arange(self.ow)[None, :] * ws[:, None]) // self.ow
+        idx = (
+            starts[:, None, None]
+            + ri[:, :, None] * ws[:, None, None]
+            + ci[:, None, :]
+        )
+        out = flat[idx.reshape(t.num_rows, -1)].astype(np.float32)
         offs = np.arange(t.num_rows + 1, dtype=np.int32) * (self.oh * self.ow)
         return pa.table(
             {
@@ -309,10 +316,27 @@ def extract_features(
 
     def _f(t: pa.Table) -> pa.Table:
         pix = t.column("pixels")
+        if isinstance(pix, pa.ChunkedArray):
+            pix = pix.combine_chunks()
+        poffs = np.asarray(pix.offsets, dtype=np.int64)
+        lens = np.diff(poffs)
+        flat = pix.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
         feats = np.empty((t.num_rows, 3), np.float64)
-        for i in range(t.num_rows):
-            a = np.asarray(pix[i].as_py(), dtype=np.float64)
-            feats[i] = (a.mean(), a.std(), np.percentile(a, 95))
+        if t.num_rows and (lens == lens[0]).all():
+            # uniform-length fast path: one 2-D reduction per feature —
+            # numpy's axis reduction applies the identical per-row
+            # pairwise sum, so values match the scalar path bit-for-bit
+            m = flat.reshape(t.num_rows, int(lens[0]))
+            feats[:, 0] = m.mean(axis=1)
+            feats[:, 1] = m.std(axis=1)
+            feats[:, 2] = np.percentile(m, 95, axis=1)
+        else:
+            starts = poffs - poffs[0]
+            for i in range(t.num_rows):
+                a = flat[starts[i]: starts[i + 1]]
+                feats[i] = (a.mean(), a.std(), np.percentile(a, 95))
         return pa.table(
             {
                 id_col: t.column(id_col),

@@ -452,19 +452,14 @@ def ngram_jaccard_pairs(
             mp = ray.get(mref)
             a_ = t.column("a").to_numpy(zero_copy_only=False)
             b_ = t.column("b").to_numpy(zero_copy_only=False)
-            jac = np.zeros(len(a_))
-            for i, (x, y_) in enumerate(zip(a_, b_)):
-                sa_, sb_ = mp.get(int(x)), mp.get(int(y_))
-                if sa_ is None or sb_ is None or (
-                    len(sa_) == 0 and len(sb_) == 0
-                ):
-                    jac[i] = -1.0
-                    continue
-                inter = len(
-                    np.intersect1d(sa_, sb_, assume_unique=True)
-                )
-                union = len(sa_) + len(sb_) - inter
-                jac[i] = inter / union if union else 0.0
+            empty = np.empty(0, np.int64)
+            sa_l = [mp.get(int(x), empty) for x in a_]
+            sb_l = [mp.get(int(y_), empty) for y_ in b_]
+            fa = np.concatenate(sa_l) if sa_l else empty
+            fb = np.concatenate(sb_l) if sb_l else empty
+            la = np.array([len(s) for s in sa_l], np.int64)
+            lb = np.array([len(s) for s in sb_l], np.int64)
+            jac = _jaccard_flat(fa, la, fb, lb)
             keep = jac >= jaccard_threshold
             return pa.table(
                 {
@@ -519,22 +514,9 @@ def ngram_jaccard_pairs(
                              "jaccard": pa.array([], pa.float64())})
         a_ = t.column("a").to_numpy(zero_copy_only=False)
         b_ = t.column("b").to_numpy(zero_copy_only=False)
-        sh_a = t.column("sh_a").to_pylist()
-        sh_b = t.column("sh_b").to_pylist()
-        jac = np.zeros(len(a_), dtype=np.float64)
-        for i, (sa, sb) in enumerate(zip(sh_a, sh_b)):
-            na, nb_ = len(sa), len(sb)
-            if na == 0 and nb_ == 0:
-                jac[i] = -1.0  # both empty → excluded below
-                continue
-            inter = len(
-                np.intersect1d(
-                    np.asarray(sa, np.int64), np.asarray(sb, np.int64),
-                    assume_unique=True,
-                )
-            )
-            union = na + nb_ - inter
-            jac[i] = inter / union if union else 0.0
+        fa, la = _list_col_flat(t.column("sh_a"))
+        fb, lb = _list_col_flat(t.column("sh_b"))
+        jac = _jaccard_flat(fa, la, fb, lb)
         keep = jac >= jaccard_threshold
         return pa.table(
             {
@@ -545,6 +527,38 @@ def ngram_jaccard_pairs(
         )
 
     return j2.map_batches(_jac, batch_format="pyarrow")
+
+
+def _list_col_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow list<int64> column → (flat values, per-row lengths)."""
+    ch = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.asarray(ch.offsets, dtype=np.int64)
+    lens = np.diff(offs)
+    return ch.flatten().to_numpy(zero_copy_only=False), lens
+
+
+def _jaccard_flat(
+    fa: np.ndarray, la: np.ndarray, fb: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """Exact Jaccard for P (set_a, set_b) pairs at once — sets given as
+    flat per-row-UNIQUE value arrays + lengths. ONE lexsort over
+    (pair, value); intersection count = adjacent duplicates (each side's
+    values are unique within a pair, so an equal adjacent pair means one
+    value present on both sides). Replaces the per-pair np.intersect1d
+    loop (VERDICT r2 #5)."""
+    P = len(la)
+    pid = np.concatenate([np.repeat(np.arange(P), la),
+                          np.repeat(np.arange(P), lb)])
+    vals = np.concatenate([fa, fb])
+    order = np.lexsort((vals, pid))
+    p_, v_ = pid[order], vals[order]
+    dup = (p_[1:] == p_[:-1]) & (v_[1:] == v_[:-1])
+    inter = np.bincount(p_[1:][dup], minlength=P).astype(np.int64)
+    union = la + lb - inter
+    jac = np.full(P, -1.0)  # both-empty rows stay -1 (excluded upstream)
+    nz = union > 0
+    jac[nz] = inter[nz] / union[nz]
+    return jac
 
 
 def near_dedup_survivors(
