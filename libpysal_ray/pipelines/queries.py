@@ -2032,3 +2032,38 @@ SELECT i AS focal, j AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
 UNION ALL
 SELECT j AS focal, i AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
 """
+
+# ------------------------------------------------ repetition signal (r3)
+def q_rep_stats(sf_dir: str):
+    """Gopher-style 2-gram repetition fraction per document."""
+    from libpysal_ray.text.analysis import rep_stats
+
+    return rep_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+QUERIES["rep_stats"] = q_rep_stats
+
+ORACLE_SQL["rep_stats"] = _oh.with_macros(f"""
+WITH {_oh.TOKH_SQL},
+dl AS (
+  SELECT doc_id, list(th ORDER BY tpos) AS ths, COUNT(*) AS n
+  FROM tokh GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, sm64(xoru(sm64(xoru(0, ths[i])), ths[i+1])) AS g
+  FROM dl, unnest(generate_series(1, n - 1)) AS u(i)
+  WHERE n >= 2
+),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+agg AS (
+  SELECT doc_id, SUM(c) AS n2,
+         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n2, 0) AS BIGINT) AS n_2grams,
+       CASE WHEN coalesce(a.n2, 0) > 0
+            THEN CAST(a.dup AS DOUBLE) / CAST(a.n2 AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""")

@@ -131,3 +131,49 @@ def md5_hex(ds: ray.data.Dataset, text_col: str = "text",
         return t.append_column(out_col, pa.array(hx))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def rep_stats(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """(doc_id, n_2grams, dup_frac): Gopher-style repetition signal — the
+    fraction of 2-gram OCCURRENCES belonging to a 2-gram that appears ≥2
+    times in the document (Rae et al. 2021 repetition filters). Fully
+    vectorized: flat token hashes → chained-splitmix window hashes →
+    per-doc duplicate-run accounting via one lexsort."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        from libpysal_ray.core.hashing import splitmix64, tokenize_hash
+
+        n_docs = t.num_rows
+        th, off = tokenize_hash(t.column(text_col))
+        lens = np.diff(off)
+        n2 = np.maximum(lens - 1, 0)
+        dupocc = np.zeros(n_docs, dtype=np.int64)
+        if len(th) >= 2:
+            acc0 = splitmix64(th.astype(np.uint64))
+            g = splitmix64(acc0[:-1] ^ th[1:])
+            doc_of = np.repeat(np.arange(n_docs), lens)
+            valid = doc_of[:-1] == doc_of[1:]
+            g, gd = g[valid], doc_of[:-1][valid]
+            order = np.lexsort((g, gd))
+            gs, ds_ = g[order], gd[order]
+            change = np.r_[True, (ds_[1:] != ds_[:-1]) | (gs[1:] != gs[:-1])]
+            starts = np.flatnonzero(change)
+            runs = np.diff(np.append(starts, len(gs)))
+            dup_runs = runs >= 2
+            np.add.at(dupocc, ds_[starts[dup_runs]], runs[dup_runs])
+        frac = np.zeros(n_docs)
+        nz = n2 > 0
+        frac[nz] = dupocc[nz] / n2[nz]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_2grams": pa.array(n2.astype(np.int64)),
+                "dup_frac": pa.array(frac),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _f, batch_format="pyarrow"
+    )

@@ -139,3 +139,25 @@ def test_dist_quantile_distributed_exact():
     ds = rd.from_arrow(pa.table({"dist": pa.array(d)})).repartition(8)
     for q in (0.25, 0.5, 0.9):
         assert _dist_quantile(ds, q, max_pull=512) == np.quantile(d, q)
+
+
+def test_rep_stats_closed_form():
+    from libpysal_ray.text.analysis import rep_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b a",      # 2-grams: ab ba ab ba → all dup → 1.0
+                    "x y z w",        # 3 distinct 2-grams → 0.0
+                    "solo",           # no 2-grams
+                ]
+            ),
+        }
+    )
+    out = {r["doc_id"]: r for r in
+           rep_stats(ray.data.from_arrow(t)).take_all()}
+    assert out[0]["n_2grams"] == 4 and out[0]["dup_frac"] == 1.0
+    assert out[1]["n_2grams"] == 3 and out[1]["dup_frac"] == 0.0
+    assert out[2]["n_2grams"] == 0 and out[2]["dup_frac"] == 0.0
