@@ -919,3 +919,18 @@ def kernel(
         edges = edges.filter(expr="weight != 0.0")
 
     return RayGraph(E.resolve_isolates(edges, ids))
+
+
+def min_threshold_distance(
+    points: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> float:
+    """Maximum nearest-neighbor distance — the smallest DistanceBand
+    threshold leaving no island (weights/util.py:1106-1141). One tiled
+    KNN(1) pass + a native max aggregate; only the scalar reaches the
+    driver."""
+    e = knn_edges_with_dist(points, 1, id_col=id_col, x_col=x_col,
+                            y_col=y_col)
+    return float(e.max("dist"))

@@ -2067,3 +2067,24 @@ SELECT d.doc_id,
             ELSE 0.0 END AS dup_frac
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """)
+
+# ---------------------------------------------- min threshold dist (r3)
+def q_min_threshold(sf_dir: str):
+    """min_threshold_distance as a 1-row table (util.py:1106-1141)."""
+    from libpysal_ray.builders.distance import min_threshold_distance
+
+    v = min_threshold_distance(_points(sf_dir), id_col="doc_id")
+    return pa.table({"nnd": pa.array([v], pa.float64())})
+
+
+QUERIES["min_threshold"] = q_min_threshold
+
+ORACLE_SQL["min_threshold"] = f"""
+WITH {_PTS_SQL},
+nn AS (
+  SELECT a.doc_id, min({_PAIR_DIST}) AS d
+  FROM pts a, pts b WHERE a.doc_id <> b.doc_id
+  GROUP BY a.doc_id
+)
+SELECT max(d) AS nnd FROM nn
+"""

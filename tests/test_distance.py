@@ -112,3 +112,23 @@ def test_kernel_diagonal(points):
     nbrs, wts = g.neighbors_dict()
     w = dict(zip(nbrs[0], wts[0]))
     assert w[0] == 1.0  # forced self weight
+
+
+def test_min_threshold_distance_lattice(ray_session):
+    """5x5 integer lattice: every nearest neighbor is at distance 1
+    (util.py:1106-1141 doctest golden)."""
+    import numpy as np
+
+    from libpysal_ray.builders.distance import min_threshold_distance
+
+    xx, yy = np.meshgrid(np.arange(5.0), np.arange(5.0))
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(25, dtype=np.int64)),
+                "x": pa.array(xx.ravel()),
+                "y": pa.array(yy.ravel()),
+            }
+        )
+    )
+    assert min_threshold_distance(pts) == 1.0
