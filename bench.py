@@ -142,17 +142,25 @@ def main() -> None:
     if "--scaling" in argv:
         # Same input, two parallelism levels, FRESH processes — the
         # in-sandbox stand-in for the north rule's N vs 4N cluster sizes.
+        # The host's contention is BIMODAL (identical runs alternate
+        # ~30s / ~60s windows), so the two levels are measured in
+        # INTERLEAVED rounds (N, 4N, N, 4N) with a min per level —
+        # otherwise one slow window on one level fabricates a regression
+        # (or perfect scaling) that no code change explains.
         results = {}
-        for cpus in (SCALE_N, 4 * SCALE_N):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--scaling-once", str(cpus)],
-                env=dict(os.environ), capture_output=True, text=True,
-                timeout=3600,
-            )
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            results[cpus] = json.loads(line)
+        for _round in range(2):
+            for cpus in (SCALE_N, 4 * SCALE_N):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--scaling-once", str(cpus)],
+                    env=dict(os.environ), capture_output=True, text=True,
+                    timeout=3600,
+                )
+                line = [ln for ln in out.stdout.splitlines()
+                        if ln.startswith("{")][-1]
+                r = json.loads(line)
+                if cpus not in results or r["seconds"] < results[cpus]["seconds"]:
+                    results[cpus] = r
         tn = results[SCALE_N]["seconds"]
         t4n = results[4 * SCALE_N]["seconds"]
         n_rows = results[4 * SCALE_N]["rows"]

@@ -2088,3 +2088,26 @@ nn AS (
 )
 SELECT max(d) AS nnd FROM nn
 """
+
+# ---------------------------------------------------- domain stats (r3)
+def q_domain_stats(sf_dir: str):
+    """Per-domain page count + text volume over the synthesized pages
+    table (url parsing with Arrow string kernels, native aggregates)."""
+    from libpysal_ray.sources.pages import pages_from_documents
+    from libpysal_ray.text.analysis import domain_stats
+
+    return domain_stats(pages_from_documents(sf_dir))
+
+
+QUERIES["domain_stats"] = q_domain_stats
+
+ORACLE_SQL["domain_stats"] = """
+WITH p AS (
+  SELECT 'site' || lpad(CAST(doc_id % 1000 AS VARCHAR), 6, '0')
+           || '.example' AS domain,
+         length(text) AS ln
+  FROM documents
+)
+SELECT domain, COUNT(*) AS n_pages, SUM(ln) AS total_chars
+FROM p GROUP BY domain
+"""

@@ -177,3 +177,28 @@ def rep_stats(
     return ds.select_columns([id_col, text_col]).map_batches(
         _f, batch_format="pyarrow"
     )
+
+
+def domain_stats(
+    pages: ray.data.Dataset, url_col: str = "url", text_col: str = "text"
+) -> ray.data.Dataset:
+    """(domain, n_pages, total_chars): per-domain page count and text
+    volume — the standard web-corpus budget/aggregation reduction. Domain
+    is parsed from the url with Arrow string kernels; the groupby uses
+    native partial aggregates (combiner before the one shuffle)."""
+    import pyarrow.compute as pc2
+    from ray.data.aggregate import Count, Sum
+
+    def _f(t: pa.Table) -> pa.Table:
+        dom = pc2.list_element(
+            pc2.split_pattern(t.column(url_col), "/"), 2
+        )
+        ln = pc2.utf8_length(t.column(text_col))
+        return pa.table({"domain": dom, "chars": pc2.cast(ln, pa.int64())})
+
+    g = pages.select_columns([url_col, text_col]).map_batches(
+        _f, batch_format="pyarrow"
+    ).groupby("domain").aggregate(Count(), Sum("chars"))
+    return g.rename_columns(
+        {"count()": "n_pages", "sum(chars)": "total_chars"}
+    )
