@@ -177,6 +177,11 @@ def main() -> None:
                         f"cpus{4*SCALE_N}": round(t4n, 2)},
             "rows_per_sec": {f"cpus{SCALE_N}": round(thr_n, 1),
                             f"cpus{4*SCALE_N}": round(thr_4n, 1)},
+            "note": (
+                "min over 2 interleaved rounds per level; values > 1.0 "
+                "mean the longer low-CPU runs could not dodge the host's "
+                "bimodal contention windows (see BASELINE.md)"
+            ),
         }))
         return
 
