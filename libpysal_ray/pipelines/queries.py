@@ -2111,3 +2111,114 @@ WITH p AS (
 SELECT domain, COUNT(*) AS n_pages, SUM(ln) AS total_chars
 FROM p GROUP BY domain
 """
+
+
+# ------------------------------------------------------------- travel cost
+_TC_G = 10          # grid side: 100 network nodes at cell centers
+_TC_CELL = GRID // _TC_G
+_TC_THRESH = 3.3    # ≤3 hops at costs in [1, 2)
+
+
+def _tc_network():
+    """Deterministic 10×10 rook road network over the point space: node
+    r*10+c at (c*100+50, r*100+50), directed 4-neighbor edges with
+    cost = 1 + (splitmix64(src*1000+dst) % 256)/256 — exact binary
+    fractions, so path sums are float-exact on both engine and oracle."""
+    from libpysal_ray.core.hashing import splitmix64
+
+    g = _TC_G
+    ids = np.arange(g * g, dtype=np.int64)
+    nodes = pa.table(
+        {
+            "node_id": pa.array(ids),
+            "x": pa.array((ids % g).astype(np.float64) * _TC_CELL
+                          + _TC_CELL / 2.0),
+            "y": pa.array((ids // g).astype(np.float64) * _TC_CELL
+                          + _TC_CELL / 2.0),
+        }
+    )
+    src, dst = [], []
+    for o, ok in ((1, ids % g < g - 1), (-1, ids % g > 0),
+                  (g, ids // g < g - 1), (-g, ids // g > 0)):
+        src.append(ids[ok])
+        dst.append(ids[ok] + o)
+    src = np.concatenate(src)
+    dst = np.concatenate(dst)
+    cost = 1.0 + (
+        splitmix64((src * 1000 + dst).astype(np.uint64)) % np.uint64(256)
+    ).astype(np.float64) / 256.0
+    edges = pa.table(
+        {"src": pa.array(src), "dst": pa.array(dst), "cost": pa.array(cost)}
+    )
+    return ray.data.from_arrow(nodes), ray.data.from_arrow(edges)
+
+
+def q_travel_cost(sf_dir: str):
+    """Travel-cost graph (graph/_network.py:66-152 semantics): snap every
+    17th document's point to its nearest road node, bounded multi-source
+    Dijkstra over the directed network, observation pairs weighted by
+    network cost. Distributed end to end: tiled snap + frontier-join
+    shortest paths + two bucketed joins back to observations."""
+    from libpysal_ray.builders.network import build_travel_graph
+
+    obs = _points(sf_dir).map_batches(
+        lambda t: t.filter(
+            pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False) % 17 == 0
+            )
+        ),
+        batch_format="pyarrow",
+    ).rename_columns({"doc_id": "id"})
+    nodes, edges = _tc_network()
+    g = build_travel_graph(obs, nodes, edges, threshold=_TC_THRESH)
+    return _real(g)
+
+
+QUERIES["travel_cost"] = q_travel_cost
+
+# Snap is closed-form in SQL because grid NN decomposes per axis; the
+# engine's generic tiled snap agrees because the (dist, node_id) tie rule
+# equals the per-axis-lowest-index rule on an aligned grid (ties occur at
+# x % 100 == 0). Shortest paths via a bounded recursive CTE: costs are
+# multiples of 1/256, so MIN() compares exact doubles.
+ORACLE_SQL["travel_cost"] = _oh.with_macros(f"""
+WITH RECURSIVE {_PTS_SQL},
+obs AS (SELECT doc_id, x, y FROM pts WHERE doc_id % 17 = 0),
+snap AS (
+  SELECT doc_id,
+         GREATEST(0, CAST(CEIL(y / {_TC_CELL}) AS BIGINT) - 1) * {_TC_G}
+           + GREATEST(0, CAST(CEIL(x / {_TC_CELL}) AS BIGINT) - 1) AS node
+  FROM obs
+),
+nid AS (SELECT range AS i FROM range({_TC_G * _TC_G})),
+e0 AS (
+  SELECT i AS src, i + 1 AS dst FROM nid WHERE i % {_TC_G} < {_TC_G - 1}
+  UNION ALL
+  SELECT i, i - 1 FROM nid WHERE i % {_TC_G} > 0
+  UNION ALL
+  SELECT i, i + {_TC_G} FROM nid WHERE i // {_TC_G} < {_TC_G - 1}
+  UNION ALL
+  SELECT i, i - {_TC_G} FROM nid WHERE i // {_TC_G} > 0
+),
+edges AS (
+  SELECT src, dst,
+         1.0 + CAST(sm64(src * 1000 + dst) % 256 AS DOUBLE) / 256.0 AS cost
+  FROM e0
+),
+seeds AS (SELECT DISTINCT node FROM snap),
+walk(src, node, dist) AS (
+  -- anchor MUST cast to DOUBLE: a bare 0.0 literal types the recursive
+  -- column DECIMAL(1,1) and silently rounds every accumulated cost
+  SELECT node, node, CAST(0.0 AS DOUBLE) FROM seeds
+  UNION
+  SELECT w.src, e.dst, w.dist + e.cost
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist + e.cost <= {_TC_THRESH}
+),
+sp AS (SELECT src, node, MIN(dist) AS dist FROM walk GROUP BY src, node)
+SELECT a.doc_id AS focal, b.doc_id AS neighbor, sp.dist AS weight
+FROM sp
+JOIN snap a ON a.node = sp.src
+JOIN snap b ON b.node = sp.node
+WHERE a.doc_id <> b.doc_id
+""")
