@@ -1,0 +1,120 @@
+"""Spatial matching: exact min-cost-flow vs brute-force enumeration."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.builders.matching import _min_cost_transport, spatial_matching
+
+
+def _brute_min_cost(cost, k, cap):
+    """Enumerate all feasible binary matchings; return the optimal cost."""
+    nt, ns = cost.shape
+    best = np.inf
+    row_choices = list(itertools.combinations(range(ns), k))
+    for combo in itertools.product(row_choices, repeat=nt):
+        used = np.zeros(ns, dtype=int)
+        tot = 0.0
+        for i, cols in enumerate(combo):
+            for j in cols:
+                used[j] += 1
+                tot += cost[i, j]
+        if (used <= cap).all():
+            best = min(best, tot)
+    return best
+
+
+def test_flow_matches_bruteforce_k2():
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        cost = rng.uniform(0, 10, (3, 4))
+        flow = _min_cost_transport(cost, demand=2, capacity=2)
+        assert (flow.sum(axis=1) == 2).all()
+        assert (flow.sum(axis=0) <= 2).all()
+        got = cost[flow].sum()
+        want = _brute_min_cost(cost, 2, 2)
+        assert np.isclose(got, want), (trial, got, want)
+
+
+def test_flow_matches_bruteforce_assignment():
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        n = 6
+        cost = rng.uniform(0, 10, (n, n))
+        flow = _min_cost_transport(cost, demand=1, capacity=1)
+        got = cost[flow].sum()
+        want = min(
+            sum(cost[i, p[i]] for i in range(n))
+            for p in itertools.permutations(range(n))
+        )
+        assert np.isclose(got, want), (trial, got, want)
+
+
+def test_flow_constraints_medium():
+    rng = np.random.default_rng(23)
+    cost = rng.uniform(0, 100, (25, 40))
+    flow = _min_cost_transport(cost, demand=3, capacity=3)
+    assert (flow.sum(axis=1) == 3).all()
+    assert (flow.sum(axis=0) <= 3).all()
+    # optimality lower bound: sum of each row's 3 smallest distances
+    lb = np.sort(cost, axis=1)[:, :3].sum()
+    assert cost[flow].sum() >= lb - 1e-9
+    # sanity upper bound: any greedy feasible solution costs at least as much
+    assert cost[flow].sum() <= cost.max() * 75
+
+
+def test_flow_infeasible_raises():
+    with pytest.raises(ValueError, match="infeasible|available"):
+        _min_cost_transport(np.ones((5, 2)), demand=3, capacity=3)
+
+
+def test_spatial_matching_dataset_input(ray_session):
+    rng = np.random.default_rng(3)
+    xt = rng.uniform(0, 50, (8, 2))
+    ys = rng.uniform(0, 50, (12, 2))
+    tds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(100, 108, dtype=np.int64)),
+                "x": pa.array(xt[:, 0]),
+                "y": pa.array(xt[:, 1]),
+            }
+        )
+    )
+    sds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(200, 212, dtype=np.int64)),
+                "x": pa.array(ys[:, 0]),
+                "y": pa.array(ys[:, 1]),
+            }
+        )
+    )
+    heads, tails, weights = spatial_matching(tds, sds, n_matches=2)
+    assert len(heads) == 16
+    assert set(heads) == set(range(100, 108))
+    assert set(tails) <= set(range(200, 212))
+    assert (weights == 1.0).all()
+    # per-target 2 matches, per-source ≤ 2 uses
+    _, counts = np.unique(heads, return_counts=True)
+    assert (counts == 2).all()
+    _, scounts = np.unique(tails, return_counts=True)
+    assert (scounts <= 2).all()
+    # objective equals the numpy-array path on the same data
+    h2, t2, _ = spatial_matching(xt, ys, n_matches=2)
+    d = np.sqrt(((xt[:, None, :] - ys[None, :, :]) ** 2).sum(-1))
+    cost_ds = sum(d[h - 100, t - 200] for h, t in zip(heads, tails))
+    cost_np = sum(d[h, t] for h, t in zip(h2, t2))
+    assert np.isclose(cost_ds, cost_np)
+
+
+def test_spatial_matching_precomputed_and_within():
+    cost = np.array([[1.0, 5.0, 3.0], [2.0, 1.0, 9.0]])
+    heads, tails, w = spatial_matching(cost, y=np.zeros((3, 2)),
+                                       n_matches=1, metric="precomputed")
+    assert list(zip(heads, tails)) == [(0, 0), (1, 1)]
+    with pytest.raises(NotImplementedError, match="within"):
+        spatial_matching(np.zeros((4, 2)), None, n_matches=1)
