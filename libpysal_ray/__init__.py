@@ -53,7 +53,14 @@ def __getattr__(name):
         "read_dat": "libpysal_ray.sources.weights_io",
         "read_arcgis_dbf": "libpysal_ray.sources.weights_io",
         "read_swm": "libpysal_ray.sources.weights_io",
+        "read_stata_text": "libpysal_ray.sources.weights_io",
+        "read_geobugs": "libpysal_ray.sources.weights_io",
+        "read_mat": "libpysal_ray.sources.weights_io",
+        "read_wk1": "libpysal_ray.sources.weights_io",
         "polygons_from_wkt": "libpysal_ray.sources.shapefile",
+        "build_travel_graph": "libpysal_ray.builders.network",
+        "snap_to_nodes": "libpysal_ray.builders.network",
+        "spatial_matching": "libpysal_ray.builders.matching",
     }
     if name in _BUILDERS:
         import importlib

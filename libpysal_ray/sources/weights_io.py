@@ -363,3 +363,291 @@ def write_swm(
                 out.write(_s.pack(f"<{len(nghs)}l", *nghs))
                 out.write(_s.pack(f"<{len(ws)}d", *ws))
                 out.write(_s.pack("<d", sum(ws)))
+
+
+def _collect_adjacency(g: RayGraph):
+    """(canonical-order focal ids, {focal: ([neighbors], [weights])}) —
+    isolate markers collapse to empty lists. Streams the edge Dataset;
+    driver memory is O(edges of ONE graph being serialized), the same
+    boundary cost as every legacy text writer here."""
+    ids: list[int] = []
+    rows: dict[int, tuple[list[int], list[float]]] = {}
+    for batch in E.canonical(g.edges).iter_batches(batch_format="pyarrow"):
+        f = batch.column("focal").to_numpy(zero_copy_only=False)
+        nb = batch.column("neighbor").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        for i in range(len(f)):
+            fi = int(f[i])
+            if fi not in rows:
+                rows[fi] = ([], [])
+                ids.append(fi)
+            if not (f[i] == nb[i] and w[i] == 0.0):
+                rows[fi][0].append(int(nb[i]))
+                rows[fi][1].append(float(w[i]))
+    return ids, rows
+
+
+# ------------------------------------------------------------ STATA text
+def read_stata_text(path: str) -> RayGraph:
+    """STATA ``spmat`` text (stata_txt.py:10-52): header line = n, then
+    either neighbor-ID lists (binary weights) or a full n×n matrix whose
+    columns map to row ids positionally. Form detection mirrors the
+    reference reader exactly (stata_txt.py:149-158): the first data row is
+    matrix-form iff it has >1 token and its second token is 0.0."""
+    with open(path) as f:
+        n = int(f.readline().strip())
+        lines = [f.readline().strip() for _ in range(n)]
+    first = lines[0].split()
+    matrix_form = not (len(first) == 1 or float(first[1]) != 0.0)
+    focal, neighbor, weight, id_order = [], [], [], []
+    for line in lines:
+        parts = line.split()
+        id_order.append(int(float(parts[0])))
+    for line in lines:
+        parts = line.split()
+        fid = int(float(parts[0]))
+        if matrix_form:
+            for c, tok in enumerate(parts[1:]):
+                w = float(tok)
+                if w > 0:
+                    focal.append(fid)
+                    neighbor.append(id_order[c])
+                    weight.append(w)
+        else:
+            for tok in parts[1:]:
+                focal.append(fid)
+                neighbor.append(int(tok))
+                weight.append(1.0)
+    ds = E.from_arrays(
+        np.asarray(focal, np.int64),
+        np.asarray(neighbor, np.int64),
+        np.asarray(weight, np.float64),
+    )
+    return RayGraph(E.resolve_isolates(ds, np.asarray(id_order, np.int64)))
+
+
+def write_stata_text(g: RayGraph, path: str, matrix_form: bool = False) -> None:
+    """STATA ``spmat`` text writer (stata_txt.py:256-278): sparse form
+    writes neighbor-ID lists; matrix form writes the full row with weights
+    (columns positional in id order)."""
+    ids, rows = _collect_adjacency(g)
+    pos = {fid: i for i, fid in enumerate(ids)}
+    with open(path, "w") as out:
+        out.write(f"{len(ids)}\n")
+        for fid in ids:
+            nghs, ws = rows[fid]
+            if matrix_form:
+                dense = ["0.0"] * len(ids)
+                for ngh, w in zip(nghs, ws):
+                    dense[pos[ngh]] = str(w)
+                out.write(" ".join([str(fid)] + dense) + "\n")
+            else:
+                out.write(" ".join([str(fid)] + [str(x) for x in nghs]) + "\n")
+
+
+# --------------------------------------------------------------- GeoBUGS
+def read_geobugs(path: str) -> RayGraph:
+    """GeoBUGS / R-spdep ``nb2WB`` text (geobugs_txt.py:11-205):
+    ``list(num=c(...), adj=c(...)[, weights=c(...)][, sumNumNeigh=N])``.
+    Observation ids are record numbers starting at 1; ``adj`` concatenates
+    neighbor lists in ``num`` order; weights default to 1.0."""
+    with open(path) as f:
+        body = f.read()
+    parts: dict[str, list[float]] = {}
+    marks = sorted(
+        (body.find(k), k)
+        for k in ("num", "adj", "weights", "sumNumNeigh")
+        if body.find(k) != -1
+    )
+    marks.append((len(body), "eof"))
+    for (start, key), (end, _) in zip(marks, marks[1:]):
+        seg = body[start:end]
+        digits = [i for i, ch in enumerate(seg) if ch.isdigit()]
+        seg = seg[digits[0] : digits[-1] + 1].replace("\n", "")
+        conv = float if key == "weights" else int
+        parts[key] = [conv(v) for v in seg.split(",")]
+    card = parts["num"]
+    adj = parts["adj"]
+    raw_w = parts.get("weights", [1.0] * int(sum(card)))
+    focal, neighbor, weight = [], [], []
+    pos = 0
+    for i, k in enumerate(card):
+        focal.extend([i + 1] * k)
+        neighbor.extend(adj[pos : pos + k])
+        weight.extend(raw_w[pos : pos + k])
+        pos += k
+    ds = E.from_arrays(
+        np.asarray(focal, np.int64),
+        np.asarray(neighbor, np.int64),
+        np.asarray(weight, np.float64),
+    )
+    ids = np.arange(1, len(card) + 1, dtype=np.int64)
+    return RayGraph(E.resolve_isolates(ds, ids))
+
+
+def write_geobugs(g: RayGraph, path: str,
+                  include_weights: bool = True) -> None:
+    """GeoBUGS writer (geobugs_txt.py:266-280; the reference writer omits
+    ``weights`` — binary graphs only — so ``include_weights`` extends it
+    while staying readable by the reference parser). Neighbor ids are
+    remapped to 1-based record numbers in canonical id order."""
+    ids, rows = _collect_adjacency(g)
+    recno = {fid: i + 1 for i, fid in enumerate(ids)}
+    card, adj, wgt = [], [], []
+    for fid in ids:
+        nghs, ws = rows[fid]
+        card.append(len(nghs))
+        adj.extend(recno[n] for n in nghs)
+        wgt.extend(ws)
+    with open(path, "w") as out:
+        out.write("list(")
+        out.write("num=c({}),".format(",".join(map(str, card))))
+        out.write("adj=c({}),".format(",".join(map(str, adj))))
+        if include_weights:
+            out.write(
+                "weights=c({}),".format(",".join(f"{w:.10g}" for w in wgt))
+            )
+        out.write(f"sumNumNeigh={sum(card)})")
+
+
+# ---------------------------------------------------------- MATLAB MAT v4
+def read_mat(path: str) -> RayGraph:
+    """MATLAB Level-4 MAT full-matrix weights (mat.py:13-35 uses
+    scipy.io; this is a dependency-free v4 parser). Layout: 5 little-
+    endian int32 header (mopt, mrows, ncols, imagf, namelen), the null-
+    terminated variable name, then mrows×ncols float64 column-major.
+    Only mopt=0 (LE, double, full) is supported; Level-5 files (text
+    magic 'MATLAB 5.0') raise. Ids are positional 0..n-1 (the reference
+    ignores MATLAB row/col headers, mat.py:17-18)."""
+    import struct as _s
+
+    with open(path, "rb") as f:
+        head = f.read(20)
+        if head[:6] == b"MATLAB":
+            raise ValueError(
+                "MAT Level-5 files are unsupported; export Level-4 "
+                "(MATLAB: save -v4)"
+            )
+        mopt, mrows, ncols, imagf, namelen = _s.unpack("<5i", head)
+        if mopt != 0 or imagf != 0:
+            raise ValueError(f"unsupported MAT v4 type mopt={mopt}")
+        f.read(namelen)
+        data = np.fromfile(f, dtype="<f8", count=mrows * ncols)
+    m = data.reshape((ncols, mrows)).T  # column-major
+    if mrows != ncols:
+        raise ValueError(f"weights matrix must be square, got {m.shape}")
+    focal, neighbor = np.nonzero(m)
+    ds = E.from_arrays(
+        focal.astype(np.int64), neighbor.astype(np.int64),
+        m[focal, neighbor].astype(np.float64),
+    )
+    return RayGraph(
+        E.resolve_isolates(ds, np.arange(mrows, dtype=np.int64))
+    )
+
+
+def write_mat(g: RayGraph, path: str, var_name: str = "WEIGHT",
+              max_n: int = 10_000) -> None:
+    """MAT v4 full-matrix writer (mat.py:95-123 semantics via
+    scipy.io.savemat; here hand-packed). Dense n×n — guarded by ``max_n``
+    since the format is inherently O(n²); ids map to positions in
+    canonical order."""
+    import struct as _s
+
+    ids, rows = _collect_adjacency(g)
+    n = len(ids)
+    if n > max_n:
+        raise ValueError(f"dense MAT write of n={n} exceeds max_n={max_n}")
+    pos = {fid: i for i, fid in enumerate(ids)}
+    m = np.zeros((n, n))
+    for fid in ids:
+        nghs, ws = rows[fid]
+        for ngh, w in zip(nghs, ws):
+            m[pos[fid], pos[ngh]] = w
+    name = var_name.encode() + b"\x00"
+    with open(path, "wb") as out:
+        out.write(_s.pack("<5i", 0, n, n, 0, len(name)))
+        out.write(name)
+        m.T.astype("<f8").tofile(out)  # column-major
+
+
+# ------------------------------------------------------------- Lotus WK1
+def read_wk1(path: str) -> RayGraph:
+    """Lotus 1-2-3 WK1 weights (wk1.py:200-256): BOF magic
+    (0,0,2,0,6,4), typed records ``<2H`` (type, len); NUMBER (14, double)
+    / INTEGER (13, int16) / FORMULA (16) cells carry (format, row, col,
+    value); positive values are edges; record type 1 is EOF. n is taken
+    from the RANGE record (type 6) so all-zero rows survive as isolates
+    (the reference reader drops them, wk1.py:243-255)."""
+    import struct as _s
+
+    with open(path, "rb") as f:
+        if _s.unpack("<6B", f.read(6)) != (0, 0, 2, 0, 6, 4):
+            raise ValueError("not a WK1 file (bad BOF)")
+        n = 0
+        focal, neighbor, weight = [], [], []
+        dtype, dlen = _s.unpack("<2H", f.read(4))
+        while dtype != 1:
+            if dtype == 6 and dlen == 8:
+                _, _, ec, er = _s.unpack("<4H", f.read(8))
+                n = max(n, ec, er)
+            elif dtype in (13, 14, 16):
+                f.read(1)
+                row, col = _s.unpack("<2H", f.read(4))
+                if dtype == 13:
+                    value = float(_s.unpack("<h", f.read(2))[0])
+                else:
+                    value = _s.unpack("<d", f.read(8))[0]
+                if value > 0:
+                    focal.append(row)
+                    neighbor.append(col)
+                    weight.append(value)
+                if dtype == 16:
+                    f.read(dlen - 13)
+            else:
+                f.read(dlen)
+            dtype, dlen = _s.unpack("<2H", f.read(4))
+    ds = E.from_arrays(
+        np.asarray(focal, np.int64),
+        np.asarray(neighbor, np.int64),
+        np.asarray(weight, np.float64),
+    )
+    ids = np.arange(max(n, (max(focal) + 1) if focal else 0), dtype=np.int64)
+    return RayGraph(E.resolve_isolates(ds, ids))
+
+
+def write_wk1(g: RayGraph, path: str) -> None:
+    """WK1 writer — byte layout of the reference (wk1.py:320-368): BOF,
+    RANGE, the fixed format/window/column records, one NUMBER cell per
+    matrix entry (full dense), EOF. The format caps n at 256
+    (wk1.py:325-328); ids map to positions in canonical order."""
+    import struct as _s
+
+    ids, rows = _collect_adjacency(g)
+    n = len(ids)
+    if n > 256:
+        raise ValueError("WK1 supports at most 256 observations")
+    pos = {fid: i for i, fid in enumerate(ids)}
+    pack = _s.pack
+    with open(path, "wb") as out:
+        out.write(pack("<6B", 0, 0, 2, 0, 6, 4))
+        out.write(pack("<6H", 6, 8, 0, 0, n, n))
+        out.write(pack("<2H6B", 150, 6, 0, 0, 0, 0, 0, 0))
+        out.write(pack("<2H1B", 47, 1, 0))
+        for t in (2, 3, 4, 5):
+            out.write(pack("<2H1b", t, 1, 0))
+        out.write(pack("<2H1b", 49, 1, 1))
+        out.write(pack("<4H2b13H", 7, 32, 0, 0, 113, 0, 10, n, n,
+                       0, 0, 0, 0, 0, 0, 0, 0, 72, 0))
+        out.write(pack("<2H32b", 100, 32, *([0] * 32)))
+        out.write(pack("<7H", 40, 10, 4, 76, 66, 2, 2))
+        out.write(pack("<2H1c", 41, 1, b"'"))
+        for fid in ids:
+            dense = np.zeros(n)
+            nghs, ws = rows[fid]
+            for ngh, w in zip(nghs, ws):
+                dense[pos[ngh]] = w
+            r = pos[fid]
+            for c in range(n):
+                out.write(pack("<2H1b2H1d", 14, 13, 113, r, c, dense[c]))
+        out.write(pack("<2H", 1, 0))
