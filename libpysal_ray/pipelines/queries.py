@@ -2222,3 +2222,97 @@ JOIN snap a ON a.node = sp.src
 JOIN snap b ON b.node = sp.node
 WHERE a.doc_id <> b.doc_id
 """)
+
+
+# --------------------------------------------------- scrub / vocab / quantiles
+def q_pii_scrub(sf_dir: str):
+    """Regex redaction as an actor-pool stage (patterns compiled once per
+    actor): the PII defaults (email/phone/id — absent from the synthetic
+    corpus, exercised in pytest) plus a corpus-hitting stopword pattern so
+    the oracle checks real replacements end-to-end."""
+    from libpysal_ray.text.scrub import DEFAULT_PATTERNS, scrub
+
+    pats = DEFAULT_PATTERNS + ((r"\bthe\b", "<W>"),)
+    out = scrub(_docs(sf_dir, ["doc_id", "text"]), patterns=pats)
+    return out.select_columns(["doc_id", "text", "n_redactions"])
+
+
+QUERIES["pii_scrub"] = q_pii_scrub
+
+# chained regexp_replace in the SAME order, counting matches on each
+# intermediate string — RE2 on both sides, so match sets are identical
+ORACLE_SQL["pii_scrub"] = r"""
+WITH s0 AS (SELECT doc_id, text AS t FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM s0
+),
+s2 AS (
+  SELECT doc_id, c1,
+         len(regexp_extract_all(t, '\+?\d[\d() .-]{7,}\d')) AS c2,
+         regexp_replace(t, '\+?\d[\d() .-]{7,}\d', '<PHONE>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, c1, c2,
+         len(regexp_extract_all(t, '\b\d{6,}\b')) AS c3,
+         regexp_replace(t, '\b\d{6,}\b', '<ID>', 'g') AS t
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, c1, c2, c3,
+         len(regexp_extract_all(t, '\bthe\b')) AS c4,
+         regexp_replace(t, '\bthe\b', '<W>', 'g') AS t
+  FROM s3
+)
+SELECT doc_id, t AS text, CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_redactions
+FROM s4
+"""
+
+
+def q_vocab_top(sf_dir: str):
+    """Corpus wordcount with per-batch combiner (local value_counts before
+    the ONE groupby shuffle), top 25 by (count desc, word)."""
+    from libpysal_ray.text.analysis import word_counts
+
+    wc = word_counts(_docs(sf_dir, ["doc_id", "text"]))
+    return wc.sort(["n", "word"], descending=[True, False]).limit(25)
+
+
+QUERIES["vocab_top"] = q_vocab_top
+
+ORACLE_SQL["vocab_top"] = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT word, COUNT(*) AS n FROM toks
+GROUP BY word ORDER BY n DESC, word LIMIT 25
+"""
+
+
+def q_len_quantiles(sf_dir: str):
+    """Exact order statistics via the value-count combiner (no global
+    sort); driver sees only the distinct-value histogram."""
+    from libpysal_ray.text.analysis import length_quantiles
+
+    return length_quantiles(_docs(sf_dir, ["n_chars"]), value_col="n_chars")
+
+
+QUERIES["len_quantiles"] = q_len_quantiles
+
+# k-th order statistic with k = ceil(q·n): both sides compute q·n in
+# IEEE doubles, so the inexact 0.9·n edge rounds identically
+ORACLE_SQL["len_quantiles"] = """
+WITH ord AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM documents),
+qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                 (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+SELECT q,
+       (SELECT o.n_chars FROM ord o, tot
+        WHERE o.rn = GREATEST(1, CAST(CEIL(q * tot.n) AS BIGINT))) AS value
+FROM qs
+"""

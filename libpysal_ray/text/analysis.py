@@ -202,3 +202,78 @@ def domain_stats(
     return g.rename_columns(
         {"count()": "n_pages", "sum(chars)": "total_chars"}
     )
+
+
+def word_counts(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Corpus word-frequency table (word, n) — the wordcount shuffle done
+    the 100 TB way: per-batch flat tokenization (Arrow split + list
+    flatten, zero Python per row) feeds a LOCAL ``value_counts`` combiner,
+    so the ONE ``groupby(word)`` shuffle moves per-batch distinct words,
+    not corpus tokens."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(t.column(text_col), " ")
+        )
+        vc = toks.combine_chunks().value_counts() if isinstance(
+            toks, pa.ChunkedArray
+        ) else toks.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )
+
+
+def length_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str = "n_chars",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> ray.data.Dataset:
+    """EXACT order statistics of an integer column without a global sort:
+    per-batch value_counts combiner → one small groupby(value) sum → the
+    driver cumsums the (distinct-value, count) table and picks the
+    ceil(q·n)-th smallest. Distinct-value cardinality, not corpus size,
+    bounds driver memory — the pre-aggregate-instead-of-sort discipline
+    (SURVEY §7.3)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vc = t.column(value_col).combine_chunks().value_counts()
+        return pa.table(
+            {
+                "v": pc.cast(vc.field("values"), pa.int64()),
+                "c": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([value_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("c")
+        .rename_columns({"sum(c)": "c"})
+        .sort("v")
+    )
+    rows = counts.take_all()
+    vals = np.array([r["v"] for r in rows], dtype=np.int64)
+    cum = np.cumsum([r["c"] for r in rows])
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        k = max(1, int(np.ceil(q * n)))
+        out_q.append(q)
+        out_v.append(int(vals[np.searchsorted(cum, k)]))
+    return ray.data.from_arrow(
+        pa.table({"q": pa.array(out_q, pa.float64()),
+                  "value": pa.array(out_v, pa.int64())})
+    )
