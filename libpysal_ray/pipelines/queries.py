@@ -2316,3 +2316,48 @@ SELECT q,
         WHERE o.rn = GREATEST(1, CAST(CEIL(q * tot.n) AS BIGINT))) AS value
 FROM qs
 """
+
+
+def q_dissolve(sf_dir: str):
+    """Dissolve the lattice polygon layer by a hash label: per-group area
+    + EXTERIOR perimeter via distributed segment cancellation (shared
+    segments cancel; no merged geometry is materialized)."""
+    from libpysal_ray.spatial.ops import dissolve_stats
+
+    def _lab(t: pa.Table) -> pa.Table:
+        pid = t.column("polygon_id").to_numpy(zero_copy_only=False)
+        return t.append_column("label", pa.array((pid % 7).astype(np.int64)))
+
+    polys = _lattice_polys(sf_dir).map_batches(_lab, batch_format="pyarrow")
+    return dissolve_stats(polys)
+
+
+QUERIES["dissolve"] = q_dissolve
+
+# unit squares: area = member count; exterior perimeter = segments used
+# by exactly one member of the group (all lengths 1.0 — sums exact)
+ORACLE_SQL["dissolve"] = """
+WITH polys AS (
+  SELECT doc_id, doc_id % 7 AS label,
+         doc_id // 20 AS r, doc_id % 20 AS c
+  FROM documents
+),
+segs AS (
+  SELECT label, c AS x1, r AS y1, c + 1 AS x2, r AS y2 FROM polys
+  UNION ALL SELECT label, c + 1, r, c + 1, r + 1 FROM polys
+  UNION ALL SELECT label, c, r + 1, c + 1, r + 1 FROM polys
+  UNION ALL SELECT label, c, r, c, r + 1 FROM polys
+),
+cnt AS (
+  SELECT label, x1, y1, x2, y2, COUNT(*) AS m
+  FROM segs GROUP BY label, x1, y1, x2, y2
+),
+perim AS (
+  SELECT label, CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           AS perimeter
+  FROM cnt GROUP BY label
+)
+SELECT p.label, CAST(COUNT(*) AS DOUBLE) AS area, perim.perimeter
+FROM polys p JOIN perim ON perim.label = p.label
+GROUP BY p.label, perim.perimeter
+"""
