@@ -2361,3 +2361,64 @@ SELECT p.label, CAST(COUNT(*) AS DOUBLE) AS area, perim.perimeter
 FROM polys p JOIN perim ON perim.label = p.label
 GROUP BY p.label, perim.perimeter
 """
+
+
+def q_url_dedup(sf_dir: str):
+    """URL-level dedup: deterministic crawl-style URL variants (scheme /
+    WWW-case / query / fragment decorations by doc_id) collapse to one
+    canonical form; survivor = lowest doc_id. Canonicalization is a chain
+    of Arrow RE2 kernels; dedup is ONE groupby with min/count aggregates."""
+    from libpysal_ray.text.urls import url_dedup
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = []
+        for i in ids:
+            b = f"site{int(i) % 50:03d}.example/page{int(i) % 100}"
+            v = int(i) % 4
+            if v == 0:
+                urls.append("https://" + b)
+            elif v == 1:
+                urls.append("HTTP://WWW." + b.upper() + "/")
+            elif v == 2:
+                urls.append("https://www." + b + "?utm_source=x")
+            else:
+                urls.append("http://" + b + "#frag")
+        return pa.table(
+            {"doc_id": pa.array(ids.astype(np.int64)),
+             "url": pa.array(urls)}
+        )
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    return url_dedup(docs)
+
+
+QUERIES["url_dedup"] = q_url_dedup
+
+ORACLE_SQL["url_dedup"] = r"""
+WITH b AS (
+  SELECT doc_id,
+         'site' || lpad(CAST(doc_id % 50 AS VARCHAR), 3, '0')
+           || '.example/page' || CAST(doc_id % 100 AS VARCHAR) AS base
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://' || base
+           WHEN 1 THEN 'HTTP://WWW.' || upper(base) || '/'
+           WHEN 2 THEN 'https://www.' || base || '?utm_source=x'
+           ELSE 'http://' || base || '#frag'
+         END AS url
+  FROM b
+),
+c AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''),
+           '/$', '') AS cu
+  FROM u
+)
+SELECT cu AS canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM c GROUP BY cu
+"""

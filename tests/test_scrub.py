@@ -68,3 +68,30 @@ def test_length_quantiles_exact(ray_session):
     for q in (0.25, 0.5, 0.75, 0.9):
         k = max(1, int(np.ceil(q * len(vals))))
         assert got[q] == srt[k - 1], q
+
+
+def test_url_canonicalize_and_dedup(ray_session):
+    from libpysal_ray.text.urls import canonicalize_urls, url_dedup
+
+    raw = pa.array(
+        [
+            "https://Example.com/Path/",
+            "http://www.example.com/path?q=1",
+            "EXAMPLE.COM/path#frag",
+            "https://other.org/",
+        ]
+    )
+    assert canonicalize_urls(raw).to_pylist() == [
+        "example.com/path",
+        "example.com/path",
+        "example.com/path",
+        "other.org",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([7, 3, 9, 1], pa.int64()), "url": raw})
+    )
+    got = {r["canonical_url"]: r for r in url_dedup(ds).take_all()}
+    assert got["example.com/path"]["keep_id"] == 3
+    assert got["example.com/path"]["n_dups"] == 3
+    assert got["other.org"]["keep_id"] == 1
+    assert got["other.org"]["n_dups"] == 1
