@@ -2422,3 +2422,139 @@ c AS (
 SELECT cu AS canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
 FROM c GROUP BY cu
 """
+
+
+# ---------------------------------------------------------------- temporal
+_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
+_MONTH_S = 2_592_000                    # 30 days of seconds
+
+
+def _orders_activated(sf_dir: str) -> ray.data.Dataset:
+    """(k, at, o_orderkey): orders keyed by customer with a deterministic
+    synthetic activation timestamp inside the events' January-2024 span
+    (the driver's o_orderdate column is all-1990s, so interleaving must be
+    derived; the SQL oracle mirrors the arithmetic exactly)."""
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        at = _EPOCH_2024_US + (ok * 2654435761) % _MONTH_S * 1_000_000
+        return pa.table(
+            {
+                "k": t.column("o_custkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "at": pa.array(at),
+                "o_orderkey": pa.array(ok),
+            }
+        )
+
+    return orders.map_batches(_mk, batch_format="pyarrow")
+
+
+def _events_ds(sf_dir: str, cols):
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    return read_parquet_sized(f"{sf_dir}/events.parquet", columns=cols)
+
+
+def q_asof_orders(sf_dir: str):
+    """As-of join (a temporal operator Ray Data lacks): every event joins
+    the SAME-customer order with the greatest activation time ≤ event
+    time. One grouped-by-key shuffle; per-bucket composite-int64
+    searchsorted; ties pinned to MAX o_orderkey."""
+    from libpysal_ray.temporal.joins import asof_join
+
+    ev = _events_ds(sf_dir, ["event_id", "ts", "user_id"])
+    out = asof_join(
+        ev, _orders_activated(sf_dir),
+        key="user_id", right_key="k", left_ts="ts", right_ts="at",
+        left_id="event_id", right_val="o_orderkey",
+    )
+
+    def _rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["event_id", "o_orderkey", "asof_ts"])
+
+    return out.map_batches(_rn, batch_format="pyarrow")
+
+
+QUERIES["asof_orders"] = q_asof_orders
+
+ORACLE_SQL["asof_orders"] = f"""
+WITH o AS (
+  SELECT o_custkey AS k, o_orderkey,
+         {_EPOCH_2024_US} + (o_orderkey * 2654435761) % {_MONTH_S} * 1000000
+           AS at
+  FROM orders
+),
+e AS (SELECT event_id, user_id AS k, epoch_us(ts) AS t FROM events),
+m AS (
+  SELECT e.event_id, e.k, MAX(o.at) AS at
+  FROM e JOIN o ON o.k = e.k AND o.at <= e.t
+  GROUP BY e.event_id, e.k
+)
+SELECT m.event_id, MAX(o.o_orderkey) AS o_orderkey, m.at AS asof_ts
+FROM m JOIN o ON o.k = m.k AND o.at = m.at
+GROUP BY m.event_id, m.at
+"""
+
+
+def q_range_orders(sf_dir: str):
+    """1-D range join: per event, how many same-customer orders activated
+    in the trailing 7 days — two searchsorteds per bucket, zero-match
+    events kept."""
+    from libpysal_ray.temporal.joins import range_count_join
+
+    ev = _events_ds(sf_dir, ["event_id", "ts", "user_id"])
+    right = _orders_activated(sf_dir)
+    return range_count_join(
+        ev, right, key="user_id", right_key="k", left_ts="ts",
+        right_ts="at", left_id="event_id",
+        lo_offset_us=-7 * 86400 * 1_000_000, hi_offset_us=0,
+    ).rename_columns({"left_id": "event_id"})
+
+
+QUERIES["range_orders"] = q_range_orders
+
+ORACLE_SQL["range_orders"] = f"""
+WITH o AS (
+  SELECT o_custkey AS k,
+         {_EPOCH_2024_US} + (o_orderkey * 2654435761) % {_MONTH_S} * 1000000
+           AS at
+  FROM orders
+),
+e AS (SELECT event_id, user_id AS k, epoch_us(ts) AS t FROM events)
+SELECT e.event_id, COUNT(o.k) AS n_in_range
+FROM e LEFT JOIN o
+  ON o.k = e.k AND o.at BETWEEN e.t - {7 * 86400 * 1_000_000} AND e.t
+GROUP BY e.event_id
+"""
+
+
+def q_window_events(sf_dir: str):
+    """Tumbling 1-hour windows per user: count + exact integer-cents sum
+    (order-independent float discipline), per-batch combiner before the
+    one (key, window) shuffle."""
+    from libpysal_ray.temporal.joins import tumbling_window
+
+    ev = _events_ds(sf_dir, ["ts", "user_id", "value"])
+    return tumbling_window(
+        ev, ts_col="ts", key_col="user_id",
+        window_us=3_600_000_000, value_col="value",
+    )
+
+
+QUERIES["window_events"] = q_window_events
+
+ORACLE_SQL["window_events"] = """
+SELECT user_id AS "key", epoch_us(ts) // 3600000000 AS "window",
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY user_id, "window"
+"""

@@ -1,0 +1,299 @@
+"""Temporal operators Ray Data lacks: as-of join, range-count join,
+tumbling-window aggregates.
+
+These are the task brief's "custom operator" class — implemented as
+compositions of ``map_batches`` + the engine's ``grouped_by_key`` shuffle
+(option (a) of the brief's ladder), with the partitioning assumption
+documented: **one shuffle on the join key**; all rows of a key meet in
+one bucket, and the per-bucket kernel is a composite-integer
+``searchsorted`` (no per-row Python). Every row of a key lands together,
+so per-task memory is O(max key group) × bucket fill — hot keys at
+100 TB would additionally salt by coarse time range (the block/regime
+salt-grid pattern, builders/contiguity.py) before the per-key merge;
+not needed at driver-test scale and left documented rather than built.
+
+Determinism: among right rows tying on (key, ts) the MAX ``right_val``
+wins — pinned on both the engine (lexsort puts it last, searchsorted
+'right' lands on it) and the SQL oracle (explicit MAX), because SQL ASOF
+JOIN's tie choice is unspecified.
+
+Timestamps are int64 microseconds (Arrow ``timestamp[us]`` bit pattern).
+The per-bucket kernel packs (key, ts) into ONE int64 composite —
+``(dense_key_rank << ts_bits) | ts`` — so the merge is a single
+vectorized ``searchsorted``. Keys densify to per-bucket ranks first
+(raw 64-bit ids never enter the pack) and the ts width is sized from
+the data; the pack raises with a remediation hint instead of silently
+wrapping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from libpysal_ray.core.joins import grouped_by_key
+
+
+def _ts_us(col: pa.ChunkedArray) -> np.ndarray:
+    """timestamp[us] | int64 column → int64 microseconds."""
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.int64())
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _composite(k: np.ndarray, t: np.ndarray, ts_bits: int) -> np.ndarray:
+    if len(t) and (t.min() < 0 or t.max() >= (1 << ts_bits)):
+        raise ValueError(f"timestamps exceed {ts_bits}-bit pack range")
+    if len(k) and (k.min() < 0 or k.max() >= (1 << (62 - ts_bits))):
+        raise ValueError("key range too large for the composite pack")
+    return (k << np.int64(ts_bits)) | t
+
+
+def _pack_params(keys: np.ndarray, tmax: int) -> tuple[np.ndarray, int]:
+    """Per-bucket densification: raw keys (any magnitude — 64-bit user
+    ids at corpus scale) → dense ranks, plus the ts bit width actually
+    needed. The composite then only has to fit (distinct keys in THIS
+    bucket) × (observed ts range), not the global domains. Raises with a
+    remediation hint if even that cannot pack."""
+    uk = np.unique(keys)
+    ts_bits = max(int(tmax).bit_length(), 1)
+    rank_bits = max((len(uk) - 1).bit_length(), 1)
+    if rank_bits + ts_bits > 62:
+        raise ValueError(
+            f"cannot pack {len(uk)} distinct keys × {ts_bits}-bit "
+            "timestamps into int64 — raise num_buckets so fewer keys "
+            "share a bucket"
+        )
+    return uk, ts_bits
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_val: str,
+    right_key: str | None = None,
+) -> ray.data.Dataset:
+    """For every left row, the right row of the same ``key`` with the
+    greatest ``right_ts`` ≤ ``left_ts`` (inner: unmatched left rows drop).
+
+    Returns (left_id, right_val, asof_ts). Ties on (key, right_ts) pick
+    MAX right_val.
+    """
+
+    rkey = right_key or key
+
+    def _prep(is_left: bool, tsc: str, idc: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "k": t.column(key if is_left else rkey)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "t": pa.array(_ts_us(t.column(tsc))),
+                    "v": t.column(idc)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "side": pa.array(
+                        np.full(n, 0 if is_left else 1, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return f
+
+    u = left.map_batches(
+        _prep(True, left_ts, left_id), batch_format="pyarrow"
+    ).union(
+        right.map_batches(_prep(False, right_ts, right_val),
+                          batch_format="pyarrow")
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        empty = pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_val": pa.array([], pa.int64()),
+                "asof_ts": pa.array([], pa.int64()),
+            }
+        )
+        if len(li) == 0 or len(ri) == 0:
+            return empty
+        uk, bits = _pack_params(k, int(ts.max()))
+        kd = np.searchsorted(uk, k)
+        order = np.lexsort((v[ri], ts[ri], kd[ri]))
+        rk, rt, rv = kd[ri][order], ts[ri][order], v[ri][order]
+        comp_r = _composite(rk, rt, bits)
+        comp_l = _composite(kd[li], ts[li], bits)
+        idx = np.searchsorted(comp_r, comp_l, "right") - 1
+        valid = idx >= 0
+        valid[valid] &= rk[idx[valid]] == kd[li][valid]
+        sel = np.flatnonzero(valid)
+        return pa.table(
+            {
+                "left_id": pa.array(v[li][sel]),
+                "right_val": pa.array(rv[idx[sel]]),
+                "asof_ts": pa.array(rt[idx[sel]]),
+            }
+        )
+
+    return grouped_by_key(u, ["k"], _bucket)
+
+
+def range_count_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    lo_offset_us: int,
+    hi_offset_us: int,
+    right_key: str | None = None,
+) -> ray.data.Dataset:
+    """(left_id, n_in_range): per left row, how many right rows of the
+    same key have ``left_ts + lo_offset ≤ right_ts ≤ left_ts + hi_offset``
+    — a 1-D range join as two vectorized searchsorteds per bucket. Left
+    rows with zero matches are kept (count 0)."""
+
+    rkey = right_key or key
+
+    def _prep(is_left: bool, tsc: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            vid = (
+                t.column(left_id).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                if is_left
+                else np.zeros(n, dtype=np.int64)
+            )
+            return pa.table(
+                {
+                    "k": t.column(key if is_left else rkey)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "t": pa.array(_ts_us(t.column(tsc))),
+                    "v": pa.array(vid),
+                    "side": pa.array(
+                        np.full(n, 0 if is_left else 1, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return f
+
+    u = left.map_batches(_prep(True, left_ts), batch_format="pyarrow").union(
+        right.map_batches(_prep(False, right_ts), batch_format="pyarrow")
+    )
+    lo, hi = np.int64(lo_offset_us), np.int64(hi_offset_us)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        if len(li) == 0:
+            return pa.table(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "n_in_range": pa.array([], pa.int64()),
+                }
+            )
+        if len(ri) == 0:
+            return pa.table(
+                {
+                    "left_id": pa.array(v[li]),
+                    "n_in_range": pa.array(np.zeros(len(li), np.int64)),
+                }
+            )
+        tmax = int(ts.max()) + max(int(hi), 0)
+        uk, bits = _pack_params(k, tmax)
+        kd = np.searchsorted(uk, k)
+        order = np.lexsort((ts[ri], kd[ri]))
+        rk, rt = kd[ri][order], ts[ri][order]
+        # clamp window bounds into the packable [0, tmax] range; windows
+        # lying entirely outside any right ts contribute 0 via the mask
+        lo_t = ts[li] + lo
+        hi_t = ts[li] + hi
+        dead = hi_t < 0
+        comp_lo = _composite(kd[li], np.clip(lo_t, 0, tmax), bits)
+        comp_hi = _composite(kd[li], np.clip(hi_t, 0, tmax), bits)
+        comp_r = _composite(rk, rt, bits)
+        a = np.searchsorted(comp_r, comp_lo, "left")
+        b = np.searchsorted(comp_r, comp_hi, "right")
+        n = (b - a).astype(np.int64)
+        n[dead] = 0
+        return pa.table(
+            {
+                "left_id": pa.array(v[li]),
+                "n_in_range": pa.array(n),
+            }
+        )
+
+    return grouped_by_key(u, ["k"], _bucket)
+
+
+def tumbling_window(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    key_col: str,
+    window_us: int,
+    value_cents_col: str | None = None,
+    value_col: str | None = None,
+) -> ray.data.Dataset:
+    """Tumbling-window aggregate: (key, window, n_events[, sum_cents]) with
+    ``window`` = floor(ts_us / window_us). Per-batch partial aggregation
+    (the combiner) shrinks the ONE (key, window) shuffle to distinct
+    groups per batch. ``value_col`` floats are summed as exact integer
+    cents (round(value·100)) so the aggregate is order-independent and
+    bit-reproducible — the discipline every oracled float sum here uses."""
+    w = np.int64(window_us)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        win = _ts_us(t.column(ts_col)) // w
+        if value_col is not None:
+            cents = np.round(
+                t.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+        else:
+            cents = np.zeros(len(k), dtype=np.int64)
+        order = np.lexsort((win, k))
+        ks, ws, cs = k[order], win[order], cents[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+        gidx = np.cumsum(first) - 1
+        n = np.bincount(gidx)
+        csum = np.bincount(gidx, weights=cs).astype(np.int64)
+        heads = np.flatnonzero(first)
+        return pa.table(
+            {
+                "key": pa.array(ks[heads]),
+                "window": pa.array(ws[heads]),
+                "n_events": pa.array(n.astype(np.int64)),
+                "sum_cents": pa.array(csum),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["key", "window"])
+        .sum(["n_events", "sum_cents"])
+        .rename_columns(
+            {"sum(n_events)": "n_events", "sum(sum_cents)": "sum_cents"}
+        )
+    )

@@ -1,0 +1,99 @@
+"""Temporal operators: as-of join, range-count join, tumbling windows."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.temporal.joins import (
+    _composite,
+    asof_join,
+    range_count_join,
+    tumbling_window,
+)
+
+
+def _mk(cols):
+    return ray.data.from_arrow(
+        pa.table({k: pa.array(v) for k, v in cols.items()})
+    )
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(4)
+    n_l, n_r = 200, 60
+    lk = rng.integers(0, 8, n_l).astype(np.int64)
+    lt = rng.integers(0, 10_000, n_l).astype(np.int64)
+    rk = rng.integers(0, 8, n_r).astype(np.int64)
+    rt = rng.integers(0, 10_000, n_r).astype(np.int64)
+    rv = np.arange(100, 100 + n_r, dtype=np.int64)
+    left = _mk({"id": np.arange(n_l, dtype=np.int64), "k": lk, "t": lt})
+    right = _mk({"k2": rk, "t2": rt, "v": rv})
+    got = {
+        r["left_id"]: (r["right_val"], r["asof_ts"])
+        for r in asof_join(
+            left, right, key="k", right_key="k2", left_ts="t",
+            right_ts="t2", left_id="id", right_val="v",
+        ).take_all()
+    }
+    for i in range(n_l):
+        cand = [(rt[j], rv[j]) for j in range(n_r)
+                if rk[j] == lk[i] and rt[j] <= lt[i]]
+        if not cand:
+            assert i not in got
+        else:
+            best = max(cand)  # (max ts, then max val) — the pinned tie rule
+            assert got[i] == (best[1], best[0]), i
+
+
+def test_range_count_join_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(9)
+    n_l, n_r = 150, 80
+    lk = rng.integers(0, 5, n_l).astype(np.int64)
+    lt = rng.integers(0, 5_000, n_l).astype(np.int64)
+    rk = rng.integers(0, 5, n_r).astype(np.int64)
+    rt = rng.integers(0, 5_000, n_r).astype(np.int64)
+    left = _mk({"id": np.arange(n_l, dtype=np.int64), "k": lk, "t": lt})
+    right = _mk({"k2": rk, "t2": rt})
+    lo, hi = -500, 100
+    got = {
+        r["left_id"]: r["n_in_range"]
+        for r in range_count_join(
+            left, right, key="k", right_key="k2", left_ts="t",
+            right_ts="t2", left_id="id",
+            lo_offset_us=lo, hi_offset_us=hi,
+        ).take_all()
+    }
+    assert len(got) == n_l  # zero-match rows kept
+    for i in range(n_l):
+        want = sum(
+            1 for j in range(n_r)
+            if rk[j] == lk[i] and lt[i] + lo <= rt[j] <= lt[i] + hi
+        )
+        assert got[i] == want, i
+
+
+def test_tumbling_window_exact_cents(ray_session):
+    k = np.array([1, 1, 1, 2, 2], dtype=np.int64)
+    t = np.array([100, 150, 3700, 100, 200], dtype=np.int64) * 1_000_000
+    v = np.array([1.25, 2.50, 0.75, 10.00, 0.01])
+    ds = _mk({"user": k, "ts": t, "value": v})
+    got = {
+        (r["key"], r["window"]): (r["n_events"], r["sum_cents"])
+        for r in tumbling_window(
+            ds, ts_col="ts", key_col="user", window_us=3_600_000_000,
+            value_col="value",
+        ).take_all()
+    }
+    assert got[(1, 0)] == (2, 375)
+    assert got[(1, 1)] == (1, 75)
+    assert got[(2, 0)] == (2, 1001)
+
+
+def test_composite_overflow_guard():
+    with pytest.raises(ValueError, match="pack range"):
+        _composite(np.array([1], np.int64),
+                   np.array([1 << 60], np.int64), ts_bits=52)
+    with pytest.raises(ValueError, match="key range"):
+        _composite(np.array([1 << 12], np.int64),
+                   np.array([0], np.int64), ts_bits=52)
