@@ -279,6 +279,9 @@ def travel_cost_edges(
     net_edges: ray.data.Dataset,
     threshold: float,
     max_rounds: int = 64,
+    max_driver_edges: int = 5_000_000,
+    force_distributed: bool = False,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Min network cost ≤ ``threshold`` from every seed node: (src, node, dist).
 
@@ -291,10 +294,39 @@ def travel_cost_edges(
     min-aggregate + one merge shuffle. Converges in ≤ hop-diameter rounds;
     raises RuntimeError if still improving after ``max_rounds`` (the
     fixed-iteration-silent-exit trap flagged for components, ADVICE r2).
+
+    Size switch (the ``n_components`` discipline, core/graph.py): a road
+    network under ``max_driver_edges`` runs a driver-side heap Dijkstra —
+    paying ~10 shuffles of round latency to route a graph that fits in
+    one process is the wrong plan. ``force_distributed=True`` pins the
+    frontier path (tests + the oracle query exercise it).
     """
-    edges = net_edges.select_columns(["src", "dst", "cost"]).rename_columns(
-        {"src": "jn"}
-    ).materialize()
+    n_edges = net_edges.count()
+    if not force_distributed and n_edges <= max_driver_edges:
+        return _travel_cost_driver(seed_nodes, net_edges, threshold)
+    # Relax strategy: the edge table is the SMALL side of every round's
+    # join. Below ~5M edges broadcast it once (ray.put, CSR-sorted) and
+    # relax as a shuffle-free map_batches over the frontier — halving the
+    # per-round shuffle count; above that, bucket-join the edge table.
+    broadcast_relax = n_edges <= 5_000_000
+    if broadcast_relax:
+        et = pa.concat_tables(
+            net_edges.select_columns(["src", "dst", "cost"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        es = et.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        ed = et.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        ec = et.column("cost").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        order = np.argsort(es, kind="stable")
+        e_ref = ray.put((es[order], ed[order], ec[order]))
+        edges = None
+    else:
+        edges = net_edges.select_columns(
+            ["src", "dst", "cost"]
+        ).rename_columns({"src": "jn"}).materialize()
 
     seeds = seed_nodes.map_batches(
         lambda t: pa.table(
@@ -369,12 +401,50 @@ def travel_cost_edges(
             batch_format="pyarrow",
         )
 
+    def _relax_broadcast(t: pa.Table) -> pa.Table:
+        bs, bd, bc = ray.get(e_ref)
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        d = t.column("dist").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(bs, n, "left")
+        hi = np.searchsorted(bs, n, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        rep = np.repeat(np.arange(len(n)), cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        epos = np.repeat(lo, cnt) + offs
+        nd = d[rep] + bc[epos]
+        keep = nd <= threshold
+        return _partial_min(
+            pa.table(
+                {
+                    "src": pa.array(s[rep][keep]),
+                    "node": pa.array(bd[epos][keep]),
+                    "dist": pa.array(nd[keep]),
+                }
+            )
+        )
+
     best = seeds
     frontier = seeds
     for _round in range(max_rounds):
-        relaxed = (
+        if broadcast_relax:
+            relaxed = frontier.map_batches(
+                _relax_broadcast, batch_format="pyarrow"
+            )
+        else:
+            relaxed = (
             J.bucket_join(
-                frontier.rename_columns({"node": "jn"}), edges, on="jn"
+                frontier.rename_columns({"node": "jn"}), edges, on="jn",
+                num_buckets=num_buckets,
             )
             .map_batches(
                 lambda t: _partial_min(
@@ -408,6 +478,7 @@ def travel_cost_edges(
             _tag(best, 0).union(_tag(relaxed, 1)),
             ["src", "node"],
             _merge,
+            num_buckets=num_buckets,
         ).materialize()
         improved = merged.filter(expr="imp == 1")
         best = merged.drop_columns(["imp"])
@@ -420,6 +491,56 @@ def travel_cost_edges(
     )
 
 
+def _travel_cost_driver(
+    seed_nodes: ray.data.Dataset,
+    net_edges: ray.data.Dataset,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Driver-side bounded multi-source Dijkstra (binary heap) for
+    networks that fit in one process; identical output contract to the
+    distributed path (pytest asserts parity)."""
+    import heapq
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for b in net_edges.iter_batches(batch_format="pyarrow"):
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        d = b.column("dst").to_numpy(zero_copy_only=False)
+        c = b.column("cost").to_numpy(zero_copy_only=False)
+        for i in range(len(s)):
+            adj.setdefault(int(s[i]), []).append((int(d[i]), float(c[i])))
+    seeds = [
+        int(r["node"])
+        for b in seed_nodes.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    out_s, out_n, out_d = [], [], []
+    for src in seeds:
+        dist: dict[int, float] = {src: 0.0}
+        pq = [(0.0, src)]
+        while pq:
+            dd, u = heapq.heappop(pq)
+            if dd > dist.get(u, np.inf):
+                continue
+            for v2, c2 in adj.get(u, ()):  # noqa: B023
+                nd = dd + c2
+                if nd <= threshold and nd < dist.get(v2, np.inf):
+                    dist[v2] = nd
+                    heapq.heappush(pq, (nd, v2))
+        for node, dd in dist.items():
+            out_s.append(src)
+            out_n.append(node)
+            out_d.append(dd)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.asarray(out_s, np.int64)),
+                "node": pa.array(np.asarray(out_n, np.int64)),
+                "dist": pa.array(np.asarray(out_d, np.float64)),
+            }
+        )
+    )
+
+
 def build_travel_graph(
     points: ray.data.Dataset,
     net_nodes: ray.data.Dataset,
@@ -429,6 +550,9 @@ def build_travel_graph(
     taper: bool = True,
     mapping_distance: float | None = None,
     id_col: str = "id",
+    force_distributed: bool = False,
+    num_buckets: int | None = None,
+    broadcast_assemble_max: int = 1_000_000,
 ) -> RayGraph:
     """Observation graph weighted by bounded network travel cost.
 
@@ -459,15 +583,69 @@ def build_travel_graph(
         snaps.select_columns(["node"]).groupby("node").count()
         .select_columns(["node"])
     )
-    sp = travel_cost_edges(seeds, net_edges, threshold)
-    focal_side = snaps.rename_columns({"id": "focal", "node": "src"})
-    t1 = J.bucket_join(sp, focal_side, on="src").select_columns(
-        ["focal", "node", "dist"]
+    sp = travel_cost_edges(
+        seeds, net_edges, threshold, force_distributed=force_distributed,
+        num_buckets=num_buckets,
     )
-    nbr_side = snaps.rename_columns({"id": "neighbor"})
-    t2 = J.bucket_join(t1, nbr_side, on="node").select_columns(
-        ["focal", "neighbor", "dist"]
-    )
+    # assemble: node-pair costs → observation pairs. The snap table is the
+    # small side of both joins (one row per observation); below 1M rows
+    # broadcast it once and expand per sp batch shuffle-free, else two
+    # bucketed joins.
+    if snaps.count() <= broadcast_assemble_max:
+        st = pa.concat_tables(snaps.iter_batches(batch_format="pyarrow"))
+        sid = st.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        snode = st.column("node").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(snode, kind="stable")
+        s_ref = ray.put((snode[order], sid[order]))
+
+        def _expand(t: pa.Table) -> pa.Table:
+            nod, oid = ray.get(s_ref)
+            src = t.column("src").to_numpy(zero_copy_only=False)
+            dst = t.column("node").to_numpy(zero_copy_only=False)
+            dd = t.column("dist").to_numpy(zero_copy_only=False)
+            flo = np.searchsorted(nod, src, "left")
+            fhi = np.searchsorted(nod, src, "right")
+            nlo = np.searchsorted(nod, dst, "left")
+            nhi = np.searchsorted(nod, dst, "right")
+            cnt = (fhi - flo) * (nhi - nlo)
+            total = int(cnt.sum())
+            if total == 0:
+                return pa.table(
+                    {
+                        "focal": pa.array([], pa.int64()),
+                        "neighbor": pa.array([], pa.int64()),
+                        "dist": pa.array([], pa.float64()),
+                    }
+                )
+            rows = np.repeat(np.arange(len(src)), cnt)
+            offs = np.arange(total) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            nf = (fhi - flo)[rows]
+            nn = (nhi - nlo)[rows]
+            fpos = flo[rows] + offs // np.maximum(nn, 1)
+            npos = nlo[rows] + offs % np.maximum(nn, 1)
+            del nf
+            return pa.table(
+                {
+                    "focal": pa.array(oid[fpos]),
+                    "neighbor": pa.array(oid[npos]),
+                    "dist": pa.array(dd[rows]),
+                }
+            )
+
+        t2 = sp.map_batches(_expand, batch_format="pyarrow")
+    else:
+        focal_side = snaps.rename_columns({"id": "focal", "node": "src"})
+        t1 = J.bucket_join(sp, focal_side, on="src").select_columns(
+            ["focal", "node", "dist"]
+        )
+        nbr_side = snaps.rename_columns({"id": "neighbor"})
+        t2 = J.bucket_join(t1, nbr_side, on="node").select_columns(
+            ["focal", "neighbor", "dist"]
+        )
 
     kf = kernel
 

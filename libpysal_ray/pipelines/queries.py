@@ -2170,7 +2170,11 @@ def q_travel_cost(sf_dir: str):
         batch_format="pyarrow",
     ).rename_columns({"doc_id": "id"})
     nodes, edges = _tc_network()
-    g = build_travel_graph(obs, nodes, edges, threshold=_TC_THRESH)
+    # forced distributed (the components_band discipline: the oracle gate
+    # must prove the frontier path, not the driver shortcut); small bucket
+    # count caps per-round task latency at this network size
+    g = build_travel_graph(obs, nodes, edges, threshold=_TC_THRESH,
+                           force_distributed=True, num_buckets=32)
     return _real(g)
 
 

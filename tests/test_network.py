@@ -115,7 +115,8 @@ def test_travel_cost_edges_matches_dijkstra(ray_session):
     )
     got = {
         (r["src"], r["node"]): r["dist"]
-        for r in travel_cost_edges(seeds, _edges_ds(edges), threshold).take_all()
+        for r in travel_cost_edges(seeds, _edges_ds(edges), threshold,
+                                   force_distributed=True).take_all()
     }
     ref = _dijkstra_ref(len(nodes), edges, sources, threshold)
     assert set(got) == set(ref)
@@ -139,7 +140,8 @@ def test_build_travel_graph_end_to_end(ray_session):
     )
     threshold = 3.0
     g = build_travel_graph(
-        pts, _nodes_ds(nodes), _edges_ds(edges), threshold=threshold
+        pts, _nodes_ds(nodes), _edges_ds(edges), threshold=threshold,
+        force_distributed=True, num_buckets=16,
     )
     rows = [
         r
@@ -208,3 +210,40 @@ def test_travel_graph_kernel_and_mapping_distance(ray_session):
     assert 3 in isolates  # unsnappable point is an isolate
     assert real and all(0.0 < r["weight"] <= 1.0 for r in real)
     assert all(r["focal"] != 3 and r["neighbor"] != 3 for r in real)
+
+
+def test_travel_cost_driver_matches_distributed(ray_session):
+    nodes, edges = _grid_network(g=5, seed=3)
+    seeds = ray.data.from_arrow(
+        pa.table({"node": pa.array([0, 12, 24], pa.int64())})
+    )
+    a = {(r["src"], r["node"]): r["dist"]
+         for r in travel_cost_edges(seeds, _edges_ds(edges), 3.5).take_all()}
+    b = {(r["src"], r["node"]): r["dist"]
+         for r in travel_cost_edges(seeds, _edges_ds(edges), 3.5,
+                                    force_distributed=True,
+                                    num_buckets=8).take_all()}
+    assert set(a) == set(b)
+    for k in a:
+        assert np.isclose(a[k], b[k])
+
+
+def test_travel_graph_bucketed_assemble_parity(ray_session):
+    nodes, edges = _grid_network(g=4, seed=6)
+    px = np.array([0.1, 1.1, 2.2, 3.1, 0.9])
+    py = np.array([0.2, 1.0, 2.1, 3.0, 2.9])
+    pts = ray.data.from_arrow(
+        pa.table({"id": pa.array(np.arange(5, dtype=np.int64)),
+                  "x": pa.array(px), "y": pa.array(py)}))
+    a = build_travel_graph(pts, _nodes_ds(nodes), _edges_ds(edges),
+                           threshold=4.0)
+    b = build_travel_graph(pts, _nodes_ds(nodes), _edges_ds(edges),
+                           threshold=4.0, broadcast_assemble_max=0,
+                           num_buckets=8)
+    ra = sorted((r["focal"], r["neighbor"], r["weight"])
+                for bb in a.edges.iter_batches(batch_format="pyarrow")
+                for r in bb.to_pylist())
+    rb = sorted((r["focal"], r["neighbor"], r["weight"])
+                for bb in b.edges.iter_batches(batch_format="pyarrow")
+                for r in bb.to_pylist())
+    assert ra == rb and len(ra) > 0
