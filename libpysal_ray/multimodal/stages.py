@@ -347,3 +347,72 @@ def extract_features(
         )
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+class ImageAHasher:
+    """Actor-pool stage: 64-bit average-hash (aHash) per image — decode →
+    8×8 nearest-neighbor sample → threshold at the sample mean → pack 64
+    bits row-major. The sample mean is an EXACT double (64 values that
+    are multiples of 2⁻²⁴), so the bit pattern is order-independent and
+    SQL-mirrorable. Emits (id, ahash:int64 — the uint64 bit pattern)."""
+
+    def __init__(self, media_col: str = "media", id_col: str = "doc_id"):
+        self.media_col = media_col
+        self.id_col = id_col
+        self.weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        out = np.empty(t.num_rows, dtype=np.uint64)
+        for i, raw in enumerate(t.column(self.media_col).to_pylist()):
+            flat, shape = _decode_payload(raw)
+            h, w = shape
+            ri = (np.arange(8) * h) // 8
+            ci = (np.arange(8) * w) // 8
+            sample = flat[(ri[:, None] * w + ci[None, :]).ravel()]
+            mean = sample.astype(np.float64).sum() / 64.0
+            out[i] = np.sum(self.weights[sample > mean])
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "ahash": pa.array(out.view(np.int64)),
+            }
+        )
+
+
+def image_ahash(
+    ds: ray.data.Dataset,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    concurrency: int | tuple = (2, 8),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageAHasher,
+        fn_constructor_kwargs={"media_col": media_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def ahash_dedup(
+    ds: ray.data.Dataset,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Perceptual-hash image dedup: (ahash, keep_id, n_dups) — exact-hash
+    grouping (identical aHash ⇒ visually-identical under the 8×8/mean
+    signature), survivor = lowest id. ONE groupby on the 64-bit hash —
+    the exact_dedup shuffle shape over a multimodal signature."""
+    g = (
+        image_ahash(ds, media_col=media_col, id_col=id_col)
+        .groupby("ahash")
+        .aggregate(
+            ray.data.aggregate.Min(id_col),
+            ray.data.aggregate.Count(id_col),
+        )
+    )
+    return g.rename_columns(
+        {f"min({id_col})": "keep_id", f"count({id_col})": "n_dups"}
+    )

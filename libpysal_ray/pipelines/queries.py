@@ -2562,3 +2562,65 @@ SELECT user_id AS "key", epoch_us(ts) // 3600000000 AS "window",
        SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
 FROM events GROUP BY user_id, "window"
 """
+
+
+def q_image_dedup(sf_dir: str):
+    """Perceptual-hash (aHash) image dedup: deterministic fake payloads
+    repeat every 40 doc ids, the actor-pool hasher emits 64-bit
+    signatures, one groupby(hash) picks survivors. The hash bit pattern
+    is exact (sample values are multiples of 2^-24, the mean an exact
+    double), so the oracle reproduces it bit-for-bit."""
+    from libpysal_ray.multimodal.stages import ahash_dedup, fake_image_bytes
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        media = [
+            fake_image_bytes(16 + int(i) % 5, 16, int(i) % 40) for i in ids
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids), "media": pa.array(media, pa.binary())}
+        )
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    return ahash_dedup(docs)
+
+
+QUERIES["image_dedup"] = q_image_dedup
+
+ORACLE_SQL["image_dedup"] = _oh.with_macros("""
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 5 AS h, 16 AS w, doc_id % 40 AS seed
+  FROM documents
+),
+px AS (
+  SELECT doc_id, r, c, (r * h // 8) * w + (c * w // 8) AS src, seed
+  FROM dims,
+       unnest(generate_series(0, 7)) AS ur(r),
+       unnest(generate_series(0, 7)) AS uc(c)
+),
+pv AS (
+  SELECT doc_id, r, c,
+         CAST(shru(sm64(wrap64(src + seed * 4294967296)), 40) AS DOUBLE)
+           / 16777216.0 AS v
+  FROM px
+),
+m AS (SELECT doc_id, SUM(v) / 64.0 AS mean FROM pv GROUP BY doc_id),
+bits AS (
+  SELECT pv.doc_id,
+         SUM(CASE WHEN pv.v > m.mean AND r * 8 + c < 32
+                  THEN CAST(1 AS BIGINT) << (r * 8 + c) ELSE 0 END) AS lo,
+         SUM(CASE WHEN pv.v > m.mean AND r * 8 + c >= 32
+                  THEN CAST(1 AS BIGINT) << (r * 8 + c - 32) ELSE 0 END) AS hi
+  FROM pv JOIN m ON m.doc_id = pv.doc_id
+  GROUP BY pv.doc_id
+),
+hsh AS (
+  SELECT doc_id,
+         toi64(wrap64(CAST(hi AS HUGEINT) * 4294967296 + lo)) AS ahash
+  FROM bits
+)
+SELECT ahash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM hsh GROUP BY ahash
+""")

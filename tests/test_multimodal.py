@@ -83,3 +83,42 @@ def test_video_frame_sampler(ray_session):
         h, w = 8 + i % 5, 8 + i % 7
         assert r["n_frames"] == kept and r["height"] == h and r["width"] == w
         assert len(r["frames"]) == kept * h * w
+
+
+def test_image_ahash_dedup(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.multimodal.stages import (
+        ImageAHasher,
+        ahash_dedup,
+        fake_image_bytes,
+    )
+
+    # docs 0 and 3 share (h, w, seed) → identical image → same hash
+    rows = [
+        (0, fake_image_bytes(20, 16, 7)),
+        (1, fake_image_bytes(20, 16, 8)),
+        (2, fake_image_bytes(24, 16, 7)),
+        (3, fake_image_bytes(20, 16, 7)),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "media": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+    )
+    out = {r["keep_id"]: r["n_dups"] for r in ahash_dedup(ds).take_all()}
+    assert out[0] == 2      # 0 and 3 collapse
+    assert out[1] == 1 and out[2] == 1
+    # hash is deterministic across calls
+    h = ImageAHasher()
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "media": pa.array([rows[0][1]], pa.binary()),
+        }
+    )
+    assert h(t).column("ahash").to_pylist() == h(t).column("ahash").to_pylist()
