@@ -61,6 +61,18 @@ def __getattr__(name):
         "build_travel_graph": "libpysal_ray.builders.network",
         "snap_to_nodes": "libpysal_ray.builders.network",
         "spatial_matching": "libpysal_ray.builders.matching",
+        "read_db_polygons": "libpysal_ray.sources.db",
+        "write_db_polygons": "libpysal_ray.sources.db",
+        "dissolve_stats": "libpysal_ray.spatial.ops",
+        "scrub": "libpysal_ray.text.scrub",
+        "word_counts": "libpysal_ray.text.analysis",
+        "length_quantiles": "libpysal_ray.text.analysis",
+        "url_dedup": "libpysal_ray.text.urls",
+        "canonicalize_urls": "libpysal_ray.text.urls",
+        "asof_join": "libpysal_ray.temporal.joins",
+        "range_count_join": "libpysal_ray.temporal.joins",
+        "tumbling_window": "libpysal_ray.temporal.joins",
+        "ahash_dedup": "libpysal_ray.multimodal.stages",
     }
     if name in _BUILDERS:
         import importlib

@@ -623,11 +623,9 @@ def build_travel_graph(
             offs = np.arange(total) - np.repeat(
                 np.cumsum(cnt) - cnt, cnt
             )
-            nf = (fhi - flo)[rows]
             nn = (nhi - nlo)[rows]
             fpos = flo[rows] + offs // np.maximum(nn, 1)
             npos = nlo[rows] + offs % np.maximum(nn, 1)
-            del nf
             return pa.table(
                 {
                     "focal": pa.array(oid[fpos]),
