@@ -1417,7 +1417,12 @@ class RayGraph:
             right = adj.select_columns(["focal", "neighbor"]).rename_columns(
                 {"focal": "mid"}
             )
-            cand = E.dedup(
+            # per-batch combiner only — the global dedup groupby is
+            # REDUNDANT here: pair_anti's cogroup already groups by
+            # (focal, neighbor), and order() never reads the weight
+            # column (wl sums of duplicates are discarded by the
+            # path_order projection). Saves one full shuffle per round.
+            cand = (
                 J.bucket_join(left, right, on="mid")
                 .select_columns(["focal", "neighbor"])
                 .map_batches(
@@ -1428,7 +1433,7 @@ class RayGraph:
                     ),
                     batch_format="pyarrow",
                 )
-            ).materialize()
+            )
             nxt = J.pair_anti(cand, seen).materialize()
             seen = seen.union(nxt).materialize()
             outs.append(_with_order(nxt, k))
