@@ -602,22 +602,29 @@ class RayGraph:
             joined = J.bucket_join(left, right, on="mid").select_columns(
                 ["focal", "neighbor"]
             )
-            cand = E.dedup(
-                joined.map_batches(
-                    lambda t: E.batch_dedup(
-                        t.append_column(
-                            "weight", pa.array(np.ones(t.num_rows))
-                        )
-                    ),
-                    batch_format="pyarrow",
-                )
-            ).materialize()  # feeds both the anti-join and the seen-union
+            # per-batch combiner only: pair_anti's cogroup is the global
+            # dedup (one fewer shuffle per power step — the order() fix);
+            # its summed duplicate weights are re-binarized on the way out
+            cand = joined.map_batches(
+                lambda t: E.batch_dedup(
+                    t.append_column(
+                        "weight", pa.array(np.ones(t.num_rows))
+                    )
+                ),
+                batch_format="pyarrow",
+            )
             if shortest_path:
-                nxt = J.pair_anti(cand, seen).materialize()
-                seen = seen.union(cand).materialize()
+                nxt = J.pair_anti(cand, seen).map_batches(
+                    _binarize, batch_format="pyarrow"
+                ).materialize()
+                # union nxt, not cand: cand ∖ nxt ⊆ seen already, and nxt
+                # is the deduplicated (smaller) set
+                seen = seen.union(nxt).materialize()
             else:
                 # path-of-length-k semantics: only remove the diagonal
-                nxt = J.pair_anti(cand, diag).materialize()
+                nxt = J.pair_anti(cand, diag).map_batches(
+                    _binarize, batch_format="pyarrow"
+                ).materialize()
             orders.append(nxt)
             cur = nxt
 
