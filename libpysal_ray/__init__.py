@@ -57,6 +57,7 @@ def __getattr__(name):
         "read_geobugs": "libpysal_ray.sources.weights_io",
         "read_mat": "libpysal_ray.sources.weights_io",
         "read_wk1": "libpysal_ray.sources.weights_io",
+        "read_geoda_txt": "libpysal_ray.sources.tables",
         "polygons_from_wkt": "libpysal_ray.sources.shapefile",
         "build_travel_graph": "libpysal_ray.builders.network",
         "snap_to_nodes": "libpysal_ray.builders.network",

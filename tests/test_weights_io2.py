@@ -146,3 +146,41 @@ def test_wk1_too_big_raises(ray_session):
     g = lat2graph(20, 20, rook=True)
     with pytest.raises(ValueError, match="256"):
         write_wk1(g, "/tmp/too_big.wk1")
+
+
+def test_geoda_txt_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.sources.tables import read_geoda_txt, write_geoda_txt
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "FIPSNO": pa.array([17107, 29223], pa.int64()),
+                "HR8488": pa.array([1.290722, 0.0]),
+                "NAME": pa.array(["a", "b"]),
+            }
+        )
+    )
+    p = str(tmp_path / "t.txt")
+    write_geoda_txt(ds, p)
+    body = open(p).read().splitlines()
+    assert body[0] == "2,3"
+    assert body[1] == '"FIPSNO","HR8488","NAME"'
+    back = read_geoda_txt(p)
+    rows = back.take_all()
+    assert rows[0]["FIPSNO"] == 17107 and isinstance(rows[0]["FIPSNO"], int)
+    assert abs(rows[0]["HR8488"] - 1.290722) < 1e-12
+    assert rows[1]["NAME"] == "b"
+
+
+def test_geoda_txt_bad_header_raises(tmp_path):
+    from libpysal_ray.sources.tables import read_geoda_txt
+
+    p = tmp_path / "bad.txt"
+    p.write_text('2,3\n"only","two"\n1,2\n3,4\n')
+    import pytest as _pt
+
+    with _pt.raises(TypeError, match="geoda_txt"):
+        read_geoda_txt(str(p))
