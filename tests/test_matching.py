@@ -116,5 +116,51 @@ def test_spatial_matching_precomputed_and_within():
     heads, tails, w = spatial_matching(cost, y=np.zeros((3, 2)),
                                        n_matches=1, metric="precomputed")
     assert list(zip(heads, tails)) == [(0, 0), (1, 1)]
-    with pytest.raises(NotImplementedError, match="within"):
-        spatial_matching(np.zeros((4, 2)), None, n_matches=1)
+    with pytest.raises(NotImplementedError, match="max_within"):
+        spatial_matching(np.zeros((4, 2)), None, n_matches=1, max_within=2)
+
+
+def _brute_cover(cost, k):
+    """Enumerate edge subsets; return optimal b-edge-cover cost."""
+    n = cost.shape[0]
+    iu, ju = np.triu_indices(n, 1)
+    m = len(iu)
+    best = np.inf
+    for mask in range(1 << m):
+        deg = np.zeros(n, dtype=int)
+        tot = 0.0
+        for e in range(m):
+            if mask >> e & 1:
+                deg[iu[e]] += 1
+                deg[ju[e]] += 1
+                tot += cost[iu[e], ju[e]]
+        if (deg >= k).all():
+            best = min(best, tot)
+    return best
+
+
+def test_within_matching_matches_bruteforce():
+    from libpysal_ray.builders.matching import _b_edge_cover_bnb
+
+    rng = np.random.default_rng(17)
+    for n, k in ((5, 1), (6, 2), (5, 2)):
+        for _ in range(3):
+            pts = rng.uniform(0, 10, (n, 2))
+            d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+            x = _b_edge_cover_bnb(d, k)
+            got = d[x].sum()
+            want = _brute_cover(d, k)
+            assert np.isclose(got, want), (n, k, got, want)
+            deg = x.sum(0) + x.sum(1)
+            assert (deg >= k).all()
+
+
+def test_within_matching_odd_k1():
+    # 3 points, k=1: a perfect matching is impossible; the optimum covers
+    # one vertex twice with the two cheapest edges
+    d = np.array([[0.0, 1.0, 2.0], [1.0, 0.0, 4.0], [2.0, 4.0, 0.0]])
+    heads, tails, w = spatial_matching(d, None, n_matches=1,
+                                       metric="precomputed")
+    pairs = set(zip(heads, tails))
+    assert pairs == {(0, 1), (1, 0), (0, 2), (2, 0)}
+    assert (w == 1.0).all()
