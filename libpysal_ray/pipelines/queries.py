@@ -2624,3 +2624,72 @@ hsh AS (
 SELECT ahash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
 FROM hsh GROUP BY ahash
 """)
+
+
+# --------------------------------------------------------- spatial matching
+def q_spatial_match(sf_dir: str):
+    """Between-sets optimal spatial matching (graph/_matching.py:11-68
+    semantics, n_matches=1) via the exact min-cost-flow solver. Points are
+    1-D (y=0) with integer hash coordinates, so every pairwise distance is
+    an exact integer and the optimal objective is SQL-expressible: on a
+    line with |a-b| costs and equal-size sides, the sorted-order assignment
+    is optimal (exchange argument: for a_i<=a_j, b_i<=b_j,
+    |a_i-b_i|+|a_j-b_j| <= |a_i-b_j|+|a_j-b_i|). The edge set can tie; the
+    objective cannot, so the oracle pins (n_matched, total_cost)."""
+    from libpysal_ray.builders.matching import spatial_matching
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    )
+    nsupp = supp.count()
+
+    def _tgt(t: pa.Table) -> pa.Table:
+        k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "id": pa.array(k),
+            "x": pa.array(((k * 37) % 9973).astype(np.float64)),
+            "y": pa.array(np.zeros(len(k))),
+        })
+
+    def _src(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = k < nsupp
+        k = k[keep]
+        return pa.table({
+            "id": pa.array(k),
+            "x": pa.array(((k * 61) % 9973).astype(np.float64)),
+            "y": pa.array(np.zeros(len(k))),
+        })
+
+    targets = supp.map_batches(_tgt, batch_format="pyarrow")
+    sources = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(_src, batch_format="pyarrow")
+    heads, tails, _w = spatial_matching(targets, sources, n_matches=1)
+    cost = np.abs((heads * 37) % 9973 - (tails * 61) % 9973)
+    return pa.table({
+        "n_matched": pa.array([len(heads)], pa.int64()),
+        "total_cost": pa.array([float(cost.sum())], pa.float64()),
+    })
+
+
+QUERIES["spatial_match"] = q_spatial_match
+
+# Sorted-order assignment on the line = the flow optimum (see the query
+# docstring); costs are exact integers, their sum is exact in DOUBLE.
+ORACLE_SQL["spatial_match"] = """
+WITH t AS (
+  SELECT (s_suppkey * 37) % 9973 AS x,
+         ROW_NUMBER() OVER (ORDER BY (s_suppkey * 37) % 9973, s_suppkey) AS rn
+  FROM supplier
+),
+s AS (
+  SELECT (c_custkey * 61) % 9973 AS x,
+         ROW_NUMBER() OVER (ORDER BY (c_custkey * 61) % 9973, c_custkey) AS rn
+  FROM customer
+  WHERE c_custkey < (SELECT COUNT(*) FROM supplier)
+)
+SELECT COUNT(*) AS n_matched,
+       CAST(SUM(ABS(t.x - s.x)) AS DOUBLE) AS total_cost
+FROM t JOIN s USING (rn)
+"""

@@ -164,3 +164,20 @@ def test_within_matching_odd_k1():
     pairs = set(zip(heads, tails))
     assert pairs == {(0, 1), (1, 0), (0, 2), (2, 0)}
     assert (w == 1.0).all()
+
+
+def test_between_matching_line_sorted_optimum():
+    # On a line with |a-b| costs and equal sides, the sorted-order
+    # assignment is optimal (exchange argument) — the invariant the
+    # spatial_match oracle query relies on.
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        n = 40
+        a = rng.integers(0, 500, n).astype(np.float64)
+        b = rng.integers(0, 500, n).astype(np.float64)
+        xa = np.c_[a, np.zeros(n)]
+        xb = np.c_[b, np.zeros(n)]
+        heads, tails, _w = spatial_matching(xa, xb, n_matches=1)
+        got = np.abs(a[heads] - b[tails]).sum()
+        want = np.abs(np.sort(a) - np.sort(b)).sum()
+        assert got == want
