@@ -1381,16 +1381,90 @@ class RayGraph:
             .rename_columns({"max(cluster_coef)": "cluster_coef"})
         )
 
-    def order(self, kmax: int = 3) -> ray.data.Dataset:
+    @staticmethod
+    def _order_driver(f: np.ndarray, n: np.ndarray, kmax: int) -> ray.data.Dataset:
+        """Vectorized all-pairs BFS to depth kmax over packed uint64 pair
+        keys (requires ids in [0, 2^31)). Per round: CSR gather via
+        searchsorted/repeat, np.unique dedup, sorted-isin anti vs seen."""
+        srt = np.argsort(f, kind="stable")
+        fs_, ns_ = f[srt], n[srt]
+        uf = np.unique(f)
+        key = (f.astype(np.uint64) << np.uint64(32)) | n.astype(np.uint64)
+        diag = (uf.astype(np.uint64) << np.uint64(32)) | uf.astype(np.uint64)
+        seen = np.union1d(key, diag)
+        out_f, out_n, out_k = [f], [n], [np.ones(len(f), np.int64)]
+        cur_f, cur_n = f, n
+        for k in range(2, kmax + 1):
+            lo = np.searchsorted(fs_, cur_n, side="left")
+            hi = np.searchsorted(fs_, cur_n, side="right")
+            cnt = hi - lo
+            foc = np.repeat(cur_f, cnt)
+            # flat gather indices: lo[i] + (0..cnt[i]-1) for each i
+            base = np.repeat(lo, cnt)
+            step = np.arange(cnt.sum()) - np.repeat(
+                np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+            )
+            nb = ns_[base + step]
+            cand = np.unique(
+                (foc.astype(np.uint64) << np.uint64(32)) | nb.astype(np.uint64)
+            )
+            new = cand[~np.isin(cand, seen, assume_unique=True, kind="sort")]
+            if len(new) == 0:
+                break
+            seen = np.union1d(seen, new)
+            cur_f = (new >> np.uint64(32)).astype(np.int64)
+            cur_n = (new & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            out_f.append(cur_f)
+            out_n.append(cur_n)
+            out_k.append(np.full(len(new), k, np.int64))
+        return ray.data.from_arrow(pa.table({
+            "focal": pa.array(np.concatenate(out_f)),
+            "neighbor": pa.array(np.concatenate(out_n)),
+            "path_order": pa.array(np.concatenate(out_k)),
+        }))
+
+    def order(
+        self,
+        kmax: int = 3,
+        max_driver_edges: int = 5_000_000,
+        force_distributed: bool = False,
+    ) -> ray.data.Dataset:
         """Shortest-path contiguity order up to ``kmax`` (util.py:339-397
         ``order`` / shimbel): Dataset (focal, neighbor, path_order) with
         path_order = k for pairs first reachable in exactly k hops.
-        Iterative frontier expansion — the k-hop loop of higher_order with
-        all intermediate orders kept."""
+
+        Size-switched like :meth:`n_components`: graphs whose binarized
+        edge set fits under ``max_driver_edges`` (and whose ids fit in
+        [0, 2^31) — the dense codec guarantees this) run a vectorized
+        driver BFS over packed uint64 pair keys — the k-hop loop is pure
+        searchsorted/repeat/unique, no per-round shuffle. Larger graphs
+        (or ``force_distributed=True``) run the distributed frontier
+        expansion: one bucket_join + one pair_anti cogroup per round —
+        the same machinery higher_order keeps oracle-proven."""
         ids = ids_dataset(self._edges).materialize()
         adj = E.dedup(
             self._real_edges().map_batches(_binarize, batch_format="pyarrow")
         ).materialize()
+        if not force_distributed and adj.count() <= max_driver_edges:
+            fs, ns = [], []
+            for b in adj.select_columns(["focal", "neighbor"]).iter_batches(
+                batch_format="pyarrow"
+            ):
+                fs.append(b.column("focal").to_numpy(zero_copy_only=False))
+                ns.append(b.column("neighbor").to_numpy(zero_copy_only=False))
+            f = (np.concatenate(fs) if fs else np.array([], np.int64)).astype(np.int64)
+            n = (np.concatenate(ns) if ns else np.array([], np.int64)).astype(np.int64)
+            if len(f) == 0:
+                return ray.data.from_arrow(pa.table({
+                    "focal": pa.array([], pa.int64()),
+                    "neighbor": pa.array([], pa.int64()),
+                    "path_order": pa.array([], pa.int64()),
+                }))
+            lo = min(f.min(), n.min())
+            hi = max(f.max(), n.max())
+            if lo >= 0 and hi < 2**31:
+                return self._order_driver(f, n, kmax)
+            # ids outside the packable range: fall through to distributed
         diag = ids.map_batches(
             lambda t: pa.Table.from_arrays(
                 [t.column("focal"), t.column("focal"),

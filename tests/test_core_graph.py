@@ -10,6 +10,7 @@ FIXTURES.md F4): lat2W rook neighbors (util.py:174-181), transform R
 import math
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from libpysal_ray.builders.lattice import lat2graph
@@ -308,3 +309,20 @@ def test_lag_categorical_tryself(w33):
             w33.lag_categorical(np.arange(9), codes2,
                                 ties="tryself").take_all()}
     assert out2[6] == 0
+
+
+def test_order_driver_distributed_parity():
+    # rook lattice: shortest-path hop count == Manhattan distance
+    g = lat2graph(6, 6, rook=True)
+    drv = g.order(kmax=3).to_pandas()
+    dst = g.order(kmax=3, force_distributed=True).to_pandas()
+
+    def canon(df):
+        return df.sort_values(["focal", "neighbor"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(drv), canon(dst), check_like=True)
+    # closed form: Manhattan distance on the 6x6 grid
+    for _, r in canon(drv).head(200).iterrows():
+        fy, fx = divmod(int(r["focal"]), 6)
+        ny, nx = divmod(int(r["neighbor"]), 6)
+        assert abs(fy - ny) + abs(fx - nx) == r["path_order"]
