@@ -174,9 +174,14 @@ def resolve_isolates(
             _tag_focal(0), batch_format="pyarrow"
         )
     )
+    # size-switched aggregate (joins.grouped_sum): real is materialized by
+    # compact() above and ids_ds is typically a map over materialized edge
+    # blocks, so small graphs prove their size and skip the native
+    # sort-aggregate's fixed stage cost; unknown/big sizes shuffle.
+    from libpysal_ray.core.joins import grouped_sum
+
     iso = (
-        tagged.groupby("focal")
-        .sum(["ci", "cr"])
+        grouped_sum(tagged, ("focal",), ("ci", "cr"), ids_ds, real)
         .rename_columns({"sum(ci)": "ci", "sum(cr)": "cr"})
         .filter(expr="cr == 0")
     )

@@ -73,6 +73,108 @@ def hash_join(
     )
 
 
+# map-like logical ops whose output size is bounded by ~O(input size): safe
+# to walk THROUGH when upper-bounding a plan's materialized size. Anything
+# else (aggregates, sorts, joins, unknown ops) aborts the walk — the switch
+# then takes the scale path, never the other way round.
+_SIZE_WALK_OPS = (
+    "MapBatches",
+    "MapRows",
+    "Project",
+    "Filter",
+    "Union",
+    "Limit",
+    "Repartition",
+)
+
+# small-cogroup threshold (bytes, pre-tag upper bound per side pair). The
+# tagged-union table is ~3x wider and the whole thing lands in ONE task, so
+# worst-case task memory is ~3x this — far under a worker heap.
+SMALL_COGROUP_BYTES = 48 << 20
+
+
+def _chain_size_upper(ds: ray.data.Dataset) -> int | None:
+    """Upper bound on a plan's materialized bytes by walking map-like ops
+    down to inferable inputs (materialized buffers / reads). Returns None
+    when any op on the way is not size-preserving-ish — callers must treat
+    None as 'assume huge'."""
+
+    def walk(op) -> int | None:
+        try:
+            sb = op.infer_metadata().size_bytes
+        except Exception:  # noqa: BLE001 — internal API
+            sb = None
+        if sb is not None:
+            return int(sb)
+        if not any(type(op).__name__.startswith(k) for k in _SIZE_WALK_OPS):
+            return None
+        deps = op.input_dependencies
+        if not deps:
+            return None
+        tot = 0
+        for d in deps:
+            s = walk(d)
+            if s is None:
+                return None
+            tot += s
+        return tot
+
+    try:
+        return walk(ds._logical_plan.dag)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _grouped_sum_batch(keys: tuple[str, ...], cols: tuple[str, ...]):
+    """Vectorized per-batch groupby-sum: lexsort + flag-new-group +
+    np.add.reduceat. Output columns named sum(col) like the native agg."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {k: t.column(k) for k in keys}
+                | {f"sum({c})": t.column(c) for c in cols}
+            )
+        kv = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+        order = np.lexsort(kv[::-1])
+        kv = [v[order] for v in kv]
+        new = np.empty(t.num_rows, bool)
+        new[0] = True
+        new[1:] = False
+        for v in kv:
+            new[1:] |= v[1:] != v[:-1]
+        starts = np.flatnonzero(new)
+        out = {k: pa.array(v[new]) for k, v in zip(keys, kv)}
+        for c in cols:
+            v = t.column(c).to_numpy(zero_copy_only=False)[order]
+            out[f"sum({c})"] = pa.array(np.add.reduceat(v, starts))
+        return pa.table(out)
+
+    return f
+
+
+def grouped_sum(
+    u: ray.data.Dataset,
+    keys: tuple[str, ...],
+    cols: tuple[str, ...],
+    *size_sides: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """groupby(keys).sum(cols) with the small-input switch: when a provable
+    upper bound on the inputs (``size_sides``, defaulting to ``u`` itself)
+    fits SMALL_COGROUP_BYTES, one coalesced vectorized task replaces the
+    native sort-aggregate (seconds of fixed wall per stage). Output columns
+    are named sum(col) either way. Unknown sizes take the scale path."""
+    sides = size_sides if size_sides else (u,)
+    est = [_chain_size_upper(d) for d in sides]
+    if all(e is not None for e in est) and sum(est) <= SMALL_COGROUP_BYTES:
+        return u.repartition(1).map_batches(
+            _grouped_sum_batch(tuple(keys), tuple(cols)),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+    return u.groupby(list(keys)).sum(list(cols))
+
+
 def cogroup_pairs(
     a: ray.data.Dataset,
     b: ray.data.Dataset,
@@ -120,7 +222,7 @@ def cogroup_pairs(
     u = a.map_batches(_sided(True), batch_format="pyarrow").union(
         b.map_batches(_sided(False), batch_format="pyarrow")
     )
-    g = u.groupby(list(keys)).sum(["wl", "wr", "ca", "cb"])
+    g = grouped_sum(u, tuple(keys), ("wl", "wr", "ca", "cb"), a, b)
     return g.rename_columns(
         {"sum(wl)": "wl", "sum(wr)": "wr", "sum(ca)": "ca", "sum(cb)": "cb"}
     )
@@ -206,6 +308,16 @@ def grouped_by_key(
         ]
         order = np.lexsort(keys[::-1])
         return fn(t.take(pa.array(order)))
+
+    est = _chain_size_upper(ds)
+    if est is not None and est <= SMALL_COGROUP_BYTES:
+        # provably small input: ONE coalesced task runs the same sorted
+        # multi-group kernel over the whole table (the all-rows-of-a-key
+        # guarantee is trivial with one bucket) — skips the hash-bucket
+        # shuffle's fixed stage cost. Unknown sizes shuffle.
+        return ds.map_batches(_tag, batch_format="pyarrow").repartition(
+            1
+        ).map_batches(_bucket, batch_size=None, batch_format="pyarrow")
 
     return (
         ds.map_batches(_tag, batch_format="pyarrow")
@@ -372,5 +484,15 @@ def bucket_join(
         if unmatched is not None:
             inner = pa.concat_tables([inner.select(out_cols), unmatched])
         return inner
+
+    el, er = _chain_size_upper(left), _chain_size_upper(right)
+    if el is not None and er is not None and el + er <= SMALL_COGROUP_BYTES:
+        # provably small inputs: ONE coalesced task sort-probes the whole
+        # pair — skips the bucket shuffle's fixed stage cost. Output-size
+        # risk (hot-key fanout) is the same as a single hot bucket on the
+        # sharded path. Unknown sizes shuffle.
+        return u.repartition(1).map_batches(
+            _probe, batch_size=None, batch_format="pyarrow"
+        )
 
     return u.groupby("__b").map_groups(_probe, batch_format="pyarrow")
