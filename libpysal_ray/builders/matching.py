@@ -88,44 +88,60 @@ def _min_cost_transport(cost: np.ndarray, demand: int, capacity: int):
     for _ in range(int(need.sum())):
         # Dijkstra over the residual bipartite graph. Node order: targets
         # 0..nt-1, sources nt..nt+ns-1.
+        # dist_* hold true tentative/final distances (read by the potential
+        # update); w* are the frontier views with settled entries pinned to
+        # inf, so each iteration is two argmins + one full-row relaxation —
+        # no per-iteration masked-copy allocations.
         dist_t = np.where(need > 0, 0.0, inf)
         dist_s = np.full(ns, inf)
-        par_s = np.full(ns, -1, dtype=np.int64)   # source ← target (forward)
-        par_t = np.full(nt, -1, dtype=np.int64)   # target ← source (backward)
+        # ONE frontier array (targets then sources) → one argmin per settle
+        w = np.concatenate([dist_t, dist_s])
+        wt = w[:nt]
+        ws = w[nt:]
         done_t = np.zeros(nt, dtype=bool)
         done_s = np.zeros(ns, dtype=bool)
+        par_s = np.full(ns, -1, dtype=np.int64)   # source ← target (forward)
+        par_t = np.full(nt, -1, dtype=np.int64)   # target ← source (backward)
         end = -1
         while True:
-            it = np.argmin(np.where(done_t, inf, dist_t))
-            js = np.argmin(np.where(done_s, inf, dist_s))
-            dt = dist_t[it] if not done_t[it] else inf
-            dsv = dist_s[js] if not done_s[js] else inf
-            if dt >= inf and dsv >= inf:
+            idx = int(np.argmin(w))
+            if w[idx] >= inf:
                 break
-            if dsv <= dt:
+            if idx >= nt:
+                js = idx - nt
+                dsv = ws[js]
                 # settle source js; if it has spare capacity we are done
                 if avail[js] > 0:
                     end = js
                     break
+                ws[js] = inf
                 done_s[js] = True
                 # backward arcs js→i exist where flow[i, js] (reduced cost
-                # = -c + ps[js] - pt[i] ≥ 0 by the invariant)
-                back = flow[:, js] & ~done_t
-                if back.any():
+                # = -c + ps[js] - pt[i] ≥ 0 by the invariant); compare
+                # against the TRUE tentative distances and mask settled
+                # targets explicitly (wt is only the argmin frontier)
+                back = np.flatnonzero(flow[:, js])
+                if len(back):
                     nd = dsv - cost[back, js] + ps[js] - pt[back]
-                    upd = nd < dist_t[back]
-                    bi = np.flatnonzero(back)[upd]
+                    upd = (nd < dist_t[back]) & ~done_t[back]
+                    bi = back[upd]
+                    wt[bi] = nd[upd]
                     dist_t[bi] = nd[upd]
                     par_t[bi] = js
             else:
+                it = idx
+                dt = wt[it]
+                wt[it] = inf
                 done_t[it] = True
-                fwd = ~flow[it] & ~done_s
-                if fwd.any():
-                    nd = dt + cost[it, fwd] + pt[it] - ps[fwd]
-                    upd = nd < dist_s[fwd]
-                    fj = np.flatnonzero(fwd)[upd]
-                    dist_s[fj] = nd[upd]
-                    par_s[fj] = it
+                # forward arcs it→j for every non-flow source, one full-row
+                # relaxation; settled sources masked explicitly
+                nd = dt + cost[it] + (pt[it] - ps)
+                nd[flow[it]] = inf
+                upd = (nd < dist_s) & ~done_s
+                if upd.any():
+                    ws[upd] = nd[upd]
+                    dist_s[upd] = nd[upd]
+                    par_s[upd] = it
         if end < 0:
             raise ValueError("infeasible: residual graph disconnected")
         d_end = dist_s[end]

@@ -291,6 +291,10 @@ def grouped_by_key(
     """
     from libpysal_ray.core.hashing import splitmix64
 
+    # the small-input coalesce applies only when the caller did not pin a
+    # bucket count — kernels like the as-of join's rank packer rely on an
+    # explicit num_buckets bounding distinct keys per bucket
+    explicit_buckets = num_buckets is not None
     if num_buckets is None:
         num_buckets = auto_num_buckets(ds, floor=256)
     nb = np.uint64(num_buckets)
@@ -309,7 +313,7 @@ def grouped_by_key(
         order = np.lexsort(keys[::-1])
         return fn(t.take(pa.array(order)))
 
-    est = _chain_size_upper(ds)
+    est = None if explicit_buckets else _chain_size_upper(ds)
     if est is not None and est <= SMALL_COGROUP_BYTES:
         # provably small input: ONE coalesced task runs the same sorted
         # multi-group kernel over the whole table (the all-rows-of-a-key

@@ -2645,6 +2645,8 @@ def q_spatial_match(sf_dir: str):
 
     def _tgt(t: pa.Table) -> pa.Table:
         k = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = k[k % 2 == 0]  # every-other-key sample: SSP is O(n^3)-ish and
+        # this is a declared driver-side global op — keep n SF-proportional
         return pa.table({
             "id": pa.array(k),
             "x": pa.array(((k * 37) % 9973).astype(np.float64)),
@@ -2653,7 +2655,7 @@ def q_spatial_match(sf_dir: str):
 
     def _src(t: pa.Table) -> pa.Table:
         k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = k < nsupp
+        keep = (k < nsupp) & (k % 2 == 0)
         k = k[keep]
         return pa.table({
             "id": pa.array(k),
@@ -2682,12 +2684,14 @@ WITH t AS (
   SELECT (s_suppkey * 37) % 9973 AS x,
          ROW_NUMBER() OVER (ORDER BY (s_suppkey * 37) % 9973, s_suppkey) AS rn
   FROM supplier
+  WHERE s_suppkey % 2 = 0
 ),
 s AS (
   SELECT (c_custkey * 61) % 9973 AS x,
          ROW_NUMBER() OVER (ORDER BY (c_custkey * 61) % 9973, c_custkey) AS rn
   FROM customer
   WHERE c_custkey < (SELECT COUNT(*) FROM supplier)
+    AND c_custkey % 2 = 0
 )
 SELECT COUNT(*) AS n_matched,
        CAST(SUM(ABS(t.x - s.x)) AS DOUBLE) AS total_cost

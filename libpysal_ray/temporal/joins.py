@@ -130,11 +130,19 @@ def asof_join(
         )
         if len(li) == 0 or len(ri) == 0:
             return empty
+        # densify timestamps per bucket: the composite only needs the
+        # OBSERVED ts range, not the raw epoch magnitude — epoch-microsecond
+        # data otherwise needs 51 ts bits and overflows the pack whenever a
+        # bucket holds >2^11 distinct keys (e.g. the small-input coalesced
+        # path, where one bucket holds everything)
+        ts0 = ts
+        ts = ts - ts.min()
         uk, bits = _pack_params(k, int(ts.max()))
         kd = np.searchsorted(uk, k)
         order = np.lexsort((v[ri], ts[ri], kd[ri]))
-        rk, rt, rv = kd[ri][order], ts[ri][order], v[ri][order]
-        comp_r = _composite(rk, rt, bits)
+        rk, rt, rv = kd[ri][order], ts0[ri][order], v[ri][order]
+        rt_p = ts[ri][order]
+        comp_r = _composite(rk, rt_p, bits)
         comp_l = _composite(kd[li], ts[li], bits)
         idx = np.searchsorted(comp_r, comp_l, "right") - 1
         valid = idx >= 0
@@ -220,6 +228,9 @@ def range_count_join(
                     "n_in_range": pa.array(np.zeros(len(li), np.int64)),
                 }
             )
+        # densify per bucket (see asof_join): pack the observed ts RANGE,
+        # not the raw epoch magnitude
+        ts = ts - ts.min()
         tmax = int(ts.max()) + max(int(hi), 0)
         uk, bits = _pack_params(k, tmax)
         kd = np.searchsorted(uk, k)
