@@ -84,18 +84,12 @@ def dedup(edges: ray.data.Dataset, keep: str = "min") -> ray.data.Dataset:
     Builders should pre-dedup inside each batch before calling this so the
     shuffle moves already-compacted blocks.
     """
-    g = edges.groupby(["focal", "neighbor"])
-    if keep == "min":
-        out, col = g.min("weight"), "min(weight)"
-    elif keep == "max":
-        out, col = g.max("weight"), "max(weight)"
-    elif keep == "sum":
-        out, col = g.sum("weight"), "sum(weight)"
-    elif keep == "mean":
-        out, col = g.mean("weight"), "mean(weight)"
-    else:
+    if keep not in ("min", "max", "sum", "mean"):
         raise ValueError(f"unknown keep={keep!r}")
-    return out.rename_columns({col: "weight"})
+    from libpysal_ray.core.joins import grouped_agg
+
+    out = grouped_agg(edges, ("focal", "neighbor"), ("weight",), keep)
+    return out.rename_columns({f"{keep}(weight)": "weight"})
 
 
 def batch_dedup(t: pa.Table) -> pa.Table:

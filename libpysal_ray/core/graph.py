@@ -97,13 +97,13 @@ def _batch_unique_focal(t: pa.Table) -> pa.Table:
 
 
 def ids_dataset(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct focal ids as a Dataset (per-batch combiner + one groupby)."""
-    return (
-        edges.select_columns(["focal"])
-        .map_batches(_batch_unique_focal, batch_format="pyarrow")
-        .groupby("focal")
-        .count()
-        .select_columns(["focal"])
+    """Distinct focal ids as a Dataset (per-batch combiner + one
+    size-switched groupby)."""
+    u = edges.select_columns(["focal"]).map_batches(
+        _batch_unique_focal, batch_format="pyarrow"
+    )
+    return J.grouped_agg(u, ("focal",), (None,), "count").select_columns(
+        ["focal"]
     )
 
 
@@ -111,12 +111,9 @@ def all_ids_dataset(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Distinct ids over focal ∪ neighbor."""
     f = edges.select_columns(["focal"])
     n = edges.select_columns(["neighbor"]).rename_columns({"neighbor": "focal"})
-    return (
-        f.union(n)
-        .map_batches(_batch_unique_focal, batch_format="pyarrow")
-        .groupby("focal")
-        .count()
-        .select_columns(["focal"])
+    u = f.union(n).map_batches(_batch_unique_focal, batch_format="pyarrow")
+    return J.grouped_agg(u, ("focal",), (None,), "count").select_columns(
+        ["focal"]
     )
 
 
@@ -228,7 +225,7 @@ class RayGraph:
             # broadcast (ray.put once); above it they stay a Dataset and
             # attach via a distributed bucket_join on focal — no n-row
             # driver materialization at web scale.
-            sums_ds = ds.groupby("focal").sum("weight").materialize()
+            sums_ds = J.grouped_sum(ds, ("focal",), ("weight",)).materialize()
             if sums_ds.count() <= BROADCAST_ROW_LIMIT:
                 sums = sums_ds.to_pandas()
                 out = J.broadcast_lookup(
@@ -269,18 +266,24 @@ class RayGraph:
         if code == "V":
             # pass 1: s_ij = w_ij / sqrt(sum_j w_ij^2) per row — native
             # groupby sum of w² + divide (same size-switched plan as 'R')
-            sq_ds = ds.map_batches(
-                lambda t: pa.table(
-                    {
-                        "focal": t.column("focal"),
-                        "__w2": pa.array(
-                            t.column("weight").to_numpy(zero_copy_only=False)
-                            ** 2
-                        ),
-                    }
+            sq_ds = J.grouped_sum(
+                ds.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "focal": t.column("focal"),
+                            "__w2": pa.array(
+                                t.column("weight").to_numpy(
+                                    zero_copy_only=False
+                                )
+                                ** 2
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
                 ),
-                batch_format="pyarrow",
-            ).groupby("focal").sum("__w2").materialize()
+                ("focal",),
+                ("__w2",),
+            ).materialize()
             if sq_ds.count() <= BROADCAST_ROW_LIMIT:
                 sq = sq_ds.to_pandas()
                 withq = J.broadcast_lookup(
@@ -1118,16 +1121,13 @@ class RayGraph:
         trcW2 = float(pair["sum(tr)"] or 0.0)
 
         # s2 = Σ_i (rowsum_i + colsum_i)^2 — two groupbys unioned
-        rows = real.groupby("focal").sum("weight").rename_columns(
+        rows = J.grouped_sum(real, ("focal",), ("weight",)).rename_columns(
             {"sum(weight)": "v"}
         )
-        cols = (
-            E.reverse(real)
-            .groupby("focal")
-            .sum("weight")
-            .rename_columns({"sum(weight)": "v"})
-        )
-        rc = rows.union(cols).groupby("focal").sum("v")
+        cols = J.grouped_sum(
+            E.reverse(real), ("focal",), ("weight",)
+        ).rename_columns({"sum(weight)": "v"})
+        rc = J.grouped_sum(rows.union(cols), ("focal",), ("v",))
 
         def _sq(t: pa.Table) -> pa.Table:
             v = t.column("sum(v)").to_numpy(zero_copy_only=False)
@@ -1319,7 +1319,7 @@ class RayGraph:
         # semi-join on (i,k) ∈ adj; summed weight = #paths i→j→k per (i,k)
         tri = J.pair_semi(paths, adj.select_columns(["focal", "neighbor"]))
         tcount = (
-            tri.groupby("focal").sum("weight")
+            J.grouped_sum(tri, ("focal",), ("weight",))
             .rename_columns({"sum(weight)": "__t"})
         )
         cards_ds = self.cardinalities().materialize()
@@ -1377,7 +1377,7 @@ class RayGraph:
         )
         both = withc.union(zeros)
         return (
-            both.groupby("focal").max("cluster_coef")
+            J.grouped_agg(both, ("focal",), ("cluster_coef",), "max")
             .rename_columns({"max(cluster_coef)": "cluster_coef"})
         )
 

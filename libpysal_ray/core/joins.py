@@ -125,16 +125,23 @@ def _chain_size_upper(ds: ray.data.Dataset) -> int | None:
         return None
 
 
-def _grouped_sum_batch(keys: tuple[str, ...], cols: tuple[str, ...]):
-    """Vectorized per-batch groupby-sum: lexsort + flag-new-group +
-    np.add.reduceat. Output columns named sum(col) like the native agg."""
+_AGG_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+
+
+def _grouped_agg_batch(keys: tuple[str, ...], cols: tuple[str, ...], ops):
+    """Vectorized per-batch groupby-aggregate: lexsort + flag-new-group +
+    ufunc.reduceat. ``ops`` is one op or a per-column tuple drawn from
+    sum/min/max/mean/count. Output columns named op(col) like the native
+    aggregate (count() when the column is None)."""
+    if isinstance(ops, str):
+        ops = tuple(ops for _ in cols)
 
     def f(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table(
-                {k: t.column(k) for k in keys}
-                | {f"sum({c})": t.column(c) for c in cols}
-            )
+            out0 = {k: t.column(k) for k in keys}
+            for c, op in zip(cols, ops):
+                out0[f"{op}({c or ''})"] = pa.array([], pa.float64())
+            return pa.table(out0)
         kv = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
         order = np.lexsort(kv[::-1])
         kv = [v[order] for v in kv]
@@ -145,12 +152,29 @@ def _grouped_sum_batch(keys: tuple[str, ...], cols: tuple[str, ...]):
             new[1:] |= v[1:] != v[:-1]
         starts = np.flatnonzero(new)
         out = {k: pa.array(v[new]) for k, v in zip(keys, kv)}
-        for c in cols:
+        counts = None
+        for c, op in zip(cols, ops):
+            if op == "count":
+                if counts is None:
+                    counts = np.diff(np.append(starts, t.num_rows))
+                out["count()"] = pa.array(counts.astype(np.int64))
+                continue
             v = t.column(c).to_numpy(zero_copy_only=False)[order]
-            out[f"sum({c})"] = pa.array(np.add.reduceat(v, starts))
+            if op == "mean":
+                if counts is None:
+                    counts = np.diff(np.append(starts, t.num_rows))
+                out[f"mean({c})"] = pa.array(
+                    np.add.reduceat(v.astype(np.float64), starts) / counts
+                )
+                continue
+            out[f"{op}({c})"] = pa.array(_AGG_UFUNC[op].reduceat(v, starts))
         return pa.table(out)
 
     return f
+
+
+def _grouped_sum_batch(keys: tuple[str, ...], cols: tuple[str, ...]):
+    return _grouped_agg_batch(keys, cols, "sum")
 
 
 def grouped_sum(
@@ -164,15 +188,37 @@ def grouped_sum(
     fits SMALL_COGROUP_BYTES, one coalesced vectorized task replaces the
     native sort-aggregate (seconds of fixed wall per stage). Output columns
     are named sum(col) either way. Unknown sizes take the scale path."""
+    return grouped_agg(u, keys, cols, "sum", *size_sides)
+
+
+def grouped_agg(
+    u: ray.data.Dataset,
+    keys: tuple[str, ...],
+    cols: tuple[str, ...],
+    ops,
+    *size_sides: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """groupby(keys).<op>(cols) with the small-input switch (see
+    grouped_sum). ``ops``: one of sum/min/max/mean/count, or a per-column
+    tuple. count ignores its column (pass None)."""
+    if isinstance(ops, str):
+        ops = tuple(ops for _ in cols)
     sides = size_sides if size_sides else (u,)
     est = [_chain_size_upper(d) for d in sides]
     if all(e is not None for e in est) and sum(est) <= SMALL_COGROUP_BYTES:
         return u.repartition(1).map_batches(
-            _grouped_sum_batch(tuple(keys), tuple(cols)),
+            _grouped_agg_batch(tuple(keys), tuple(cols), ops),
             batch_size=None,
             batch_format="pyarrow",
         )
-    return u.groupby(list(keys)).sum(list(cols))
+    g = u.groupby(list(keys))
+    if len(set(ops)) == 1 and ops[0] != "count":
+        return getattr(g, ops[0])(list(cols))
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    mk = {"sum": Sum, "min": Min, "max": Max, "mean": Mean}
+    aggs = [Count() if op == "count" else mk[op](c) for c, op in zip(cols, ops)]
+    return g.aggregate(*aggs)
 
 
 def cogroup_pairs(
