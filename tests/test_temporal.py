@@ -97,3 +97,36 @@ def test_composite_overflow_guard():
     with pytest.raises(ValueError, match="key range"):
         _composite(np.array([1 << 12], np.int64),
                    np.array([0], np.int64), ts_bits=52)
+
+
+def test_asof_epoch_timestamps_many_keys_one_bucket(ray_session):
+    # regression: epoch-microsecond timestamps (~51 bits raw) with >2^11
+    # distinct keys in a single bucket overflowed the int64 composite
+    # before per-bucket ts densification — exactly what the coalesced
+    # small-input path produces (every key in ONE bucket)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    n_keys = 5000
+    base = 1_704_067_200_000_000  # 2024-01-01 in us
+    k = np.arange(n_keys, dtype=np.int64)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(k),
+        "lts": pa.array(base + k * 7919),
+        "lid": pa.array(k),
+    })).materialize()
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(k),
+        "rts": pa.array(base + k * 7919 - 13),
+        "rv": pa.array(k * 10),
+    })).materialize()
+    from libpysal_ray.temporal.joins import asof_join
+
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                    left_id="lid", right_val="rv").to_pandas()
+    assert len(out) == n_keys
+    out = out.sort_values("left_id").reset_index(drop=True)
+    assert (out["right_val"].to_numpy() == k * 10).all()
+    # asof_ts is reported in ORIGINAL epoch units, not bucket-shifted
+    assert (out["asof_ts"].to_numpy() == base + k * 7919 - 13).all()
