@@ -298,41 +298,52 @@ def knn_edges_with_dist(
     if not unresolved_ids:
         return resolved
 
-    # fallback: broadcast the unresolved query points, scan all blocks
+    # fallback: CHUNKED broadcast of the unresolved query points (the
+    # sphere.knn_arc_edges discipline) — the driver streams bounded
+    # batches into the object store, never holding the whole unresolved
+    # set; each scan task walks the chunk refs in turn
     uq = np.array([r["focal"] for r in unresolved_ids], dtype=np.int64)
-    qpts = points.map_batches(
+    qpts_ds = points.map_batches(
         lambda t: t.filter(
             pa.array(
                 np.isin(t.column(id_col).to_numpy(zero_copy_only=False), uq)
             )
         ),
         batch_format="pyarrow",
-    ).take_all()
-    qid = np.array([r[id_col] for r in qpts], dtype=np.int64)
-    qx = np.array([r[x_col] for r in qpts], dtype=np.float64)
-    qy = np.array([r[y_col] for r in qpts], dtype=np.float64)
-    qref = ray.put((qid, qx, qy))
+    )
+    chunk_refs = []
+    for b in qpts_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        chunk_refs.append(ray.put((
+            b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64),
+            b.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64),
+            b.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64),
+        )))
 
     def _scan(t: pa.Table) -> pa.Table:
-        qi, qxx, qyy = ray.get(qref)
         i = t.column(id_col).to_numpy(zero_copy_only=False)
         x = t.column(x_col).to_numpy(zero_copy_only=False)
         y = t.column(y_col).to_numpy(zero_copy_only=False)
         out_f, out_n, out_d = [], [], []
-        for s in range(0, len(qi), _CHUNK):
-            dq = np.sqrt(
-                (qxx[s : s + _CHUNK, None] - x[None, :]) ** 2
-                + (qyy[s : s + _CHUNK, None] - y[None, :]) ** 2
-            )
-            if not include_self:
-                dq[qi[s : s + _CHUNK, None] == i[None, :]] = np.inf
-            take = min(kk, dq.shape[1])
-            ord_ = np.lexsort((np.broadcast_to(i, dq.shape), dq), axis=1)[:, :take]
-            rows = np.repeat(np.arange(dq.shape[0]), take)
-            cols = ord_.ravel()
-            out_f.append(np.repeat(qi[s : s + _CHUNK], take))
-            out_n.append(i[cols])
-            out_d.append(dq[rows, cols])
+        for ref in chunk_refs:
+            qi, qxx, qyy = ray.get(ref)
+            for s in range(0, len(qi), _CHUNK):
+                dq = np.sqrt(
+                    (qxx[s : s + _CHUNK, None] - x[None, :]) ** 2
+                    + (qyy[s : s + _CHUNK, None] - y[None, :]) ** 2
+                )
+                if not include_self:
+                    dq[qi[s : s + _CHUNK, None] == i[None, :]] = np.inf
+                take = min(kk, dq.shape[1])
+                ord_ = np.lexsort(
+                    (np.broadcast_to(i, dq.shape), dq), axis=1
+                )[:, :take]
+                rows = np.repeat(np.arange(dq.shape[0]), take)
+                cols = ord_.ravel()
+                out_f.append(np.repeat(qi[s : s + _CHUNK], take))
+                out_n.append(i[cols])
+                out_d.append(dq[rows, cols])
         return pa.table(
             {
                 "focal": pa.array(np.concatenate(out_f).astype(np.int64)),
@@ -344,19 +355,16 @@ def knn_edges_with_dist(
     def _merge_topk(t: pa.Table) -> pa.Table:
         d = t.column("dist").to_numpy(zero_copy_only=False)
         nb = t.column("neighbor").to_numpy(zero_copy_only=False)
-        ord_ = np.lexsort((nb, d))
-        # drop duplicate neighbors (a point may appear in several scans)
-        seen: set = set()
-        keep = []
-        for j in ord_:
-            if np.isinf(d[j]):
-                continue
-            if nb[j] not in seen:
-                seen.add(nb[j])
-                keep.append(j)
-            if len(keep) == kk:
-                break
-        return t.take(pa.array(np.array(keep, dtype=np.int64)))
+        # vectorized: best row per neighbor (dup neighbors appear once per
+        # scan pass), then k smallest by (dist, neighbor)
+        o1 = np.lexsort((d, nb))
+        nbs = nb[o1]
+        first = np.ones(len(nbs), dtype=bool)
+        first[1:] = nbs[1:] != nbs[:-1]
+        cand = o1[first]
+        cand = cand[~np.isinf(d[cand])]
+        o2 = np.lexsort((nb[cand], d[cand]))[:kk]
+        return t.take(pa.array(cand[o2].astype(np.int64)))
 
     fallback = (
         points.map_batches(_scan, batch_format="pyarrow")

@@ -778,13 +778,18 @@ class RayGraph:
         b = other._real_edges()
         if a.count() != b.count():
             return False
-        deg_a = sorted(
-            r["cardinality"] for r in self.cardinalities().take_all()
-        )
-        deg_b = sorted(
-            r["cardinality"] for r in other.cardinalities().take_all()
-        )
-        if deg_a != deg_b:
+        # degree-sequence screen as a distributed degree HISTOGRAM: equal
+        # sorted sequences ⇔ equal (degree → count) maps, and the collect
+        # is bounded by the number of DISTINCT degrees, not n — the screen
+        # itself stays scale-safe even though the matcher below is
+        # driver-side and max_nodes-guarded
+        def _deg_hist(g: "RayGraph") -> dict[int, int]:
+            h = J.grouped_agg(
+                g.cardinalities(), ("cardinality",), (None,), "count"
+            ).take_all()
+            return {int(r["cardinality"]): int(r["count()"]) for r in h}
+
+        if _deg_hist(self) != _deg_hist(other):
             return False
         if self.n() > max_nodes:
             raise NotImplementedError(
