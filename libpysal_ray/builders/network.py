@@ -224,34 +224,42 @@ def snap_to_nodes(
     # driver/object-store footprint per the knn_arc_edges fix, ADVICE r2),
     # scanned against every node block; one groupby(id) min-merge.
     uq = np.array([r["id"] for r in unresolved], dtype=np.int64)
-    qtab = points.map_batches(
+    qtab_ds = points.map_batches(
         lambda t: t.filter(
             pa.array(
                 np.isin(t.column(id_col).to_numpy(zero_copy_only=False), uq)
             )
         ),
         batch_format="pyarrow",
-    ).select_columns([id_col, x_col, y_col]).take_all()
-    qid = np.array([r[id_col] for r in qtab], dtype=np.int64)
-    qx = np.array([r[x_col] for r in qtab], dtype=np.float64)
-    qy = np.array([r[y_col] for r in qtab], dtype=np.float64)
-    qref = ray.put((qid, qx, qy))
+    ).select_columns([id_col, x_col, y_col])
+    chunk_refs = []
+    for b in qtab_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        chunk_refs.append(ray.put((
+            b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64),
+            b.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64),
+            b.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64),
+        )))
 
     def _scan(t: pa.Table) -> pa.Table:
-        qi, qxx, qyy = ray.get(qref)
         nid = t.column(node_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         nx = t.column(x_col).to_numpy(zero_copy_only=False)
         ny = t.column(y_col).to_numpy(zero_copy_only=False)
         out_i, out_n, out_d = [], [], []
-        for s in range(0, len(qi), _CHUNK):
-            d = np.sqrt(
-                (qxx[s : s + _CHUNK, None] - nx[None, :]) ** 2
-                + (qyy[s : s + _CHUNK, None] - ny[None, :]) ** 2
-            )
-            best = np.lexsort((np.broadcast_to(nid, d.shape), d), axis=1)[:, 0]
-            out_i.append(qi[s : s + _CHUNK])
-            out_n.append(nid[best])
-            out_d.append(d[np.arange(d.shape[0]), best])
+        for ref in chunk_refs:
+            qi, qxx, qyy = ray.get(ref)
+            for s in range(0, len(qi), _CHUNK):
+                d = np.sqrt(
+                    (qxx[s : s + _CHUNK, None] - nx[None, :]) ** 2
+                    + (qyy[s : s + _CHUNK, None] - ny[None, :]) ** 2
+                )
+                best = np.lexsort(
+                    (np.broadcast_to(nid, d.shape), d), axis=1
+                )[:, 0]
+                out_i.append(qi[s : s + _CHUNK])
+                out_n.append(nid[best])
+                out_d.append(d[np.arange(d.shape[0]), best])
         return pa.table(
             {
                 "id": pa.array(np.concatenate(out_i)),
