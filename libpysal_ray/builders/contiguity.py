@@ -33,6 +33,7 @@ import pyarrow as pa
 import ray.data
 
 from libpysal_ray.core import edges as E
+from libpysal_ray.core import joins as J
 from libpysal_ray.core.graph import RayGraph
 from libpysal_ray.core.joins import grouped_by_key
 
@@ -550,7 +551,6 @@ def nonplanar_neighbors(
     semi-joins — the second-pass island-restricted join. Returns a graph
     whose edges are g's edges ∪ the new island joins (symmetric).
     """
-    from libpysal_ray.core import joins as J
 
     # islands = isolate marker rows of g
     def _isol(t: pa.Table) -> pa.Table:

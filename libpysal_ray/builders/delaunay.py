@@ -40,6 +40,7 @@ import ray.data
 
 from libpysal_ray.builders.distance import tile_points
 from libpysal_ray.core import edges as E
+from libpysal_ray.core import joins as J
 from libpysal_ray.core.graph import RayGraph
 
 _PCHUNK = 256  # candidate-pair chunk per witness matrix
@@ -619,6 +620,10 @@ def delaunay_bounded(
             np.concatenate(out_f), np.concatenate(out_n), 1.0
         )
 
+    # NOT per_group: the per-tile kernel is compute-heavy (local
+    # triangulation / witness scans), so the coalesced small path would
+    # serialize real work — the native groupby's stage cost is amortized
+    # by parallel per-tile compute here
     edges = tiled.groupby("tile").map_groups(_tile, batch_format="pyarrow")
     id_ds = points.select_columns([id_col]).rename_columns({id_col: "focal"})
     return RayGraph(E.resolve_isolates(edges, id_ds))

@@ -38,6 +38,7 @@ import ray
 import ray.data
 
 from libpysal_ray.core import edges as E
+from libpysal_ray.core import joins as J
 from libpysal_ray.core.graph import RayGraph
 from libpysal_ray.functions.kernels import evaluate_kernel
 
@@ -159,7 +160,7 @@ def distance_band(
             np.concatenate(out_f), np.concatenate(out_n), np.concatenate(out_w)
         )
 
-    edges = tiled.groupby("tile").map_groups(_pairs, batch_format="pyarrow")
+    edges = J.per_group(tiled, ("tile",), _pairs)
     return RayGraph(E.resolve_isolates(edges, ids))
 
 
@@ -275,9 +276,7 @@ def knn_edges_with_dist(
             }
         )
 
-    local = tiled.groupby("tile").map_groups(
-        _local_knn, batch_format="pyarrow"
-    ).materialize()
+    local = J.per_group(tiled, ("tile",), _local_knn).materialize()
     resolved = local.map_batches(
         lambda t: t.filter(t.column("resolved")).drop_columns(["resolved"]),
         batch_format="pyarrow",
@@ -366,10 +365,10 @@ def knn_edges_with_dist(
         o2 = np.lexsort((nb[cand], d[cand]))[:kk]
         return t.take(pa.array(cand[o2].astype(np.int64)))
 
-    fallback = (
-        points.map_batches(_scan, batch_format="pyarrow")
-        .groupby("focal")
-        .map_groups(_merge_topk, batch_format="pyarrow")
+    fallback = J.per_group(
+        points.map_batches(_scan, batch_format="pyarrow"),
+        ("focal",),
+        _merge_topk,
     )
     return resolved.union(fallback)
 
@@ -403,7 +402,6 @@ def knn(
       (graph/_utils.py:104-126 `_induce_cliques` — note it links clique
       members to the representative, not to each other).
     """
-    from libpysal_ray.core import joins as J
     from libpysal_ray.core.hashing import splitmix64
 
     ids = points.select_columns([id_col]).rename_columns({id_col: "focal"})
@@ -786,7 +784,7 @@ def kernel(
         knn_e = None
     else:
         knn_e = knn_edges_with_dist(points, k, id_col, x_col, y_col).materialize()
-        kth = knn_e.groupby("focal").max("dist").rename_columns(
+        kth = J.grouped_agg(knn_e, ("focal",), ("dist",), "max").rename_columns(
             {"max(dist)": "bw"}
         )
         if bandwidth == "quantile" and fixed:
@@ -852,7 +850,7 @@ def kernel(
         import pyarrow.compute as pc  # noqa: F401
 
         assert knn_e is not None
-        bw_tbl = knn_e.groupby("focal").max("dist")
+        bw_tbl = J.grouped_agg(knn_e, ("focal",), ("dist",), "max")
 
         def _self_rows(t: pa.Table) -> pa.Table:
             f = t.column("focal").to_numpy(zero_copy_only=False)
@@ -866,7 +864,6 @@ def kernel(
 
         selfrows = bw_tbl.map_batches(_self_rows, batch_format="pyarrow")
         alledges = knn_e.union(selfrows)
-        from libpysal_ray.core import joins as J
         from libpysal_ray.core.graph import BROADCAST_ROW_LIMIT
 
         bw_tbl = bw_tbl.materialize()

@@ -301,6 +301,6 @@ def vecw(
             np.concatenate(out_w),
         )
 
-    edges = tiled.groupby("tile").map_groups(_pairs, batch_format="pyarrow")
+    edges = J.per_group(tiled, ("tile",), _pairs)
     ids = vectors.select_columns([id_col]).rename_columns({id_col: "focal"})
     return RayGraph(E.resolve_isolates(edges, ids))

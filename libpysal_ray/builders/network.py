@@ -204,9 +204,7 @@ def snap_to_nodes(
             }
         )
 
-    local = tiled.groupby("tile").map_groups(
-        _tile_nn, batch_format="pyarrow"
-    ).materialize()
+    local = J.per_group(tiled, ("tile",), _tile_nn).materialize()
     import pyarrow.compute as pc
 
     resolved = local.map_batches(

@@ -24,6 +24,7 @@ import ray
 import ray.data
 
 from libpysal_ray.core import edges as E
+from libpysal_ray.core import joins as J
 from libpysal_ray.core.graph import RayGraph
 
 EARTH_RADIUS_KM = 6371.0
@@ -174,7 +175,7 @@ def distance_band_arc(
             np.concatenate(out_w),
         )
 
-    edges = tiled.groupby("tile").map_groups(_pairs, batch_format="pyarrow")
+    edges = J.per_group(tiled, ("tile",), _pairs)
     return RayGraph(E.resolve_isolates(edges, ids))
 
 
@@ -264,9 +265,7 @@ def knn_arc_edges(
             }
         )
 
-    local = tiled.groupby("tile").map_groups(
-        _local, batch_format="pyarrow"
-    ).materialize()
+    local = J.per_group(tiled, ("tile",), _local).materialize()
     import pyarrow.compute as pc
 
     resolved = local.map_batches(
@@ -375,11 +374,13 @@ def knn_arc_edges(
             )
             qref = ray.put((qid, np.stack([qx, qy, qz], axis=1)))
             parts.append(
-                points.map_batches(
-                    _scan_for(qref), batch_format="pyarrow"
+                J.per_group(
+                    points.map_batches(
+                        _scan_for(qref), batch_format="pyarrow"
+                    ),
+                    ("focal",),
+                    _merge_topk,
                 )
-                .groupby("focal")
-                .map_groups(_merge_topk, batch_format="pyarrow")
             )
         out = resolved
         for p in parts:

@@ -221,6 +221,47 @@ def grouped_agg(
     return g.aggregate(*aggs)
 
 
+def per_group(
+    ds: ray.data.Dataset,
+    key_cols: tuple[str, ...],
+    fn,
+) -> ray.data.Dataset:
+    """groupby(key_cols).map_groups(fn) with the small-input switch: when
+    the plan-walk proves the input fits SMALL_COGROUP_BYTES, one coalesced
+    task lexsorts the whole table and calls ``fn`` once per group slice —
+    identical per-group semantics, none of the native groupby's fixed
+    stage cost. Unknown/large sizes shuffle."""
+    est = _chain_size_upper(ds)
+    if est is not None and est <= SMALL_COGROUP_BYTES:
+
+        def _all(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return fn(t)
+            keys = [
+                t.column(c).to_numpy(zero_copy_only=False) for c in key_cols
+            ]
+            order = np.lexsort(keys[::-1])
+            ts = t.take(pa.array(order))
+            new = np.empty(t.num_rows, bool)
+            new[0] = True
+            new[1:] = False
+            for k in keys:
+                ks = k[order]
+                new[1:] |= ks[1:] != ks[:-1]
+            bounds = np.append(np.flatnonzero(new), t.num_rows)
+            outs = [
+                fn(ts.slice(s, e - s))
+                for s, e in zip(bounds[:-1], bounds[1:])
+            ]
+            return pa.concat_tables([o for o in outs if o.num_rows > 0]
+                                    or outs[:1])
+
+        return ds.repartition(1).map_batches(
+            _all, batch_size=None, batch_format="pyarrow"
+        )
+    return ds.groupby(list(key_cols)).map_groups(fn, batch_format="pyarrow")
+
+
 def cogroup_pairs(
     a: ray.data.Dataset,
     b: ray.data.Dataset,
