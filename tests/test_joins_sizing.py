@@ -86,3 +86,27 @@ def test_grouped_sum_small_names_match_native(ray_session):
     a = got.sort_values("focal").reset_index(drop=True)
     b = native.sort_values("focal").reset_index(drop=True)
     assert np.allclose(a["sum(weight)"], b["sum(weight)"])
+
+
+def test_per_group_small_matches_native(ray_session):
+    import pandas as pd
+
+    from libpysal_ray.core.joins import per_group
+
+    ds = _edges(3000, 5).materialize()
+
+    def fn(t: pa.Table) -> pa.Table:
+        w = t.column("weight").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "focal": t.column("focal").slice(0, 1),
+            "n": pa.array([t.num_rows], pa.int64()),
+            "w": pa.array([float(w.sum())]),
+        })
+
+    small = per_group(ds, ("focal",), fn).to_pandas()
+    native = ds.groupby("focal").map_groups(
+        fn, batch_format="pyarrow"
+    ).to_pandas()
+    a = small.sort_values("focal").reset_index(drop=True)
+    b = native.sort_values("focal").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b)
