@@ -300,11 +300,12 @@ def tumbling_window(
             }
         )
 
-    return (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["key", "window"])
-        .sum(["n_events", "sum_cents"])
-        .rename_columns(
-            {"sum(n_events)": "n_events", "sum(sum_cents)": "sum_cents"}
-        )
+    from libpysal_ray.core.joins import grouped_sum
+
+    return grouped_sum(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ("key", "window"),
+        ("n_events", "sum_cents"),
+    ).rename_columns(
+        {"sum(n_events)": "n_events", "sum(sum_cents)": "sum_cents"}
     )
