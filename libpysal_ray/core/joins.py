@@ -262,6 +262,51 @@ def per_group(
     return ds.groupby(list(key_cols)).map_groups(fn, batch_format="pyarrow")
 
 
+def topk_per_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_cols: tuple[str, ...],
+    k: int,
+    descending: tuple[bool, ...] | bool = True,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Top-``k`` rows per ``key_col`` group ordered by ``order_cols`` —
+    the per-domain / per-language selection primitive of a training-data
+    pipeline. Two-level plan: a per-batch vectorized combiner keeps the
+    local top-k per group (shrinking the shuffle to ≤ k rows per group
+    per block), then ONE grouped_by_key pass runs the same multi-group
+    kernel globally. No per-group Python at any stage; keys must be
+    int64 (hash string keys first)."""
+    if isinstance(descending, bool):
+        descending = tuple(descending for _ in order_cols)
+
+    def _kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        key = t.column(key_col).to_numpy(zero_copy_only=False)
+        sort_keys = []
+        for c, desc in zip(order_cols, descending):
+            v = t.column(c).to_numpy(zero_copy_only=False)
+            sort_keys.append(-v if desc else v)
+        # lexsort: last key is primary → (orders..., key) reversed
+        order = np.lexsort(tuple(reversed(sort_keys)) + (key,))
+        ks = key[order]
+        new = np.ones(len(ks), bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        rank = np.arange(len(ks)) - starts[gid]
+        return t.take(pa.array(order[rank < k]))
+
+    local = ds.map_batches(_kernel, batch_format="pyarrow")
+    out = grouped_by_key(local, [key_col], _kernel,
+                         num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__gb"]) if "__gb" in t.schema.names else t,
+        batch_format="pyarrow",
+    )
+
+
 def cogroup_pairs(
     a: ray.data.Dataset,
     b: ray.data.Dataset,

@@ -2697,3 +2697,71 @@ SELECT COUNT(*) AS n_matched,
        CAST(SUM(ABS(t.x - s.x)) AS DOUBLE) AS total_cost
 FROM t JOIN s USING (rn)
 """
+
+
+# ------------------------------------------------ training-data selection
+def q_lang_topk(sf_dir: str):
+    """Top-5 documents per language by (token count DESC, doc_id) — the
+    per-stratum selection primitive, shuffle-once with a per-batch
+    combiner (joins.topk_per_group). The language key travels as a 64-bit
+    string hash; the output keeps the string."""
+    from libpysal_ray.core.hashing import hash_string_array_u64
+    from libpysal_ray.core.joins import topk_per_group
+    from libpysal_ray.text.analysis import token_stats
+
+    ts = token_stats(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+    def _key(t: pa.Table) -> pa.Table:
+        h = (hash_string_array_u64(t.column("lang")) >> np.uint64(1)).astype(
+            np.int64
+        )
+        return t.append_column("__lk", pa.array(h))
+
+    keyed = ts.map_batches(_key, batch_format="pyarrow").select_columns(
+        ["__lk", "lang", "doc_id", "n_tokens"]
+    )
+    top = topk_per_group(
+        keyed, "__lk", ("n_tokens", "doc_id"), k=5, descending=(True, False)
+    )
+    return top.select_columns(["lang", "doc_id", "n_tokens"])
+
+
+QUERIES["lang_topk"] = q_lang_topk
+
+ORACLE_SQL["lang_topk"] = """
+WITH ts AS (
+  SELECT doc_id, lang,
+         CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY n_tokens DESC, doc_id
+         ) AS rn
+  FROM ts
+)
+SELECT lang, doc_id, n_tokens FROM r WHERE rn <= 5
+"""
+
+
+def q_strat_sample(sf_dir: str):
+    """Deterministic stratified downsampling: keep 10% of 'en', 50% of
+    'zh', 25% of everything else, by splitmix64(doc_id) % 100 — the same
+    rows survive at any cluster size or block layout."""
+    from libpysal_ray.text.analysis import stratified_sample
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    return stratified_sample(
+        docs, "lang", {"en": 10, "zh": 50}, default_rate=25
+    )
+
+
+QUERIES["strat_sample"] = q_strat_sample
+
+ORACLE_SQL["strat_sample"] = _oh.with_macros("""
+SELECT doc_id, lang FROM documents
+WHERE sm64(doc_id) % 100 <
+      CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 25 END
+""")

@@ -277,3 +277,40 @@ def length_quantiles(
         pa.table({"q": pa.array(out_q, pa.float64()),
                   "value": pa.array(out_v, pa.int64())})
     )
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    strata_col: str,
+    rates: dict[str, int],
+    default_rate: int,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic per-stratum downsampling — the corpus-rebalancing
+    primitive (e.g. keep 10% of the head language, 50% of the tail).
+
+    Keeps a row iff splitmix64(id) % 100 < rate(stratum). Purely
+    stateless and reproducible: the SAME rows survive at any cluster
+    size, block layout, or re-run — no RNG state, no global pass.
+    ``rates`` maps stratum value → percent kept; others use
+    ``default_rate``."""
+    from libpysal_ray.core.hashing import splitmix64
+
+    keys = list(rates.keys())
+    vals = np.array([rates[k] for k in keys] + [default_rate],
+                    dtype=np.int64)
+    vset = pa.array(keys, pa.string())
+
+    def _f(t: pa.Table) -> pa.Table:
+        i = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.index_in(t.column(strata_col), value_set=vset)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        idx_np = np.where(np.isnan(idx_np.astype(np.float64)), len(keys),
+                          idx_np).astype(np.int64)
+        rate = vals[idx_np]
+        keep = (splitmix64(i.view(np.uint64)) % np.uint64(100)).astype(
+            np.int64
+        ) < rate
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -110,3 +110,46 @@ def test_per_group_small_matches_native(ray_session):
     a = small.sort_values("focal").reset_index(drop=True)
     b = native.sort_values("focal").reset_index(drop=True)[a.columns]
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_topk_per_group_matches_pandas(ray_session):
+    from libpysal_ray.core.joins import topk_per_group
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n)),
+        "v": pa.array(rng.integers(0, 1000, n)),
+        "id": pa.array(np.arange(n)),
+    })
+    ds = ray.data.from_arrow(t).repartition(8).materialize()
+    got = topk_per_group(ds, "k", ("v", "id"), k=3,
+                         descending=(True, False)).to_pandas()
+    df = t.to_pandas()
+    want = (
+        df.sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .groupby("k").head(3)
+    )
+    a = got.sort_values(["k", "v", "id"]).reset_index(drop=True)
+    b = want.sort_values(["k", "v", "id"]).reset_index(drop=True)[a.columns]
+    assert a.equals(b)
+
+
+def test_stratified_sample_deterministic(ray_session):
+    from libpysal_ray.text.analysis import stratified_sample
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(2000)),
+        "lang": pa.array((["en"] * 3 + ["zh"] + ["fr"]) * 400),
+    })
+    a = stratified_sample(
+        ray.data.from_arrow(t).repartition(7), "lang",
+        {"en": 10, "zh": 50}, 25,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = stratified_sample(
+        ray.data.from_arrow(t).repartition(2), "lang",
+        {"en": 10, "zh": 50}, 25,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)          # block layout cannot change the sample
+    frac_en = (a["lang"] == "en").mean()
+    assert len(a) > 0 and frac_en < 0.5  # en downsampled below its 60% share
