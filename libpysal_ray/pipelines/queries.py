@@ -2765,3 +2765,28 @@ SELECT doc_id, lang FROM documents
 WHERE sm64(doc_id) % 100 <
       CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 25 END
 """)
+
+
+def q_df_top(sf_dir: str):
+    """Top-25 vocabulary words by document frequency (ties by word):
+    per-batch (doc, word) distinct combiner -> ONE groupby(word) -> top-k."""
+    from libpysal_ray.text.analysis import doc_term_stats
+
+    st = doc_term_stats(_docs(sf_dir, ["doc_id", "text"]))
+    return st.sort(["df", "word"], descending=[True, False]).limit(25)
+
+
+QUERIES["df_top"] = q_df_top
+
+ORACLE_SQL["df_top"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+agg AS (
+  SELECT word,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY word
+)
+SELECT word, df, tf FROM agg ORDER BY df DESC, word LIMIT 25
+"""

@@ -314,3 +314,61 @@ def stratified_sample(
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def doc_term_stats(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """(word, df, tf): document frequency and total term frequency per
+    word — the vocabulary/quality-filter primitive behind TF-IDF.
+
+    100 TB shape: each document is one row, so distinct (doc, word)
+    pairs are BATCH-LOCAL; a per-batch vectorized combiner (Arrow split
+    + dictionary-encode + one lexsort) emits per-batch (word, df, tf)
+    partials and the ONE groupby(word) shuffle moves per-batch distinct
+    words, not corpus tokens. No Python per row or per token."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t.column(text_col), " ")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        rid = np.repeat(np.arange(len(lens)), lens)
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, rid))
+        rc, cc = rid[order], codes[order]
+        n = len(rc)
+        if n == 0:
+            return pa.table({
+                "word": pa.array([], flat.type),
+                "df": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+            })
+        new = np.ones(n, bool)
+        new[1:] = (rc[1:] != rc[:-1]) | (cc[1:] != cc[:-1])
+        starts = np.flatnonzero(new)
+        tf_pairs = np.diff(np.append(starts, n))     # tf per (doc, word)
+        heads = cc[starts]
+        o2 = np.argsort(heads, kind="stable")
+        ch, tfh = heads[o2], tf_pairs[o2]
+        new2 = np.ones(len(ch), bool)
+        new2[1:] = ch[1:] != ch[:-1]
+        s2 = np.flatnonzero(new2)
+        return pa.table({
+            "word": d.dictionary.take(pa.array(ch[s2])),
+            "df": pa.array(np.diff(np.append(s2, len(ch))).astype(np.int64)),
+            "tf": pa.array(np.add.reduceat(tfh, s2).astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum(["df", "tf"])
+        .rename_columns({"sum(df)": "df", "sum(tf)": "tf"})
+    )

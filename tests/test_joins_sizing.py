@@ -153,3 +153,18 @@ def test_stratified_sample_deterministic(ray_session):
     assert a.equals(b)          # block layout cannot change the sample
     frac_en = (a["lang"] == "en").mean()
     assert len(a) > 0 and frac_en < 0.5  # en downsampled below its 60% share
+
+
+def test_doc_term_stats_closed_form(ray_session):
+    from libpysal_ray.text.analysis import doc_term_stats
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2]),
+        "text": pa.array(["a b a", "b c", "a"]),
+    })
+    got = doc_term_stats(
+        ray.data.from_arrow(t).repartition(2)
+    ).to_pandas().set_index("word").sort_index()
+    assert got.loc["a", "df"] == 2 and got.loc["a", "tf"] == 3
+    assert got.loc["b", "df"] == 2 and got.loc["b", "tf"] == 2
+    assert got.loc["c", "df"] == 1 and got.loc["c", "tf"] == 1
