@@ -2790,3 +2790,38 @@ agg AS (
 )
 SELECT word, df, tf FROM agg ORDER BY df DESC, word LIMIT 25
 """
+
+
+def q_pack_bins(sf_dir: str):
+    """Sequence-packing manifest: walking docs in doc_id order, each doc
+    goes to bin floor(exclusive_running_tokens / 2048) — distributed
+    prefix sum (core/scan.py): one range sort, per-block partials, driver
+    sees only #blocks scalars."""
+    from libpysal_ray.core.scan import pack_bins
+    from libpysal_ray.text.analysis import token_stats
+
+    ts = token_stats(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_tokens"]
+    )
+    return pack_bins(ts, order_col="doc_id", size_col="n_tokens",
+                     capacity=2048)
+
+
+QUERIES["pack_bins"] = q_pack_bins
+
+ORACLE_SQL["pack_bins"] = """
+WITH ts AS (
+  SELECT doc_id,
+         CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS cs
+  FROM ts
+)
+SELECT doc_id, n_tokens, CAST(cs // 2048 AS BIGINT) AS bin_id FROM c
+"""

@@ -168,3 +168,23 @@ def test_doc_term_stats_closed_form(ray_session):
     assert got.loc["a", "df"] == 2 and got.loc["a", "tf"] == 3
     assert got.loc["b", "df"] == 2 and got.loc["b", "tf"] == 2
     assert got.loc["c", "df"] == 1 and got.loc["c", "tf"] == 1
+
+
+def test_prefix_sum_matches_numpy(ray_session):
+    from libpysal_ray.core.scan import prefix_sum
+
+    rng = np.random.default_rng(3)
+    n = 10000
+    order = rng.permutation(n).astype(np.int64)
+    val = rng.integers(1, 50, n)
+    ds = ray.data.from_arrow(pa.table({
+        "o": pa.array(order), "v": pa.array(val),
+    })).repartition(13)
+    got = prefix_sum(ds, "o", "v", "cs").to_pandas().sort_values("o")
+    srt = np.argsort(order)
+    want = np.cumsum(val[srt])
+    assert (got["cs"].to_numpy() == want).all()
+    # exclusive variant
+    got2 = prefix_sum(ds, "o", "v", "cs", inclusive=False).to_pandas()
+    got2 = got2.sort_values("o")
+    assert (got2["cs"].to_numpy() == want - val[srt]).all()
