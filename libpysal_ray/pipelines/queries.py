@@ -2825,3 +2825,35 @@ c AS (
 )
 SELECT doc_id, n_tokens, CAST(cs // 2048 AS BIGINT) AS bin_id FROM c
 """
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization of the event stream: a new session per
+    user whenever >10 minutes pass between events. ONE key shuffle;
+    vectorized multi-user kernel (sort + boundary flags + cumsum)."""
+    from libpysal_ray.temporal.joins import sessionize
+
+    ev = _events_ds(sf_dir, ["event_id", "ts", "user_id"])
+    return sessionize(ev, key_col="user_id", ts_col="ts",
+                      gap_us=600_000_000, id_col="event_id")
+
+
+QUERIES["sessions"] = q_sessions
+
+ORACLE_SQL["sessions"] = """
+WITH e AS (
+  SELECT user_id AS key, event_id AS id, epoch_us(ts) AS t FROM events
+),
+g AS (
+  SELECT key, id, t,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY key ORDER BY t, id)
+                   > 600000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+)
+SELECT key, id,
+       CAST(SUM(brk) OVER (
+         PARTITION BY key ORDER BY t, id ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS session
+FROM g
+"""

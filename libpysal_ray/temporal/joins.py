@@ -309,3 +309,68 @@ def tumbling_window(
     ).rename_columns(
         {"sum(n_events)": "n_events", "sum(sum_cents)": "sum_cents"}
     )
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Gap-based sessionization: within each key, events ordered by
+    (ts, id) start a new session whenever the gap to the previous event
+    exceeds ``gap_us``. Returns (key, id, session) with session numbered
+    0.. per key in time order — the event-stream counterpart of the
+    tumbling window (which bins by absolute time, not activity gaps).
+
+    ONE grouped_by_key shuffle; the kernel handles MANY keys per bucket
+    vectorized (sort once, per-key boundary flags + cumsum — no per-key
+    Python)."""
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t.column(key_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "t": pa.array(_ts_us(t.column(ts_col))),
+            "id": t.column(id_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        })
+
+    u = ds.map_batches(_prep, batch_format="pyarrow")
+    g = np.int64(gap_us)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "session": pa.array([], pa.int64()),
+            })
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        i = t.column("id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, ts, k))
+        ks, tss, ids = k[order], ts[order], i[order]
+        n = len(ks)
+        newk = np.ones(n, bool)
+        newk[1:] = ks[1:] != ks[:-1]
+        gap = np.zeros(n, bool)
+        gap[1:] = (tss[1:] - tss[:-1]) > g
+        # a new session starts at each key start; gaps only count within
+        # a key
+        start = newk | (gap & ~newk)
+        sid_global = np.cumsum(start) - 1        # global session counter
+        starts_k = np.flatnonzero(newk)
+        kid = np.cumsum(newk) - 1
+        # per-key renumber: subtract the key's first global session id
+        session = sid_global - sid_global[starts_k][kid]
+        return pa.table({
+            "key": pa.array(ks),
+            "id": pa.array(ids),
+            "session": pa.array(session.astype(np.int64)),
+        })
+
+    return grouped_by_key(u, ["key"], _bucket)

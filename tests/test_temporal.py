@@ -130,3 +130,25 @@ def test_asof_epoch_timestamps_many_keys_one_bucket(ray_session):
     assert (out["right_val"].to_numpy() == k * 10).all()
     # asof_ts is reported in ORIGINAL epoch units, not bucket-shifted
     assert (out["asof_ts"].to_numpy() == base + k * 7919 - 13).all()
+
+
+def test_sessionize_closed_form(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.temporal.joins import sessionize
+
+    # user 1: events at 0s, 5s, 1000s, 1005s -> sessions 0,0,1,1 (gap 600s)
+    # user 2: events at 0s, 700s -> sessions 0,1
+    t = pa.table({
+        "eid": pa.array([0, 1, 2, 3, 4, 5]),
+        "u": pa.array([1, 1, 1, 1, 2, 2]),
+        "ts": pa.array(
+            np.array([0, 5, 1000, 1005, 0, 700], np.int64) * 1_000_000
+        ),
+    })
+    out = sessionize(ray.data.from_arrow(t).repartition(3), "u", "ts",
+                     gap_us=600_000_000, id_col="eid").to_pandas()
+    got = out.sort_values("id")["session"].to_numpy()
+    assert (got == [0, 0, 1, 1, 0, 1]).all()
