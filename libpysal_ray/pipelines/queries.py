@@ -2857,3 +2857,55 @@ SELECT key, id,
        ) AS BIGINT) AS session
 FROM g
 """
+
+
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination: test split = doc_id % 13 == 0; flag
+    train docs containing >= 30% of a test doc's distinct 5-gram
+    shingles. One shingle-join shuffle + pair count (text/dedup.
+    cross_containment)."""
+    from libpysal_ray.text.dedup import cross_containment
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _split(want_test: bool):
+        def f(t: pa.Table) -> pa.Table:
+            i = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (i % 13 == 0) if want_test else (i % 13 != 0)
+            return t.filter(pa.array(m))
+
+        return f
+
+    test = docs.map_batches(_split(True), batch_format="pyarrow")
+    train = docs.map_batches(_split(False), batch_format="pyarrow")
+    return cross_containment(test, train, k=5, threshold=0.3)
+
+
+QUERIES["decontam"] = q_decontam
+
+ORACLE_SQL["decontam"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(tk) - 4),
+                   i -> array_to_string(tk[i:i+4], ' ')))) AS g
+  FROM toks WHERE len(tk) >= 5
+  UNION ALL
+  SELECT doc_id, array_to_string(tk, ' ') AS g
+  FROM toks WHERE len(tk) BETWEEN 1 AND 4
+),
+tg AS (SELECT doc_id AS test_id, g FROM grams WHERE doc_id % 13 = 0),
+rg AS (SELECT doc_id AS train_id, g FROM grams WHERE doc_id % 13 <> 0),
+sizes AS (
+  SELECT test_id, CAST(count(*) AS BIGINT) AS n_test FROM tg GROUP BY 1
+),
+inter AS (
+  SELECT test_id, train_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM tg JOIN rg USING (g) GROUP BY 1, 2
+)
+SELECT i.test_id, i.train_id, i.n_shared, s.n_test
+FROM inter i JOIN sizes s USING (test_id)
+WHERE CAST(i.n_shared AS DOUBLE) / s.n_test >= 0.3
+"""

@@ -653,3 +653,73 @@ def near_dedup_survivors(
         )
 
     return labels.map_batches(_decide, batch_format="pyarrow")
+
+
+def cross_containment(
+    test: ray.data.Dataset,
+    train: ray.data.Dataset,
+    k: int = 5,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Benchmark decontamination: for every TEST document, the TRAIN
+    documents containing ≥ ``threshold`` of its distinct k-token
+    shingles. Returns (test_id, train_id, n_shared, n_test).
+
+    Asymmetric containment (shared / |test shingles|), not Jaccard — a
+    short benchmark prompt embedded in a long training page must still
+    flag. Plan: distinct shingle hashes per doc on both sides (the
+    vectorized flat-shingle path), ONE equi-join shuffle on the shingle
+    hash, a pair-count aggregate, and a size lookup — every stage
+    size-switched, nothing driver-side."""
+    from libpysal_ray.core.joins import bucket_join, grouped_agg, grouped_sum
+
+    def _rows(side_id: str):
+        def f(t: pa.Table) -> pa.Table:
+            sh, sd, _ = _flat_shingles(t.column(text_col), k)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            # distinct (doc, shingle): docs are row-local, one lexsort
+            order = np.lexsort((sh, sd))
+            sds, shs = sd[order], sh[order]
+            first = np.ones(len(sds), bool)
+            first[1:] = (sds[1:] != sds[:-1]) | (shs[1:] != shs[:-1])
+            return pa.table({
+                "sh": pa.array((shs[first] >> np.uint64(1)).astype(np.int64)),
+                side_id: pa.array(ids[sds[first]]),
+            })
+
+        return f
+
+    tsh = test.map_batches(_rows("test_id"), batch_format="pyarrow")
+    rsh = train.map_batches(_rows("train_id"), batch_format="pyarrow")
+    sizes = grouped_agg(tsh, ("test_id",), (None,), "count").rename_columns(
+        {"count()": "n_test"}
+    )
+    pairs = bucket_join(tsh, rsh, on="sh").map_batches(
+        lambda t: pa.table({
+            "test_id": t.column("test_id"),
+            "train_id": t.column("train_id"),
+            "c": pa.array(np.ones(t.num_rows, np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    cnt = grouped_sum(pairs, ("test_id", "train_id"), ("c",)).rename_columns(
+        {"sum(c)": "n_shared"}
+    )
+    out = bucket_join(cnt, sizes, on="test_id")
+
+    def _filt(t: pa.Table) -> pa.Table:
+        ns = t.column("n_shared").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        nt = t.column("n_test").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        keep = ns / nt >= threshold
+        t = t.filter(pa.array(keep))
+        return t.select(["test_id", "train_id", "n_shared", "n_test"])
+
+    return out.map_batches(_filt, batch_format="pyarrow")

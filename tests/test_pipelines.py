@@ -132,3 +132,27 @@ def test_flagship_partial_resume(tmp_path):
     m2 = {m["key"]: m for m in lineage.load_manifest(out_dir)}
     assert m2[victim]["digest_xor"] == m1[victim]["digest_xor"]
     assert len(m2) == len(m1)
+
+
+def test_cross_containment_closed_form(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.text.dedup import cross_containment
+
+    # test doc 0: "a b c d e f" -> 5-gram shingles {abcde, bcdef} (2)
+    # train doc 10 contains "a b c d e" (1 of 2 shared -> 0.5)
+    # train doc 11 shares nothing
+    test = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0]),
+        "text": pa.array(["a b c d e f"]),
+    }))
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11]),
+        "text": pa.array(["x y a b c d e q r s", "u v w x y z"]),
+    }))
+    out = cross_containment(test, train, k=5, threshold=0.5).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["test_id"], r["train_id"], r["n_shared"], r["n_test"]) == \
+        (0, 10, 1, 2)
