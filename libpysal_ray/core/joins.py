@@ -125,7 +125,42 @@ def _chain_size_upper(ds: ray.data.Dataset) -> int | None:
         return None
 
 
-_AGG_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+_AGG_UFUNC = {
+    "sum": np.add,
+    "min": np.minimum,
+    "max": np.maximum,
+    "xor": np.bitwise_xor,
+}
+
+
+class XorAgg:
+    """bit_xor set-digest aggregate for Ray's native groupby (AggregateFnV2
+    contract): order-independent, mergeable, int64. Used by the inverted-
+    index digest; mirrors DuckDB's bit_xor."""
+
+    def __new__(cls, on: str):
+        from ray.data.aggregate import AggregateFnV2
+
+        class _Xor(AggregateFnV2):
+            def __init__(self):
+                super().__init__(
+                    f"xor({on})", zero_factory=lambda: 0, on=on,
+                    ignore_nulls=True,
+                )
+
+            def aggregate_block(self, block):
+                col = block.column(on) if hasattr(block, "column") else None
+                if col is None:  # pandas block
+                    v = block[on].to_numpy()
+                else:
+                    v = col.to_numpy(zero_copy_only=False)
+                return int(np.bitwise_xor.reduce(v.astype(np.int64),
+                                                 initial=np.int64(0)))
+
+            def combine(self, a, b):
+                return int(np.int64(a) ^ np.int64(b))
+
+        return _Xor()
 
 
 def _grouped_agg_batch(keys: tuple[str, ...], cols: tuple[str, ...], ops):
@@ -205,20 +240,44 @@ def grouped_agg(
         ops = tuple(ops for _ in cols)
     sides = size_sides if size_sides else (u,)
     est = [_chain_size_upper(d) for d in sides]
-    if all(e is not None for e in est) and sum(est) <= SMALL_COGROUP_BYTES:
+    if (
+        all(e is not None for e in est)
+        and sum(est) <= SMALL_COGROUP_BYTES
+        and _numeric_keys(u, keys)
+    ):
         return u.repartition(1).map_batches(
             _grouped_agg_batch(tuple(keys), tuple(cols), ops),
             batch_size=None,
             batch_format="pyarrow",
         )
     g = u.groupby(list(keys))
-    if len(set(ops)) == 1 and ops[0] != "count":
+    if len(set(ops)) == 1 and ops[0] not in ("count", "xor"):
         return getattr(g, ops[0])(list(cols))
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
     mk = {"sum": Sum, "min": Min, "max": Max, "mean": Mean}
-    aggs = [Count() if op == "count" else mk[op](c) for c, op in zip(cols, ops)]
+    aggs = [
+        Count() if op == "count"
+        else XorAgg(c) if op == "xor"
+        else mk[op](c)
+        for c, op in zip(cols, ops)
+    ]
     return g.aggregate(*aggs)
+
+
+def _numeric_keys(u: ray.data.Dataset, keys: tuple[str, ...]) -> bool:
+    """The coalesced lexsort kernel needs numpy-sortable key dtypes;
+    string/list keys take the native path."""
+    try:
+        sch = u.schema().base_schema
+        for k in keys:
+            t = sch.field(k).type
+            if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                    or pa.types.is_boolean(t)):
+                return False
+        return True
+    except Exception:  # noqa: BLE001 — unknown schema: be conservative
+        return False
 
 
 def per_group(

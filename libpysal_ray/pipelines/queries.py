@@ -2909,3 +2909,31 @@ SELECT i.test_id, i.train_id, i.n_shared, s.n_test
 FROM inter i JOIN sizes s USING (test_id)
 WHERE CAST(i.n_shared AS DOUBLE) / s.n_test >= 0.3
 """
+
+
+def q_postings(sf_dir: str):
+    """Inverted-index posting-set digests for words in >= 20 documents:
+    (word, df, bit_xor of splitmix64(doc_id)) — the xor pins the exact
+    posting set without list columns; distributed via the custom XorAgg."""
+    from libpysal_ray.text.analysis import inverted_index_digest
+
+    return inverted_index_digest(
+        _docs(sf_dir, ["doc_id", "text"]), min_df=20
+    )
+
+
+QUERIES["postings"] = q_postings
+
+ORACLE_SQL["postings"] = _oh.with_macros("""
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+agg AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+         bit_xor(toi64(sm64(doc_id))) AS dxor
+  FROM pairs GROUP BY word
+)
+SELECT word, df, dxor FROM agg WHERE df >= 20
+""")

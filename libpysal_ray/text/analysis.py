@@ -372,3 +372,71 @@ def doc_term_stats(
         .sum(["df", "tf"])
         .rename_columns({"sum(df)": "df", "sum(tf)": "tf"})
     )
+
+
+def inverted_index_digest(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> ray.data.Dataset:
+    """(word, df, dxor): the posting-SET digest of an inverted index —
+    df = document frequency, dxor = bit_xor of splitmix64(doc_id) over
+    the word's distinct documents. The xor digest identifies the exact
+    posting set (collision odds ~2^-64) without materializing list
+    columns; it is order-independent and mergeable, so the global
+    aggregate is ONE groupby(word) over per-batch partials (docs are
+    row-local, so batch-local distinct (doc, word) pairs are globally
+    distinct). The distributed path uses the engine's custom XorAgg."""
+    from libpysal_ray.core.hashing import splitmix64
+    from libpysal_ray.core.joins import grouped_agg
+
+    def _partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t.column(text_col), " ")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rid = np.repeat(np.arange(len(lens)), lens)
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((rid, codes))
+        cc, rc = codes[order], rid[order]
+        n = len(cc)
+        if n == 0:
+            return pa.table({
+                "word": pa.array([], flat.type),
+                "df": pa.array([], pa.int64()),
+                "dxor": pa.array([], pa.int64()),
+            })
+        new = np.ones(n, bool)
+        new[1:] = (cc[1:] != cc[:-1]) | (rc[1:] != rc[:-1])
+        cc, rc = cc[new], rc[new]          # distinct (word, doc)
+        dig = splitmix64(ids[rc].view(np.uint64)).view(np.int64)
+        neww = np.ones(len(cc), bool)
+        neww[1:] = cc[1:] != cc[:-1]
+        starts = np.flatnonzero(neww)
+        return pa.table({
+            "word": d.dictionary.take(pa.array(cc[starts])),
+            "df": pa.array(
+                np.diff(np.append(starts, len(cc))).astype(np.int64)
+            ),
+            "dxor": pa.array(np.bitwise_xor.reduceat(dig, starts)),
+        })
+
+    agg = grouped_agg(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ("word",),
+        ("df", "dxor"),
+        ("sum", "xor"),
+    ).rename_columns({"sum(df)": "df", "xor(dxor)": "dxor"})
+    if min_df > 1:
+        agg = agg.filter(expr=f"df >= {min_df}")
+    return agg

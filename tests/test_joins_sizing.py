@@ -188,3 +188,34 @@ def test_prefix_sum_matches_numpy(ray_session):
     got2 = prefix_sum(ds, "o", "v", "cs", inclusive=False).to_pandas()
     got2 = got2.sort_values("o")
     assert (got2["cs"].to_numpy() == want - val[srt]).all()
+
+
+def test_grouped_agg_xor_native_and_small(ray_session):
+    from libpysal_ray.core.joins import grouped_agg
+
+    rng = np.random.default_rng(4)
+    n = 4000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 30, n)),
+        "v": pa.array(rng.integers(-2**60, 2**60, n)),
+    })
+    df = t.to_pandas()
+    want = df.groupby("k")["v"].agg(lambda s: int(np.bitwise_xor.reduce(
+        s.to_numpy().astype(np.int64), initial=np.int64(0))))
+    # small path (walkable materialized input, int key)
+    small = grouped_agg(
+        ray.data.from_arrow(t).repartition(6).materialize(),
+        ("k",), ("v",), "xor",
+    ).to_pandas().set_index("k")["xor(v)"].sort_index()
+    assert (small.to_numpy() == want.sort_index().to_numpy()).all()
+    # native path (size hidden behind an aggregate-shaped plan is hard to
+    # fabricate; instead force it via a string passthrough column key? —
+    # simplest: call Ray's groupby with the XorAgg directly)
+    from libpysal_ray.core.joins import XorAgg
+
+    native = (
+        ray.data.from_arrow(t).repartition(6)
+        .groupby("k").aggregate(XorAgg("v"))
+        .to_pandas().set_index("k")["xor(v)"].sort_index()
+    )
+    assert (native.to_numpy() == want.sort_index().to_numpy()).all()
