@@ -464,3 +464,37 @@ def ann_ivf_topk(
         .groupby("query_id")
         .map_groups(_merge, batch_format="pyarrow")
     )
+
+
+def assign_to_centroids(
+    embeddings: ray.data.Dataset,
+    centroid_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """(vec_id, centroid_id): every vector assigned to its most-cosine-
+    similar centroid (ties → lowest centroid id) — the cluster-assignment
+    stage of k-means / IVF partitioning as a standalone operator. The
+    centroid matrix broadcasts once (ray.put); each batch is one matmul +
+    argmax. Output is integer-only so it hash-compares exactly."""
+    cid, cm = _collect_queries(embeddings, centroid_ids, id_col, vec_col)
+    cn = _norm_rows(cm)
+    ref = ray.put((cid, cn))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _norm_rows(np.array(t.column(vec_col).to_pylist(),
+                                dtype=np.float64))
+        sims = m @ cmat.T
+        # argmax with ties to the LOWEST centroid id: cids is sorted
+        # ascending and np.argmax takes the first maximum
+        best = cids[np.argmax(sims, axis=1)]
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "centroid_id": pa.array(best.astype(np.int64)),
+        })
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        _assign, batch_format="pyarrow"
+    )

@@ -2937,3 +2937,35 @@ agg AS (
 )
 SELECT word, df, dxor FROM agg WHERE df >= 20
 """)
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Cluster assignment: every embedding to its most-similar of the 8
+    deterministic centroids (vec_id < 8), ties to the lowest centroid id.
+    Broadcast centroid matrix, one matmul+argmax per batch."""
+    from libpysal_ray.ann.knn import assign_to_centroids
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return assign_to_centroids(emb, range(8))
+
+
+QUERIES["kmeans_assign"] = q_kmeans_assign
+
+ORACLE_SQL["kmeans_assign"] = """
+WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e, c
+),
+r AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid) AS rn
+  FROM s
+)
+SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1
+"""

@@ -59,3 +59,26 @@ def test_fake_pixel_values_are_dyadic():
     scaled = v.astype(np.float64) * (1 << 24)
     assert (scaled == np.round(scaled)).all()
     assert (scaled >= 0).all() and (scaled < (1 << 24)).all()
+
+
+def test_assign_to_centroids_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.ann.knn import assign_to_centroids
+
+    rng = np.random.default_rng(9)
+    n, d = 200, 16
+    m = rng.normal(size=(n, d))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.array(m.tolist(), pa.list_(pa.float64())),
+    })
+    out = assign_to_centroids(
+        ray.data.from_arrow(t).repartition(4), range(6)
+    ).to_pandas().sort_values("vec_id")
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn[:6].T
+    want = np.argmax(sims, axis=1)
+    assert (out["centroid_id"].to_numpy() == want).all()
