@@ -677,10 +677,14 @@ def _seg_pair_touch(ax, ay, bx, by, cx, cy, dx, dy):
     return touch, overlap
 
 
-def _strict_graph(polygons: ray.data.Dataset, rook_mode: bool) -> RayGraph:
+def strict_pairs(
+    polygons: ray.data.Dataset,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Shared strict queen/rook plan: segment explode → bbox-tile shuffle
     (cell size from a global stats aggregate) → per-tile vectorized
-    segment-pair predicate → pair dedup → isolates.
+    segment-pair predicate → pair dedup → (edges, ids). ONE pass serves
+    BOTH modes: edge weight 1 = point touch (queen), 2 = positive-length
+    collinear overlap (rook); callers memoize the materialized result.
 
     This is the no-GEOS strict path: unlike the vertex/edge HASH builders
     it detects neighbors whose shared boundary has mismatched vertices
@@ -792,31 +796,71 @@ def _strict_graph(polygons: ray.data.Dataset, rook_mode: bool) -> RayGraph:
         touch, overlap = _seg_pair_touch(
             ax[i], ay[i], bx[i], by[i], ax[j], ay[j], bx[j], by[j]
         )
-        hit = overlap if rook_mode else touch
-        pi, pj = poly[i][hit], poly[j][hit]
+        # ONE predicate pass carries BOTH modes: weight 1 = point touch
+        # (strict queen), weight 2 = positive-length collinear overlap
+        # (strict rook; overlap ⊆ touch). The global dedup keeps the max,
+        # so a pair overlapping via any segment pair ranks 2.
+        pi, pj = poly[i][touch], poly[j][touch]
         if len(pi) == 0:
             return E.empty_edges()
+        w = 1.0 + overlap[touch].astype(np.float64)
         return E.edge_table(
-            np.concatenate([pi, pj]), np.concatenate([pj, pi]), 1.0
+            np.concatenate([pi, pj]), np.concatenate([pj, pi]),
+            np.concatenate([w, w]),
         )
 
     pairs = grouped_by_key(tiled, ["tile"], _tile_pairs)
+    from libpysal_ray.core.joins import _grouped_agg_batch
+
+    combiner = _grouped_agg_batch(("focal", "neighbor"), ("weight",), "max")
+
+    def _combine(t: pa.Table) -> pa.Table:
+        c = combiner(t)
+        return pa.table({
+            "focal": c.column("focal"),
+            "neighbor": c.column("neighbor"),
+            "weight": c.column("max(weight)"),
+        })
+
     edges = E.dedup(
-        pairs.map_batches(E.batch_dedup, batch_format="pyarrow")
-    )
-    return RayGraph(E.resolve_isolates(edges, ids))
+        pairs.map_batches(_combine, batch_format="pyarrow"),
+        keep="max",
+    ).materialize()
+    return edges, ids
 
 
-def queen_strict(polygons: ray.data.Dataset) -> RayGraph:
+def queen_strict(polygons: ray.data.Dataset, pairs=None) -> RayGraph:
     """Strict queen: neighbors ⟺ boundaries share ≥1 point, INCLUDING
     contacts at non-vertex locations (T-junctions) — GEOS ``touches``
     semantics on a valid coverage (graph/_contiguity.py:94-135), built
-    without GEOS from vectorized segment orientation tests."""
-    return _strict_graph(polygons, rook_mode=False)
+    without GEOS from vectorized segment orientation tests. Pass the
+    memoized ``strict_pairs(polygons)`` result as ``pairs`` to share the
+    predicate pass with rook_strict."""
+    edges, ids = pairs if pairs is not None else strict_pairs(polygons)
+    return RayGraph(E.resolve_isolates(
+        edges.map_batches(_binarize_edges, batch_format="pyarrow"), ids
+    ))
 
 
-def rook_strict(polygons: ray.data.Dataset) -> RayGraph:
+def rook_strict(polygons: ray.data.Dataset, pairs=None) -> RayGraph:
     """Strict rook: neighbors ⟺ boundaries share a positive-length
     collinear overlap, regardless of vertex placement — DE-9IM
     "F***1****" semantics (graph/_contiguity.py:138-182), without GEOS."""
-    return _strict_graph(polygons, rook_mode=True)
+    edges, ids = pairs if pairs is not None else strict_pairs(polygons)
+
+    def _overlap_only(t: pa.Table) -> pa.Table:
+        w = t.column("weight").to_numpy(zero_copy_only=False)
+        return _binarize_edges(t.filter(pa.array(w >= 2.0)))
+
+    return RayGraph(E.resolve_isolates(
+        edges.map_batches(_overlap_only, batch_format="pyarrow"), ids
+    ))
+
+
+def _binarize_edges(t: pa.Table) -> pa.Table:
+    w = t.column("weight").to_numpy(zero_copy_only=False)
+    return pa.Table.from_arrays(
+        [t.column("focal"), t.column("neighbor"),
+         pa.array(np.ones(len(w)))],
+        schema=E.EDGE_SCHEMA,
+    )

@@ -1855,16 +1855,23 @@ def _tjunction_polys(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
 
 
+def _strict_pairs_memo(sf_dir: str):
+    from libpysal_ray.builders.contiguity import strict_pairs
+
+    return _memo(("strict_pairs", sf_dir),
+                 lambda: strict_pairs(_tjunction_polys(sf_dir)))
+
+
 def q_queen_strict(sf_dir: str):
     from libpysal_ray.builders.contiguity import queen_strict
 
-    return _real(queen_strict(_tjunction_polys(sf_dir)))
+    return _real(queen_strict(None, pairs=_strict_pairs_memo(sf_dir)))
 
 
 def q_rook_strict(sf_dir: str):
     from libpysal_ray.builders.contiguity import rook_strict
 
-    return _real(rook_strict(_tjunction_polys(sf_dir)))
+    return _real(rook_strict(None, pairs=_strict_pairs_memo(sf_dir)))
 
 
 QUERIES["queen_strict"] = q_queen_strict
