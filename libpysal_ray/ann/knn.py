@@ -482,6 +482,11 @@ def assign_to_centroids(
     ref = ray.put((cid, cn))
 
     def _assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "centroid_id": pa.array([], pa.int64()),
+            })
         cids, cmat = ray.get(ref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         m = _norm_rows(np.array(t.column(vec_col).to_pylist(),

@@ -365,10 +365,15 @@ def knn_edges_with_dist(
         o2 = np.lexsort((nb[cand], d[cand]))[:kk]
         return t.take(pa.array(cand[o2].astype(np.int64)))
 
-    fallback = J.per_group(
-        points.map_batches(_scan, batch_format="pyarrow"),
-        ("focal",),
-        _merge_topk,
+    # NATIVE groupby here, not per_group: _scan EXPANDS each input block
+    # to (#unresolved x k) candidate rows, so the plan-walk size bound
+    # (which assumes ~size-preserving maps) would under-estimate and the
+    # coalesced path could funnel an unboundedly larger dataset into one
+    # task. The fallback is rare; the sharded stage cost is acceptable.
+    fallback = (
+        points.map_batches(_scan, batch_format="pyarrow")
+        .groupby("focal")
+        .map_groups(_merge_topk, batch_format="pyarrow")
     )
     return resolved.union(fallback)
 

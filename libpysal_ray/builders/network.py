@@ -241,6 +241,12 @@ def snap_to_nodes(
         )))
 
     def _scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "id": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+                "snap_dist": pa.array([], pa.float64()),
+            })
         nid = t.column(node_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         nx = t.column(x_col).to_numpy(zero_copy_only=False)
         ny = t.column(y_col).to_numpy(zero_copy_only=False)

@@ -373,14 +373,15 @@ def knn_arc_edges(
                 radius,
             )
             qref = ray.put((qid, np.stack([qx, qy, qz], axis=1)))
+            # NATIVE groupby, not per_group: the scan EXPANDS each block
+            # to (#chunk-queries x k) rows, which the plan-walk size bound
+            # cannot see (it assumes ~size-preserving maps)
             parts.append(
-                J.per_group(
-                    points.map_batches(
-                        _scan_for(qref), batch_format="pyarrow"
-                    ),
-                    ("focal",),
-                    _merge_topk,
+                points.map_batches(
+                    _scan_for(qref), batch_format="pyarrow"
                 )
+                .groupby("focal")
+                .map_groups(_merge_topk, batch_format="pyarrow")
             )
         out = resolved
         for p in parts:

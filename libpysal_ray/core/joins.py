@@ -97,7 +97,13 @@ def _chain_size_upper(ds: ray.data.Dataset) -> int | None:
     """Upper bound on a plan's materialized bytes by walking map-like ops
     down to inferable inputs (materialized buffers / reads). Returns None
     when any op on the way is not size-preserving-ish — callers must treat
-    None as 'assume huge'."""
+    None as 'assume huge'.
+
+    CONTRACT: the walk assumes map UDFs emit ~O(input-size) output. A
+    map_batches UDF that EXPANDS its block (pair emission, per-block
+    query scans) must NOT feed a walkable chain into a small-switched
+    consumer — route such stages through the native sharded groupby or
+    materialize first (see the KNN fallback merges)."""
 
     def walk(op) -> int | None:
         try:
@@ -133,34 +139,34 @@ _AGG_UFUNC = {
 }
 
 
-class XorAgg:
+def _aggfn_v2_base():
+    from ray.data.aggregate import AggregateFnV2
+
+    return AggregateFnV2
+
+
+class XorAgg(_aggfn_v2_base()):
     """bit_xor set-digest aggregate for Ray's native groupby (AggregateFnV2
     contract): order-independent, mergeable, int64. Used by the inverted-
     index digest; mirrors DuckDB's bit_xor."""
 
-    def __new__(cls, on: str):
-        from ray.data.aggregate import AggregateFnV2
+    def __init__(self, on: str):
+        self._on = on
+        super().__init__(
+            f"xor({on})", zero_factory=lambda: 0, on=on, ignore_nulls=True
+        )
 
-        class _Xor(AggregateFnV2):
-            def __init__(self):
-                super().__init__(
-                    f"xor({on})", zero_factory=lambda: 0, on=on,
-                    ignore_nulls=True,
-                )
+    def aggregate_block(self, block):
+        on = self._on
+        if hasattr(block, "column"):
+            v = block.column(on).to_numpy(zero_copy_only=False)
+        else:  # pandas block
+            v = block[on].to_numpy()
+        return int(np.bitwise_xor.reduce(v.astype(np.int64),
+                                         initial=np.int64(0)))
 
-            def aggregate_block(self, block):
-                col = block.column(on) if hasattr(block, "column") else None
-                if col is None:  # pandas block
-                    v = block[on].to_numpy()
-                else:
-                    v = col.to_numpy(zero_copy_only=False)
-                return int(np.bitwise_xor.reduce(v.astype(np.int64),
-                                                 initial=np.int64(0)))
-
-            def combine(self, a, b):
-                return int(np.int64(a) ^ np.int64(b))
-
-        return _Xor()
+    def combine(self, a, b):
+        return int(np.int64(a) ^ np.int64(b))
 
 
 def _grouped_agg_batch(keys: tuple[str, ...], cols: tuple[str, ...], ops):
@@ -346,7 +352,13 @@ def topk_per_group(
         sort_keys = []
         for c, desc in zip(order_cols, descending):
             v = t.column(c).to_numpy(zero_copy_only=False)
-            sort_keys.append(-v if desc else v)
+            if desc:
+                # bitwise NOT reverses order exactly for ALL integer
+                # dtypes (unsigned: 2^w-1-v; two's complement: -v-1) with
+                # no overflow — plain -v wraps uint 0 to 0 and overflows
+                # int64.min; floats negate safely
+                v = ~v if v.dtype.kind in "iu" else -v
+            sort_keys.append(v)
         # lexsort: last key is primary → (orders..., key) reversed
         order = np.lexsort(tuple(reversed(sort_keys)) + (key,))
         ks = key[order]

@@ -37,6 +37,15 @@ def prefix_sum(
     """Append ``out_col`` = running sum of ``val_col`` in ``order_col``
     order. ``order_col`` values must be unique (they key the per-block
     offset lookup)."""
+    sch = ds.schema().base_schema
+    for c, what in ((order_col, "order_col"), (val_col, "val_col")):
+        if not pa.types.is_integer(sch.field(c).type):
+            raise TypeError(
+                f"prefix_sum {what} {c!r} must be integer-typed "
+                f"(got {sch.field(c).type}); int64 sums are exact and "
+                "order-independent — scale float values to integer units "
+                "(e.g. cents, token counts) first"
+            )
     s = ds.sort(order_col).materialize()
 
     def _partials(t: pa.Table) -> pa.Table:
