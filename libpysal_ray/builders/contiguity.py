@@ -809,6 +809,7 @@ def strict_pairs(
             np.concatenate([w, w]),
         )
 
+    _tile_pairs._size_expanding = True  # per-tile all-pairs emission
     pairs = grouped_by_key(tiled, ["tile"], _tile_pairs)
     from libpysal_ray.core.joins import _grouped_agg_batch
 
@@ -822,8 +823,11 @@ def strict_pairs(
             "weight": c.column("max(weight)"),
         })
 
+    # combined pairs materialize FIRST: the pair emission is a marked
+    # size-expander and the dedup sort-aggregate would re-execute the
+    # lazy emission chain per consumption pass
     edges = E.dedup(
-        pairs.map_batches(_combine, batch_format="pyarrow"),
+        pairs.map_batches(_combine, batch_format="pyarrow").materialize(),
         keep="max",
     ).materialize()
     return edges, ids

@@ -160,6 +160,7 @@ def distance_band(
             np.concatenate(out_f), np.concatenate(out_n), np.concatenate(out_w)
         )
 
+    _pairs._size_expanding = True  # pair emission: output is NOT ~O(input)
     edges = J.per_group(tiled, ("tile",), _pairs)
     return RayGraph(E.resolve_isolates(edges, ids))
 

@@ -168,6 +168,7 @@ def odw(
     oo = wo.edges.map_batches(
         E.drop_isolate_markers, batch_format="pyarrow"
     )
+    _cross._size_expanding = True  # Kronecker fanout |Ed| per row
     edges = oo.map_batches(_cross, batch_format="pyarrow", batch_size=4096)
     # id universe: all (o, d) combinations of the two id sets.  Destination
     # ids come from ALL focal ids of wd.edges (isolate marker rows included)
@@ -301,6 +302,7 @@ def vecw(
             np.concatenate(out_w),
         )
 
+    _pairs._size_expanding = True  # pair emission
     edges = J.per_group(tiled, ("tile",), _pairs)
     ids = vectors.select_columns([id_col]).rename_columns({id_col: "focal"})
     return RayGraph(E.resolve_isolates(edges, ids))

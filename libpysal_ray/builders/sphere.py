@@ -175,6 +175,7 @@ def distance_band_arc(
             np.concatenate(out_w),
         )
 
+    _pairs._size_expanding = True  # pair emission
     edges = J.per_group(tiled, ("tile",), _pairs)
     return RayGraph(E.resolve_isolates(edges, ids))
 

@@ -615,7 +615,7 @@ class RayGraph:
                     )
                 ),
                 batch_format="pyarrow",
-            )
+            ).materialize()  # marked expander upstream: avoid re-execution
             if shortest_path:
                 nxt = J.pair_anti(cand, seen).map_batches(
                     _binarize, batch_format="pyarrow"
@@ -1311,6 +1311,10 @@ class RayGraph:
         e2 = adj.select_columns(["focal", "neighbor"]).rename_columns(
             {"focal": "mid"}
         )
+        # paths is MATERIALIZED: the join is a marked size-expander (its
+        # true size is only known after it runs), and the downstream
+        # native sort-aggregate would otherwise re-execute the lazy join
+        # chain per consumption pass
         paths = J.bucket_join(e1, e2, on="mid").map_batches(
             lambda t: pa.table(
                 {
@@ -1320,9 +1324,14 @@ class RayGraph:
                 }
             ),
             batch_format="pyarrow",
-        )
-        # semi-join on (i,k) ∈ adj; summed weight = #paths i→j→k per (i,k)
-        tri = J.pair_semi(paths, adj.select_columns(["focal", "neighbor"]))
+        ).materialize()
+        # semi-join on (i,k) ∈ adj; summed weight = #paths i→j→k per (i,k).
+        # Materialized: the upstream join is a marked size-expander, so
+        # downstream switches need the TRUE size, and Ray re-executes the
+        # whole join chain per consumer otherwise.
+        tri = J.pair_semi(
+            paths, adj.select_columns(["focal", "neighbor"])
+        ).materialize()
         tcount = (
             J.grouped_sum(tri, ("focal",), ("weight",))
             .rename_columns({"sum(weight)": "__t"})

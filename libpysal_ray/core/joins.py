@@ -114,6 +114,8 @@ def _chain_size_upper(ds: ray.data.Dataset) -> int | None:
             return int(sb)
         if not any(type(op).__name__.startswith(k) for k in _SIZE_WALK_OPS):
             return None
+        if getattr(getattr(op, "_fn", None), "_size_expanding", False):
+            return None  # marked expander: its output is NOT ~O(input)
         deps = op.input_dependencies
         if not deps:
             return None
@@ -192,7 +194,10 @@ def _grouped_agg_batch(keys: tuple[str, ...], cols: tuple[str, ...], ops):
         for v in kv:
             new[1:] |= v[1:] != v[:-1]
         starts = np.flatnonzero(new)
-        out = {k: pa.array(v[new]) for k, v in zip(keys, kv)}
+        out = {
+            k: pa.array(v[new], type=t.column(k).type)
+            for k, v in zip(keys, kv)
+        }
         counts = None
         for c, op in zip(cols, ops):
             if op == "count":
@@ -246,11 +251,7 @@ def grouped_agg(
         ops = tuple(ops for _ in cols)
     sides = size_sides if size_sides else (u,)
     est = [_chain_size_upper(d) for d in sides]
-    if (
-        all(e is not None for e in est)
-        and sum(est) <= SMALL_COGROUP_BYTES
-        and _numeric_keys(u, keys)
-    ):
+    if all(e is not None for e in est) and sum(est) <= SMALL_COGROUP_BYTES:
         return u.repartition(1).map_batches(
             _grouped_agg_batch(tuple(keys), tuple(cols), ops),
             batch_size=None,
@@ -269,21 +270,6 @@ def grouped_agg(
         for c, op in zip(cols, ops)
     ]
     return g.aggregate(*aggs)
-
-
-def _numeric_keys(u: ray.data.Dataset, keys: tuple[str, ...]) -> bool:
-    """The coalesced lexsort kernel needs numpy-sortable key dtypes;
-    string/list keys take the native path."""
-    try:
-        sch = u.schema().base_schema
-        for k in keys:
-            t = sch.field(k).type
-            if not (pa.types.is_integer(t) or pa.types.is_floating(t)
-                    or pa.types.is_boolean(t)):
-                return False
-        return True
-    except Exception:  # noqa: BLE001 — unknown schema: be conservative
-        return False
 
 
 def per_group(
@@ -321,6 +307,7 @@ def per_group(
             return pa.concat_tables([o for o in outs if o.num_rows > 0]
                                     or outs[:1])
 
+        _all._size_expanding = getattr(fn, "_size_expanding", False)
         return ds.repartition(1).map_batches(
             _all, batch_size=None, batch_format="pyarrow"
         )
@@ -522,6 +509,7 @@ def grouped_by_key(
         # multi-group kernel over the whole table (the all-rows-of-a-key
         # guarantee is trivial with one bucket) — skips the hash-bucket
         # shuffle's fixed stage cost. Unknown sizes shuffle.
+        _bucket._size_expanding = getattr(fn, "_size_expanding", False)
         return ds.map_batches(_tag, batch_format="pyarrow").repartition(
             1
         ).map_batches(_bucket, batch_size=None, batch_format="pyarrow")
@@ -691,6 +679,11 @@ def bucket_join(
         if unmatched is not None:
             inner = pa.concat_tables([inner.select(out_cols), unmatched])
         return inner
+
+    if how in ("inner", "left"):
+        # join fanout is unbounded (hot keys): downstream plan walks must
+        # not treat this output as ~O(input)
+        _probe._size_expanding = True
 
     el, er = _chain_size_upper(left), _chain_size_upper(right)
     if el is not None and er is not None and el + er <= SMALL_COGROUP_BYTES:

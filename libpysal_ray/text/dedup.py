@@ -272,12 +272,15 @@ def minhash_lsh_pairs(
 
     from libpysal_ray.core.joins import grouped_agg, grouped_by_key
 
+    _pairs_multi._size_expanding = True  # all-pairs per bucket
     cands = grouped_agg(
+        # materialized: the pair emission is a marked size-expander; the
+        # dedup aggregate would re-execute the lazy chain per pass
         grouped_by_key(
             sigs.map_batches(_buckets, batch_format="pyarrow"),
             ["band", "bucket"],
             _pairs_multi,
-        ),
+        ).materialize(),
         ("a", "b"),
         (None,),
         "count",
@@ -705,7 +708,7 @@ def cross_containment(
             "c": pa.array(np.ones(t.num_rows, np.int64)),
         }),
         batch_format="pyarrow",
-    )
+    ).materialize()  # marked expander: see strict_pairs note
     cnt = grouped_sum(pairs, ("test_id", "train_id"), ("c",)).rename_columns(
         {"sum(c)": "n_shared"}
     )
