@@ -445,6 +445,11 @@ def travel_cost_edges(
             )
         )
 
+    # frontier rows fan out by node out-degree — the plan-walk byte bound
+    # in core/joins must abort here so the downstream grouped_by_key merge
+    # never coalesces an expanded relax stream into one task
+    _relax_broadcast._size_expanding = True
+
     best = seeds
     frontier = seeds
     for _round in range(max_rounds):

@@ -3,8 +3,8 @@
 pages (url, warc_ts, html, text, lang)
   → project html away at ingest (wide binary never crosses a shuffle —
     SURVEY §7.4.7)
-  → md5 text digest per row (the byte-identity invariant,
-    BASELINE.json:15)
+  → vectorized 64-bit text digest per row (the byte-identity invariant,
+    BASELINE.json:15; flat-utf8-buffer splitmix hash, no per-row Python)
   → deterministic geocode (doc_id hash → lon/lat)
   → quadcell assignment at ``res``
   → hot-cell salting (pre-aggregated counts → salt factors, broadcast)
@@ -22,14 +22,13 @@ itself if its partition is already durable.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
 
 
+from libpysal_ray.core.hashing import hash_string_array_u64
 from libpysal_ray.sources.pages import pages_from_documents
 from libpysal_ray.sources.polygons import _poly_table
 from libpysal_ray.spatial.cells import assign_cells, assign_salt, salt_factors
@@ -79,12 +78,13 @@ def _queen_small(polys: pa.Table) -> dict[int, list[int]]:
 
 def _digest_batch(t: pa.Table, col: str = "text",
                   out: str = "text_digest") -> pa.Table:
-    texts = t.column(col).to_pylist()
-    dg = np.array(
-        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-         for s in texts],
-        dtype=np.uint64,
-    ).astype(np.int64)
+    """Vectorized 64-bit text digest (position-mixed splitmix over the flat
+    utf8 buffer — hashing.hash_string_array_u64, zero per-row Python). The
+    digest is engine-internal (only ``digest_ok`` reaches the output), so
+    the algorithm only needs to witness byte identity, not match md5; the
+    md5 loop it replaces was the flagship's dominant per-row CPU at scale
+    (VERDICT r3 #1)."""
+    dg = hash_string_array_u64(t.column(col)).view(np.int64)
     return t.append_column(out, pa.array(dg))
 
 
@@ -187,13 +187,8 @@ def flagship(
     # hash shuffle moves only the 8-byte digest + join keys (SURVEY §7.4.7:
     # wide payloads never cross a shuffle).
     def _verify_drop(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
         carried = t.column("text_digest").to_numpy(zero_copy_only=False)
-        recomputed = np.array(
-            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-             for s in texts],
-            dtype=np.uint64,
-        ).astype(np.int64)
+        recomputed = hash_string_array_u64(t.column("text")).view(np.int64)
         ok = carried == recomputed
         if not ok.all():
             raise RuntimeError(

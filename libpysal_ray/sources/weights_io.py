@@ -16,6 +16,8 @@ edge order — the Dataset is never collected whole.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from libpysal_ray.core import edges as E
@@ -460,12 +462,13 @@ def read_geobugs(path: str) -> RayGraph:
         if body.find(k) != -1
     )
     marks.append((len(body), "eof"))
+    num_re = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?")
     for (start, key), (end, _) in zip(marks, marks[1:]):
         seg = body[start:end]
-        digits = [i for i, ch in enumerate(seg) if ch.isdigit()]
-        seg = seg[digits[0] : digits[-1] + 1].replace("\n", "")
+        # token-scan the section payload: digit-position slicing would drop
+        # a leading minus sign (weights=c(-0.5,...) parsing as 0.5)
         conv = float if key == "weights" else int
-        parts[key] = [conv(v) for v in seg.split(",")]
+        parts[key] = [conv(v) for v in num_re.findall(seg)]
     card = parts["num"]
     adj = parts["adj"]
     raw_w = parts.get("weights", [1.0] * int(sum(card)))

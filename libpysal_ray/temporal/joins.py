@@ -271,13 +271,23 @@ def tumbling_window(
     (the combiner) shrinks the ONE (key, window) shuffle to distinct
     groups per batch. ``value_col`` floats are summed as exact integer
     cents (round(value·100)) so the aggregate is order-independent and
-    bit-reproducible — the discipline every oracled float sum here uses."""
+    bit-reproducible — the discipline every oracled float sum here uses.
+    ``value_cents_col`` sums an already-integer cents column directly
+    (no ×100 conversion); passing both is ambiguous and raises."""
+    if value_cents_col is not None and value_col is not None:
+        raise ValueError("pass value_cents_col OR value_col, not both")
     w = np.int64(window_us)
 
     def _partial(t: pa.Table) -> pa.Table:
         k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
         win = _ts_us(t.column(ts_col)) // w
-        if value_col is not None:
+        if value_cents_col is not None:
+            cents = (
+                t.column(value_cents_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        elif value_col is not None:
             cents = np.round(
                 t.column(value_col).to_numpy(zero_copy_only=False) * 100.0
             ).astype(np.int64)

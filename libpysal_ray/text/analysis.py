@@ -268,6 +268,11 @@ def length_quantiles(
     vals = np.array([r["v"] for r in rows], dtype=np.int64)
     cum = np.cumsum([r["c"] for r in rows])
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"q": pa.array([], pa.float64()),
+                      "value": pa.array([], pa.int64())})
+        )
     out_q, out_v = [], []
     for q in qs:
         k = max(1, int(np.ceil(q * n)))

@@ -95,3 +95,13 @@ def test_url_canonicalize_and_dedup(ray_session):
     assert got["example.com/path"]["n_dups"] == 3
     assert got["other.org"]["keep_id"] == 1
     assert got["other.org"]["n_dups"] == 1
+
+
+def test_length_quantiles_empty_input(ray_session):
+    # regression (ADVICE r3): empty input raised an opaque IndexError
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"n_chars": pa.array([], pa.int64())}))
+    out = length_quantiles(ds).take_all()
+    assert out == []

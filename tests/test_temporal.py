@@ -152,3 +152,24 @@ def test_sessionize_closed_form(ray_session):
                      gap_us=600_000_000, id_col="eid").to_pandas()
     got = out.sort_values("id")["session"].to_numpy()
     assert (got == [0, 0, 1, 1, 0, 1]).all()
+
+
+def test_tumbling_window_value_cents_col(ray_session):
+    # regression (ADVICE r3): value_cents_col was accepted but never read
+    k = np.array([1, 1, 2], dtype=np.int64)
+    t = np.array([100, 150, 100], dtype=np.int64) * 1_000_000
+    c = np.array([125, 250, 1000], dtype=np.int64)
+    ds = _mk({"user": k, "ts": t, "cents": c})
+    got = {
+        (r["key"], r["window"]): (r["n_events"], r["sum_cents"])
+        for r in tumbling_window(
+            ds, ts_col="ts", key_col="user", window_us=3_600_000_000,
+            value_cents_col="cents",
+        ).take_all()
+    }
+    assert got[(1, 0)] == (2, 375)
+    assert got[(2, 0)] == (1, 1000)
+    with pytest.raises(ValueError, match="not both"):
+        tumbling_window(ds, ts_col="ts", key_col="user",
+                        window_us=1, value_cents_col="cents",
+                        value_col="cents")

@@ -184,3 +184,17 @@ def test_geoda_txt_bad_header_raises(tmp_path):
 
     with _pt.raises(TypeError, match="geoda_txt"):
         read_geoda_txt(str(p))
+
+
+def test_geobugs_negative_weights(ray_session, tmp_path):
+    # regression (ADVICE r3): digit-position slicing dropped the minus
+    # sign — weights=c(-0.5,...) parsed as 0.5
+    p = str(tmp_path / "neg.txt")
+    with open(p, "w") as f:
+        f.write("list(num=c(1,1),adj=c(2,1),"
+                "weights=c(-0.5,1.5e-1),sumNumNeigh=2)")
+    g = read_geobugs(p)
+    rows = {(r["focal"], r["neighbor"]): r["weight"]
+            for r in g.edges.take_all()}
+    assert rows[(1, 2)] == -0.5
+    assert rows[(2, 1)] == 0.15
