@@ -196,16 +196,29 @@ def main() -> None:
         if flag_t and rows.get("flagship")
         else None
     )
-    # ONE COMPACT line, LAST on stdout — the driver machine-parses the
-    # final stdout line and truncates long tails, so no spaces, 2-decimal
-    # timings (VERDICT r2 "What's wrong" #6).
+    # Full per-query detail first (humans / logs), then ONE SHORT summary
+    # as the LAST stdout line: the driver machine-parses only the final
+    # line and keeps a ~1KB tail, so a 96-query detail dict there parses
+    # as null (VERDICT r3 "do this" #8). Totals + slowest-10 + flagship
+    # rows/s stay well under the capture window.
     sys.stdout.flush()
     print(json.dumps({
-        "metric": "total_pipeline_seconds",
+        "metric": "total_pipeline_seconds_detail",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "rows": rows,
+        "flagship_rows_per_sec": flag_rps,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }, separators=(",", ":")))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "total_pipeline_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": {k: round(v, 2) for k, v in slowest.items()},
         "flagship_rows_per_sec": flag_rps,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

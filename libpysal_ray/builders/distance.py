@@ -44,6 +44,10 @@ from libpysal_ray.functions.kernels import evaluate_kernel
 
 _TOFF = 1 << 20  # tile-coordinate offset so packed keys stay nonnegative
 _CHUNK = 2048  # core-point chunk per pairwise block
+# KNN coverage-guard fallback: above this many unresolved focal ids the
+# point selection uses a distributed semi-join instead of a driver-held
+# id array + per-batch np.isin (O(U) driver memory, O(batch·log U) filter)
+FALLBACK_SEMI_IDS = 200_000
 
 
 def _pack_tile(tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
@@ -284,7 +288,7 @@ def knn_edges_with_dist(
     )
     import pyarrow.compute as pc
 
-    unresolved_ids = (
+    unresolved_ds = (
         local.map_batches(
             lambda t: t.filter(pc.invert(t.column("resolved"))),
             batch_format="pyarrow",
@@ -293,24 +297,42 @@ def knn_edges_with_dist(
         .groupby("focal")
         .count()
         .select_columns(["focal"])
-        .take_all()
+        .materialize()
     )
-    if not unresolved_ids:
+    n_unres = unresolved_ds.count()
+    if n_unres == 0:
         return resolved
 
     # fallback: CHUNKED broadcast of the unresolved query points (the
     # sphere.knn_arc_edges discipline) — the driver streams bounded
     # batches into the object store, never holding the whole unresolved
-    # set; each scan task walks the chunk refs in turn
-    uq = np.array([r["focal"] for r in unresolved_ids], dtype=np.int64)
-    qpts_ds = points.map_batches(
-        lambda t: t.filter(
-            pa.array(
-                np.isin(t.column(id_col).to_numpy(zero_copy_only=False), uq)
-            )
-        ),
-        batch_format="pyarrow",
-    )
+    # set; each scan task walks the chunk refs in turn.
+    # Size-switched unresolved-point selection (VERDICT r3 #3): a small
+    # unresolved set filters with a driver-broadcast id array (np.isin);
+    # above FALLBACK_SEMI_IDS the id array itself is O(U) driver memory,
+    # so route the selection through a distributed semi-join instead.
+    pts_sel = points.select_columns([id_col, x_col, y_col])
+    if n_unres <= FALLBACK_SEMI_IDS:
+        uq = np.array(
+            [r["focal"] for r in unresolved_ds.take_all()], dtype=np.int64
+        )
+        qpts_ds = pts_sel.map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    np.isin(
+                        t.column(id_col).to_numpy(zero_copy_only=False), uq
+                    )
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        # explicit map_batches rename: Dataset.rename_columns is lazy and
+        # can report pre-rename names to bucket_join's schema check
+        key_ds = unresolved_ds.map_batches(
+            lambda t: t.rename_columns([id_col]), batch_format="pyarrow"
+        )
+        qpts_ds = J.bucket_join(pts_sel, key_ds, on=id_col, how="semi")
     chunk_refs = []
     for b in qpts_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         if b.num_rows == 0:

@@ -273,7 +273,7 @@ def knn_arc_edges(
         lambda t: t.filter(t.column("resolved")).drop_columns(["resolved"]),
         batch_format="pyarrow",
     )
-    unresolved_ids = (
+    unresolved_ds = (
         local.map_batches(
             lambda t: t.filter(pc.invert(t.column("resolved"))),
             batch_format="pyarrow",
@@ -282,27 +282,45 @@ def knn_arc_edges(
         .groupby("focal")
         .count()
         .select_columns(["focal"])
-        .take_all()
+        .materialize()
     )
-    if unresolved_ids:
-        uq = np.array([r["focal"] for r in unresolved_ids], dtype=np.int64)
+    n_unres = unresolved_ds.count()
+    if n_unres > 0:
         # CHUNKED fallback (ADVICE r2 #5): the unresolved query set is
         # streamed in bounded chunks — each chunk is one ray.put + one
         # scan pass — so clustered inputs with a large unresolved
         # fraction never pin an O(U) payload on the driver or run one
         # O(U×n) task. Each focal lives in exactly one chunk, so the
         # per-chunk groupby(focal) merge is still the global top-k.
+        # Size-switched selection (VERDICT r3 #3): small unresolved sets
+        # broadcast a driver id array; above FALLBACK_SEMI_IDS a
+        # distributed semi-join selects the points instead.
+        from libpysal_ray.builders.distance import FALLBACK_SEMI_IDS
+
         q_chunk = 65536
-        qfiltered = points.map_batches(
-            lambda t: t.filter(
-                pa.array(
-                    np.isin(
-                        t.column(id_col).to_numpy(zero_copy_only=False), uq
+        pts_sel = points.select_columns([id_col, lon_col, lat_col])
+        if n_unres <= FALLBACK_SEMI_IDS:
+            uq = np.array(
+                [r["focal"] for r in unresolved_ds.take_all()],
+                dtype=np.int64,
+            )
+            qfiltered = pts_sel.map_batches(
+                lambda t: t.filter(
+                    pa.array(
+                        np.isin(
+                            t.column(id_col).to_numpy(zero_copy_only=False),
+                            uq,
+                        )
                     )
-                )
-            ),
-            batch_format="pyarrow",
-        )
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            key_ds = unresolved_ds.map_batches(
+                lambda t: t.rename_columns([id_col]),
+                batch_format="pyarrow",
+            )
+            qfiltered = J.bucket_join(pts_sel, key_ds, on=id_col, how="semi")
 
         def _scan_for(qref):
             def _scan(t: pa.Table) -> pa.Table:

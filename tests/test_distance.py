@@ -132,3 +132,41 @@ def test_min_threshold_distance_lattice(ray_session):
         )
     )
     assert min_threshold_distance(pts) == 1.0
+
+
+def test_knn_fallback_semi_join_path(points, monkeypatch):
+    # VERDICT r3 #3: above FALLBACK_SEMI_IDS the unresolved-point
+    # selection must route through the distributed semi-join (no
+    # driver-held id array). Force it with threshold 0 + tiny tiles
+    # (every point unresolved) — edges must match the broadcast path.
+    import libpysal_ray.builders.distance as D
+
+    monkeypatch.setattr(D, "FALLBACK_SEMI_IDS", 0)
+    g = knn(points, k=2, cs=1.0)
+    nbrs, _ = g.neighbors_dict()
+    assert sorted(nbrs[0]) == [1, 3]
+    assert sorted(nbrs[1]) == [0, 3]
+    assert sorted(nbrs[5]) == [3, 4]
+
+
+def test_knn_arc_fallback_semi_join_path(monkeypatch):
+    import libpysal_ray.builders.distance as D
+    from libpysal_ray.builders.sphere import knn_arc_edges
+
+    monkeypatch.setattr(D, "FALLBACK_SEMI_IDS", 0)
+    lon = np.array([0.0, 1.0, 2.0, 10.0, 11.0, 12.0])
+    lat = np.array([0.0, 0.5, 1.0, 10.0, 10.5, 11.0])
+    pts = ray.data.from_arrow(
+        pa.table({"id": pa.array(np.arange(6, dtype=np.int64)),
+                  "lon": pa.array(lon), "lat": pa.array(lat)})
+    )
+    # cs=10 km ≪ the ~120 km point spacing: every tile is a singleton, the
+    # 3-d coverage guard fails for all points, and the fallback must take
+    # the semi-join selection (threshold 0)
+    e = knn_arc_edges(pts, k=2, cs=10.0)
+    nbrs: dict[int, list[int]] = {}
+    for r in e.take_all():
+        nbrs.setdefault(r["focal"], []).append(r["neighbor"])
+    # two tight clusters of 3: each point's 2-NN are its cluster mates
+    assert sorted(nbrs[0]) == [1, 2]
+    assert sorted(nbrs[3]) == [4, 5]

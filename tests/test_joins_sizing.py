@@ -219,3 +219,57 @@ def test_grouped_agg_xor_native_and_small(ray_session):
         .to_pandas().set_index("k")["xor(v)"].sort_index()
     )
     assert (native.to_numpy() == want.sort_index().to_numpy()).all()
+
+
+def test_bucket_join_coalesced_hot_key_streams_blocks(ray_session, monkeypatch):
+    # VERDICT r3 #7: provably-small INPUTS through the coalesced path can
+    # still expand unboundedly on hot keys. With the emission cap forced
+    # tiny, the one coalesced task must stream many bounded blocks and
+    # the result must stay exact (800 x 700 hot-key fanout = 560k rows).
+    import libpysal_ray.core.joins as J
+
+    monkeypatch.setattr(J, "_COALESCED_EMIT_ROWS", 10_000)
+    # shrink the block output buffer so the streamed emission is visible
+    # as multiple output blocks (Ray coalesces yielded batches up to
+    # target_max_block_size; the cap bounds the task's PEAK heap). Set
+    # BEFORE creating the inputs — Datasets capture the context.
+    from ray.data.context import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 1 << 20
+    try:
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array(np.full(800, 7, dtype=np.int64)),
+            "lv": pa.array(np.arange(800, dtype=np.int64)),
+        })).materialize()
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array(np.full(700, 7, dtype=np.int64)),
+            "rv": pa.array(np.arange(700, dtype=np.int64)),
+        })).materialize()
+        out = bucket_join(left, right, on="k", how="inner").materialize()
+        assert out.count() == 800 * 700
+        assert out.num_blocks() > 1  # streamed, not one giant table
+        # spot-check exactness: sum of lv = 700 * sum(0..799)
+        tot = sum(
+            int(np.sum(b.column("lv").to_numpy(zero_copy_only=False)))
+            for b in out.iter_batches(batch_size=None,
+                                      batch_format="pyarrow")
+        )
+        assert tot == 700 * (799 * 800 // 2)
+    finally:
+        ctx.target_max_block_size = prev
+
+
+def test_bucket_join_coalesced_left_empty_result_schema(ray_session):
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "lv": pa.array([], pa.int64()),
+    })).materialize()
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "rv": pa.array([], pa.float64()),
+    })).materialize()
+    out = bucket_join(left, right, on="k", how="left")
+    # empty inputs must not crash the streamed probe; Ray may skip the map
+    # task on empty blocks entirely, so schema() can be None here
+    assert out.count() == 0
+    assert out.take_all() == []
