@@ -2976,3 +2976,66 @@ r AS (
 )
 SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1
 """
+
+
+def q_overlay(sf_dir: str):
+    """Tabular spatial overlay (reference cg/ops/tabular.py:74-120): the
+    unit-square lattice layer intersected with a sparser layer of convex
+    2.5-wide rectangles on quarter-integer corners. Emits one
+    (left_id, right_id, area) row per intersecting pair; all coordinates
+    are quarter-integers over unit subject edges, so the Sutherland-
+    Hodgman intersections and shoelace areas are exact dyadic rationals
+    and hash-compare exactly against the closed-form SQL."""
+    from libpysal_ray.spatial.overlay import overlay_intersection
+
+    left = _lattice_polys(sf_dir)
+
+    def _rects(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = ids[ids % 16 == 5]
+        r = (ids // LCOLS).astype(np.float64)
+        c = (ids % LCOLS).astype(np.float64)
+        x0, y0 = c - 0.75, r - 0.75
+        xs = [[a, a + 2.5, a + 2.5, a, a] for a in x0]
+        ys = [[b, b, b + 2.5, b + 2.5, b] for b in y0]
+        return pa.table(
+            {
+                "polygon_id": pa.array(ids.astype(np.int64)),
+                "xs": pa.array(xs, pa.list_(pa.float64())),
+                "ys": pa.array(ys, pa.list_(pa.float64())),
+            }
+        )
+
+    right = _docs(sf_dir, ["doc_id"]).map_batches(
+        _rects, batch_format="pyarrow"
+    )
+    return overlay_intersection(left, right)
+
+
+QUERIES["overlay"] = q_overlay
+
+# axis-aligned closed form: rect∩rect area = clamp(w)·clamp(h); quarter-
+# integer corners and unit squares keep every product exact in doubles
+ORACLE_SQL["overlay"] = f"""
+WITH sq AS (
+  SELECT doc_id AS left_id,
+         CAST(doc_id % {LCOLS} AS DOUBLE) AS x0,
+         CAST(doc_id // {LCOLS} AS DOUBLE) AS y0
+  FROM documents
+),
+rc AS (
+  SELECT doc_id AS right_id,
+         CAST(doc_id % {LCOLS} AS DOUBLE) - 0.75 AS x0,
+         CAST(doc_id // {LCOLS} AS DOUBLE) - 0.75 AS y0
+  FROM documents WHERE doc_id % 16 = 5
+),
+pairs AS (
+  SELECT sq.left_id, rc.right_id,
+         GREATEST(0.0, LEAST(sq.x0 + 1.0, rc.x0 + 2.5)
+                       - GREATEST(sq.x0, rc.x0))
+         * GREATEST(0.0, LEAST(sq.y0 + 1.0, rc.y0 + 2.5)
+                         - GREATEST(sq.y0, rc.y0)) AS area
+  FROM sq, rc
+)
+SELECT left_id, right_id, area FROM pairs WHERE area > 0.0
+"""
