@@ -511,3 +511,98 @@ def test_swm_new_version_fixed_weights(ray_session, tmp_path):
         f.write(struct.pack("<2l", 1, 0))       # obs 1: isolate
     g = read_swm(p)
     assert _edge_map(g) == {(0, 1): 0.25, (0, 7): 0.25}
+
+
+def test_point_shapefile_knn_matches_arrow_source(ray_session, tmp_path):
+    """Point(1) shapefile roundtrip + KNN.from_shapefile parity: the
+    graph built from the shapefile equals the graph built from the same
+    points handed to Ray directly (reference weights/distance.py:91)."""
+    from libpysal_ray.builders.distance import knn
+    from libpysal_ray.sources.shapefile import (
+        read_shapefile,
+        write_dbf,
+        write_shp_points,
+    )
+
+    rng = np.random.default_rng(42)
+    pts = [(float(x), float(y)) for x, y in rng.uniform(0, 100, (30, 2))]
+    shp = str(tmp_path / "pts.shp")
+    write_shp_points(shp, pts)
+    write_dbf(str(tmp_path / "pts.dbf"), {"VAL": list(range(30))})
+    ds = read_shapefile(shp, str(tmp_path / "pts.dbf"))
+    rows = ds.take_all()
+    assert len(rows) == 30
+    assert {int(r["VAL"]) for r in rows} == set(range(30))
+    got = {(r["id"], r["x"], r["y"]) for r in rows}
+    want = {(i, x, y) for i, (x, y) in enumerate(pts)}
+    assert got == want
+
+    direct = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(30, dtype=np.int64)),
+                "x": pa.array([p[0] for p in pts]),
+                "y": pa.array([p[1] for p in pts]),
+            }
+        )
+    )
+    e_shp = {
+        (int(r["focal"]), int(r["neighbor"]))
+        for r in knn(
+            ds.select_columns(["id", "x", "y"]), k=4
+        ).edges.take_all()
+    }
+    e_dir = {
+        (int(r["focal"]), int(r["neighbor"]))
+        for r in knn(direct, k=4).edges.take_all()
+    }
+    assert e_shp == e_dir and len(e_shp) == 30 * 4
+
+
+def test_multipoint_shapefile_roundtrip(ray_session, tmp_path):
+    from libpysal_ray.sources.shapefile import (
+        read_shapefile_points,
+        write_shp_multipoint,
+    )
+
+    groups = [[(0.0, 0.0), (1.0, 2.0)], [(3.0, 4.0)], [(5.0, 6.0), (7.0, 8.0)]]
+    shp = str(tmp_path / "mp.shp")
+    write_shp_multipoint(shp, groups)
+    rows = read_shapefile_points(shp).take_all()
+    flat = [p for g in groups for p in g]
+    assert [(r["id"], r["x"], r["y"]) for r in rows] == [
+        (i, x, y) for i, (x, y) in enumerate(flat)
+    ]
+
+
+def test_polyline_shapefile_contiguity(ray_session, tmp_path):
+    """PolyLine(3) records feed the queen builder: arcs sharing an
+    endpoint are neighbors (the reference's linestring-contiguity
+    behavior, weights/tests/test_contiguity.py:164-182)."""
+    from libpysal_ray.builders.contiguity import queen
+    from libpysal_ray.sources.shapefile import (
+        read_shapefile,
+        write_shp_polylines,
+    )
+
+    lines = [
+        ([0.0, 1.0], [0.0, 0.0]),        # L0: (0,0)-(1,0)
+        ([1.0, 2.0], [0.0, 0.0]),        # L1: (1,0)-(2,0)  shares (1,0)
+        ([5.0, 6.0], [5.0, 6.0]),        # L2: isolate
+    ]
+    shp = str(tmp_path / "arcs.shp")
+    write_shp_polylines(shp, lines)
+    ds = read_shapefile(shp)
+    rows = ds.take_all()
+    assert len(rows) == 3
+    assert rows[0]["xs"] == [0.0, 1.0]   # not auto-closed
+    g = queen(ds)
+    edges = {
+        (int(r["focal"]), int(r["neighbor"])): r["weight"]
+        for r in g.edges.take_all()
+    }
+    assert edges[(0, 1)] == 1.0 and edges[(1, 0)] == 1.0
+    assert edges.get((2, 2)) == 0.0      # isolate self-loop
+    assert all(
+        not ((a == 2) ^ (b == 2)) for a, b in edges
+    )
