@@ -723,6 +723,24 @@ def alpha_shape_edges(
     so the search is a binary search over the sorted circumradii instead
     of the reference's linear scan. Returns (boundary id pairs (E, 2),
     chosen radius)."""
+    ids, _, _, rt, radii, r, _ = _alpha_complex(
+        points, alpha, id_col, x_col, y_col, max_points
+    )
+    ed = _alpha_boundary(rt, radii <= r)
+    return ids[ed.ravel()].reshape(-1, 2), r
+
+
+def _alpha_complex(
+    points: ray.data.Dataset,
+    alpha: float | None,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    max_points: int,
+):
+    """Shared alpha-complex machinery: real Delaunay triangles, their
+    circumradii, and the chosen radius (1/alpha, or the auto binary
+    search over sorted radii). Returns (ids, x, y, rt, radii, r, n)."""
     ids, x, y = _collect_points(points, id_col, x_col, y_col, max_points)
     n = len(ids)
     _check_unique(x, y)
@@ -739,12 +757,8 @@ def alpha_shape_edges(
     _, _, r2 = _circumcircles(Xe, Ye, rt)
     radii = np.sqrt(r2)
 
-    def boundary_at(r: float) -> np.ndarray:
-        return _alpha_boundary(rt, radii <= r)
-
     if alpha is not None:
-        ed = boundary_at(1.0 / alpha)
-        return ids[ed.ravel()].reshape(-1, 2), 1.0 / alpha
+        return ids, x, y, rt, radii, 1.0 / alpha, n
 
     order = np.unique(radii)
 
@@ -759,14 +773,142 @@ def alpha_shape_edges(
 
     lo, hi = 0, len(order) - 1
     if not ok(order[hi]):
-        ed = boundary_at(order[hi])
-        return ids[ed.ravel()].reshape(-1, 2), float(order[hi])
+        return ids, x, y, rt, radii, float(order[hi]), n
     while lo < hi:
         mid = (lo + hi) // 2
         if ok(order[mid]):
             hi = mid
         else:
             lo = mid + 1
-    r = float(order[lo])
-    ed = boundary_at(r)
-    return ids[ed.ravel()].reshape(-1, 2), r
+    return ids, x, y, rt, radii, float(order[lo]), n
+
+
+def _oriented_boundary(
+    rt: np.ndarray, keep: np.ndarray, x: np.ndarray, y: np.ndarray
+) -> np.ndarray:
+    """Boundary edges of the kept complex, each DIRECTED so the kept
+    triangle lies on its LEFT (exterior rings come out CCW, holes CW)."""
+    kt = rt[keep]
+    if len(kt) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    ed = kt[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
+    opp = kt[:, [2, 0, 1]].reshape(-1)
+    key = np.sort(ed, axis=1)
+    _, inv, counts = np.unique(
+        key, axis=0, return_inverse=True, return_counts=True
+    )
+    bmask = counts[inv] == 1
+    e, o = ed[bmask].copy(), opp[bmask]
+    ax, ay = x[e[:, 0]], y[e[:, 0]]
+    cr = (x[e[:, 1]] - ax) * (y[o] - ay) - (y[e[:, 1]] - ay) * (x[o] - ax)
+    sw = cr < 0
+    e[sw] = e[sw][:, ::-1]
+    return e
+
+
+def _assemble_rings(
+    e: np.ndarray, x: np.ndarray, y: np.ndarray
+) -> list[np.ndarray]:
+    """Closed vertex loops from interior-left directed boundary edges.
+    At pinch vertices (>1 outgoing edge) the walk takes the first
+    outgoing edge clockwise from the reversed incoming direction — the
+    standard left-face traversal — so each ring bounds one face."""
+    from collections import defaultdict
+
+    out: dict[int, list[int]] = defaultdict(list)
+    for a, b in e:
+        out[int(a)].append(int(b))
+
+    def succ(a: int, b: int) -> tuple[int, int]:
+        cands = out[b]
+        if len(cands) == 1:
+            return b, cands[0]
+        # first outgoing edge clockwise from the reversed incoming edge
+        tin = np.arctan2(y[a] - y[b], x[a] - x[b])
+        ang = np.array(
+            [np.arctan2(y[c] - y[b], x[c] - x[b]) for c in cands]
+        )
+        delta = np.mod(tin - ang, 2.0 * np.pi)
+        delta[delta == 0.0] = 2.0 * np.pi
+        return b, cands[int(np.argmin(delta))]
+
+    used: set[tuple[int, int]] = set()
+    rings: list[np.ndarray] = []
+    for a0, b0 in e:
+        a0, b0 = int(a0), int(b0)
+        if (a0, b0) in used:
+            continue
+        ring: list[int] = []
+        a, b = a0, b0
+        while True:
+            used.add((a, b))
+            ring.append(a)
+            a, b = succ(a, b)
+            if (a, b) == (a0, b0):
+                break
+            if (a, b) in used:  # malformed input; never a valid complex
+                ring = []
+                break
+        if len(ring) >= 3:
+            rings.append(np.asarray(ring, dtype=np.int64))
+    return rings
+
+
+def alpha_shape_polygons(
+    points: ray.data.Dataset,
+    alpha: float | None = None,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_points: int = 2_000_000,
+) -> tuple[ray.data.Dataset, float]:
+    """Alpha-shape RING polygons (the reference's shapely polygon output,
+    cg/alpha_shapes.py:385-580): boundary edges oriented interior-left
+    and walked into closed rings. Returns (Dataset, radius) with one row
+    per ring vertex: (ring_id, seq, point_id, x, y, is_hole) — exterior
+    rings CCW (is_hole=False), holes CW (is_hole=True), seq the walk
+    order. Downstream polygon consumers (contiguity, overlay, PIP) read
+    this schema after a groupby(ring_id) list-collect."""
+    ids, x, y, rt, radii, r, _ = _alpha_complex(
+        points, alpha, id_col, x_col, y_col, max_points
+    )
+    e = _oriented_boundary(rt, radii <= r, x, y)
+    rings = _assemble_rings(e, x, y)
+    rid_out, seq_out, pid_out, x_out, y_out, hole_out = (
+        [], [], [], [], [], [],
+    )
+    for rid, ring in enumerate(rings):
+        rx, ry = x[ring], y[ring]
+        a2 = float(
+            np.sum(rx * np.roll(ry, -1) - np.roll(rx, -1) * ry)
+        )
+        k = len(ring)
+        rid_out.append(np.full(k, rid, dtype=np.int64))
+        seq_out.append(np.arange(k, dtype=np.int64))
+        pid_out.append(ids[ring])
+        x_out.append(rx)
+        y_out.append(ry)
+        hole_out.append(np.full(k, a2 < 0.0, dtype=bool))
+    if not rings:
+        tbl = pa.table(
+            {
+                "ring_id": pa.array([], pa.int64()),
+                "seq": pa.array([], pa.int64()),
+                "point_id": pa.array([], pa.int64()),
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+                "is_hole": pa.array([], pa.bool_()),
+            }
+        )
+    else:
+        tbl = pa.table(
+            {
+                "ring_id": pa.array(np.concatenate(rid_out)),
+                "seq": pa.array(np.concatenate(seq_out)),
+                "point_id": pa.array(np.concatenate(pid_out)),
+                "x": pa.array(np.concatenate(x_out)),
+                "y": pa.array(np.concatenate(y_out)),
+                "is_hole": pa.array(np.concatenate(hole_out)),
+            }
+        )
+    return ray.data.from_arrow(tbl), r

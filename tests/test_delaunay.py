@@ -318,3 +318,96 @@ def test_explicit_clip_polygon_validation():
             np.array([0.0, 2.0, 1.0, 2.0, 0.0]),
             np.array([0.0, 0.0, 1.0, 2.0, 2.0]),
         )
+
+
+def test_alpha_shape_polygons_annulus(ray_session):
+    """Ring assembly (reference cg/alpha_shapes.py:385-580 polygon
+    output): 6x6 grid minus the center 2x2 block at radius 1.01 gives
+    one CCW exterior ring (the 20 outer-boundary points) and one CW hole
+    (the octagon around the removed block — corner triangles of
+    circumradius sqrt(2)/2 survive, cutting the hole corners). Ring
+    edges must exactly tile the boundary-edge set."""
+    import collections
+
+    from libpysal_ray.builders.delaunay import (
+        alpha_shape_edges,
+        alpha_shape_polygons,
+    )
+
+    P = [
+        (float(i), float(j))
+        for i in range(6)
+        for j in range(6)
+        if not (2 <= i <= 3 and 2 <= j <= 3)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(len(P), dtype=np.int64)),
+                "x": pa.array([p[0] for p in P]),
+                "y": pa.array([p[1] for p in P]),
+            }
+        )
+    )
+    polys, r = alpha_shape_polygons(ds, alpha=1.0 / 1.01)
+    assert r == 1.01
+    rings = collections.defaultdict(list)
+    holes = {}
+    for row in polys.take_all():
+        rings[row["ring_id"]].append((row["seq"], row["x"], row["y"]))
+        holes[row["ring_id"]] = row["is_hole"]
+    ext = [k for k in rings if not holes[k]]
+    hol = [k for k in rings if holes[k]]
+    assert len(ext) == 1 and len(hol) == 1
+    assert len(rings[ext[0]]) == 20
+    hv = {(p[1], p[2]) for p in rings[hol[0]]}
+    assert hv == {(1.0, 2.0), (1.0, 3.0), (2.0, 4.0), (3.0, 4.0),
+                  (4.0, 3.0), (4.0, 2.0), (3.0, 1.0), (2.0, 1.0)}
+    # orientation: exterior CCW (positive shoelace), hole CW
+    for k, v in rings.items():
+        v = sorted(v)
+        xs = np.array([p[1] for p in v])
+        ys = np.array([p[2] for p in v])
+        a2 = np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)
+        assert (a2 < 0) == holes[k]
+    # exact edge parity with the boundary-edge output
+    ed, r2 = alpha_shape_edges(ds, alpha=1.0 / 1.01)
+    assert r2 == r
+    assert sum(len(v) for v in rings.values()) == len(ed)
+
+
+def test_alpha_shape_polygons_auto_parity(ray_session):
+    """Auto-alpha on a random cloud: every ring edge is a boundary edge
+    and vice versa (rings exactly tile the boundary, pinch vertices
+    decomposed into simple loops)."""
+    import collections
+
+    from libpysal_ray.builders.delaunay import (
+        alpha_shape_edges,
+        alpha_shape_polygons,
+    )
+
+    rng = np.random.default_rng(3)
+    Q = rng.uniform(0, 10, (40, 2))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(40, dtype=np.int64)),
+                "x": pa.array(Q[:, 0]),
+                "y": pa.array(Q[:, 1]),
+            }
+        )
+    )
+    polys, r = alpha_shape_polygons(ds)
+    ed, r2 = alpha_shape_edges(ds)
+    assert r == r2
+    rings = collections.defaultdict(list)
+    for row in polys.take_all():
+        rings[row["ring_id"]].append((row["seq"], row["point_id"]))
+    ring_edges = set()
+    for v in rings.values():
+        pid = [p for _, p in sorted(v)]
+        for i in range(len(pid)):
+            a, b = pid[i], pid[(i + 1) % len(pid)]
+            ring_edges.add((min(a, b), max(a, b)))
+    assert ring_edges == {(min(a, b), max(a, b)) for a, b in ed}
