@@ -132,8 +132,128 @@ def run_scaling_once(n_rows: int, num_cpus: int) -> float:
     return dt
 
 
+HOT_FRAC = float(os.environ.get("GRAFT_SKEW_FRAC", "0.5"))
+HOT_CELL = 777  # one fixed quadcell (res=5 domain is 0..1023)
+
+
+def _hot_cell_remap(t):
+    """Deterministic skew injector: splitmix(doc_id) < frac → the hot
+    cell. Applied identically to the main and salt-count streams by the
+    flagship's cell_remap hook."""
+    import numpy as np
+    import pyarrow as pa
+
+    from libpysal_ray.core.hashing import splitmix64
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    cell = t.column("cell").to_numpy(zero_copy_only=False).copy()
+    hot = splitmix64(ids) < np.uint64(int(HOT_FRAC * 2.0**64))
+    cell[hot] = HOT_CELL
+    idx = t.schema.get_field_index("cell")
+    return t.set_column(idx, "cell", pa.array(cell))
+
+
+def run_skew_once(n_rows: int, num_cpus: int, salted: bool) -> float:
+    """Flagship over n synthetic pages with ~HOT_FRAC of them remapped
+    into ONE quadcell — the adversarial shuffle-skew case. salted=False
+    disables hot-cell salting by setting the per-partition target above
+    any count (factor 1 everywhere); salted=True is the production path."""
+    import logging
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        log_to_driver=False,
+    )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data
+
+    from libpysal_ray.pipelines.flagship import flagship
+    from libpysal_ray.sources.pages import synth_pages
+
+    def _run(rows: int, blocks: int) -> float:
+        pages = synth_pages(rows, include_html=False, num_blocks=blocks)
+        narrow = ray.data.range(
+            rows, override_num_blocks=blocks
+        ).map_batches(
+            lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow"
+        )
+        rpp = max(50_000, rows // 64) if salted else (1 << 60)
+        t0 = time.time()
+        out = flagship(
+            pages=pages,
+            narrow=narrow,
+            pip_concurrency=None,
+            rows_per_part=rpp,
+            salt_sample_mod=64 if salted else 1,
+            cell_remap=_hot_cell_remap,
+        )
+        n = out.count()
+        dt = time.time() - t0
+        assert n == rows, (n, rows)
+        return dt
+
+    _run(50_000, max(8, num_cpus))
+    blocks = max(64, n_rows // 25_000)
+    dt = min(_run(n_rows, blocks) for _ in range(2))
+    ray.shutdown()
+    return dt
+
+
 def main() -> None:
     argv = sys.argv[1:]
+    if "--skew-once" in argv:
+        i = argv.index("--skew-once")
+        cpus = int(argv[i + 1])
+        salted = argv[i + 2] == "salted"
+        dt = run_skew_once(SCALE_ROWS, cpus, salted)
+        print(json.dumps({"cpus": cpus, "salted": salted,
+                          "seconds": dt, "rows": SCALE_ROWS}))
+        return
+    if "--skew" in argv:
+        # Skew robustness (SURVEY §4 skew row): ~HOT_FRAC of pages in ONE
+        # quadcell; scaling efficiency N→4N with and without salting,
+        # interleaved min-of-2 per level (bimodal host contention).
+        results: dict = {}
+        for _round in range(2):
+            for salted in ("salted", "unsalted"):
+                for cpus in (SCALE_N, 4 * SCALE_N):
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--skew-once", str(cpus), salted],
+                        env=dict(os.environ), capture_output=True,
+                        text=True, timeout=3600,
+                    )
+                    line = [ln for ln in out.stdout.splitlines()
+                            if ln.startswith("{")][-1]
+                    r = json.loads(line)
+                    key = (salted, cpus)
+                    if key not in results or r["seconds"] < results[key]["seconds"]:
+                        results[key] = r
+        rep: dict = {
+            "metric": f"skew_scaling_efficiency_{SCALE_N}to{4*SCALE_N}cpu",
+            "unit": "ratio",
+            "rows": SCALE_ROWS,
+            "hot_frac": HOT_FRAC,
+        }
+        for salted in ("salted", "unsalted"):
+            tn = results[(salted, SCALE_N)]["seconds"]
+            t4n = results[(salted, 4 * SCALE_N)]["seconds"]
+            eff = (SCALE_ROWS / t4n) / (SCALE_ROWS / tn) / 4.0
+            rep[salted] = {
+                "efficiency": round(eff, 3),
+                f"sec_cpus{SCALE_N}": round(tn, 2),
+                f"sec_cpus{4*SCALE_N}": round(t4n, 2),
+                f"rows_per_sec_cpus{4*SCALE_N}": round(SCALE_ROWS / t4n, 1),
+            }
+        rep["value"] = rep["salted"]["efficiency"]
+        print(json.dumps(rep))
+        return
     if "--scaling-once" in argv:
         cpus = int(argv[argv.index("--scaling-once") + 1])
         dt = run_scaling_once(SCALE_ROWS, cpus)

@@ -99,6 +99,7 @@ def flagship(
     pip_num_cpus: float | None = None,
     narrow: ray.data.Dataset | None = None,
     salt_sample_mod: int = 1,
+    cell_remap=None,
 ) -> ray.data.Dataset:
     """``narrow`` (optional): a doc_id-only Dataset for the salt-factor
     pre-aggregate — pass one when ``pages`` is synthesized, so the count
@@ -120,9 +121,15 @@ def flagship(
     # 2. ingest digest (byte-identity invariant start)
     ds = pages.map_batches(_digest_batch, batch_format="pyarrow")
 
-    # 3. geocode + cell assignment (stateless, no shuffle)
+    # 3. geocode + cell assignment (stateless, no shuffle).
+    # ``cell_remap``: optional deterministic (doc_id, cell) -> cell
+    # map_batches hook applied identically to the main stream and the
+    # salt-count stream — the skew benchmark uses it to concentrate a
+    # configurable fraction of pages into one hot cell (bench.py --skew)
     ds = geocode_ids(ds, "doc_id", lonlat=True)
     ds = assign_cells(ds, res)
+    if cell_remap is not None:
+        ds = ds.map_batches(cell_remap, batch_format="pyarrow")
 
     # 4. hot-cell salting. Salt factors come from a SEPARATE narrow
     # pipeline that reads only doc_id (column-pruned at the source) — the
@@ -146,6 +153,8 @@ def flagship(
 
         narrow = narrow.map_batches(_sample, batch_format="pyarrow")
     narrow = assign_cells(geocode_ids(narrow, "doc_id", lonlat=True), res)
+    if cell_remap is not None:
+        narrow = narrow.map_batches(cell_remap, batch_format="pyarrow")
     factors = salt_factors(
         narrow,
         target_rows_per_part=max(1, rows_per_part // salt_sample_mod),
