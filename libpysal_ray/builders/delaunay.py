@@ -128,19 +128,21 @@ def _collect_points(
     points: ray.data.Dataset, id_col: str, x_col: str, y_col: str,
     max_points: int,
 ):
-    parts = [
-        b
-        for b in points.select_columns([id_col, x_col, y_col]).iter_batches(
-            batch_format="pyarrow"
-        )
-    ]
+    parts = []
+    total = 0
+    for b in points.select_columns([id_col, x_col, y_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        total += b.num_rows
+        if total > max_points:
+            raise ValueError(
+                f"global triangulation over >{max_points} points exceeds "
+                f"max_points={max_points}; use delaunay_distributed (exact "
+                "certified-star tiling) or delaunay_bounded(points, R) at "
+                "this scale"
+            )
+        parts.append(b)
     t = pa.concat_tables(parts)
-    if t.num_rows > max_points:
-        raise ValueError(
-            f"global triangulation over {t.num_rows} points exceeds "
-            f"max_points={max_points}; use delaunay_bounded(points, R) — "
-            "the tiled radius-bounded path — at this scale"
-        )
     ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
     y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -180,8 +182,18 @@ def delaunay(
     Exact: the Bowyer-Watson pass gives Delaunay(P ∪ super) whose
     real-real edges are a subset of Delaunay(P); the (rare) edges masked
     by the finite super triangle are restored by the exact empty-circle
-    interval test over super-adjacent vertices (see ``bowyer_watson``)."""
-    ids, x, y = _collect_points(points, id_col, x_col, y_col, max_points)
+    interval test over super-adjacent vertices (see ``bowyer_watson``).
+
+    Above ``max_points`` the call routes to ``delaunay_distributed`` —
+    the exact certified-star tiled path (no driver cap)."""
+    try:
+        ids, x, y = _collect_points(points, id_col, x_col, y_col, max_points)
+    except ValueError as e:
+        if "max_points" not in str(e):
+            raise
+        return delaunay_distributed(
+            points, id_col=id_col, x_col=x_col, y_col=y_col
+        )
     ed = _delaunay_edge_indices(x, y)
     f = np.concatenate([ed[:, 0], ed[:, 1]])
     nbr = np.concatenate([ed[:, 1], ed[:, 0]])
@@ -671,6 +683,537 @@ def _interval_alive(
         hi = np.minimum(upper, tmax[sl])
         alive[sl] = ~dead & (lo <= hi) & ~too_far[sl]
     return alive
+
+
+def _bw_extended(x: np.ndarray, y: np.ndarray):
+    """Super-vertex-extended coordinate arrays matching bowyer_watson's
+    construction (D = 30·span), so circumcircles of its triangles can be
+    evaluated outside the insertion loop."""
+    minx, maxx = float(x.min()), float(x.max())
+    miny, maxy = float(y.min()), float(y.max())
+    span = max(maxx - minx, maxy - miny, 1.0)
+    cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+    D = 30.0 * span
+    Xe = np.concatenate([x, [cx - 1.5 * D, cx + 1.5 * D, cx]])
+    Ye = np.concatenate([y, [cy - D, cy - D, cy + 1.5 * D]])
+    return Xe, Ye
+
+
+_DD_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),
+        ("focal", pa.int64()),
+        ("neighbor", pa.int64()),
+        ("px", pa.float64()),
+        ("py", pa.float64()),
+        ("qx", pa.float64()),
+        ("qy", pa.float64()),
+    ]
+)
+
+
+def _dd_rows(kind, focal, neighbor, px, py, qx, qy) -> pa.Table:
+    n = len(focal)
+    return pa.table(
+        {
+            "kind": pa.array(np.full(n, kind, dtype=np.int8)),
+            "focal": pa.array(np.asarray(focal, np.int64)),
+            "neighbor": pa.array(np.asarray(neighbor, np.int64)),
+            "px": pa.array(np.asarray(px, np.float64)),
+            "py": pa.array(np.asarray(py, np.float64)),
+            "qx": pa.array(np.asarray(qx, np.float64)),
+            "qy": pa.array(np.asarray(qy, np.float64)),
+        }
+    )
+
+
+def delaunay_distributed(
+    points: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    r0: float | None = None,
+    max_escalated: int = 2_000_000,
+    prekill_blockers: int = 20_000,
+) -> RayGraph:
+    """EXACT full Delaunay graph with no driver-size cap — the tiled
+    certified-star path (reference semantics graph/_triangulation.py:
+    126-199; the reference itself is in-memory scipy).
+
+    Physical plan — ONE tile shuffle plus one candidate-verify scan:
+
+    1. ``tile_points`` shuffle with cell = halo = 2·r0.
+    2. Per tile: the bounded-star interval test of ``delaunay_bounded``
+       for every core focal — an alive pair has a ≤ r0 empty witness
+       whose disk fits inside ball(i, 2 r0) ⊆ tile+halo, so local
+       blockers are complete for it and the pair is a TRUE global
+       Delaunay edge (emitted immediately, directed from its focal).
+    3. Fan-closure certification per core point: its alive partners,
+       sorted by angle, are CERTIFIED when the consecutive triangles
+       leave no angular gap ≥ π, all have circumradius ≤ r0, and all
+       have locally-empty circumdisks. Such disks are globally empty
+       (⊆ the halo rect), so the fan triangles are globally Delaunay
+       and tile 2π around i — i's global star is exactly its alive
+       partners. Conversely any empty disk through an uncertified point
+       grows (within the local set) to an incident local-Delaunay disk
+       of at least its radius or to the local hull, and a certified
+       fan IS the full local star — so every point incident to a > r0
+       witness anywhere is FLAGGED here (soundness).
+    4. Driver: collect flagged set S (loud ``max_escalated`` guard).
+       Every true edge missing from pass 2 has only > r0 witnesses,
+       hence BOTH endpoints flagged. If it is shorter than 2·r0 it is a
+       within-halo pair of a flagged focal and already escalated as a
+       kind-2 candidate (step 3's tile kernel keeps flagged focals'
+       locally-alive-at-∞ rejects); if longer, it appears in DT(S) (its
+       witness is empty of S ⊆ P) — so kind-2 ∪ the > 2·r0 pairs of the
+       driver Bowyer-Watson over S is a complete candidate set.
+    5. A deterministic sampled blocker set pre-kills candidates (dead
+       under a blocker subset is conclusive), then ONE broadcast scan
+       over all points computes each survivor's exact global constraint
+       interval (per-block partials, one tiny aggregate). Emit pairs
+       alive overall but NOT alive within the ≤ r0 band [-t0, t0]: a
+       far blocker's constraint boundary inside the band would put it
+       on a ≤ r0 circle through the pair, i.e. within 2 r0 of it —
+       local — so the band decision provably equals the pass-2 local
+       decision (no duplicate and no missing edges). Directions emitted
+       for flagged endpoints only; certified endpoints already emitted
+       theirs.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    r0 (default 4·sqrt(bbox_area/n)) must make flagged points rare —
+    |S| is O(data boundary + density-void boundaries). Sparse or heavily
+    clustered data at a bad r0 trips the max_escalated guard loudly;
+    raise r0 (coarser certification) rather than silently degrading.
+    """
+    pruned = points.select_columns([id_col, x_col, y_col])
+
+    def _stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"n": pa.array([0], pa.int64()),
+                 "x0": pa.array([np.inf]), "x1": pa.array([-np.inf]),
+                 "y0": pa.array([np.inf]), "y1": pa.array([-np.inf])}
+            )
+        x = t.column(x_col).to_numpy(zero_copy_only=False)
+        y = t.column(y_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"n": pa.array([t.num_rows], pa.int64()),
+             "x0": pa.array([float(x.min())]),
+             "x1": pa.array([float(x.max())]),
+             "y0": pa.array([float(y.min())]),
+             "y1": pa.array([float(y.max())])}
+        )
+
+    n_tot, bx0, bx1, by0, by1 = 0, np.inf, -np.inf, np.inf, -np.inf
+    for r in pruned.map_batches(_stats, batch_format="pyarrow").take_all():
+        n_tot += r["n"]
+        bx0, bx1 = min(bx0, r["x0"]), max(bx1, r["x1"])
+        by0, by1 = min(by0, r["y0"]), max(by1, r["y1"])
+    if n_tot < 2:
+        id_ds = pruned.select_columns([id_col]).rename_columns(
+            {id_col: "focal"}
+        )
+        return RayGraph(E.resolve_isolates(E.empty_edges(), id_ds))
+
+    # deterministic sample: used for the r0 density estimate AND later as
+    # the candidate pre-kill blocker set (one pruned scan, shared)
+    from libpysal_ray.core.hashing import splitmix64
+
+    rate = min(1.0, prekill_blockers / max(n_tot, 1))
+    thresh = np.uint64(min(int(rate * 2.0**64), 2**64 - 1))
+
+    def _sample(t: pa.Table) -> pa.Table:
+        kid = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = splitmix64(kid.astype(np.uint64)) <= thresh
+        return pa.table(
+            {
+                "kid": pa.array(kid[keep].astype(np.int64)),
+                "kx": pa.array(
+                    t.column(x_col).to_numpy(zero_copy_only=False)[keep]
+                ),
+                "ky": pa.array(
+                    t.column(y_col).to_numpy(zero_copy_only=False)[keep]
+                ),
+            }
+        )
+
+    samp = pruned.map_batches(_sample, batch_format="pyarrow").take_all()
+    smp_x = np.array([r["kx"] for r in samp], np.float64)
+    smp_y = np.array([r["ky"] for r in samp], np.float64)
+    smp_id = np.array([r["kid"] for r in samp], np.int64)
+
+    if r0 is None:
+        # density-adaptive default: the sample's median nearest-neighbor
+        # distance, rescaled by sqrt(sample fraction), estimates the
+        # MEDIAN local point spacing — robust to clustered densities
+        # where the bbox-mean spacing would explode the dense tiles
+        k = min(len(smp_x), 4096)
+        if k >= 2:
+            # hash-ordered subsample so the estimate is unbiased even
+            # when the input is spatially sorted
+            sub = np.argsort(splitmix64(smp_id.astype(np.uint64)))[:k]
+            f_frac = k / max(n_tot, 1)
+            dx = smp_x[sub, None] - smp_x[None, sub]
+            dy = smp_y[sub, None] - smp_y[None, sub]
+            dd = dx * dx + dy * dy
+            np.fill_diagonal(dd, np.inf)
+            nn = np.sqrt(np.median(dd.min(axis=1)))
+            r0 = 8.0 * nn * float(np.sqrt(f_frac))
+        if r0 is None or not np.isfinite(r0) or r0 <= 0:
+            area = max((bx1 - bx0) * (by1 - by0), 1e-12)
+            r0 = 4.0 * float(np.sqrt(area / n_tot))
+    r0 = float(r0)
+    me = 2.0 * r0
+
+    tiled = tile_points(points, me, me, id_col=id_col, x_col=x_col,
+                        y_col=y_col)
+
+    def _tile(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        m = len(ids)
+        ci = np.flatnonzero(core)
+        if len(ci) == 0:
+            return _DD_SCHEMA.empty_table()
+        if m > 2_000_000:
+            raise ValueError(
+                f"delaunay_distributed: one tile holds {m} points — r0 "
+                f"({r0:.3g}) is far above the local point spacing; pass "
+                "a smaller r0 for this density"
+            )
+        uniq = np.unique(np.column_stack([x, y]), axis=0)
+        if len(uniq) != m:
+            raise ValueError(
+                "delaunay_distributed: coincident point locations; "
+                "deduplicate or jitter (reference coplanar='raise')"
+            )
+        out: list[pa.Table] = []
+        if m == 1:
+            i = ci[0]
+            return _dd_rows(1, ids[[i]], [-1], x[[i]], y[[i]], [0.0], [0.0])
+        # bounded star of every core focal: alive pairs are TRUE global
+        # Delaunay edges (any ≤ r0 witness ball fits inside the halo, so
+        # local blockers are complete for it) — emit them all
+        f_acc, n_acc, rf_acc, rn_acc = [], [], [], []
+        for s in range(0, len(ci), _PCHUNK):
+            c = ci[s: s + _PCHUNK]
+            d2 = (x[c, None] - x[None, :]) ** 2 \
+                + (y[c, None] - y[None, :]) ** 2
+            cand = (d2 <= me * me) & (c[:, None] != np.arange(m)[None, :])
+            pr, pc = np.nonzero(cand)
+            if len(pr) == 0:
+                continue
+            gi, gj = c[pr], pc
+            alive = _interval_alive(
+                x[gi], y[gi], x[gj], y[gj], ids[gi], ids[gj],
+                x, y, ids, r0,
+            )
+            f_acc.append(gi[alive])
+            n_acc.append(gj[alive])
+            rf_acc.append(gi[~alive])
+            rn_acc.append(gj[~alive])
+        gi = np.concatenate(f_acc) if f_acc else np.empty(0, np.int64)
+        gj = np.concatenate(n_acc) if n_acc else np.empty(0, np.int64)
+        ri = np.concatenate(rf_acc) if rf_acc else np.empty(0, np.int64)
+        rj = np.concatenate(rn_acc) if rn_acc else np.empty(0, np.int64)
+        if len(gi):
+            out.append(
+                _dd_rows(0, ids[gi], ids[gj],
+                         np.zeros(len(gi)), np.zeros(len(gi)),
+                         np.zeros(len(gi)), np.zeros(len(gi)))
+            )
+        # fan-closure certification: core i is certified iff its alive
+        # partners, sorted by angle, form consecutive triangles that (a)
+        # leave no angular gap ≥ π, (b) have circumradius ≤ r0, and (c)
+        # have locally-empty circumdisks — such a fan is globally
+        # Delaunay and tiles 2π around i, so i's star is exactly its
+        # alive partners (see docstring); anything else is flagged
+        flag = np.zeros(m, dtype=bool)
+        has = np.zeros(m, dtype=bool)
+        has[gi] = True
+        flag[ci[~has[ci]]] = True
+        if len(gi):
+            theta = np.arctan2(y[gj] - y[gi], x[gj] - x[gi])
+            order = np.lexsort((theta, gi))
+            gs, ns, th = gi[order], gj[order], theta[order]
+            new = np.empty(len(gs), dtype=bool)
+            new[0] = True
+            new[1:] = gs[1:] != gs[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(gs))
+            idx = np.arange(len(gs))
+            nxt = idx + 1
+            nxt[ends - 1] = starts
+            gap = th[nxt] - th
+            gap[gap <= 0] += 2.0 * np.pi
+            flag[gs[gap >= np.pi - 1e-12]] = True
+            tri_ok = ns != ns[nxt]
+            ta, tb, tc = gs[tri_ok], ns[tri_ok], ns[nxt][tri_ok]
+            if len(ta):
+                ccx, ccy, r2 = _circumcircles(
+                    x, y, np.column_stack([ta, tb, tc])
+                )
+                flag[ta[r2 > r0 * r0]] = True
+                # strict-interior blocker in any fan disk ⇒ flag (the 3
+                # triple vertices excluded by index; ≤ keeps borderline
+                # cocircular points conservative — flagging is safe)
+                for s in range(0, len(ta), _PCHUNK):
+                    sl = slice(s, s + min(_PCHUNK, len(ta) - s))
+                    dd2 = (x[None, :] - ccx[sl, None]) ** 2 \
+                        + (y[None, :] - ccy[sl, None]) ** 2
+                    am = np.arange(m)[None, :]
+                    vert = (
+                        (am == ta[sl, None])
+                        | (am == tb[sl, None])
+                        | (am == tc[sl, None])
+                    )
+                    bad = (
+                        (dd2 <= r2[sl, None] * (1.0 + 1e-12)) & ~vert
+                    ).any(axis=1)
+                    flag[ta[sl][bad]] = True
+        # flagged focals' locally-undecided short pairs become candidates
+        # (kind 2): within-halo pairs with only > r0 witnesses must be
+        # decided globally, but local blockers already prove most dead
+        # (subset-deadness is conclusive) — only locally-alive-at-∞
+        # survivors escalate, so DT(S) need only contribute LONG pairs
+        if len(ri):
+            fl = flag[ri]
+            ri, rj = ri[fl], rj[fl]
+            if len(ri):
+                alive_inf = _interval_alive(
+                    x[ri], y[ri], x[rj], y[rj], ids[ri], ids[rj],
+                    x, y, ids, np.inf,
+                )
+                ca_, cb_ = ri[alive_inf], rj[alive_inf]
+                if len(ca_):
+                    out.append(
+                        _dd_rows(2, ids[ca_], ids[cb_],
+                                 x[ca_], y[ca_], x[cb_], y[cb_])
+                    )
+        fc = ci[flag[ci]]
+        if len(fc):
+            out.append(
+                _dd_rows(1, ids[fc], np.full(len(fc), -1, np.int64),
+                         x[fc], y[fc],
+                         np.zeros(len(fc)), np.zeros(len(fc)))
+            )
+        if not out:
+            return _DD_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+    import os
+    import time as _time
+
+    _dbg = bool(os.environ.get("LPR_DD_DEBUG"))
+    _t = _time.time()
+
+    def _mark(lbl: str) -> None:
+        nonlocal _t
+        if _dbg:
+            print(f"[dd] {lbl}: {_time.time() - _t:.1f}s", flush=True)
+            _t = _time.time()
+
+    # compute-heavy per-tile kernel: keep the parallel native groupby
+    # (the coalesced small path would serialize it) and materialize so
+    # the two downstream consumers don't re-execute the shuffle.
+    # map_groups emits one task per block — single-block inputs (e.g.
+    # from_arrow) would serialize every tile into one task, so spread
+    # the tile rows across ~4 blocks per CPU first.
+    nblk = max(16, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    res = tiled.repartition(nblk).groupby("tile").map_groups(
+        _tile, batch_format="pyarrow"
+    ).materialize()
+    _mark("tile pass")
+
+    edges_a = res.filter(expr="kind == 0").map_batches(
+        lambda t: E.edge_table(
+            t.column("focal").to_numpy(zero_copy_only=False),
+            t.column("neighbor").to_numpy(zero_copy_only=False),
+            1.0,
+        ),
+        batch_format="pyarrow",
+    )
+
+    n_flag = res.filter(expr="kind == 1").count()
+    if n_flag > max_escalated:
+        raise ValueError(
+            f"delaunay_distributed: {n_flag} uncertified points exceed "
+            f"max_escalated={max_escalated}; raise r0 (coarser "
+            "certification) for this density/clustering"
+        )
+    flags = res.filter(expr="kind == 1").take_all()
+    cands = res.filter(expr="kind == 2").take_all()
+    _mark(f"collect flags={len(flags)} cands={len(cands)}")
+
+    sid = np.array([r["focal"] for r in flags], dtype=np.int64)
+    sx = np.array([r["px"] for r in flags], dtype=np.float64)
+    sy = np.array([r["py"] for r in flags], dtype=np.float64)
+
+    # candidate pairs: flagged local stars (undecided) ∪ DT(S) longer
+    # than 2 r0 (shorter flagged-flagged pairs are always local stars)
+    ca = np.array([r["focal"] for r in cands], dtype=np.int64)
+    cb = np.array([r["neighbor"] for r in cands], dtype=np.int64)
+    cax = np.array([r["px"] for r in cands], dtype=np.float64)
+    cay = np.array([r["py"] for r in cands], dtype=np.float64)
+    cbx = np.array([r["qx"] for r in cands], dtype=np.float64)
+    cby = np.array([r["qy"] for r in cands], dtype=np.float64)
+    if len(sid) >= 2:
+        ds_pairs = _delaunay_edge_indices(sx, sy)
+        _mark(f"DT(S) pairs={len(ds_pairs)}")
+        if len(ds_pairs):
+            pi, pj = ds_pairs[:, 0], ds_pairs[:, 1]
+            d2 = (sx[pi] - sx[pj]) ** 2 + (sy[pi] - sy[pj]) ** 2
+            far = d2 > me * me  # short flagged pairs are kind-2 locals
+            pi, pj = pi[far], pj[far]
+            ca = np.concatenate([ca, sid[pi]])
+            cb = np.concatenate([cb, sid[pj]])
+            cax = np.concatenate([cax, sx[pi]])
+            cay = np.concatenate([cay, sy[pi]])
+            cbx = np.concatenate([cbx, sx[pj]])
+            cby = np.concatenate([cby, sy[pj]])
+
+    id_ds = pruned.select_columns([id_col]).rename_columns(
+        {id_col: "focal"}
+    )
+    if len(ca) == 0:
+        return RayGraph(E.resolve_isolates(edges_a, id_ds))
+
+    # dedup unordered pairs
+    lo_id = np.minimum(ca, cb)
+    hi_id = np.maximum(ca, cb)
+    swap = ca > cb
+    xi = np.where(swap, cbx, cax)
+    yi = np.where(swap, cby, cay)
+    xj = np.where(swap, cax, cbx)
+    yj = np.where(swap, cay, cby)
+    _, first = np.unique(
+        np.column_stack([lo_id, hi_id]), axis=0, return_index=True
+    )
+    idi, idj = lo_id[first], hi_id[first]
+    xi, yi, xj, yj = xi[first], yi[first], xj[first], yj[first]
+
+    # deterministic sampled pre-kill (dead-only, conclusive): blockers =
+    # the shared sample plus the flagged set itself
+    bkx = np.concatenate([smp_x, sx])
+    bky = np.concatenate([smp_y, sy])
+    bkid = np.concatenate([smp_id, sid])
+    _mark(f"sample={len(smp_x)} candpairs={len(idi)}")
+    alive0 = _interval_alive(
+        xi, yi, xj, yj, idi, idj, bkx, bky, bkid, np.inf
+    )
+    idi, idj = idi[alive0], idj[alive0]
+    xi, yi, xj, yj = xi[alive0], yi[alive0], xj[alive0], yj[alive0]
+    _mark(f"prekill survivors={len(idi)}")
+    if len(idi) == 0:
+        return RayGraph(E.resolve_isolates(edges_a, id_ds))
+
+    lo, hi, dead = _verify_pairs_global(
+        pruned, id_col, x_col, y_col, xi, yi, xj, yj, idi, idj
+    )
+    _mark("global verify")
+    d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+    t0 = np.sqrt(np.maximum(r0 * r0 - d2 / 4.0, 0.0))
+    in_band = d2 <= me * me
+    alive_any = ~dead & (lo <= hi)
+    alive_small = (
+        alive_any
+        & in_band
+        & (np.maximum(lo, -t0) <= np.minimum(hi, t0))
+    )
+    emit = alive_any & ~alive_small
+    ei, ej = idi[emit], idj[emit]
+    in_s_i = np.isin(ei, sid)
+    in_s_j = np.isin(ej, sid)
+    f_out = np.concatenate([ei[in_s_i], ej[in_s_j]])
+    n_out = np.concatenate([ej[in_s_i], ei[in_s_j]])
+    if len(f_out) == 0:
+        return RayGraph(E.resolve_isolates(edges_a, id_ds))
+    edges_b = ray.data.from_arrow(E.edge_table(f_out, n_out, 1.0))
+    return RayGraph(
+        E.resolve_isolates(edges_a.union(edges_b), id_ds)
+    )
+
+
+def _verify_pairs_global(
+    pruned: ray.data.Dataset,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    xi, yi, xj, yj, idi, idj,
+):
+    """Exact global constraint interval per candidate pair: one scan of
+    all points (pairs broadcast once via ray.put) emitting per-block
+    partial (max lower, min upper, any dead) rows, reduced by one tiny
+    grouped aggregate. Returns (lo, hi, dead) arrays in pair order."""
+    P = len(xi)
+    d = np.sqrt((xi - xj) ** 2 + (yi - yj) ** 2)
+    mx, my = (xi + xj) / 2.0, (yi + yj) / 2.0
+    ux, uy = (yj - yi) / d, (xi - xj) / d
+    ref = ray.put((xi, yi, idi, idj, mx, my, ux, uy))
+
+    def _part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"pidx": pa.array([], pa.int64()),
+                 "lo": pa.array([], pa.float64()),
+                 "hi": pa.array([], pa.float64()),
+                 "dead": pa.array([], pa.int8())}
+            )
+        pxi, pyi, pidi, pidj, pmx, pmy, pux, puy = ray.get(ref)
+        kx = t.column(x_col).to_numpy(zero_copy_only=False)
+        ky = t.column(y_col).to_numpy(zero_copy_only=False)
+        kid = t.column(id_col).to_numpy(zero_copy_only=False)
+        lo = np.full(P, -np.inf)
+        hi = np.full(P, np.inf)
+        dead = np.zeros(P, dtype=bool)
+        for s in range(0, P, _PCHUNK):
+            sl = slice(s, s + min(_PCHUNK, P - s))
+            dxk = pxi[sl, None] - kx[None, :]
+            dyk = pyi[sl, None] - ky[None, :]
+            a = 2.0 * (pux[sl, None] * dxk + puy[sl, None] * dyk)
+            b = (
+                pxi[sl, None] ** 2 + pyi[sl, None] ** 2
+                - kx[None, :] ** 2 - ky[None, :] ** 2
+                - 2.0 * (pmx[sl, None] * dxk + pmy[sl, None] * dyk)
+            )
+            selfm = (kid[None, :] == pidi[sl, None]) | (
+                kid[None, :] == pidj[sl, None]
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                q = b / a
+            lo[sl] = np.where((a > 0) & ~selfm, q, -np.inf).max(axis=1)
+            hi[sl] = np.where((a < 0) & ~selfm, q, np.inf).min(axis=1)
+            dead[sl] = ((a == 0) & (b > 0) & ~selfm).any(axis=1)
+        return pa.table(
+            {
+                "pidx": pa.array(np.arange(P, dtype=np.int64)),
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+                "dead": pa.array(dead.astype(np.int8)),
+            }
+        )
+
+    # bounded witness batches (a 2M-row block would otherwise build
+    # pair-chunk × block matrices in the tens of GB), spread over blocks
+    # so single-block inputs still parallelize
+    nblk = max(16, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    parts = pruned.repartition(nblk).map_batches(
+        _part, batch_format="pyarrow", batch_size=65536
+    )
+    red = J.grouped_agg(
+        parts, ("pidx",), ("lo", "hi", "dead"), ("max", "min", "max")
+    )
+    lo = np.full(P, -np.inf)
+    hi = np.full(P, np.inf)
+    dead = np.zeros(P, dtype=bool)
+    for r in red.take_all():
+        p = int(r["pidx"])
+        lo[p] = r["max(lo)"]
+        hi[p] = r["min(hi)"]
+        dead[p] = bool(r["max(dead)"])
+    return lo, hi, dead
 
 
 def _alpha_boundary(tris_real: np.ndarray, keep: np.ndarray) -> np.ndarray:

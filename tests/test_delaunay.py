@@ -411,3 +411,76 @@ def test_alpha_shape_polygons_auto_parity(ray_session):
             a, b = pid[i], pid[(i + 1) % len(pid)]
             ring_edges.add((min(a, b), max(a, b)))
     assert ring_edges == {(min(a, b), max(a, b)) for a, b in ed}
+
+
+def _rand_pts_ds(n, seed, span=100.0):
+    rng = np.random.default_rng(seed)
+    P = rng.uniform(0, span, (n, 2))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(n, dtype=np.int64)),
+                "x": pa.array(P[:, 0]),
+                "y": pa.array(P[:, 1]),
+            }
+        )
+    )
+
+
+def _edge_set(g):
+    return {
+        (int(r["focal"]), int(r["neighbor"]))
+        for r in g.edges.take_all()
+        if not (r["focal"] == r["neighbor"] and r["weight"] == 0.0)
+    }
+
+
+def test_delaunay_distributed_parity(ray_session):
+    """Certified-star tiled path == exact driver path, uniform points."""
+    from libpysal_ray.builders.delaunay import (
+        delaunay,
+        delaunay_distributed,
+    )
+
+    ds = _rand_pts_ds(4000, seed=7)
+    assert _edge_set(delaunay_distributed(ds)) == _edge_set(delaunay(ds))
+
+
+def test_delaunay_distributed_parity_clustered(ray_session):
+    """Density-adaptive r0: gaussian blobs + sparse background (voids
+    flag their boundary points; escalation resolves them exactly)."""
+    from libpysal_ray.builders.delaunay import (
+        delaunay,
+        delaunay_distributed,
+    )
+
+    rng = np.random.default_rng(9)
+    P = np.concatenate(
+        [
+            rng.normal([20, 20], 2.0, (800, 2)),
+            rng.normal([80, 30], 1.5, (800, 2)),
+            rng.uniform(0, 100, (150, 2)),
+        ]
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(len(P), dtype=np.int64)),
+                "x": pa.array(P[:, 0]),
+                "y": pa.array(P[:, 1]),
+            }
+        )
+    )
+    assert _edge_set(delaunay_distributed(ds)) == _edge_set(delaunay(ds))
+
+
+def test_delaunay_auto_routes_above_cap(ray_session):
+    """delaunay() above max_points no longer raises — it routes to the
+    distributed path and produces the identical edge set (VERDICT r3 #2:
+    the 2M driver cap is lifted; exercised here with a lowered cap)."""
+    from libpysal_ray.builders.delaunay import delaunay
+
+    ds = _rand_pts_ds(3000, seed=3)
+    exact = _edge_set(delaunay(ds))
+    routed = _edge_set(delaunay(ds, max_points=1000))
+    assert routed == exact
