@@ -8,6 +8,8 @@ graph/_triangulation.py:126-199 (_delaunay), 345-428 (_voronoi),
 weights/tests/test_contiguity.py:205-217 (golden fixture points).
 """
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -484,3 +486,21 @@ def test_delaunay_auto_routes_above_cap(ray_session):
     exact = _edge_set(delaunay(ds))
     routed = _edge_set(delaunay(ds, max_points=1000))
     assert routed == exact
+
+
+@pytest.mark.skipif(
+    os.environ.get("LPR_BIG") != "1",
+    reason="2.05M-point distributed triangulation needs ~10-15 min at the "
+    "suite's 4 CPUs; run on demand with LPR_BIG=1 (a 32-CPU run is "
+    "recorded in BASELINE.md)",
+)
+def test_delaunay_distributed_above_2m(ray_session):
+    """>2M points triangulate WITHOUT the former ValueError cap; edge
+    count must satisfy the planar bounds of a valid Delaunay graph."""
+    from libpysal_ray.builders.delaunay import delaunay
+
+    n = 2_050_000
+    ds = _rand_pts_ds(n, seed=42, span=1000.0)
+    g = delaunay(ds)  # auto-routes to the distributed path
+    cnt = g.edges.count()
+    assert 4 * n < cnt < 2 * (3 * n - 6)
