@@ -503,3 +503,115 @@ def assign_to_centroids(
     return embeddings.select_columns([id_col, vec_col]).map_batches(
         _assign, batch_format="pyarrow"
     )
+
+
+def semdedup(
+    embeddings: ray.data.Dataset,
+    centroid_ids,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int = 200_000,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 semantics): assign
+    every vector to its most-cosine-similar centroid, then WITHIN each
+    cluster drop every vector that has a lower-id cluster-mate with
+    cosine similarity ≥ threshold (survivor = lowest id per semantic
+    duplicate group, transitively within the cluster partition).
+    Returns (vec_id, centroid_id, keep) — integers/bool only, so it
+    hash-compares exactly.
+
+    Physical plan: the centroid matrix broadcasts once (ray.put) and
+    assignment is a stateless matmul+argmax per batch (ties → lowest
+    centroid id, matching assign_to_centroids); ONE grouped_by_key
+    shuffle on centroid_id co-locates each cluster; per cluster a
+    blocked lower-triangular matmul marks duplicates. The per-cluster
+    comparison is quadratic BY THE ALGORITHM'S DEFINITION — cluster
+    size is governed by the centroid count, guarded loudly at
+    ``max_cluster_rows`` (pick more centroids rather than letting one
+    cluster swallow the corpus)."""
+    cid, cm = _collect_queries(embeddings, centroid_ids, id_col, vec_col)
+    cn = _norm_rows(cm)
+    ref = ray.put((cid, cn))
+    th = float(threshold)
+
+    def _assign_keep_vec(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "centroid_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    vec_col: pa.array([], t.schema.field(vec_col).type),
+                }
+            )
+        cids, cmat = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = _norm_rows(
+            np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        )
+        best = cids[np.argmax(m @ cmat.T, axis=1)]
+        return pa.table(
+            {
+                "centroid_id": pa.array(best.astype(np.int64)),
+                "vec_id": pa.array(ids),
+                vec_col: t.column(vec_col),
+            }
+        )
+
+    tagged = embeddings.select_columns([id_col, vec_col]).map_batches(
+        _assign_keep_vec, batch_format="pyarrow"
+    )
+
+    def _cluster_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "centroid_id": pa.array([], pa.int64()),
+                    "keep": pa.array([], pa.bool_()),
+                }
+            )
+        cc = t.column("centroid_id").to_numpy(zero_copy_only=False)
+        vv = t.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, cc))
+        cc, vv = cc[order], vv[order]
+        V = _norm_rows(
+            np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        )[order]
+        dup = np.zeros(len(vv), dtype=bool)
+        starts = np.flatnonzero(
+            np.concatenate([[True], cc[1:] != cc[:-1]])
+        )
+        ends = np.append(starts[1:], len(cc))
+        for s, e in zip(starts, ends):
+            c = e - s
+            if c > max_cluster_rows:
+                raise ValueError(
+                    f"semdedup: cluster {int(cc[s])} holds {c} vectors "
+                    f"(> max_cluster_rows={max_cluster_rows}); use more "
+                    "centroids"
+                )
+            G = V[s:e]
+            # blocked lower-triangular pass: row i duplicates iff some
+            # j < i (lower vec_id — rows are id-sorted) has sim >= th
+            for b0 in range(1, c, 512):
+                b1 = min(b0 + 512, c)
+                sims = G[b0:b1] @ G[:b1].T
+                jj = np.arange(b1)[None, :]
+                ii = np.arange(b0, b1)[:, None]
+                dup[s + b0: s + b1] |= (
+                    (sims >= th) & (jj < ii)
+                ).any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(vv),
+                "centroid_id": pa.array(cc),
+                "keep": pa.array(~dup),
+            }
+        )
+
+    from libpysal_ray.core.joins import grouped_by_key
+
+    return grouped_by_key(tagged, ["centroid_id"], _cluster_kernel)

@@ -3039,3 +3039,50 @@ pairs AS (
 )
 SELECT left_id, right_id, area FROM pairs WHERE area > 0.0
 """
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup: nearest-of-8-centroids partition, then
+    within each cluster drop every vector with a lower-id cluster-mate
+    at cosine >= 0.4 (arXiv:2303.09540 semantics). Broadcast-matmul
+    assignment + ONE cluster shuffle + blocked lower-triangular matmul."""
+    from libpysal_ray.ann.knn import semdedup
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(emb, range(8), threshold=0.4)
+
+
+QUERIES["semdedup"] = q_semdedup
+
+ORACLE_SQL["semdedup"] = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
+),
+s AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(c.cemb AS DOUBLE[])) AS sim
+  FROM embeddings e, c
+),
+r AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cid) AS rn
+  FROM s
+),
+a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT x.vec_id
+  FROM a x
+  JOIN a y ON x.cid = y.cid AND y.vec_id < x.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                               CAST(ey.embedding AS DOUBLE[])) >= 0.4
+)
+SELECT a.vec_id, a.cid AS centroid_id,
+       (d.vec_id IS NULL) AS keep
+FROM a LEFT JOIN dup d ON d.vec_id = a.vec_id
+"""

@@ -7,6 +7,8 @@ mirrors rely on, and that the embedded constants equal the operators'.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
+import ray.data
 
 from libpysal_ray.pipelines import oracle_ann as oa
 
@@ -82,3 +84,38 @@ def test_assign_to_centroids_bruteforce(ray_session):
     sims = mn @ mn[:6].T
     want = np.argmax(sims, axis=1)
     assert (out["centroid_id"].to_numpy() == want).all()
+
+
+def test_semdedup_bruteforce(ray_session):
+    """semdedup == the direct per-cluster definition on random vectors:
+    assign to nearest centroid, drop any vector with a lower-id
+    cluster-mate at cosine >= threshold."""
+    from libpysal_ray.ann.knn import semdedup
+
+    rng = np.random.default_rng(5)
+    n, d, th = 300, 8, 0.9
+    base = rng.normal(0, 1, (40, d))
+    V = base[rng.integers(0, 40, n)] + rng.normal(0, 0.05, (n, d))
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in V],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+    )
+    got = {
+        int(r["vec_id"]): (int(r["centroid_id"]), bool(r["keep"]))
+        for r in semdedup(emb, range(6), threshold=th).take_all()
+    }
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn[:6]
+    assign = np.argmax(Vn @ C.T, axis=1)
+    for i in range(n):
+        cmates = [j for j in range(i) if assign[j] == assign[i]]
+        dup = any(float(Vn[i] @ Vn[j]) >= th for j in cmates)
+        assert got[i] == (int(assign[i]), not dup), i
+    assert len(got) == n
