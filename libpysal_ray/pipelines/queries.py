@@ -3086,3 +3086,23 @@ SELECT a.vec_id, a.cid AS centroid_id,
        (d.vec_id IS NULL) AS keep
 FROM a LEFT JOIN dup d ON d.vec_id = a.vec_id
 """
+
+
+def q_curate_top(sf_dir: str):
+    """Corpus curation: keep exactly ceil(0.3·n) docs with the highest
+    n_chars, boundary ties to lowest doc_id — exact global order
+    statistic from the distinct-score histogram, no global sort."""
+    from libpysal_ray.text.analysis import select_top_fraction
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    return select_top_fraction(docs, "n_chars", 0.3)
+
+
+QUERIES["curate_top"] = q_curate_top
+
+# both sides compute ceil(0.3·n) in IEEE doubles → identical k
+ORACLE_SQL["curate_top"] = """
+SELECT doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        <= CAST(CEIL(0.3 * (SELECT COUNT(*) FROM documents)) AS BIGINT)
+"""

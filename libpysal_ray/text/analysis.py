@@ -445,3 +445,98 @@ def inverted_index_digest(
     if min_df > 1:
         agg = agg.filter(expr=f"df >= {min_df}")
     return agg
+
+
+def select_top_fraction(
+    ds: ray.data.Dataset,
+    score_col: str,
+    frac: float,
+    id_col: str = "doc_id",
+    max_boundary_ids: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Corpus curation: keep EXACTLY ceil(frac·n) rows — the highest
+    integer scores, ties at the boundary score broken by LOWEST id
+    (deterministic at any cluster size / block layout).
+
+    Physical plan (no global sort): the distinct-score histogram (per-
+    batch value_counts combiner → one small groupby) gives the boundary
+    score s* and how many boundary rows survive; a second pruned scan
+    collects ONLY the ids AT s* (guarded by ``max_boundary_ids``), the
+    k' smallest are broadcast as the boundary id cutoff, and one filter
+    pass keeps score > s* or (score == s* and id ≤ cutoff). Driver
+    memory is bounded by distinct-score cardinality + boundary tie
+    count, never corpus size."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vc = t.column(score_col).combine_chunks().value_counts()
+        return pa.table(
+            {
+                "v": pc.cast(vc.field("values"), pa.int64()),
+                "c": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.select_columns([score_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("c")
+        .rename_columns({"sum(c)": "c"})
+        .sort("v", descending=True)
+        .take_all()
+    )
+    n = int(sum(r["c"] for r in rows))
+    if n == 0:
+        return ds
+    k = max(1, int(np.ceil(frac * n)))
+    cum = 0
+    s_star, keep_at_star = None, 0
+    for r in rows:
+        if cum + r["c"] >= k:
+            s_star = int(r["v"])
+            keep_at_star = k - cum
+            break
+        cum += int(r["c"])
+    if s_star is None:  # frac == 1.0 exactly
+        return ds
+
+    def _at_star(t: pa.Table) -> pa.Table:
+        v = t.column(score_col).to_numpy(zero_copy_only=False)
+        m = v == s_star
+        return pa.table(
+            {"i": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False)[m]
+                .astype(np.int64)
+            )}
+        )
+
+    star_ids = np.sort(
+        np.array(
+            [
+                r["i"]
+                for r in ds.select_columns([id_col, score_col])
+                .map_batches(_at_star, batch_format="pyarrow")
+                .take_all()
+            ],
+            dtype=np.int64,
+        )
+    )
+    if len(star_ids) > max_boundary_ids:
+        raise ValueError(
+            f"select_top_fraction: {len(star_ids)} rows tie at the "
+            f"boundary score {s_star} (> max_boundary_ids="
+            f"{max_boundary_ids}); use a higher-resolution score"
+        )
+    id_cut = int(star_ids[keep_at_star - 1]) if keep_at_star > 0 else None
+
+    def _filter(t: pa.Table) -> pa.Table:
+        v = t.column(score_col).to_numpy(zero_copy_only=False)
+        keep = v > s_star
+        if id_cut is not None:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            keep = keep | ((v == s_star) & (ids <= id_cut))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

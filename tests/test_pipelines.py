@@ -156,3 +156,27 @@ def test_cross_containment_closed_form(ray_session):
     r = out.iloc[0]
     assert (r["test_id"], r["train_id"], r["n_shared"], r["n_test"]) == \
         (0, 10, 1, 2)
+
+
+def test_select_top_fraction_exact(ray_session):
+    """Exactly ceil(frac*n) rows survive; they are the rank-(score desc,
+    id asc) prefix, including boundary-tie splitting."""
+    from libpysal_ray.text.analysis import select_top_fraction
+
+    rng = np.random.default_rng(2)
+    n = 1000
+    scores = rng.integers(0, 50, n)  # heavy ties
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "s": pa.array(scores.astype(np.int64)),
+            }
+        )
+    )
+    for frac in (0.1, 0.33, 0.5, 1.0):
+        got = {int(r["doc_id"]) for r in
+               select_top_fraction(ds, "s", frac).take_all()}
+        k = max(1, int(np.ceil(frac * n)))
+        order = sorted(range(n), key=lambda i: (-scores[i], i))
+        assert got == set(order[:k]), frac
