@@ -240,8 +240,27 @@ def voronoi(
     circumcenters of its two flanking triangles (a ray from the single
     flanking circumcenter for hull edges); clipping is Liang-Barsky
     against the bbox — no polygon construction needed.
+
+    Above ``max_points``, ``clip='bounding_box'`` routes to
+    ``voronoi_distributed`` (exact, no driver cap); the other clip modes
+    need a global structure (kept-triangle union / hull polygon) and
+    stay driver-side by declared design.
     """
-    ids, x, y = _collect_points(points, id_col, x_col, y_col, max_points)
+    try:
+        ids, x, y = _collect_points(points, id_col, x_col, y_col,
+                                    max_points)
+    except ValueError as e:
+        if "max_points" not in str(e):
+            raise
+        if clip == "bounding_box":
+            return voronoi_distributed(
+                points, id_col=id_col, x_col=x_col, y_col=y_col
+            )
+        raise ValueError(
+            f"voronoi(clip={clip!r}) above max_points={max_points} is "
+            "driver-side only; clip='bounding_box' routes to "
+            "voronoi_distributed at any scale"
+        ) from e
     n = len(ids)
     if clip is None:
         ed = _delaunay_edge_indices(x, y)
@@ -786,6 +805,57 @@ def delaunay_distributed(
     clustered data at a bad r0 trips the max_escalated guard loudly;
     raise r0 (coarser certification) rather than silently degrading.
     """
+    edges_xy, id_ds, _bbox = _delaunay_distributed_xy(
+        points, id_col, x_col, y_col, r0, max_escalated, prekill_blockers
+    )
+    edges = edges_xy.map_batches(_xy_strip, batch_format="pyarrow")
+    return RayGraph(E.resolve_isolates(edges, id_ds))
+
+
+_XY_SCHEMA = pa.schema(
+    [
+        ("focal", pa.int64()),
+        ("neighbor", pa.int64()),
+        ("fx", pa.float64()),
+        ("fy", pa.float64()),
+        ("nx", pa.float64()),
+        ("ny", pa.float64()),
+    ]
+)
+
+
+def _xy_strip(t: pa.Table) -> pa.Table:
+    """Project an xy-edge table down to the standard edge schema."""
+    return E.edge_table(
+        t.column("focal").to_numpy(zero_copy_only=False),
+        t.column("neighbor").to_numpy(zero_copy_only=False),
+        1.0,
+    )
+
+
+def _xy_select(t: pa.Table) -> pa.Table:
+    """kind-0 tile rows → xy-edge rows (coords already carried)."""
+    return t.select(
+        ["focal", "neighbor", "px", "py", "qx", "qy"]
+    ).rename_columns(["focal", "neighbor", "fx", "fy", "nx", "ny"])
+
+
+def _delaunay_distributed_xy(
+    points: ray.data.Dataset,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    r0: float | None,
+    max_escalated: int,
+    prekill_blockers: int,
+):
+    """Directed exact Delaunay edges WITH endpoint coordinates —
+    columns (focal, neighbor, fx, fy, nx, ny) — plus the focal-id
+    dataset and the global bbox (x0, x1, y0, y1). Both directions of
+    every undirected edge are present (a ≤2·r0 pair's alive decision is
+    identical from either endpoint's tile; escalated edges have both
+    endpoints flagged and are emitted both ways). Internal engine shared
+    by ``delaunay_distributed`` and ``voronoi_distributed``."""
     pruned = points.select_columns([id_col, x_col, y_col])
 
     def _stats(t: pa.Table) -> pa.Table:
@@ -810,11 +880,12 @@ def delaunay_distributed(
         n_tot += r["n"]
         bx0, bx1 = min(bx0, r["x0"]), max(bx1, r["x1"])
         by0, by1 = min(by0, r["y0"]), max(by1, r["y1"])
+    bbox = (bx0, bx1, by0, by1)
     if n_tot < 2:
         id_ds = pruned.select_columns([id_col]).rename_columns(
             {id_col: "focal"}
         )
-        return RayGraph(E.resolve_isolates(E.empty_edges(), id_ds))
+        return ray.data.from_arrow(_XY_SCHEMA.empty_table()), id_ds, bbox
 
     # deterministic sample: used for the r0 density estimate AND later as
     # the candidate pre-kill blocker set (one pruned scan, shared)
@@ -920,10 +991,10 @@ def delaunay_distributed(
         ri = np.concatenate(rf_acc) if rf_acc else np.empty(0, np.int64)
         rj = np.concatenate(rn_acc) if rn_acc else np.empty(0, np.int64)
         if len(gi):
+            # kind-0 rows carry both endpoints' coordinates so downstream
+            # consumers (voronoi_distributed's star pass) need no join
             out.append(
-                _dd_rows(0, ids[gi], ids[gj],
-                         np.zeros(len(gi)), np.zeros(len(gi)),
-                         np.zeros(len(gi)), np.zeros(len(gi)))
+                _dd_rows(0, ids[gi], ids[gj], x[gi], y[gi], x[gj], y[gj])
             )
         # fan-closure certification: core i is certified iff its alive
         # partners, sorted by angle, form consecutive triangles that (a)
@@ -1029,12 +1100,7 @@ def delaunay_distributed(
     _mark("tile pass")
 
     edges_a = res.filter(expr="kind == 0").map_batches(
-        lambda t: E.edge_table(
-            t.column("focal").to_numpy(zero_copy_only=False),
-            t.column("neighbor").to_numpy(zero_copy_only=False),
-            1.0,
-        ),
-        batch_format="pyarrow",
+        _xy_select, batch_format="pyarrow"
     )
 
     n_flag = res.filter(expr="kind == 1").count()
@@ -1079,7 +1145,7 @@ def delaunay_distributed(
         {id_col: "focal"}
     )
     if len(ca) == 0:
-        return RayGraph(E.resolve_isolates(edges_a, id_ds))
+        return edges_a, id_ds, bbox
 
     # dedup unordered pairs
     lo_id = np.minimum(ca, cb)
@@ -1108,7 +1174,7 @@ def delaunay_distributed(
     xi, yi, xj, yj = xi[alive0], yi[alive0], xj[alive0], yj[alive0]
     _mark(f"prekill survivors={len(idi)}")
     if len(idi) == 0:
-        return RayGraph(E.resolve_isolates(edges_a, id_ds))
+        return edges_a, id_ds, bbox
 
     lo, hi, dead = _verify_pairs_global(
         pruned, id_col, x_col, y_col, xi, yi, xj, yj, idi, idj
@@ -1125,16 +1191,147 @@ def delaunay_distributed(
     )
     emit = alive_any & ~alive_small
     ei, ej = idi[emit], idj[emit]
+    exi, eyi = xi[emit], yi[emit]
+    exj, eyj = xj[emit], yj[emit]
     in_s_i = np.isin(ei, sid)
     in_s_j = np.isin(ej, sid)
     f_out = np.concatenate([ei[in_s_i], ej[in_s_j]])
     n_out = np.concatenate([ej[in_s_i], ei[in_s_j]])
     if len(f_out) == 0:
-        return RayGraph(E.resolve_isolates(edges_a, id_ds))
-    edges_b = ray.data.from_arrow(E.edge_table(f_out, n_out, 1.0))
-    return RayGraph(
-        E.resolve_isolates(edges_a.union(edges_b), id_ds)
+        return edges_a, id_ds, bbox
+    edges_b = ray.data.from_arrow(
+        pa.table(
+            {
+                "focal": pa.array(f_out),
+                "neighbor": pa.array(n_out),
+                "fx": pa.array(np.concatenate([exi[in_s_i], exj[in_s_j]])),
+                "fy": pa.array(np.concatenate([eyi[in_s_i], eyj[in_s_j]])),
+                "nx": pa.array(np.concatenate([exj[in_s_i], exi[in_s_j]])),
+                "ny": pa.array(np.concatenate([eyj[in_s_i], eyi[in_s_j]])),
+            },
+            schema=_XY_SCHEMA,
+        )
     )
+    return edges_a.union(edges_b), id_ds, bbox
+
+
+def _cc_xy(ax, ay, bx, by, cx, cy):
+    """Circumcenter per triangle from coordinate arrays (vectorized)."""
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    d = np.where(d == 0.0, 1e-300, d)
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+    uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    return ux, uy
+
+
+def voronoi_distributed(
+    points: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    r0: float | None = None,
+    max_escalated: int = 2_000_000,
+    prekill_blockers: int = 20_000,
+) -> RayGraph:
+    """Rook contiguity of bbox-clipped Voronoi cells with NO driver-size
+    cap — the distributed counterpart of ``voronoi(clip='bounding_box')``
+    (reference semantics graph/_triangulation.py:345-428, cg/voronoi.py;
+    the reference itself is in-memory scipy).
+
+    Physical plan: ``_delaunay_distributed_xy`` (one tile shuffle plus
+    the escalation verify) yields every directed exact Delaunay edge
+    with both endpoint coordinates; ONE further hash shuffle groups
+    edges by focal. A focal's group is its complete global Delaunay
+    star, so the ≤2 flanking triangles of each incident edge are formed
+    with its consecutive angular neighbors — a consecutive pair is a
+    triangle iff its angular gap is < π (the single ≥ π gap is the hull
+    opening). In bisector coordinates t (origin at the edge midpoint,
+    direction u ⟂ ij — the interval-verify convention), the dual
+    Voronoi edge of (i, j) is [lo, hi] with lo/hi the flanking
+    circumcenter parameters; a hull edge is a ray, unbounded on the
+    side away from its single third vertex by the a = 2·u·(i−k) sign
+    rule. The edge is kept iff that interval overlaps the global-bbox
+    parameter window with positive length — the driver path's
+    Liang-Barsky decision in interval form. Both directions of an edge
+    compute mirrored intervals, so the decision is symmetric and each
+    direction emits itself; no dedup pass is needed.
+    """
+    edges_xy, id_ds, bbox = _delaunay_distributed_xy(
+        points, id_col, x_col, y_col, r0, max_escalated, prekill_blockers
+    )
+    minx, maxx, miny, maxy = bbox
+
+    def _star(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return E.empty_edges()
+        f = t.column("focal").to_numpy(zero_copy_only=False)
+        nb = t.column("neighbor").to_numpy(zero_copy_only=False)
+        fx = t.column("fx").to_numpy(zero_copy_only=False)
+        fy = t.column("fy").to_numpy(zero_copy_only=False)
+        nx = t.column("nx").to_numpy(zero_copy_only=False)
+        ny = t.column("ny").to_numpy(zero_copy_only=False)
+        theta = np.arctan2(ny - fy, nx - fx)
+        order = np.lexsort((theta, f))
+        f, nb, fx, fy, nx, ny, theta = (
+            a[order] for a in (f, nb, fx, fy, nx, ny, theta)
+        )
+        m = len(f)
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = f[1:] != f[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], m)
+        idx = np.arange(m)
+        nxt = idx + 1
+        nxt[ends - 1] = starts
+        prv = np.empty(m, dtype=np.int64)
+        prv[nxt] = idx
+        gap = theta[nxt] - theta
+        gap[gap <= 0] += 2.0 * np.pi  # degree-1 focal: 0 → 2π → no tri
+        has_tri = gap < np.pi
+        # circumcenter of (i, n_k, n_{k+1}) — flanks edges k and nxt[k]
+        ccx, ccy = _cc_xy(fx, fy, nx, ny, nx[nxt], ny[nxt])
+        d = np.hypot(nx - fx, ny - fy)
+        mx = (fx + nx) / 2.0
+        my = (fy + ny) / 2.0
+        pux = (ny - fy) / d
+        puy = (fx - nx) / d
+        lo = np.full(m, -np.inf)
+        hi = np.full(m, np.inf)
+        for tri_idx, tx, ty in (
+            (idx, nx[nxt], ny[nxt]),  # triangle with the NEXT neighbor
+            (prv, nx[prv], ny[prv]),  # triangle with the PREV neighbor
+        ):
+            ok = has_tri[tri_idx]
+            tcc = (ccx[tri_idx] - mx) * pux + (ccy[tri_idx] - my) * puy
+            a = (fx - tx) * pux + (fy - ty) * puy
+            lo = np.where(ok & (a > 0), np.maximum(lo, tcc), lo)
+            hi = np.where(ok & (a < 0), np.minimum(hi, tcc), hi)
+        # global-bbox parameter window (the voronoi oracle's arithmetic)
+        tb0 = np.full(m, -np.inf)
+        tb1 = np.full(m, np.inf)
+        okv = np.ones(m, dtype=bool)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for pu, c0, c1 in (
+                (pux, minx - mx, maxx - mx),
+                (puy, miny - my, maxy - my),
+            ):
+                para = pu == 0
+                okv &= ~(para & ((c0 > 0) | (c1 < 0)))
+                q0 = c0 / pu
+                q1 = c1 / pu
+                lo_b = np.where(pu > 0, q0, q1)
+                hi_b = np.where(pu > 0, q1, q0)
+                tb0 = np.where(~para, np.maximum(tb0, lo_b), tb0)
+                tb1 = np.where(~para, np.minimum(tb1, hi_b), tb1)
+        keep = okv & (np.maximum(lo, tb0) < np.minimum(hi, tb1))
+        return E.edge_table(f[keep], nb[keep], 1.0)
+
+    kept = J.grouped_by_key(edges_xy, ["focal"], _star)
+    return RayGraph(E.resolve_isolates(kept, id_ds))
 
 
 def _verify_pairs_global(

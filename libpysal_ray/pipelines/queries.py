@@ -746,6 +746,27 @@ def q_voronoi(sf_dir: str):
     return _real(voronoi(_points_jittered(sf_dir), id_col="doc_id"))
 
 
+def q_delaunay_dist(sf_dir: str):
+    """Same graph as `delaunay` but FORCING the certified-star tiled
+    path (delaunay_distributed) at oracle scale, so the scale path —
+    not just the driver default below max_points — is oracle-checked."""
+    from libpysal_ray.builders.delaunay import delaunay_distributed
+
+    return _real(
+        delaunay_distributed(_points_jittered(sf_dir), id_col="doc_id")
+    )
+
+
+def q_voronoi_dist(sf_dir: str):
+    """Same graph as `voronoi` but forcing the distributed per-focal
+    star pass (voronoi_distributed) at oracle scale."""
+    from libpysal_ray.builders.delaunay import voronoi_distributed
+
+    return _real(
+        voronoi_distributed(_points_jittered(sf_dir), id_col="doc_id")
+    )
+
+
 def q_rng(sf_dir: str):
     from libpysal_ray.builders.triangulation import relative_neighborhood
 
@@ -1028,7 +1049,9 @@ QUERIES = {
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "delaunay": q_delaunay,
     "delaunay_r": q_delaunay_r,
+    "delaunay_dist": q_delaunay_dist,
     "voronoi": q_voronoi,
+    "voronoi_dist": q_voronoi_dist,
     "spatial_lag_ds": q_spatial_lag_ds,
     "knn4_str": q_knn4_str,
     "rook_str": q_rook_str,
@@ -1578,6 +1601,10 @@ SELECT i AS focal, j AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
 UNION ALL
 SELECT j AS focal, i AS neighbor, CAST(1.0 AS DOUBLE) AS weight FROM und
 """
+
+# the distributed paths compute the SAME graphs — one oracle each
+ORACLE_SQL["delaunay_dist"] = ORACLE_SQL["delaunay"]
+ORACLE_SQL["voronoi_dist"] = ORACLE_SQL["voronoi"]
 
 _XYZ_SQL = """
 ll AS (

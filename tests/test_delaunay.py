@@ -504,3 +504,56 @@ def test_delaunay_distributed_above_2m(ray_session):
     g = delaunay(ds)  # auto-routes to the distributed path
     cnt = g.edges.count()
     assert 4 * n < cnt < 2 * (3 * n - 6)
+
+
+def test_voronoi_distributed_parity(ray_session):
+    """Distributed bbox-clipped Voronoi contiguity == driver path: the
+    per-focal star pass reconstructs each dual edge's flanking
+    circumcenters and applies the same bbox interval test."""
+    from libpysal_ray.builders.delaunay import voronoi, voronoi_distributed
+
+    ds = _rand_pts_ds(3000, seed=11)
+    assert _edge_set(voronoi_distributed(ds)) == _edge_set(
+        voronoi(ds, clip="bounding_box")
+    )
+
+
+def test_voronoi_distributed_parity_clustered(ray_session):
+    """Clustered blobs + sparse background: hull rays and long skinny
+    triangles stress the flanking-interval sign rules."""
+    from libpysal_ray.builders.delaunay import voronoi, voronoi_distributed
+
+    rng = np.random.default_rng(13)
+    P = np.concatenate(
+        [
+            rng.normal([25, 70], 2.0, (700, 2)),
+            rng.normal([75, 25], 1.2, (700, 2)),
+            rng.uniform(0, 100, (120, 2)),
+        ]
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(len(P), dtype=np.int64)),
+                "x": pa.array(P[:, 0]),
+                "y": pa.array(P[:, 1]),
+            }
+        )
+    )
+    assert _edge_set(voronoi_distributed(ds)) == _edge_set(
+        voronoi(ds, clip="bounding_box")
+    )
+
+
+def test_voronoi_auto_routes_above_cap(ray_session):
+    """voronoi(clip='bounding_box') above max_points routes to the
+    distributed path; other clip modes raise loudly (declared
+    driver-side design)."""
+    from libpysal_ray.builders.delaunay import voronoi
+
+    ds = _rand_pts_ds(2500, seed=17)
+    exact = _edge_set(voronoi(ds, clip="bounding_box"))
+    routed = _edge_set(voronoi(ds, clip="bounding_box", max_points=800))
+    assert routed == exact
+    with pytest.raises(ValueError, match="driver-side"):
+        voronoi(ds, clip="convex_hull", max_points=800)
