@@ -3133,3 +3133,124 @@ SELECT doc_id, n_chars FROM documents
 QUALIFY row_number() OVER (ORDER BY n_chars DESC, doc_id)
         <= CAST(CEIL(0.3 * (SELECT COUNT(*) FROM documents)) AS BIGINT)
 """
+
+
+# ------------------------------------------- token-window operators (r4)
+def q_chunks(sf_dir: str):
+    """RAG/context chunking: 32-token windows every 24 tokens, chunk text
+    gathered as one byte-range slice of the original string (tokens are
+    single-space separated) — purely batch-local, zero shuffles."""
+    from libpysal_ray.text.ngrams import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                           window=32, stride=24)
+
+
+QUERIES["chunks"] = q_chunks
+
+# chunk c covers 1-based tokens [c·S+1, min(c·S+W, n)]; chunks start
+# while c·S < n  →  c in [0, ceil(n/S))
+ORACLE_SQL["chunks"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n FROM documents),
+ i AS (SELECT doc_id, toks, n,
+              unnest(range(0, CAST(CEIL(n / 24.0) AS BIGINT))) AS ci
+       FROM t)
+SELECT doc_id, ci AS chunk_id,
+       least(ci*24 + 32, n) - ci*24 AS n_tokens,
+       array_to_string(toks[ci*24 + 1 : least(ci*24 + 32, n)],
+                       ' ') AS chunk_text
+FROM i
+"""
+
+
+def q_bigram_top(sf_dir: str):
+    """Top-25 corpus word bigrams: per-batch value_counts combiner over
+    byte-gathered bigram spans, ONE groupby(bigram) shuffle."""
+    from libpysal_ray.text.ngrams import bigram_counts
+
+    bc = bigram_counts(_docs(sf_dir, ["text"]))
+    return bc.sort(["n", "bigram"], descending=[True, False]).limit(25)
+
+
+QUERIES["bigram_top"] = q_bigram_top
+
+ORACLE_SQL["bigram_top"] = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+ i AS (SELECT toks, unnest(range(1, len(toks))) AS p FROM t)
+SELECT toks[p] || ' ' || toks[p+1] AS bigram, COUNT(*) AS n
+FROM i GROUP BY 1 ORDER BY n DESC, bigram LIMIT 25
+"""
+
+
+def q_word_graph(sf_dir: str):
+    """Windowed co-occurrence graph (term_a precedes term_b within 3
+    positions): a distance-band spatial weights matrix whose space is
+    token position — dictionary-code pair combiner per batch, ONE
+    groupby(term_a, term_b) shuffle bounded by vocab²."""
+    from libpysal_ray.text.ngrams import cooccurrence_graph
+
+    return cooccurrence_graph(_docs(sf_dir, ["text"]), window=3)
+
+
+QUERIES["word_graph"] = q_word_graph
+
+ORACLE_SQL["word_graph"] = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+ i AS (SELECT toks, unnest(range(1, len(toks)+1)) AS p FROM t),
+ j AS (SELECT toks, p,
+              unnest(range(p+1, least(p+3, len(toks))+1)) AS q FROM i)
+SELECT toks[p] AS term_a, toks[q] AS term_b, COUNT(*) AS n
+FROM j GROUP BY 1, 2
+"""
+
+
+def q_tfidf_top(sf_dir: str):
+    """Per-document distinctive terms: top-3 by (tf desc, df asc, term) —
+    df is one vocab-bounded aggregate broadcast via ray.put; the per-doc
+    ranking never shuffles documents. String tie-break is exact via the
+    lexicographically-sorted broadcast vocab index."""
+    from libpysal_ray.text.ngrams import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]),
+                           k=3, max_vocab=1024)
+
+
+QUERIES["tfidf_top"] = q_tfidf_top
+
+ORACLE_SQL["tfidf_top"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term
+  QUALIFY row_number() OVER (ORDER BY df DESC, term) <= 1024
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+)
+SELECT tf.doc_id, tf.term, tf.tf, df.df
+FROM tf JOIN df USING (term)
+QUALIFY row_number() OVER (PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term)
+        <= 3
+"""
+
+
+def q_kmeans_train(sf_dir: str):
+    """Distributed Lloyd's k-means (k=8, 5 iterations, deterministic
+    init): one mergeable k×(d+2) combiner pass per iteration, centroids
+    re-broadcast via ray.put. Iterative float averaging is not
+    SQL-reproducible → no oracle (rows-only gate); numpy-reference
+    parity is pinned in tests/test_kmeans.py."""
+    from libpysal_ray.ann.kmeans import kmeans_train
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_train(emb, k=8, n_iter=5)
+
+
+QUERIES["kmeans_train"] = q_kmeans_train

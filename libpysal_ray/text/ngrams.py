@@ -1,0 +1,314 @@
+"""Token-window operators: chunking, n-gram counting, co-occurrence.
+
+The operators a training-data pipeline runs right before tokenization:
+split documents into fixed token windows (context packing / RAG
+chunking), count word n-grams, and build the windowed co-occurrence
+graph (the GloVe / PMI input — literally a spatial weights matrix whose
+"space" is token position; cf. libpysal's W over planar neighbours,
+reference graph/base.py adjacency table semantics).
+
+100 TB shape shared by all three: one ``map_batches`` pass does an
+Arrow whitespace split, then every per-batch kernel works on the FLAT
+token buffer with numpy segment arithmetic — zero Python per row or
+per token. Chunk / n-gram TEXT is never re-joined token by token:
+because tokens are single-space separated, any token window is a
+contiguous byte range of the original string, so output strings are
+one vectorized multi-range gather from the raw Arrow data buffer.
+Counting operators emit per-batch (key, partial-count) combiners so
+the ONE shuffle moves batch-distinct keys, not corpus tokens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from libpysal_ray.core.hashing import _string_array_parts
+
+__all__ = [
+    "chunk_documents",
+    "bigram_counts",
+    "cooccurrence_graph",
+    "tfidf_top_terms",
+]
+
+
+def _multirange_gather(data: np.ndarray, starts: np.ndarray,
+                       stops: np.ndarray) -> pa.Array:
+    """Build a large_string array whose i-th value is
+    ``data[starts[i]:stops[i]]`` — one vectorized gather, no per-string
+    Python. Classic segmented-index construction: a ones vector with
+    jump corrections at segment boundaries, cumsum → flat gather index."""
+    lens = (stops - starts).astype(np.int64)
+    total = int(lens.sum())
+    n = len(lens)
+    new_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    if total == 0:
+        values = np.empty(0, dtype=np.uint8)
+    else:
+        ne = lens > 0
+        s, e = starts[ne], stops[ne]
+        seg = np.concatenate([[0], np.cumsum(e - s)])
+        idx = np.ones(total, dtype=np.int64)
+        idx[0] = s[0]
+        idx[seg[1:-1]] = s[1:] - e[:-1] + 1
+        values = data[np.cumsum(idx)]
+    return pa.Array.from_buffers(
+        pa.large_string(), n,
+        [None, pa.py_buffer(new_off), pa.py_buffer(values)],
+    )
+
+
+def _token_layout(col):
+    """Flat-token layout of a single-space-separated string column:
+    (doc_count, tokens_per_doc, flat token array, ORIGINAL data buffer,
+    absolute token byte starts INTO THE ORIGINAL buffer, token byte
+    lens). The split's own values buffer concatenates tokens WITHOUT
+    separators, so window text must be gathered from the original
+    buffer — token j of doc i starts at doc_start[i] + Σ_{t<j}(len_t+1)
+    (the +1 is the single space). Empty docs split to one empty token —
+    n is always ≥ 1."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern(col, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    n = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    n = n.astype(np.int64)
+    _tok_data, _tok_starts, tlens = _string_array_parts(flat)
+    data, dstarts, _dlens = _string_array_parts(col)
+    if len(n) == 0:
+        return 0, n, flat, data, np.empty(0, np.int64), tlens
+    gaps = np.concatenate([[0], np.cumsum(tlens + 1)[:-1]])
+    doc_first = np.concatenate([[0], np.cumsum(n)])[:-1]
+    within = gaps - np.repeat(gaps[doc_first], n)
+    tstarts = np.repeat(dstarts, n) + within
+    return len(n), n, flat, data, tstarts, tlens
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    window: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Split each document into token windows of ``window`` tokens every
+    ``stride`` tokens (starts 0, S, 2S, … < n_tokens; the final chunk may
+    be short) — context packing for training / RAG chunking. Output:
+    (doc_id, chunk_id, n_tokens, chunk_text). Purely batch-local: no
+    shuffle at any scale; output rows ≈ input tokens / stride."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ndoc, n, _flat, data, tstarts, tlens = _token_layout(
+            t.column(text_col))
+        if ndoc == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.large_string()),
+            })
+        nchunks = (n + stride - 1) // stride
+        doc_first = np.concatenate([[0], np.cumsum(n)])[:-1]
+        total = int(nchunks.sum())
+        cdoc = np.repeat(np.arange(ndoc), nchunks)
+        cbase = np.repeat(np.concatenate([[0], np.cumsum(nchunks)])[:-1],
+                          nchunks)
+        cid = np.arange(total, dtype=np.int64) - cbase
+        a = cid * stride                       # first token (per doc)
+        b = np.minimum(a + window, n[cdoc]) - 1  # last token, inclusive
+        af = doc_first[cdoc] + a
+        bf = doc_first[cdoc] + b
+        text = _multirange_gather(data, tstarts[af],
+                                  tstarts[bf] + tlens[bf])
+        return pa.table({
+            id_col: pa.array(ids[cdoc]),
+            "chunk_id": pa.array(cid),
+            "n_tokens": pa.array((b - a + 1).astype(np.int64)),
+            "chunk_text": text,
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def bigram_counts(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Corpus word-bigram frequency table (bigram, n). Bigram text is the
+    original two-token byte span (one gather, never a join); a per-batch
+    ``value_counts`` combiner shrinks the ONE groupby(bigram) shuffle to
+    batch-distinct bigrams."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ndoc, n, _flat, data, tstarts, tlens = _token_layout(
+            t.column(text_col))
+        empty = pa.table({
+            "bigram": pa.array([], pa.large_string()),
+            "n": pa.array([], pa.int64()),
+        })
+        if ndoc == 0:
+            return empty
+        # flat token j starts a bigram iff it is not the last of its doc
+        doc_last = np.cumsum(n) - 1
+        first = np.ones(int(n.sum()), dtype=bool)
+        first[doc_last] = False
+        j = np.flatnonzero(first)
+        if len(j) == 0:
+            return empty
+        big = _multirange_gather(data, tstarts[j],
+                                 tstarts[j + 1] + tlens[j + 1])
+        vc = big.value_counts()
+        return pa.table({
+            "bigram": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )
+
+
+def cooccurrence_graph(
+    ds: ray.data.Dataset, window: int = 2, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Windowed co-occurrence graph: ordered pair (term_a, term_b) counted
+    once per occurrence of term_b within ``window`` positions AFTER
+    term_a in the same document — the PMI / GloVe co-occurrence input,
+    and structurally a libpysal W over token positions (distance-band
+    weights on the line; cf. reference weights/distance.py DistanceBand
+    semantics, graph/base.py adjacency table).
+
+    Per batch: dictionary-encode the flat tokens once, form pair codes
+    a·K+b for each offset 1..window with pure numpy shifts, one
+    ``np.unique`` combiner — the ONE groupby(term_a, term_b) shuffle
+    moves batch-distinct pairs, bounded by vocab², not corpus tokens."""
+    if window < 1:
+        raise ValueError("window must be ≥ 1")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ndoc, n, flat, _data, _ts, _tl = _token_layout(t.column(text_col))
+        empty = pa.table({
+            "term_a": pa.array([], pa.large_string()),
+            "term_b": pa.array([], pa.large_string()),
+            "n": pa.array([], pa.int64()),
+        })
+        if ndoc == 0 or len(flat) == 0:
+            return empty
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        K = len(d.dictionary)
+        doc_id = np.repeat(np.arange(ndoc), n)
+        keys = []
+        for off in range(1, window + 1):
+            if off >= len(codes):
+                break
+            ok = doc_id[:-off] == doc_id[off:]
+            keys.append(codes[:-off][ok] * K + codes[off:][ok])
+        if not keys:
+            return empty
+        pair, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        dic = pa.table({"t": d.dictionary}).column("t")
+        return pa.table({
+            "term_a": pc.cast(dic.take(pa.array(pair // K)),
+                              pa.large_string()),
+            "term_b": pc.cast(dic.take(pa.array(pair % K)),
+                              pa.large_string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    max_vocab: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Top-``k`` most distinctive terms per document: rank by
+    (tf DESC, df ASC, term ASC) over the ``max_vocab`` most document-
+    frequent terms. Output (doc_id, term, tf, df).
+
+    100 TB shape: document frequency is ONE pre-aggregated shuffle
+    (vocab-sized result, capped at ``max_vocab`` by df — the standard
+    min-df/top-V vocabulary bound), broadcast once via ``ray.put``; the
+    per-doc ranking is then a single batch-local pass — documents never
+    shuffle. The string tie-break is exact without string sorts: the
+    broadcast vocab is pre-sorted lexicographically, so its index IS the
+    lexicographic rank."""
+    from libpysal_ray.text.analysis import doc_term_stats
+
+    df_tbl = (
+        doc_term_stats(ds.select_columns([id_col, text_col]),
+                       text_col=text_col)
+        .sort(["df", "word"], descending=[True, False])
+        .limit(max_vocab)
+        .take_all()
+    )
+    vocab = sorted((r["word"], int(r["df"])) for r in df_tbl)
+    vwords = pa.array([w for w, _ in vocab], pa.large_string())
+    vdf = np.array([d for _, d in vocab], dtype=np.int64)
+    ref = ray.put((vwords, vdf))
+
+    def _f(t: pa.Table) -> pa.Table:
+        vwords, vdf = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ndoc, n, flat, _data, _ts, _tl = _token_layout(t.column(text_col))
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "term": pa.array([], pa.large_string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        })
+        if ndoc == 0 or len(flat) == 0:
+            return empty
+        # vocab index = lexicographic rank; out-of-vocab tokens drop
+        vi = pc.index_in(pc.cast(flat, pa.large_string()),
+                         value_set=vwords)
+        vi = vi.to_numpy(zero_copy_only=False).astype(np.float64)
+        doc = np.repeat(np.arange(ndoc), n).astype(np.float64)
+        ok = ~np.isnan(vi)
+        vi, doc = vi[ok].astype(np.int64), doc[ok].astype(np.int64)
+        if len(vi) == 0:
+            return empty
+        # tf per (doc, vocab term): one lexsort + run-length
+        order = np.lexsort((vi, doc))
+        dd, vv = doc[order], vi[order]
+        new = np.ones(len(dd), bool)
+        new[1:] = (dd[1:] != dd[:-1]) | (vv[1:] != vv[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(dd))).astype(np.int64)
+        dh, vh = dd[starts], vv[starts]
+        # top-k per doc by (tf desc, df asc, vocab-rank asc)
+        sel = np.lexsort((vh, vdf[vh], -tf, dh))
+        ds_, = (dh[sel],)
+        grp_new = np.ones(len(ds_), bool)
+        grp_new[1:] = ds_[1:] != ds_[:-1]
+        gstarts = np.flatnonzero(grp_new)
+        gid = np.cumsum(grp_new) - 1
+        rank = np.arange(len(ds_)) - gstarts[gid]
+        keep = sel[rank < k]
+        return pa.table({
+            id_col: pa.array(ids[dh[keep]]),
+            "term": vwords.take(pa.array(vh[keep])),
+            "tf": pa.array(tf[keep]),
+            "df": pa.array(vdf[vh[keep]]),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
