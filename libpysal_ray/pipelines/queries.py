@@ -3254,3 +3254,59 @@ def q_kmeans_train(sf_dir: str):
 
 
 QUERIES["kmeans_train"] = q_kmeans_train
+
+
+def q_substring_dedup(sf_dir: str):
+    """Exact substring-overlap dedup: docs sharing ANY 16-token window
+    with a lower-id doc are dropped — distinct window hashes per batch,
+    ONE groupby(hash) flag pass, distinct flagged ids, anti-join back."""
+    from libpysal_ray.text.dedup import substring_dedup
+
+    return substring_dedup(_docs(sf_dir, ["doc_id", "text"]), k=16)
+
+
+QUERIES["substring_dedup"] = q_substring_dedup
+
+# string 16-grams on the SQL side vs 64-bit window hashes in the engine
+# (same no-collision discipline as decontam); docs shorter than 16
+# tokens fold to one whole-doc gram on both sides
+ORACLE_SQL["substring_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(tk) - 15),
+                   i -> array_to_string(tk[i:i+15], ' ')))) AS g
+  FROM toks WHERE len(tk) >= 16
+  UNION ALL
+  SELECT doc_id, array_to_string(tk, ' ') AS g
+  FROM toks WHERE len(tk) BETWEEN 1 AND 15
+),
+mins AS (SELECT g, MIN(doc_id) AS m FROM grams GROUP BY g),
+flagged AS (
+  SELECT DISTINCT doc_id FROM grams JOIN mins USING (g)
+  WHERE doc_id > m
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
+def q_shards(sf_dir: str):
+    """Deterministic training-shard manifest: shard = splitmix64(id) %%
+    16, per-shard count + xor id-digest via the native XorAgg — ONE tiny
+    aggregate pins the exact shard membership."""
+    from libpysal_ray.text.export import shard_manifest
+
+    return shard_manifest(_docs(sf_dir, ["doc_id"]), n_shards=16)
+
+
+QUERIES["shards"] = q_shards
+
+ORACLE_SQL["shards"] = _oh.with_macros("""
+SELECT toi64(sm64(doc_id) % 16) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       bit_xor(toi64(sm64(doc_id))) AS id_xor
+FROM documents GROUP BY 1
+""")

@@ -726,3 +726,63 @@ def cross_containment(
         return t.select(["test_id", "train_id", "n_shared", "n_test"])
 
     return out.map_batches(_filt, batch_format="pyarrow")
+
+
+def substring_dedup(
+    ds: ray.data.Dataset,
+    k: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """EXACT substring-overlap dedup (RefinedWeb / BigCode style): drop
+    every document that shares ANY ``k``-token window with a lower-id
+    document; return the surviving ids. Unlike the threshold near-dup
+    family this is all-or-nothing — one shared window kills the later
+    doc, which is the published semantics for exact-substring training
+    dedup (50-token overlap in the suffix-array formulation).
+
+    100 TB plan: distinct (window-hash, id) rows per batch (the
+    vectorized flat-shingle path), ONE groupby(hash) pass whose bucket
+    kernel emits ids exceeding their group minimum, one distinct pass on
+    the flagged ids, and an anti semi-join back to the corpus ids. Σ
+    work is corpus tokens, never doc-pair quadratic; docs with < k
+    tokens fold to a whole-doc window (shared semantics with
+    cross_containment)."""
+    from libpysal_ray.core.joins import bucket_join, grouped_agg, grouped_by_key
+
+    def _rows(t: pa.Table) -> pa.Table:
+        sh, sd, _ = _flat_shingles(t.column(text_col), k)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((sh, sd))
+        sds, shs = sd[order], sh[order]
+        first = np.ones(len(sds), bool)
+        first[1:] = (sds[1:] != sds[:-1]) | (shs[1:] != shs[:-1])
+        return pa.table({
+            "sh": pa.array((shs[first] >> np.uint64(1)).astype(np.int64)),
+            id_col: pa.array(ids[sds[first]]),
+        })
+
+    rows = ds.map_batches(_rows, batch_format="pyarrow")
+
+    def _flag(t: pa.Table) -> pa.Table:
+        # bucket kernel: per-sh min, emit distinct ids above it
+        sh = t.column("sh").to_numpy(zero_copy_only=False)
+        i = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, sh))
+        s, v = sh[order], i[order]
+        new = np.ones(len(s), bool)
+        new[1:] = s[1:] != s[:-1]
+        gmin = v[np.flatnonzero(new)][np.cumsum(new) - 1]
+        bad = np.unique(v[v > gmin])
+        return pa.table({id_col: pa.array(bad.astype(np.int64))})
+
+    flagged = grouped_by_key(rows, ["sh"], _flag).map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow"
+    )
+    distinct = grouped_agg(flagged, (id_col,), (None,), "count").map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow"
+    )
+    return bucket_join(ds.select_columns([id_col]), distinct,
+                       on=id_col, how="anti")
