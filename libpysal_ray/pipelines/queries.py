@@ -3310,3 +3310,85 @@ SELECT toi64(sm64(doc_id) % 16) AS shard_id,
        bit_xor(toi64(sm64(doc_id))) AS id_xor
 FROM documents GROUP BY 1
 """)
+
+
+def q_collocations(sf_dir: str):
+    """Adjacent-pair collocations ranked by the exact PMI ratio
+    (n_ab·T)/(n_a·n_b): pair + unigram tables are combined vocab-bounded
+    aggregates; unigram counts broadcast once, scoring is batch-local."""
+    from libpysal_ray.text.ngrams import collocations
+
+    return collocations(_docs(sf_dir, ["text"]), min_count=5)
+
+
+QUERIES["collocations"] = q_collocations
+
+# identical float op order on both sides: (n_ab·T) / (n_a·n_b), one
+# int64→float64 conversion per operand — IEEE-exact equality
+ORACLE_SQL["collocations"] = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+ i AS (SELECT toks, unnest(range(1, len(toks))) AS p FROM t),
+ pairs AS (
+   SELECT toks[p] AS term_a, toks[p+1] AS term_b,
+          CAST(COUNT(*) AS BIGINT) AS n_ab
+   FROM i GROUP BY 1, 2
+ ),
+ uni AS (
+   SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+     SELECT unnest(string_split(text, ' ')) AS word FROM documents
+   ) GROUP BY 1
+ ),
+ tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tt FROM uni)
+SELECT p.term_a, p.term_b, p.n_ab,
+       CAST(p.n_ab AS DOUBLE) * (SELECT tt FROM tot)
+         / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS ratio
+FROM pairs p
+JOIN uni a ON p.term_a = a.word
+JOIN uni b ON p.term_b = b.word
+WHERE p.n_ab >= 5
+"""
+
+
+def q_curation_e2e(sf_dir: str):
+    """The full curation composition as one streaming pipeline: length
+    filter → exact substring dedup (16-token windows) → per-language
+    stratified downsampling (en 50%%, rest 80%%) → 8-shard manifest.
+    Every stage integer/hash-exact, so the WHOLE chain has one oracle."""
+    from libpysal_ray.pipelines.curation import curation_pipeline
+
+    return curation_pipeline(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
+QUERIES["curation_e2e"] = q_curation_e2e
+
+ORACLE_SQL["curation_e2e"] = _oh.with_macros("""
+WITH base AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(tk) - 15),
+                   i -> array_to_string(tk[i:i+15], ' ')))) AS g
+  FROM base WHERE len(tk) >= 16
+  UNION ALL
+  SELECT doc_id, array_to_string(tk, ' ') AS g
+  FROM base WHERE len(tk) BETWEEN 1 AND 15
+),
+mins AS (SELECT g, MIN(doc_id) AS m FROM grams GROUP BY g),
+flagged AS (
+  SELECT DISTINCT doc_id FROM grams JOIN mins USING (g) WHERE doc_id > m
+),
+surv AS (
+  SELECT doc_id, lang FROM base
+  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+sampled AS (
+  SELECT doc_id FROM surv
+  WHERE sm64(doc_id) % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 80 END
+)
+SELECT toi64(sm64(doc_id) % 8) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       bit_xor(toi64(sm64(doc_id))) AS id_xor
+FROM sampled GROUP BY 1
+""")

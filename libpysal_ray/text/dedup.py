@@ -784,5 +784,8 @@ def substring_dedup(
     distinct = grouped_agg(flagged, (id_col,), (None,), "count").map_batches(
         lambda t: t.select([id_col]), batch_format="pyarrow"
     )
-    return bucket_join(ds.select_columns([id_col]), distinct,
-                       on=id_col, how="anti")
+    # map_batches projection, not select_columns: the lazy projection's
+    # schema() can report pre-projection names to bucket_join
+    ids_only = ds.map_batches(lambda t: t.select([id_col]),
+                              batch_format="pyarrow")
+    return bucket_join(ids_only, distinct, on=id_col, how="anti")

@@ -32,6 +32,7 @@ __all__ = [
     "bigram_counts",
     "cooccurrence_graph",
     "tfidf_top_terms",
+    "collocations",
 ]
 
 
@@ -312,3 +313,75 @@ def tfidf_top_terms(
         })
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def collocations(
+    ds: ray.data.Dataset,
+    min_count: int = 5,
+    text_col: str = "text",
+    max_vocab: int = 65536,
+) -> ray.data.Dataset:
+    """Collocation scores: adjacent word pairs ranked by the PMI ratio
+    r = (n_ab · T) / (n_a · n_b) (T = corpus tokens; log is monotone so
+    the ratio ranks identically and stays IEEE-exact for the oracle).
+    Output (term_a, term_b, n_ab, ratio) for pairs with
+    n_ab ≥ min_count.
+
+    100 TB shape: pair and unigram tables are the already-combined
+    vocab-bounded aggregates; the unigram side is capped at
+    ``max_vocab`` by count (the standard top-V collocation bound) and
+    broadcast ONCE via ray.put — attaching n_a/n_b to the pair table is
+    a batch-local lookup, not a join shuffle."""
+    from libpysal_ray.text.analysis import word_counts
+
+    pairs = cooccurrence_graph(ds, window=1, text_col=text_col)
+    # materialize: Ray shares no subplans — the vocab-bounded table
+    # feeds both the exact total and the capped broadcast
+    wc_full = word_counts(ds, text_col=text_col).materialize()
+    total = int(wc_full.sum("n"))  # exact T from the UNCAPPED table
+    wc = (
+        wc_full.sort(["n", "word"], descending=[True, False])
+        .limit(max_vocab)
+        .take_all()
+    )
+    words = pa.array([r["word"] for r in wc], pa.large_string())
+    counts = np.array([int(r["n"]) for r in wc], dtype=np.int64)
+    ref = ray.put((words, counts, total))
+
+    def _score(t: pa.Table) -> pa.Table:
+        words, counts, total = ray.get(ref)
+        if t.num_rows == 0:
+            return pa.table({
+                "term_a": pa.array([], pa.large_string()),
+                "term_b": pa.array([], pa.large_string()),
+                "n_ab": pa.array([], pa.int64()),
+                "ratio": pa.array([], pa.float64()),
+            })
+        nab = t.column("n_ab").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ia = pc.index_in(pc.cast(t.column("term_a"), pa.large_string()),
+                         value_set=words).to_numpy(zero_copy_only=False)
+        ib = pc.index_in(pc.cast(t.column("term_b"), pa.large_string()),
+                         value_set=words).to_numpy(zero_copy_only=False)
+        ok = (~np.isnan(ia.astype(np.float64))
+              & ~np.isnan(ib.astype(np.float64))
+              & (nab >= min_count))
+        idx = np.flatnonzero(ok)
+        na = counts[ia[idx].astype(np.int64)].astype(np.float64)
+        nb = counts[ib[idx].astype(np.int64)].astype(np.float64)
+        # op order pinned: (n_ab·T) / (n_a·n_b), all float64 — the oracle
+        # writes the identical expression
+        ratio = (nab[idx].astype(np.float64) * np.float64(total)
+                 / (na * nb))
+        sub = t.take(pa.array(idx))
+        return pa.table({
+            "term_a": sub.column("term_a"),
+            "term_b": sub.column("term_b"),
+            "n_ab": pa.array(nab[idx]),
+            "ratio": pa.array(ratio),
+        })
+
+    return pairs.rename_columns({"n": "n_ab"}).map_batches(
+        _score, batch_format="pyarrow"
+    )

@@ -132,3 +132,27 @@ def test_chunks_oracle_parity_duckdb():
         FROM i ORDER BY doc_id, ci
     """).df()
     assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+def test_collocations_exact_ratio():
+    from libpysal_ray.text.ngrams import collocations
+
+    # "a b" occurs 3x; unigrams: a=4, b=3; T=10
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b a b c", "a b a c d"]),
+    }))
+    got = collocations(ds, min_count=2).to_pandas()
+    row = got[(got.term_a == "a") & (got.term_b == "b")].iloc[0]
+    assert int(row["n_ab"]) == 3
+    assert row["ratio"] == (3.0 * 10.0) / (4.0 * 3.0)
+
+
+def test_collocations_min_count_filters():
+    from libpysal_ray.text.ngrams import collocations
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a b c"]),
+    }))
+    assert collocations(ds, min_count=2).count() == 0
