@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
@@ -3392,3 +3393,143 @@ SELECT toi64(sm64(doc_id) % 8) AS shard_id,
        bit_xor(toi64(sm64(doc_id))) AS id_xor
 FROM sampled GROUP BY 1
 """)
+
+
+def _overlay_rects_disjoint(sf_dir: str):
+    """Sparse DISJOINT rect layer: one 2.5-wide rect anchored at every
+    lattice doc with (row%4, col%4) == (1, 1) — spacing 4 > 2.5 keeps
+    the layer internally non-overlapping, the documented requirement of
+    the subtractive overlay modes."""
+
+    def _rects(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        r_all = ids // LCOLS
+        c_all = ids % LCOLS
+        ids = ids[(r_all % 4 == 1) & (c_all % 4 == 1)]
+        r = (ids // LCOLS).astype(np.float64)
+        c = (ids % LCOLS).astype(np.float64)
+        x0, y0 = c - 0.75, r - 0.75
+        xs = [[a, a + 2.5, a + 2.5, a, a] for a in x0]
+        ys = [[b, b, b + 2.5, b + 2.5, b] for b in y0]
+        return pa.table({
+            "polygon_id": pa.array(ids.astype(np.int64)),
+            "xs": pa.array(xs, pa.list_(pa.float64())),
+            "ys": pa.array(ys, pa.list_(pa.float64())),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        _rects, batch_format="pyarrow"
+    )
+
+
+def q_overlay_diff(sf_dir: str):
+    """spatial_overlay(how='difference') attributes (reference
+    cg/ops/tabular.py:75-120,166): each unit square minus the disjoint
+    rect layer. Quarter-integer coordinates keep every clipped area an
+    exact dyadic rational, so the subtraction is hash-exact."""
+    from libpysal_ray.spatial.overlay import overlay
+
+    return overlay(_lattice_polys(sf_dir),
+                   _overlay_rects_disjoint(sf_dir), how="difference")
+
+
+QUERIES["overlay_diff"] = q_overlay_diff
+
+ORACLE_SQL["overlay_diff"] = f"""
+WITH sq AS (
+  SELECT doc_id AS left_id,
+         CAST(doc_id % {LCOLS} AS DOUBLE) AS x0,
+         CAST(doc_id // {LCOLS} AS DOUBLE) AS y0
+  FROM documents
+),
+rc AS (
+  SELECT CAST(doc_id % {LCOLS} AS DOUBLE) - 0.75 AS x0,
+         CAST(doc_id // {LCOLS} AS DOUBLE) - 0.75 AS y0
+  FROM documents
+  WHERE (doc_id // {LCOLS}) % 4 = 1 AND (doc_id % {LCOLS}) % 4 = 1
+),
+cut AS (
+  SELECT sq.left_id,
+         SUM(GREATEST(0.0, LEAST(sq.x0 + 1.0, rc.x0 + 2.5)
+                           - GREATEST(sq.x0, rc.x0))
+             * GREATEST(0.0, LEAST(sq.y0 + 1.0, rc.y0 + 2.5)
+                             - GREATEST(sq.y0, rc.y0))) AS c
+  FROM sq, rc GROUP BY 1
+)
+SELECT sq.left_id, 1.0 - COALESCE(cut.c, 0.0) AS area
+FROM sq LEFT JOIN cut USING (left_id)
+WHERE 1.0 - COALESCE(cut.c, 0.0) > 0.0
+"""
+
+
+def q_overlay_union(sf_dir: str):
+    """spatial_overlay(how='union') attributes: squares with 1/4 of the
+    lattice REMOVED (doc_id%16 >= 12 — coverage holes) unioned with the
+    disjoint rect layer, exercising all three branches (intersection
+    pieces, left-difference, right-difference). NULL side-ids are
+    filled with -1 for the order-insensitive oracle compare."""
+    from libpysal_ray.spatial.overlay import overlay
+
+    def _holes(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.less(pc.bit_wise_and(t.column("polygon_id"), 15), 12)
+        )
+
+    left = _lattice_polys(sf_dir).map_batches(
+        _holes, batch_format="pyarrow"
+    )
+    out = overlay(left, _overlay_rects_disjoint(sf_dir), how="union")
+
+    def _fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "left_id": pc.fill_null(t.column("left_id"), -1),
+            "right_id": pc.fill_null(t.column("right_id"), -1),
+            "area": t.column("area"),
+        })
+
+    return out.map_batches(_fill, batch_format="pyarrow")
+
+
+QUERIES["overlay_union"] = q_overlay_union
+
+ORACLE_SQL["overlay_union"] = f"""
+WITH sq AS (
+  SELECT doc_id AS left_id,
+         CAST(doc_id % {LCOLS} AS DOUBLE) AS x0,
+         CAST(doc_id // {LCOLS} AS DOUBLE) AS y0
+  FROM documents WHERE doc_id % 16 < 12
+),
+rc AS (
+  SELECT doc_id AS right_id,
+         CAST(doc_id % {LCOLS} AS DOUBLE) - 0.75 AS x0,
+         CAST(doc_id // {LCOLS} AS DOUBLE) - 0.75 AS y0
+  FROM documents
+  WHERE (doc_id // {LCOLS}) % 4 = 1 AND (doc_id % {LCOLS}) % 4 = 1
+),
+pairs AS (
+  SELECT sq.left_id, rc.right_id,
+         GREATEST(0.0, LEAST(sq.x0 + 1.0, rc.x0 + 2.5)
+                       - GREATEST(sq.x0, rc.x0))
+         * GREATEST(0.0, LEAST(sq.y0 + 1.0, rc.y0 + 2.5)
+                         - GREATEST(sq.y0, rc.y0)) AS area
+  FROM sq, rc
+),
+inter AS (SELECT * FROM pairs WHERE area > 0.0),
+lcut AS (SELECT left_id, SUM(area) AS c FROM inter GROUP BY 1),
+ldiff AS (
+  SELECT sq.left_id, -1 AS right_id,
+         1.0 - COALESCE(lcut.c, 0.0) AS area
+  FROM sq LEFT JOIN lcut USING (left_id)
+  WHERE 1.0 - COALESCE(lcut.c, 0.0) > 0.0
+),
+rcut AS (SELECT right_id, SUM(area) AS c FROM inter GROUP BY 1),
+rdiff AS (
+  SELECT -1 AS left_id, rc.right_id,
+         6.25 - COALESCE(rcut.c, 0.0) AS area
+  FROM rc LEFT JOIN rcut USING (right_id)
+  WHERE 6.25 - COALESCE(rcut.c, 0.0) > 0.0
+)
+SELECT left_id, right_id, area FROM inter
+UNION ALL SELECT * FROM ldiff
+UNION ALL SELECT * FROM rdiff
+"""

@@ -34,13 +34,16 @@ Constraints (documented per the custom-operator rule):
 * Single-ring polygons (no holes), the engine polygon schema
   (polygon_id, xs, ys).
 * ``overlay_difference`` additionally assumes the right layer is
-  internally non-overlapping (areas subtract additively).
+  internally non-overlapping (areas subtract additively);
+  ``overlay_union`` / ``overlay_identity`` / ``overlay_symdiff``
+  inherit that for whichever side is subtracted from.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from libpysal_ray.builders.contiguity import _ring_parts
@@ -447,3 +450,63 @@ def overlay_difference(
         )
 
     return joined.map_batches(_sub, batch_format="pyarrow")
+
+
+def _null_side(ds: ray.data.Dataset, present: str, absent: str):
+    """Lift a one-sided difference table (id, area) into the union
+    schema (left_id, right_id, area) with nulls on the absent side."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("left_id"), pa.int64())
+        nulls = pa.nulls(t.num_rows, pa.int64())
+        cols = {present: ids, absent: nulls, "area": t.column("area")}
+        return pa.table(
+            {k: cols[k] for k in ("left_id", "right_id", "area")}
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def overlay(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    how: str = "intersection",
+    cell_size: float | None = None,
+) -> ray.data.Dataset:
+    """Reference ``spatial_overlay(df1, df2, how)`` attribute table
+    (``cg/ops/tabular.py:75-120``): all five geopandas modes, composed
+    from the two tiled primitives. Output schema is uniformly
+    (left_id, right_id, area); a difference piece carries a NULL id on
+    the side it excludes.
+
+    100 TB shape: each primitive is one tile shuffle; the composition
+    unions 2-3 independent streaming pipelines (Ray shares no subplans,
+    so ``left``/``right`` are re-read per primitive — reads stream, so
+    this trades re-scan for zero materialization). Pass ``cell_size``
+    to pin one grid across the primitives."""
+    if how == "intersection":
+        return overlay_intersection(left, right, cell_size=cell_size)
+    if cell_size is None:
+        cell_size = _auto_cell(left, right)
+    parts: list[ray.data.Dataset] = []
+    if how in ("union", "identity"):
+        inter = overlay_intersection(left, right, cell_size=cell_size)
+        parts.append(inter)
+    if how in ("union", "identity", "difference", "symmetric_difference"):
+        ldiff = overlay_difference(left, right, cell_size=cell_size)
+        if how == "difference":
+            return ldiff
+        parts.append(_null_side(ldiff, "left_id", "right_id"))
+    if how in ("union", "symmetric_difference"):
+        # right-minus-left: swap roles (assumes LEFT internally disjoint)
+        rdiff = overlay_difference(right, left, cell_size=cell_size)
+        parts.append(_null_side(rdiff, "right_id", "left_id"))
+    if not parts:
+        raise ValueError(
+            "how must be one of intersection/union/identity/"
+            f"difference/symmetric_difference, got {how!r}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -127,3 +127,34 @@ def test_overlay_multi_tile_dedup(ray_session):
     rows = overlay_intersection(left, right, cell_size=2.0).take_all()
     assert len(rows) == 1
     assert rows[0]["area"] == 25.0
+
+
+def test_overlay_modes_closed_form(ray_session):
+    from libpysal_ray.spatial.overlay import overlay
+
+    left = _polys([
+        (1, [0, 1, 1, 0, 0], [0, 0, 1, 1, 0]),
+        (2, [3, 4, 4, 3, 3], [0, 0, 1, 1, 0]),
+    ])
+    right = _polys([(10, [0.5, 1.5, 1.5, 0.5, 0.5], [0, 0, 1, 1, 0])])
+
+    def rows(how):
+        return sorted(
+            ((r["left_id"], r["right_id"], r["area"])
+             for r in overlay(left, right, how=how).take_all()),
+            key=lambda t: (t[0] is None, t[0] or 0, t[1] is None, t[1] or 0),
+        )
+
+    assert rows("intersection") == [(1, 10, 0.5)]
+    assert sorted(
+        (r["left_id"], r["area"])
+        for r in overlay(left, right, how="difference").take_all()
+    ) == [(1, 0.5), (2, 1.0)]
+    assert rows("identity") == [
+        (1, 10, 0.5), (1, None, 0.5), (2, None, 1.0)]
+    assert rows("union") == [
+        (1, 10, 0.5), (1, None, 0.5), (2, None, 1.0), (None, 10, 0.5)]
+    assert rows("symmetric_difference") == [
+        (1, None, 0.5), (2, None, 1.0), (None, 10, 0.5)]
+    with pytest.raises(ValueError):
+        overlay(left, right, how="bogus")
