@@ -3533,3 +3533,93 @@ SELECT left_id, right_id, area FROM inter
 UNION ALL SELECT * FROM ldiff
 UNION ALL SELECT * FROM rdiff
 """
+
+
+def q_token_budget(sf_dir: str):
+    """Budgeted corpus selection: keep the most lexically diverse docs
+    (distinct-token count desc, id asc) while the running token total
+    stays within 8000 — the distributed prefix-sum cut."""
+    from libpysal_ray.text.analysis import token_budget_select
+
+    return token_budget_select(_docs(sf_dir, ["doc_id", "text"]),
+                               budget=8000)
+
+
+QUERIES["token_budget"] = q_token_budget
+
+ORACLE_SQL["token_budget"] = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS nd
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY nd DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM s
+)
+SELECT doc_id, n_tokens, cum_tokens FROM o WHERE cum_tokens <= 8000
+"""
+
+
+def q_lm_score(sf_dir: str):
+    """Count-based LM familiarity (CCNet-style typicality in exact
+    integers): per doc, its adjacent-bigram total and the sum of
+    corpus-wide counts of those bigrams."""
+    from libpysal_ray.text.ngrams import bigram_familiarity
+
+    return bigram_familiarity(_docs(sf_dir, ["doc_id", "text"]))
+
+
+QUERIES["lm_score"] = q_lm_score
+
+ORACLE_SQL["lm_score"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ i AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS p FROM t),
+ b AS (SELECT doc_id, tk[p] || ' ' || tk[p+1] AS bg FROM i),
+ c AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c.n) AS BIGINT) AS fam_sum
+FROM b JOIN c USING (bg) GROUP BY 1
+"""
+
+
+def q_domain_balance(sf_dir: str):
+    """Token-weighted domain rebalancing manifest: every source
+    deterministically downsampled toward the smallest source's token
+    mass (rate = floor(100*min_T/T_s), membership splitmix(id)%100)."""
+    from libpysal_ray.text.analysis import domain_balance
+
+    return domain_balance(_docs(sf_dir, ["doc_id", "text", "source"]))
+
+
+QUERIES["domain_balance"] = q_domain_balance
+
+ORACLE_SQL["domain_balance"] = _oh.with_macros("""
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+tot AS (SELECT source, SUM(tok) AS T FROM s GROUP BY 1),
+m AS (SELECT MIN(T) AS mn FROM tot),
+r AS (
+  SELECT source,
+         CAST(((SELECT mn FROM m) * 100) // T AS BIGINT) AS rate_pct
+  FROM tot
+),
+k AS (
+  SELECT s.doc_id, s.source, s.tok, r.rate_pct
+  FROM s JOIN r USING (source)
+  WHERE sm64(doc_id) % 100 < CAST(rate_pct AS UBIGINT)
+)
+SELECT source, MAX(rate_pct) AS rate_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS tok_kept,
+       bit_xor(toi64(sm64(doc_id))) AS id_xor
+FROM k GROUP BY 1
+""")

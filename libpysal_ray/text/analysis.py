@@ -540,3 +540,161 @@ def select_top_fraction(
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def token_budget_select(
+    ds: ray.data.Dataset,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Select the most lexically diverse documents until a global token
+    budget is filled — the "pick the best N-token corpus" curation step.
+    Documents are ranked by distinct-token count descending (doc id
+    ascending breaks ties), then kept while the running token total stays
+    within ``budget``. Output (id, n_tokens, cum_tokens).
+
+    100 TB shape: per-doc stats are one stateless pass; the global order
+    is a single packed-int64 key through ``core.scan.prefix_sum`` (ONE
+    range sort + an O(#blocks) driver scan of per-block partials) and the
+    budget cut is a stateless filter — no driver-side data loop."""
+    from libpysal_ray.core.scan import prefix_sum
+
+    _MAXD = (1 << 22) - 1  # distinct-count field width in the packed key
+
+    def _stats(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(ids) and (ids.max() >= (1 << 41) or ids.min() < 0):
+            raise ValueError(
+                f"{id_col} must fit 41 bits for the packed order key"
+            )
+        toks = pc.split_pattern(t.column(text_col), " ")
+        ntok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        K = len(enc.dictionary)
+        docof = np.repeat(np.arange(len(ids), dtype=np.int64), ntok)
+        uk = np.unique(docof * np.int64(max(K, 1)) + codes)
+        nd = np.bincount(
+            (uk // np.int64(max(K, 1))).astype(np.int64),
+            minlength=len(ids),
+        ).astype(np.int64)
+        if len(nd) and nd.max() > _MAXD:
+            raise ValueError("distinct-token count exceeds key width")
+        qkey = (np.int64(_MAXD) - nd) * np.int64(1 << 41) + ids
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_tokens": pa.array(ntok),
+            "qkey": pa.array(qkey),
+        })
+
+    stats = ds.map_batches(_stats, batch_format="pyarrow")
+    run = prefix_sum(stats, "qkey", "n_tokens", out_col="cum_tokens",
+                     inclusive=True)
+
+    def _cut(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("cum_tokens"),
+                                   pa.scalar(int(budget))))
+        return t.select([id_col, "n_tokens", "cum_tokens"])
+
+    return run.map_batches(_cut, batch_format="pyarrow")
+
+
+def domain_balance(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Token-weighted domain rebalancing: deterministically downsample
+    every source to (about) the token mass of the SMALLEST source —
+    keep-rate per source = floor(100·min_total/total_s) percent, member-
+    ship by splitmix64(id) % 100. Returns the per-source manifest
+    (source, rate_pct, n_docs, tok_kept, id_xor).
+
+    100 TB shape: pass 1 is a per-batch combiner into a groupby(source)
+    whose result is #sources rows (driver-safe by definition); the rates
+    dict is broadcast in the filter closure; pass 2 is a stateless
+    filter + the same tiny aggregate. Two scans, one all-to-all of
+    #sources rows each."""
+    from libpysal_ray.core.hashing import splitmix64
+    from libpysal_ray.core.joins import XorAgg
+
+    def _tok(t: pa.Table) -> pa.Table:
+        spaces = pc.count_substring(t.column(text_col), " ").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table({
+            source_col: t.column(source_col),
+            "tok": pa.array(spaces + 1),
+        })
+
+    totals = {
+        r[source_col]: int(r["sum(tok)"])
+        for r in ds.map_batches(_tok, batch_format="pyarrow")
+        .groupby(source_col)
+        .sum("tok")
+        .take_all()
+    }
+    if not totals:
+        return ray.data.from_arrow(pa.table({
+            source_col: pa.array([], pa.large_string()),
+            "rate_pct": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "tok": pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+        }))
+    mn = min(totals.values())
+    srcs = sorted(totals)
+    src_arr = pa.array(srcs, pa.large_string())
+    rate_arr = np.array([(mn * 100) // totals[s] for s in srcs],
+                        dtype=np.uint64)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        si = pc.index_in(
+            pc.cast(t.column(source_col), pa.large_string()),
+            value_set=src_arr,
+        ).to_numpy(zero_copy_only=False)
+        rate = rate_arr[si.astype(np.int64)]
+        h = splitmix64(ids.view(np.uint64))
+        keep = (h % np.uint64(100)) < rate
+        spaces = pc.count_substring(t.column(text_col), " ").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        mask = pa.array(keep)
+        return pa.table({
+            source_col: pc.cast(t.column(source_col),
+                                pa.large_string()).filter(mask),
+            "rate_pct": pa.array(rate[keep].astype(np.int64)),
+            "tok": pa.array(spaces[keep] + 1),
+            "h": pa.array(h[keep].view(np.int64)),
+        })
+
+    kept = ds.map_batches(_keep, batch_format="pyarrow")
+    out = kept.groupby(source_col).aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("tok"),
+        ray.data.aggregate.Max("rate_pct"),
+        XorAgg("h"),
+    )
+
+    def _shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            source_col: t.column(source_col),
+            "rate_pct": pc.cast(t.column("max(rate_pct)"), pa.int64()),
+            "n_docs": pc.cast(t.column("count()"), pa.int64()),
+            "tok_kept": pc.cast(t.column("sum(tok)"), pa.int64()),
+            "id_xor": pc.cast(t.column("xor(h)"), pa.int64()),
+        })
+
+    return out.map_batches(_shape, batch_format="pyarrow")

@@ -33,6 +33,7 @@ __all__ = [
     "cooccurrence_graph",
     "tfidf_top_terms",
     "collocations",
+    "bigram_familiarity",
 ]
 
 
@@ -385,3 +386,116 @@ def collocations(
     return pairs.rename_columns({"n": "n_ab"}).map_batches(
         _score, batch_format="pyarrow"
     )
+
+
+def bigram_familiarity(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Count-based language-model familiarity score (the CCNet-style
+    "how typical is this document of the corpus" signal, kept in exact
+    integers instead of smoothed log-probs): for every document, the sum
+    of CORPUS-WIDE occurrence counts of its adjacent word bigrams plus
+    its bigram total — (id, n_bigrams, fam_sum). fam_sum/n_bigrams is
+    the mean transition frequency; rare-transition (low-familiarity)
+    docs rank last. Documents with fewer than two tokens emit no row.
+
+    100 TB shape: ONE tokenization pass emits per-doc DISTINCT bigram
+    hashes with multiplicity (batch combiner) and is materialized (it is
+    consumed twice and is far narrower than the text); corpus counts are
+    a groupby(hash) over that stream, attached back with one distributed
+    ``bucket_join``, and reduced per document with batch partials into a
+    final groupby(id). Joining on the 64-bit bigram hash (not the
+    string) keeps the shuffle narrow; a cross-bigram hash collision
+    (~2^-64 birthday terms) would merge two transition counts."""
+    from libpysal_ray.core.hashing import hash_string_array_u64
+    from libpysal_ray.core.joins import bucket_join
+
+    def _docgrams(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "bgh": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+        })
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ndoc, n, _flat, data, tstarts, tlens = _token_layout(
+            t.column(text_col))
+        if ndoc == 0:
+            return empty
+        doc_last = np.cumsum(n) - 1
+        first = np.ones(int(n.sum()), dtype=bool)
+        first[doc_last] = False
+        j = np.flatnonzero(first)
+        if len(j) == 0:
+            return empty
+        big = _multirange_gather(data, tstarts[j],
+                                 tstarts[j + 1] + tlens[j + 1])
+        docof = np.repeat(np.arange(ndoc, dtype=np.int64),
+                          np.maximum(n - 1, 0))
+        enc = pc.dictionary_encode(big)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        dh = hash_string_array_u64(enc.dictionary).view(np.int64)
+        K = np.int64(max(len(enc.dictionary), 1))
+        uk, cnt = np.unique(docof * K + codes, return_counts=True)
+        d_i = (uk // K).astype(np.int64)
+        c_i = (uk % K).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[d_i]),
+            "bgh": pa.array(dh[c_i]),
+            "k": pa.array(cnt.astype(np.int64)),
+        })
+
+    stream = ds.map_batches(
+        _docgrams, batch_format="pyarrow"
+    ).materialize()  # consumed twice; Ray shares no subplans
+    counts = (
+        stream.map_batches(
+            lambda t: t.select(["bgh", "k"]), batch_format="pyarrow"
+        )
+        .groupby("bgh")
+        .sum("k")
+        .rename_columns({"sum(k)": "n"})
+    )
+    joined = bucket_join(stream, counts, on="bgh",
+                         num_buckets=num_buckets)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        si, sk, sn = ids[order], k[order], n[order]
+        new = np.ones(len(si), bool)
+        new[1:] = si[1:] != si[:-1]
+        starts = np.flatnonzero(new)
+        if len(starts) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "fam_sum": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            id_col: pa.array(si[starts]),
+            "n_bigrams": pa.array(np.add.reduceat(sk, starts)),
+            "fam_sum": pa.array(np.add.reduceat(sk * sn, starts)),
+        })
+
+    part = joined.map_batches(_partial, batch_format="pyarrow")
+    out = part.groupby(id_col).sum(["n_bigrams", "fam_sum"])
+
+    def _shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_bigrams": pc.cast(t.column("sum(n_bigrams)"), pa.int64()),
+            "fam_sum": pc.cast(t.column("sum(fam_sum)"), pa.int64()),
+        })
+
+    return out.map_batches(_shape, batch_format="pyarrow")

@@ -38,3 +38,45 @@ def test_curation_pipeline_closed_form():
         assert int(row["n_docs"].iloc[0]) == int((shard == s).sum())
         exp = np.bitwise_xor.reduce(hk[shard == s])
         assert int(row["id_xor"].iloc[0]) == int(exp.view(np.int64))
+
+
+def test_token_budget_select_order_and_cut():
+    from libpysal_ray.text.analysis import token_budget_select
+
+    # nd: doc1=4 distinct/4 tok, doc2=2/4, doc3=3/3
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["p q r s", "x x y y", "u v w"]),
+    })).repartition(2)
+    rows = sorted(
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in token_budget_select(ds, budget=7).take_all()
+    )
+    # order: doc1 (nd=4) cum 4, doc3 (nd=3) cum 7, doc2 (nd=2) cum 11 > 7
+    assert rows == [(1, 4, 4), (3, 3, 7)]
+
+
+def test_domain_balance_rates_and_manifest():
+    from libpysal_ray.core.hashing import splitmix64
+    from libpysal_ray.text.analysis import domain_balance
+
+    # src a: 10 docs x 4 tokens = 40; src b: 4 docs x 5 tokens = 20
+    ids = np.arange(14, dtype=np.int64)
+    texts = ["t u v w"] * 10 + ["a b c d e"] * 4
+    srcs = ["a"] * 10 + ["b"] * 4
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array(texts),
+        "source": pa.array(srcs),
+    })).repartition(3)
+    man = {r["source"]: r for r in domain_balance(ds).take_all()}
+    # rates: a -> 20*100//40 = 50, b -> 100
+    h = splitmix64(ids.view(np.uint64))
+    keep_a = (h[:10] % np.uint64(100)) < np.uint64(50)
+    assert man["b"]["rate_pct"] == 100 and man["b"]["n_docs"] == 4
+    assert man["b"]["tok_kept"] == 20
+    assert man["a"]["rate_pct"] == 50
+    assert man["a"]["n_docs"] == int(keep_a.sum())
+    assert man["a"]["tok_kept"] == 4 * int(keep_a.sum())
+    exp_xor = np.bitwise_xor.reduce(h[:10][keep_a]) if keep_a.any() else 0
+    assert man["a"]["id_xor"] == int(np.uint64(exp_xor).view(np.int64))

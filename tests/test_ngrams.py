@@ -156,3 +156,29 @@ def test_collocations_min_count_filters():
         "text": pa.array(["a b c"]),
     }))
     assert collocations(ds, min_count=2).count() == 0
+
+
+def test_bigram_familiarity_closed_form():
+    from libpysal_ray.text.ngrams import bigram_familiarity
+
+    # corpus bigrams: "a b"x3, "b a"x2, "b c"x1, "a c"x1
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b a b c", "a b a c"]),
+    }))
+    got = {r["doc_id"]: (r["n_bigrams"], r["fam_sum"])
+           for r in bigram_familiarity(ds).take_all()}
+    # doc1: a b, b a, a b, b c -> 3+2+3+1 = 9 over 4
+    # doc2: a b, b a, a c     -> 3+2+1 = 6 over 3
+    assert got == {1: (4, 9), 2: (3, 6)}
+
+
+def test_bigram_familiarity_short_docs_absent():
+    from libpysal_ray.text.ngrams import bigram_familiarity
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["solo", "a b"]),
+    }))
+    got = {r["doc_id"] for r in bigram_familiarity(ds).take_all()}
+    assert got == {2}
