@@ -3623,3 +3623,36 @@ SELECT source, MAX(rate_pct) AS rate_pct,
        bit_xor(toi64(sm64(doc_id))) AS id_xor
 FROM k GROUP BY 1
 """)
+
+
+def q_domain_upsample(sf_dir: str):
+    """Deterministic domain upsampling: each source repeated
+    ceil(max_tokens/its_tokens) times (capped at 16) — one replica row
+    per epoch membership."""
+    from libpysal_ray.text.analysis import upsample_domains
+
+    return upsample_domains(_docs(sf_dir, ["doc_id", "text", "source"]))
+
+
+QUERIES["domain_upsample"] = q_domain_upsample
+
+ORACLE_SQL["domain_upsample"] = """
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+tot AS (SELECT source, SUM(tok) AS T FROM s GROUP BY 1),
+m AS (SELECT MAX(T) AS mx FROM tot),
+f AS (
+  SELECT source,
+         LEAST(16, ((SELECT mx FROM m) + T - 1) // T) AS factor
+  FROM tot
+),
+base AS (
+  SELECT s.doc_id, s.source,
+         unnest(range(CAST(f.factor AS BIGINT))) AS r
+  FROM s JOIN f USING (source)
+)
+SELECT doc_id, source, CAST(r AS BIGINT) AS replica FROM base
+"""

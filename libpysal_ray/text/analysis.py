@@ -698,3 +698,76 @@ def domain_balance(
         })
 
     return out.map_batches(_shape, batch_format="pyarrow")
+
+
+def upsample_domains(
+    ds: ray.data.Dataset,
+    max_factor: int = 16,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Deterministic domain upsampling — the data-mix counterpart of
+    ``domain_balance``: every source is REPEATED toward the largest
+    source's token mass, factor_s = min(max_factor,
+    ceil(max_total/total_s)) epochs. Emits one row per replica:
+    (id, source, replica) with replica in [0, factor_s).
+
+    100 TB shape: pass 1 is the tiny per-source token aggregate; pass 2
+    is a stateless batch fanout (marked size-expanding for the plan
+    walk) — replication happens at read time downstream, no data is
+    copied here beyond the id/source columns."""
+    if not (1 <= max_factor <= 64):
+        raise ValueError("max_factor must be in [1, 64]")
+
+    def _tok(t: pa.Table) -> pa.Table:
+        spaces = pc.count_substring(t.column(text_col), " ").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table({
+            source_col: t.column(source_col),
+            "tok": pa.array(spaces + 1),
+        })
+
+    totals = {
+        r[source_col]: int(r["sum(tok)"])
+        for r in ds.map_batches(_tok, batch_format="pyarrow")
+        .groupby(source_col)
+        .sum("tok")
+        .take_all()
+    }
+    if not totals:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            source_col: pa.array([], pa.large_string()),
+            "replica": pa.array([], pa.int64()),
+        }))
+    mx = max(totals.values())
+    srcs = sorted(totals)
+    src_arr = pa.array(srcs, pa.large_string())
+    fac_arr = np.array(
+        [min(max_factor, -((-mx) // totals[s])) for s in srcs],
+        dtype=np.int64,
+    )
+
+    def _fan(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        si = pc.index_in(
+            pc.cast(t.column(source_col), pa.large_string()),
+            value_set=src_arr,
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        f = fac_arr[si]
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), f)
+        base = np.repeat(np.cumsum(f) - f, f)
+        replica = np.arange(len(rep), dtype=np.int64) - base
+        return pa.table({
+            id_col: pa.array(ids[rep]),
+            source_col: pc.cast(t.column(source_col),
+                                pa.large_string()).take(pa.array(rep)),
+            "replica": pa.array(replica),
+        })
+
+    _fan._size_expanding = True  # per-row factor fanout
+    return ds.map_batches(_fan, batch_format="pyarrow")

@@ -80,3 +80,36 @@ def test_domain_balance_rates_and_manifest():
     assert man["a"]["tok_kept"] == 4 * int(keep_a.sum())
     exp_xor = np.bitwise_xor.reduce(h[:10][keep_a]) if keep_a.any() else 0
     assert man["a"]["id_xor"] == int(np.uint64(exp_xor).view(np.int64))
+
+
+def test_upsample_domains_factors():
+    from libpysal_ray.text.analysis import upsample_domains
+
+    # src a: 40 tokens (max); src b: 15 tokens -> factor ceil(40/15)=3
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["t u v w"] * 4 + ["a b c"] * 1 + []),
+        "source": pa.array(["a"] * 4 + ["b"]),
+    }))
+    # tokens: a = 4*4 = 16... recompute: a: 4 docs x 4 = 16, b: 1 x 3 = 3
+    # factor a = 1, factor b = ceil(16/3) = 6
+    rows = upsample_domains(ds).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault((r["doc_id"], r["source"]), []).append(r["replica"])
+    assert got[(0, "a")] == [0]
+    assert sorted(got[(4, "b")]) == list(range(6))
+    assert len(rows) == 4 + 6
+
+
+def test_upsample_domains_cap():
+    from libpysal_ray.text.analysis import upsample_domains
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["w " * 99 + "w", "x"]),  # 100 vs 1 token
+        "source": pa.array(["big", "small"]),
+    }))
+    rows = upsample_domains(ds, max_factor=8).take_all()
+    n_small = sum(1 for r in rows if r["source"] == "small")
+    assert n_small == 8  # capped, not 100
