@@ -1,8 +1,8 @@
 """Deduplication operators for training-data pipelines.
 
-* exact_dedup — md5(text) hash-partition + per-group min-id survivor.
-  One groupby shuffle on the 128-bit digest; survivors and duplicate
-  counts come out of the same pass.
+* exact_dedup — content-hash partition + per-group min-id survivor.
+  One groupby shuffle on the vectorized 64-bit digest; survivors and
+  duplicate counts come out of the same pass.
 * minhash_lsh_pairs — shingle → minhash (m permutations via universal
   hashing of md5-based shingle ids) → band buckets → candidate pairs by
   bucket groupby → exact-Jaccard verify per pair. Classic MinHash+LSH
@@ -31,15 +31,26 @@ def exact_dedup(
 ) -> ray.data.Dataset:
     """(doc_id, n_dupes): per identical-text group, the minimum id survives
     with the duplicate count. One shuffle on the digest, native Min/Count
-    aggregates (partial pre-aggregation per block, no per-group Python)."""
+    aggregates (partial pre-aggregation per block, no per-group Python).
+
+    The digest is the engine's vectorized 64-bit content hash (flat-
+    buffer reduceat — no per-row Python, and the shuffle key is 8 bytes
+    instead of a 32-char md5 hex); any injective-in-practice digest
+    yields the same groups as the oracle's GROUP BY md5(text), modulo
+    the usual ~2^-64 collision terms."""
     from ray.data.aggregate import Count, Min
 
-    from libpysal_ray.text.analysis import md5_hex
+    from libpysal_ray.core.hashing import hash_string_array_u64
 
-    hashed = md5_hex(ds.select_columns([id_col, text_col]), text_col).drop_columns(
-        [text_col]
-    )
-    g = hashed.groupby("text_md5").aggregate(Min(id_col), Count())
+    def _h(t: pa.Table) -> pa.Table:
+        h = hash_string_array_u64(t.column(text_col)).view(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "text_h": pa.array(h),
+        })
+
+    hashed = ds.map_batches(_h, batch_format="pyarrow")
+    g = hashed.groupby("text_h").aggregate(Min(id_col), Count())
     return g.rename_columns(
         {f"min({id_col})": id_col, "count()": "n_dupes"}
     ).select_columns([id_col, "n_dupes"])
