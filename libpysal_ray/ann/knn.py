@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -22,6 +23,23 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def _vec_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix with NO Python-list
+    round trip: combine chunks, flatten the child buffer, reshape by the
+    (validated-constant) list length. Falls back to the slow path only
+    for ragged lists."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    d = int(lens[0])
+    if (lens == d).all():
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(len(col), d)
+    return np.array(col.to_pylist(), dtype=np.float64)
 
 
 def _collect_queries(
@@ -57,7 +75,7 @@ def ann_topk(
     def _local(t: pa.Table) -> pa.Table:
         qids, qmat = ray.get(ref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        m = _vec_matrix(t.column(vec_col))
         if len(m) == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
@@ -126,7 +144,7 @@ def ann_lsh_topk(
     def _local(t: pa.Table) -> pa.Table:
         qids, qmat, pl, qb = ray.get(ref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        m = _vec_matrix(t.column(vec_col))
         if len(m) == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
@@ -209,13 +227,13 @@ def cosine_dup_pairs(
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ids) == 0:
             continue
-        m = _norm_rows(np.array(b.column(vec_col).to_pylist(), dtype=np.float64))
+        m = _norm_rows(_vec_matrix(b.column(vec_col)))
         chunk_refs.append(ray.put((ids, m)))
 
     def _scan(t: pa.Table) -> pa.Table:
         qid = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         qm = _norm_rows(
-            np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+            _vec_matrix(t.column(vec_col))
         )
         out_a, out_b = [], []
         for ref in chunk_refs:
@@ -302,7 +320,7 @@ def cosine_dup_pairs_lsh(
                  vec_col: pa.array([], pa.list_(pa.float64()))}
             )
         pl = ray.get(pref)
-        mn = _norm_rows(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
+        mn = _norm_rows(_vec_matrix(t.column(vec_col)))
         sig = (mn @ pl > 0).astype(np.uint64)
         vec_list = pa.array(mn.tolist(), pa.list_(pa.float64()))
         parts = []
@@ -330,7 +348,7 @@ def cosine_dup_pairs_lsh(
                           "id_b": pa.array([], pa.int64())})
         if len(ids) < 2:
             return empty
-        mn = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+        mn = _vec_matrix(t.column(vec_col))
         out_a, out_b = [], []
         # chunk the probe side so a hot bucket never allocates a B×B matrix
         for s in range(0, len(ids), 1024):
@@ -424,7 +442,7 @@ def ann_ivf_topk(
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
                              "sim": pa.array([], pa.float64())})
-        mn = _norm_rows(np.array(t.column(vec_col).to_pylist(), dtype=np.float64))
+        mn = _norm_rows(_vec_matrix(t.column(vec_col)))
         assign = np.argmax(mn @ cm_.T, axis=1)
         out_q, out_n, out_s = [], [], []
         for qi in range(len(qids)):
@@ -489,8 +507,7 @@ def assign_to_centroids(
             })
         cids, cmat = ray.get(ref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _norm_rows(np.array(t.column(vec_col).to_pylist(),
-                                dtype=np.float64))
+        m = _norm_rows(_vec_matrix(t.column(vec_col)))
         sims = m @ cmat.T
         # argmax with ties to the LOWEST centroid id: cids is sorted
         # ascending and np.argmax takes the first maximum
@@ -549,7 +566,7 @@ def semdedup(
             np.int64
         )
         m = _norm_rows(
-            np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+            _vec_matrix(t.column(vec_col))
         )
         best = cids[np.argmax(m @ cmat.T, axis=1)]
         return pa.table(
@@ -578,7 +595,7 @@ def semdedup(
         order = np.lexsort((vv, cc))
         cc, vv = cc[order], vv[order]
         V = _norm_rows(
-            np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+            _vec_matrix(t.column(vec_col))
         )[order]
         dup = np.zeros(len(vv), dtype=bool)
         starts = np.flatnonzero(
