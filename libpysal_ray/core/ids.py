@@ -10,7 +10,8 @@ Two codecs:
   0..n-1. The mapping table is the SMALL side (one row per observation),
   broadcast via ray.put. Decode restores the originals exactly.
 * ``hash_ids`` — scale path: stateless 64-bit string hash
-  (core.hashing.hash_strings_u64); no mapping table, no driver state, but
+  (core.hashing.hash_string_array_u64 — fully vectorized over the flat
+  Arrow buffer); no mapping table, no driver state, but
   no decode and a (negligible, checkable) collision probability — the
   right choice for url-keyed web corpora.
 """
@@ -19,10 +20,11 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
-from libpysal_ray.core.hashing import hash_strings_u64
+from libpysal_ray.core.hashing import hash_string_array_u64
 
 
 class DenseIdCodec:
@@ -37,8 +39,10 @@ class DenseIdCodec:
         # distributed distinct (per-batch combiner + one groupby), then the
         # (small) id universe comes to the driver once for the sorted map
         def _uniq(t: pa.Table) -> pa.Table:
-            u = np.unique(np.asarray(t.column(col).to_pylist()))
-            return pa.table({col: pa.array(u)})
+            u = pc.unique(t.column(col).combine_chunks()
+                          if isinstance(t.column(col), pa.ChunkedArray)
+                          else t.column(col))
+            return pa.table({col: u})
 
         parts = (
             ds.select_columns([col])
@@ -58,12 +62,14 @@ class DenseIdCodec:
 
         def _enc(t: pa.Table) -> pa.Table:
             vals = ray.get(ref)
-            q = np.asarray(t.column(col).to_pylist())
-            idx = np.searchsorted(vals, q)
-            if (idx >= len(vals)).any() or (vals[np.clip(idx, 0, len(vals) - 1)] != q).any():
+            idx = pc.index_in(t.column(col),
+                              value_set=pa.array(vals))
+            if idx.null_count:
                 raise KeyError("id not in codec universe")
             t = t.drop_columns([col])
-            return t.append_column(oc, pa.array(idx.astype(np.int64)))
+            return t.append_column(
+                oc, pc.cast(idx, pa.int64())
+            )
 
         return ds.map_batches(_enc, batch_format="pyarrow")
 
@@ -87,8 +93,8 @@ def hash_ids(ds: ray.data.Dataset, col: str, seed: int = 0,
     oc = out_col or col
 
     def _h(t: pa.Table) -> pa.Table:
-        strs = t.column(col).to_pylist()
-        h = (hash_strings_u64(strs, seed) >> np.uint64(1)).astype(np.int64)
+        h = (hash_string_array_u64(t.column(col), seed)
+             >> np.uint64(1)).astype(np.int64)
         t = t.drop_columns([col])
         return t.append_column(oc, pa.array(h))
 

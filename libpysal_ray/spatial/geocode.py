@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from libpysal_ray.core.hashing import GEO_CX, GEO_CY, hash_strings_u64, mul32
+from libpysal_ray.core.hashing import GEO_CX, GEO_CY, hash_string_array_u64, mul32
 
 M32F = 4294967296.0
 
@@ -69,9 +69,8 @@ def geocode_urls(
     path; the rest is uniform. Deterministic per url."""
 
     def _geo(t: pa.Table) -> pa.Table:
-        urls = t.column(url_col).to_pylist()
-        h = hash_strings_u64(urls, seed=seed)
-        h2 = hash_strings_u64(urls, seed=seed + 1)
+        h = hash_string_array_u64(t.column(url_col), seed=seed)
+        h2 = hash_string_array_u64(t.column(url_col), seed=seed + 1)
         u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
         v = (h2 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
         lon = u * 360.0 - 180.0
