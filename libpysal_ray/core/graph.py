@@ -903,6 +903,49 @@ class RayGraph:
         indptr = np.searchsorted(row, np.arange(len(ids) + 1))
         return indptr, col, data, ids
 
+    def to_dense(self) -> tuple[np.ndarray, np.ndarray]:
+        """(matrix, ids) dense weight matrix sorted by id — the
+        reference's ``full(w)`` (weights/util.py:662). Driver-side BY
+        CONTRACT like the reference (a dense n×n matrix is inherently
+        driver-scale); raises loudly above 10k nodes."""
+        row, col, data, ids = self.to_coo()
+        n = len(ids)
+        if n > 10_000:
+            raise ValueError(
+                f"to_dense on {n} nodes would allocate {n}x{n} doubles; "
+                "dense export is a small-graph interop path"
+            )
+        m = np.zeros((n, n), dtype=np.float64)
+        m[row, col] = data
+        return m, ids
+
+    @classmethod
+    def from_dense(cls, m: np.ndarray, ids=None) -> "RayGraph":
+        """Dense matrix → graph — the reference's ``full2W``
+        (weights/util.py:694): nonzero entries become edges; all-zero
+        rows survive as isolates."""
+        m = np.asarray(m, dtype=np.float64)
+        if m.ndim != 2 or m.shape[0] != m.shape[1]:
+            raise ValueError("from_dense needs a square matrix")
+        n = m.shape[0]
+        ids = np.arange(n, dtype=np.int64) if ids is None else np.asarray(
+            ids, dtype=np.int64
+        )
+        r, c = np.nonzero(m)
+        return cls.from_arrays(ids[r], ids[c], m[r, c], ids=ids)
+
+    def neighbor_equality(self, other: "RayGraph") -> bool:
+        """True iff every node has the SAME neighbor SET in both graphs,
+        ignoring weights — the reference's ``neighbor_equality``
+        (weights/util.py:1236). One distributed symmetric-difference on
+        the unweighted edge sets plus an id-universe check."""
+        a = set(r["focal"] for r in ids_dataset(self._edges).take_all())
+        b = set(r["focal"] for r in ids_dataset(other._edges).take_all())
+        if a != b:
+            return False
+        sd = self._setop(other, "symmetric_difference")
+        return sd._real_edges().limit(1).count() == 0
+
     def w_clip(self, mask: "RayGraph") -> "RayGraph":
         """Keep self's weights only where mask has a (nonzero) link
         (set_operations.py:389-513)."""

@@ -326,3 +326,29 @@ def test_order_driver_distributed_parity():
         fy, fx = divmod(int(r["focal"]), 6)
         ny, nx = divmod(int(r["neighbor"]), 6)
         assert abs(fy - ny) + abs(fx - nx) == r["path_order"]
+
+
+def test_dense_roundtrip_and_neighbor_equality(ray_session):
+    import numpy as np
+
+    from libpysal_ray.builders.lattice import lat2graph
+
+    g = lat2graph(3, 3, rook=True)
+    m, ids = g.to_dense()
+    assert m.shape == (9, 9) and (ids == np.arange(9)).all()
+    assert m.sum() == 24.0  # 2*|rook edges| on 3x3 = 24 directed
+    g2 = RayGraph.from_dense(m, ids)
+    assert g.neighbor_equality(g2)
+    assert g2.equals(g)
+    # weight change keeps neighbor sets equal, breaks equals
+    g3 = RayGraph.from_dense(m * 2.0, ids)
+    assert g.neighbor_equality(g3)
+    assert not g.equals(g3)
+    # isolate row survives
+    m2 = np.zeros((3, 3)); m2[0, 1] = m2[1, 0] = 1.0
+    g4 = RayGraph.from_dense(m2)
+    assert g4.n() == 3
+    d, _ = g4.to_dense()
+    assert (d == m2).all()
+    # different topology
+    assert not g4.neighbor_equality(RayGraph.from_dense(np.eye(3)))
