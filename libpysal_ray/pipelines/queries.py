@@ -3656,3 +3656,43 @@ base AS (
 )
 SELECT doc_id, source, CAST(r AS BIGINT) AS replica FROM base
 """
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank (3 rounds, damping 85/100) over the
+    rook lattice — the classic iterative web-graph algorithm under the
+    engine's exactness discipline: every round is int64 floor
+    arithmetic, so the distributed result is bit-equal to the oracle's
+    unrolled iterations."""
+    return _rook_g(sf_dir).pagerank_int(iters=3)
+
+
+QUERIES["pagerank"] = q_pagerank
+
+_PR_ITER = """
+s{i} AS (
+  SELECT adj.neighbor AS node, SUM(r{p}.r // deg.d) AS s
+  FROM adj
+  JOIN r{p} ON adj.focal = r{p}.node
+  JOIN deg ON deg.focal = adj.focal
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT n0.node,
+         CAST(150000000000 + 85 * COALESCE(s{i}.s, 0) // 100 AS BIGINT)
+           AS r
+  FROM n0 LEFT JOIN s{i} USING (node)
+)"""
+
+ORACLE_SQL["pagerank"] = (
+    "WITH "
+    + _ROOK_SQL
+    + """,
+deg AS (SELECT focal, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+n0 AS (SELECT DISTINCT focal AS node FROM adj),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM n0),"""
+    + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node, r FROM r3
+"""
+)

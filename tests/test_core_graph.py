@@ -352,3 +352,33 @@ def test_dense_roundtrip_and_neighbor_equality(ray_session):
     assert (d == m2).all()
     # different topology
     assert not g4.neighbor_equality(RayGraph.from_dense(np.eye(3)))
+
+
+def test_pagerank_int_numpy_parity(ray_session):
+    import numpy as np
+
+    from libpysal_ray.builders.lattice import lat2graph
+
+    g = lat2graph(4, 5, rook=True)
+    got = {r["node"]: r["r"] for r in g.pagerank_int(iters=3).take_all()}
+    # numpy reference: identical integer recurrence
+    m, ids = g.to_dense()
+    adj = m > 0
+    deg = adj.sum(axis=1).astype(np.int64)
+    r = np.full(len(ids), 1_000_000_000_000, dtype=np.int64)
+    for _ in range(3):
+        c = r // np.maximum(deg, 1)
+        s = adj.T @ c
+        r = 150_000_000_000 + 85 * s // 100
+    exp = dict(zip(ids.tolist(), r.tolist()))
+    assert got == exp
+
+
+def test_pagerank_int_isolate_settles_at_base(ray_session):
+    import numpy as np
+
+    m = np.zeros((3, 3)); m[0, 1] = m[1, 0] = 1.0
+    g = RayGraph.from_dense(m)
+    got = {r["node"]: r["r"] for r in g.pagerank_int(iters=2).take_all()}
+    assert got[2] == 150_000_000_000
+    assert got[0] == got[1] > 150_000_000_000
