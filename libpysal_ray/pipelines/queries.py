@@ -3696,3 +3696,35 @@ r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM n0),"""
 SELECT node, r FROM r3
 """
 )
+
+
+def q_hop_events(sf_dir: str):
+    """Hopping 2-hour windows every hour per user — each event lands in
+    two overlapping windows; counts + exact integer-cents sums."""
+    from libpysal_ray.temporal.joins import hopping_window
+
+    ev = _events_ds(sf_dir, ["ts", "user_id", "value"])
+    return hopping_window(
+        ev, ts_col="ts", key_col="user_id",
+        window_us=7_200_000_000, hop_us=3_600_000_000, value_col="value",
+    )
+
+
+QUERIES["hop_events"] = q_hop_events
+
+ORACLE_SQL["hop_events"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+x AS (
+  SELECT user_id, cents,
+         unnest(range((t - 7200000000) // 3600000000 + 1,
+                      t // 3600000000 + 1)) AS w
+  FROM e
+)
+SELECT user_id AS "key", CAST(w AS BIGINT) AS "window",
+       COUNT(*) AS n_events, SUM(cents) AS sum_cents
+FROM x GROUP BY 1, 2
+"""

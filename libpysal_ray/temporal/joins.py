@@ -384,3 +384,77 @@ def sessionize(
         })
 
     return grouped_by_key(u, ["key"], _bucket)
+
+
+def hopping_window(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    key_col: str,
+    window_us: int,
+    hop_us: int,
+    value_cents_col: str | None = None,
+    value_col: str | None = None,
+) -> ray.data.Dataset:
+    """Hopping (sliding) window aggregate: (key, window, n_events
+    [, sum_cents]) where window w covers [w·hop, w·hop + window) — every
+    event lands in ceil(window/hop) overlapping windows. Same exact-
+    integer-cents discipline as ``tumbling_window``; the per-batch
+    fanout+combine is marked size-expanding for the plan walk, and the
+    ONE (key, window) shuffle moves combined partials only."""
+    if hop_us <= 0 or window_us < hop_us:
+        raise ValueError("need window_us >= hop_us > 0")
+    if value_cents_col is not None and value_col is not None:
+        raise ValueError("pass value_cents_col OR value_col, not both")
+    w_us = np.int64(window_us)
+    h_us = np.int64(hop_us)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_us(t.column(ts_col))
+        if value_cents_col is not None:
+            cents = (
+                t.column(value_cents_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        elif value_col is not None:
+            cents = np.round(
+                t.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+        else:
+            cents = np.zeros(len(k), dtype=np.int64)
+        w_lo = (ts - w_us) // h_us + 1
+        w_hi = ts // h_us
+        cnt = (w_hi - w_lo + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(k)), cnt)
+        base = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        win = w_lo[rep] + (np.arange(len(rep), dtype=np.int64) - base)
+        ks, cs = k[rep], cents[rep]
+        order = np.lexsort((win, ks))
+        ks, ws, cs = ks[order], win[order], cs[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
+        gidx = np.cumsum(first) - 1
+        n = np.bincount(gidx) if len(ks) else np.empty(0, np.int64)
+        csum = (np.bincount(gidx, weights=cs).astype(np.int64)
+                if len(ks) else np.empty(0, np.int64))
+        heads = np.flatnonzero(first)
+        return pa.table(
+            {
+                "key": pa.array(ks[heads]),
+                "window": pa.array(ws[heads]),
+                "n_events": pa.array(n.astype(np.int64)),
+                "sum_cents": pa.array(csum),
+            }
+        )
+
+    _partial._size_expanding = True  # ceil(window/hop) fanout per event
+    from libpysal_ray.core.joins import grouped_sum
+
+    return grouped_sum(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ("key", "window"),
+        ("n_events", "sum_cents"),
+    ).rename_columns(
+        {"sum(n_events)": "n_events", "sum(sum_cents)": "sum_cents"}
+    )

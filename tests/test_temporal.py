@@ -173,3 +173,34 @@ def test_tumbling_window_value_cents_col(ray_session):
         tumbling_window(ds, ts_col="ts", key_col="user",
                         window_us=1, value_cents_col="cents",
                         value_col="cents")
+
+
+def test_hopping_window_closed_form():
+    from libpysal_ray.temporal.joins import hopping_window
+
+    # window 10, hop 5: event at t=12 -> windows 1,2; t=4 -> 0 and -1
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array([12, 4, 7], pa.int64()),
+        "uid": pa.array([1, 1, 1], pa.int64()),
+        "cents": pa.array([100, 10, 1], pa.int64()),
+    }))
+    got = {(r["key"], r["window"]): (r["n_events"], r["sum_cents"])
+           for r in hopping_window(ds, "ts", "uid", 10, 5,
+                                   value_cents_col="cents").take_all()}
+    assert got == {
+        (1, -1): (1, 10),          # t=4 in [-5,5)
+        (1, 0): (2, 11),           # t=4,7 in [0,10)
+        (1, 1): (2, 101),          # t=7,12 in [5,15)
+        (1, 2): (1, 100),          # t=12 in [10,20)
+    }
+
+
+def test_hopping_window_validates():
+    from libpysal_ray.temporal.joins import hopping_window
+
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array([1], pa.int64()),
+        "uid": pa.array([1], pa.int64()),
+    }))
+    with pytest.raises(ValueError):
+        hopping_window(ds, "ts", "uid", 5, 10)
