@@ -3728,3 +3728,53 @@ SELECT user_id AS "key", CAST(w AS BIGINT) AS "window",
        COUNT(*) AS n_events, SUM(cents) AS sum_cents
 FROM x GROUP BY 1, 2
 """
+
+
+def q_gopher(sf_dir: str):
+    """Gopher composite quality filter: token-count / mean-word-length /
+    stopword / repetition rules, all cross-multiplied integer
+    comparisons — the exact-arithmetic form of Rae et al. 2021 A1.1."""
+    from libpysal_ray.text.analysis import gopher_filter
+
+    return gopher_filter(_docs(sf_dir, ["doc_id", "text"]))
+
+
+QUERIES["gopher"] = q_gopher
+
+ORACLE_SQL["gopher"] = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+i AS (SELECT doc_id, t, unnest(range(1, len(t))) AS p FROM tk),
+b AS (SELECT doc_id, t[p] || ' ' || t[p+1] AS bg FROM i),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2),
+d AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS dup_occ,
+         CAST(SUM(c) AS BIGINT) AS n_2grams
+  FROM bc GROUP BY 1
+),
+base AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS n_tokens,
+         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+         CAST( (length(text) - length(replace(text, ' the ', ''))) / 5
+             + (length(text) - length(replace(text, ' and ', ''))) / 5
+             + (length(text) - length(replace(text, ' of ', ''))) / 4
+             + (length(text) - length(replace(text, ' to ', ''))) / 4
+             + (length(text) - length(replace(text, ' is ', ''))) / 4
+           AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT base.doc_id, n_tokens, n_word_chars, stop_hits,
+       COALESCE(d.dup_occ, 0) AS dup_occ,
+       COALESCE(d.n_2grams, 0) AS n_2grams,
+       CAST(CASE WHEN n_tokens BETWEEN 30 AND 100000
+                  AND 3 * n_tokens <= n_word_chars
+                  AND n_word_chars <= 10 * n_tokens
+                  AND stop_hits >= 1
+                  AND 100 * COALESCE(d.dup_occ, 0)
+                      <= 60 * COALESCE(d.n_2grams, 0)
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM base LEFT JOIN d USING (doc_id)
+"""

@@ -133,43 +133,50 @@ def md5_hex(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def _dup2_occurrences(col) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (dup-2gram occurrence count, 2-gram total) — the shared
+    Gopher repetition kernel: flat token hashes → chained-splitmix
+    window hashes → duplicate-run accounting via one lexsort."""
+    from libpysal_ray.core.hashing import splitmix64, tokenize_hash
+
+    th, off = tokenize_hash(col)
+    n_docs = len(off) - 1
+    lens = np.diff(off)
+    n2 = np.maximum(lens - 1, 0).astype(np.int64)
+    dupocc = np.zeros(n_docs, dtype=np.int64)
+    if len(th) >= 2:
+        acc0 = splitmix64(th.astype(np.uint64))
+        g = splitmix64(acc0[:-1] ^ th[1:])
+        doc_of = np.repeat(np.arange(n_docs), lens)
+        valid = doc_of[:-1] == doc_of[1:]
+        g, gd = g[valid], doc_of[:-1][valid]
+        order = np.lexsort((g, gd))
+        gs, ds_ = g[order], gd[order]
+        change = np.r_[True, (ds_[1:] != ds_[:-1]) | (gs[1:] != gs[:-1])]
+        starts = np.flatnonzero(change)
+        runs = np.diff(np.append(starts, len(gs)))
+        dup_runs = runs >= 2
+        np.add.at(dupocc, ds_[starts[dup_runs]], runs[dup_runs])
+    return dupocc, n2
+
+
 def rep_stats(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
     """(doc_id, n_2grams, dup_frac): Gopher-style repetition signal — the
     fraction of 2-gram OCCURRENCES belonging to a 2-gram that appears ≥2
     times in the document (Rae et al. 2021 repetition filters). Fully
-    vectorized: flat token hashes → chained-splitmix window hashes →
-    per-doc duplicate-run accounting via one lexsort."""
+    vectorized via the shared ``_dup2_occurrences`` kernel."""
 
     def _f(t: pa.Table) -> pa.Table:
-        from libpysal_ray.core.hashing import splitmix64, tokenize_hash
-
-        n_docs = t.num_rows
-        th, off = tokenize_hash(t.column(text_col))
-        lens = np.diff(off)
-        n2 = np.maximum(lens - 1, 0)
-        dupocc = np.zeros(n_docs, dtype=np.int64)
-        if len(th) >= 2:
-            acc0 = splitmix64(th.astype(np.uint64))
-            g = splitmix64(acc0[:-1] ^ th[1:])
-            doc_of = np.repeat(np.arange(n_docs), lens)
-            valid = doc_of[:-1] == doc_of[1:]
-            g, gd = g[valid], doc_of[:-1][valid]
-            order = np.lexsort((g, gd))
-            gs, ds_ = g[order], gd[order]
-            change = np.r_[True, (ds_[1:] != ds_[:-1]) | (gs[1:] != gs[:-1])]
-            starts = np.flatnonzero(change)
-            runs = np.diff(np.append(starts, len(gs)))
-            dup_runs = runs >= 2
-            np.add.at(dupocc, ds_[starts[dup_runs]], runs[dup_runs])
-        frac = np.zeros(n_docs)
+        dupocc, n2 = _dup2_occurrences(t.column(text_col))
+        frac = np.zeros(len(n2))
         nz = n2 > 0
         frac[nz] = dupocc[nz] / n2[nz]
         return pa.table(
             {
                 id_col: t.column(id_col),
-                "n_2grams": pa.array(n2.astype(np.int64)),
+                "n_2grams": pa.array(n2),
                 "dup_frac": pa.array(frac),
             }
         )
@@ -771,3 +778,66 @@ def upsample_domains(
 
     _fan._size_expanding = True  # per-row factor fanout
     return ds.map_batches(_fan, batch_format="pyarrow")
+
+
+def gopher_filter(
+    ds: ray.data.Dataset,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mwl: int = 3,
+    max_mwl: int = 10,
+    min_stop_hits: int = 1,
+    max_dup_pct: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = _LANG_STOPWORDS["en"],
+) -> ray.data.Dataset:
+    """Gopher-style composite quality filter (Rae et al. 2021 §A1.1) in
+    EXACT integer arithmetic — every rule is a cross-multiplied integer
+    comparison, so the verdict is bit-reproducible and SQL-checkable:
+
+    * token count in [min_tokens, max_tokens]
+    * mean word length in [min_mwl, max_mwl]
+      (min_mwl·n_tokens ≤ n_word_chars ≤ max_mwl·n_tokens)
+    * ≥ min_stop_hits stopword occurrences
+    * duplicate-2-gram occupancy ≤ max_dup_pct %
+      (100·dup_occ ≤ max_dup_pct·n_2grams)
+
+    Emits the integer signals plus keep ∈ {0,1}. Stateless one-pass
+    map_batches — the 100 TB shape of every per-doc quality rule."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        spaces = pc.count_substring(txt, " ").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        length = pc.utf8_length(txt).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_tok = spaces + 1
+        n_chars = length - spaces
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        for w in stopwords:
+            hits += pc.count_substring(txt, f" {w} ").to_numpy(
+                zero_copy_only=False
+            )
+        dup_occ, n2 = _dup2_occurrences(txt)
+        keep = (
+            (n_tok >= min_tokens)
+            & (n_tok <= max_tokens)
+            & (min_mwl * n_tok <= n_chars)
+            & (n_chars <= max_mwl * n_tok)
+            & (hits >= min_stop_hits)
+            & (100 * dup_occ <= max_dup_pct * n2)
+        )
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": pa.array(n_tok),
+            "n_word_chars": pa.array(n_chars),
+            "stop_hits": pa.array(hits),
+            "dup_occ": pa.array(dup_occ),
+            "n_2grams": pa.array(n2),
+            "keep": pa.array(keep.astype(np.int64)),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")

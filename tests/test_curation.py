@@ -113,3 +113,26 @@ def test_upsample_domains_cap():
     rows = upsample_domains(ds, max_factor=8).take_all()
     n_small = sum(1 for r in rows if r["source"] == "small")
     assert n_small == 8  # capped, not 100
+
+
+def test_gopher_filter_rules():
+    from libpysal_ray.text.analysis import gopher_filter
+
+    long_ok = "the cat sat on the mat and ran to the big red barn now"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            long_ok,                         # passes all at low bars
+            "tiny doc",                      # fails min_tokens
+            "a a a a a a a a a a a a",       # fails mwl + repetition
+            "supercalifragilistic " * 12,    # fails max mean word len
+        ]),
+    }))
+    got = {r["doc_id"]: r for r in gopher_filter(
+        ds, min_tokens=5, min_mwl=2, min_stop_hits=1,
+        max_dup_pct=50).take_all()}
+    assert got[1]["keep"] == 1
+    assert got[2]["keep"] == 0
+    assert got[3]["keep"] == 0 and got[3]["dup_occ"] == got[3]["n_2grams"]
+    assert got[4]["keep"] == 0
+    assert got[1]["n_tokens"] == len(long_ok.split())
