@@ -941,6 +941,7 @@ class RayGraph:
         damping_pct: int = 85,
         base: int = 150_000_000_000,
         r0: int = 1_000_000_000_000,
+        max_driver_edges: int = 5_000_000,
     ) -> ray.data.Dataset:
         """Fixed-point INTEGER PageRank over the directed edge set:
         r_{t+1}(v) = base + damping_pct·(Σ_{u→v} r_t(u) // outdeg(u)) // 100
@@ -952,15 +953,34 @@ class RayGraph:
         nodes settle at ``base``; this is the deterministic fixed-point
         variant, not the stochastic-matrix normalization.
 
-        100 TB shape: the edge table and out-degrees are materialized
-        ONCE; each round is one bucket_join (ranks onto edges by source)
-        + one groupby(dest) sum + one left join back onto the node
-        universe — 3 key shuffles per round, no driver-side data, ranks
-        live as a (node, r) Dataset throughout. Returns (node, r)."""
+        Size-switched like order()/n_components(): below
+        ``max_driver_edges`` the whole recurrence runs as an O(E)-per-
+        round numpy scatter-add on the driver (shuffle overhead would
+        dwarf a small graph); above it, the distributed path — the edge
+        table and out-degrees materialized ONCE, each round one
+        bucket_join (ranks onto edges by source) + one groupby(dest)
+        sum + one left join back onto the node universe, no driver-side
+        data, ranks a (node, r) Dataset throughout. Both paths run the
+        IDENTICAL int64 recurrence. Returns (node, r)."""
         from libpysal_ray.core.joins import bucket_join
 
         if iters < 1:
             raise ValueError("iters must be >= 1")
+        if self._real_edges().count() <= max_driver_edges:
+            row, col, _data, ids = self.to_coo()
+            n = len(ids)
+            deg_d = np.bincount(row, minlength=n).astype(np.int64)
+            r = np.full(n, int(r0), dtype=np.int64)
+            dp0 = int(damping_pct)
+            for _ in range(iters):
+                c = r // np.maximum(deg_d, 1)
+                s = np.zeros(n, dtype=np.int64)
+                np.add.at(s, col, c[row])
+                r = int(base) + dp0 * s // 100
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array(ids),
+                "r": pa.array(r),
+            }))
         edges = (
             self._real_edges()
             .map_batches(

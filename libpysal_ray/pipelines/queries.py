@@ -3778,3 +3778,15 @@ SELECT base.doc_id, n_tokens, n_word_chars, stop_hits,
              THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM base LEFT JOIN d USING (doc_id)
 """
+
+
+def q_pagerank_dist(sf_dir: str):
+    """The SAME integer PageRank forced down the distributed path
+    (max_driver_edges=0) — evidence the Dataset recurrence is exact,
+    mirroring the delaunay/delaunay_dist pairing."""
+    return _rook_g(sf_dir).pagerank_int(iters=3, max_driver_edges=0)
+
+
+QUERIES["pagerank_dist"] = q_pagerank_dist
+
+ORACLE_SQL["pagerank_dist"] = ORACLE_SQL["pagerank"]

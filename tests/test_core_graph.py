@@ -382,3 +382,13 @@ def test_pagerank_int_isolate_settles_at_base(ray_session):
     got = {r["node"]: r["r"] for r in g.pagerank_int(iters=2).take_all()}
     assert got[2] == 150_000_000_000
     assert got[0] == got[1] > 150_000_000_000
+
+
+def test_pagerank_paths_agree(ray_session):
+    from libpysal_ray.builders.lattice import lat2graph
+
+    g = lat2graph(5, 6, rook=False)
+    drv = {r["node"]: r["r"] for r in g.pagerank_int(iters=2).take_all()}
+    dist = {r["node"]: r["r"]
+            for r in g.pagerank_int(iters=2, max_driver_edges=0).take_all()}
+    assert drv == dist
