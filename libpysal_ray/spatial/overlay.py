@@ -390,12 +390,19 @@ def overlay_difference(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     cell_size: float | None = None,
+    pieces: ray.data.Dataset | None = None,
+    key: str = "left_id",
 ) -> ray.data.Dataset:
     """(left_id, area) of each left polygon MINUS the right layer —
     ``spatial_overlay(..., how='difference')`` attributes. Assumes the
     right layer is internally non-overlapping (intersection areas then
     subtract additively); left polygons fully covered by the right
-    layer drop out (area 0), uncovered ones keep their full area."""
+    layer drop out (area 0), uncovered ones keep their full area.
+
+    ``pieces``/``key``: an already-computed intersection table to
+    aggregate by ``key`` instead of re-running the tiled clip —
+    ``overlay()`` shares ONE materialized piece table across its
+    union/identity/symmetric_difference branches this way."""
 
     def _areas(t: pa.Table) -> pa.Table:
         pids, x, y, off = _ring_parts(t)
@@ -420,7 +427,15 @@ def overlay_difference(
         )
 
     full = left.map_batches(_areas, batch_format="pyarrow")
-    pieces = overlay_intersection(left, right, cell_size=cell_size)
+    if pieces is None:
+        pieces = overlay_intersection(left, right, cell_size=cell_size)
+    if key != "left_id":
+        pieces = pieces.map_batches(
+            lambda t, _k=key: pa.table({
+                "left_id": t.column(_k), "area": t.column("area"),
+            }),
+            batch_format="pyarrow",
+        )
     inter = (
         pieces.groupby("left_id")
         .sum("area")
@@ -488,18 +503,28 @@ def overlay(
         return overlay_intersection(left, right, cell_size=cell_size)
     if cell_size is None:
         cell_size = _auto_cell(left, right)
+    if how == "difference":
+        # single consumer: stream straight through, no materialize
+        return overlay_difference(left, right, cell_size=cell_size)
+    # ONE tiled clip pass; the remaining modes consume the piece table
+    # 2-3 times, so materialize it once (pairs only — far narrower than
+    # the polygon layers) instead of re-running the intersection per
+    # branch (Ray shares no subplans)
+    pieces = overlay_intersection(
+        left, right, cell_size=cell_size
+    ).materialize()
     parts: list[ray.data.Dataset] = []
     if how in ("union", "identity"):
-        inter = overlay_intersection(left, right, cell_size=cell_size)
-        parts.append(inter)
-    if how in ("union", "identity", "difference", "symmetric_difference"):
-        ldiff = overlay_difference(left, right, cell_size=cell_size)
-        if how == "difference":
-            return ldiff
+        parts.append(pieces)
+    if how in ("union", "identity", "symmetric_difference"):
+        ldiff = overlay_difference(left, right, cell_size=cell_size,
+                                   pieces=pieces)
         parts.append(_null_side(ldiff, "left_id", "right_id"))
     if how in ("union", "symmetric_difference"):
-        # right-minus-left: swap roles (assumes LEFT internally disjoint)
-        rdiff = overlay_difference(right, left, cell_size=cell_size)
+        # right-minus-left: aggregate the SAME pieces by right_id
+        # (assumes LEFT internally disjoint)
+        rdiff = overlay_difference(right, left, cell_size=cell_size,
+                                   pieces=pieces, key="right_id")
         parts.append(_null_side(rdiff, "right_id", "left_id"))
     if not parts:
         raise ValueError(
