@@ -632,3 +632,48 @@ def semdedup(
     from libpysal_ray.core.joins import grouped_by_key
 
     return grouped_by_key(tagged, ["centroid_id"], _cluster_kernel)
+
+
+def emb_clusters(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Semantic cluster discovery — the cross-domain composition the
+    engine is built for: the cosine ≥ threshold pair graph (size-
+    switched exact/LSH, ``cosine_dup_pairs_auto``) fed into RayGraph's
+    DISTRIBUTED connected components (min-label propagation with
+    pointer jumping). Output (id, cluster) for every vector, cluster =
+    the minimum member id; singletons are their own cluster."""
+    from libpysal_ray.core import edges as E
+    from libpysal_ray.core.graph import RayGraph
+
+    pairs = cosine_dup_pairs_auto(
+        embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+
+    def _as_edges(t: pa.Table) -> pa.Table:
+        # pairs are already directed both ways (a != b scan)
+        return E.edge_table(
+            t.column("id_a").to_numpy(zero_copy_only=False),
+            t.column("id_b").to_numpy(zero_copy_only=False),
+            1.0,
+        )
+
+    ids = embeddings.select_columns([id_col]).rename_columns(
+        {id_col: "focal"}
+    )
+    g = RayGraph(
+        E.resolve_isolates(
+            pairs.map_batches(_as_edges, batch_format="pyarrow"), ids
+        )
+    )
+    _n, labels = g.n_components(max_driver_edges=0)
+    return labels.map_batches(
+        lambda t: pa.table({
+            id_col: t.column("focal"),
+            "cluster": t.column("component"),
+        }),
+        batch_format="pyarrow",
+    )

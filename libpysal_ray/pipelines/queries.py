@@ -3790,3 +3790,34 @@ def q_pagerank_dist(sf_dir: str):
 QUERIES["pagerank_dist"] = q_pagerank_dist
 
 ORACLE_SQL["pagerank_dist"] = ORACLE_SQL["pagerank"]
+
+
+def q_emb_clusters(sf_dir: str):
+    """Semantic cluster discovery: cosine>=0.4 pair graph (size-switched
+    exact path at gate scale) -> FORCED-distributed connected components
+    -> (vec_id, cluster = min member id). The geospatial graph core
+    applied to the embedding table — one composition, one oracle."""
+    from libpysal_ray.ann.knn import emb_clusters
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    return emb_clusters(emb, threshold=0.4)
+
+
+QUERIES["emb_clusters"] = q_emb_clusters
+
+ORACLE_SQL["emb_clusters"] = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS f, b.vec_id AS nb
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+),
+reach(ra, rb) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.ra, p.nb FROM reach r JOIN p ON p.f = r.rb
+)
+SELECT ra AS vec_id, MIN(rb) AS cluster FROM reach GROUP BY ra
+"""

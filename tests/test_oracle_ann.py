@@ -119,3 +119,20 @@ def test_semdedup_bruteforce(ray_session):
         dup = any(float(Vn[i] @ Vn[j]) >= th for j in cmates)
         assert got[i] == (int(assign[i]), not dup), i
     assert len(got) == n
+
+
+def test_emb_clusters_planted(ray_session):
+    import numpy as np
+
+    from libpysal_ray.ann.knn import emb_clusters
+
+    vecs = ([[1.0, 0.01 * i, 0.0] for i in range(3)]
+            + [[0.01 * i, 1.0, 0.0] for i in range(3)]
+            + [[0.577, 0.577, 0.577]])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(7)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })).repartition(2)
+    out = {r["vec_id"]: r["cluster"]
+           for r in emb_clusters(ds, 0.95).take_all()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6}
