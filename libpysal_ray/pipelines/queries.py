@@ -3821,3 +3821,49 @@ reach(ra, rb) AS (
 )
 SELECT ra AS vec_id, MIN(rb) AS cluster FROM reach GROUP BY ra
 """
+
+
+def q_uniform_sample(sf_dir: str):
+    """Deterministic min-hash uniform 100-sample: k smallest
+    splitmix64(doc_id) — order-independent and mergeable, identical at
+    any cluster size or batch layout (reservoir sampling is neither)."""
+    from libpysal_ray.text.analysis import uniform_sample
+
+    return uniform_sample(_docs(sf_dir, ["doc_id"]), k=100)
+
+
+QUERIES["uniform_sample"] = q_uniform_sample
+
+ORACLE_SQL["uniform_sample"] = _oh.with_macros("""
+SELECT doc_id, toi64(sm64(doc_id)) AS h
+FROM documents ORDER BY sm64(doc_id) LIMIT 100
+""")
+
+
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog register table over doc_id (p=12): the sketch STATE
+    is a deterministic function of the value set, so the mergeable
+    distributed accumulator is itself oracle-exact; only the final
+    cardinality estimate is approximate (pytest-verified)."""
+    from libpysal_ray.core.sketch import hll_registers
+
+    return hll_registers(_docs(sf_dir, ["doc_id"]), "doc_id", p=12)
+
+
+QUERIES["hll_registers"] = q_hll_registers
+
+ORACLE_SQL["hll_registers"] = _oh.with_macros("""
+WITH h AS (SELECT sm64(doc_id) AS h FROM documents),
+x AS (
+  SELECT CAST(h >> 52 AS BIGINT) AS reg,
+         h & 4503599627370495 AS rest
+  FROM h
+),
+r AS (
+  SELECT reg,
+         CASE WHEN rest = 0 THEN 53
+              ELSE 53 - length(bin(CAST(rest AS BIGINT))) END AS rho
+  FROM x
+)
+SELECT reg, CAST(MAX(rho) AS BIGINT) AS rho FROM r GROUP BY reg
+""")

@@ -841,3 +841,48 @@ def gopher_filter(
         })
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def uniform_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic uniform k-sample: the k ids with the SMALLEST
+    splitmix64(id) — the min-hash sample. Unlike reservoir sampling it
+    is order-independent and mergeable, so the sample is identical at
+    any cluster size, batch layout, or re-run, and a SQL oracle can
+    reproduce it exactly. Output (id, h) with h the signed hash key.
+
+    100 TB shape: per-batch local top-k (np.partition) shrinks the
+    stream to k rows per block; the global merge sorts only
+    k × #blocks partial rows."""
+    from libpysal_ray.core.hashing import splitmix64
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _local(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        h = splitmix64(ids.view(np.uint64))
+        if len(ids) > k:
+            sel = np.argpartition(h, k)[:k]
+            ids, h = ids[sel], h[sel]
+        # shift to signed order-preserving key so the global sort and the
+        # SQL oracle (unsigned sm64) agree on the order
+        key = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({id_col: pa.array(ids), "hkey": pa.array(key)})
+
+    part = ds.map_batches(_local, batch_format="pyarrow")
+    out = part.sort("hkey").limit(k)
+
+    def _shape(t: pa.Table) -> pa.Table:
+        key = t.column("hkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        h = (key.view(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({id_col: t.column(id_col), "h": pa.array(h)})
+
+    return out.map_batches(_shape, batch_format="pyarrow")

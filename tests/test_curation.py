@@ -136,3 +136,19 @@ def test_gopher_filter_rules():
     assert got[3]["keep"] == 0 and got[3]["dup_occ"] == got[3]["n_2grams"]
     assert got[4]["keep"] == 0
     assert got[1]["n_tokens"] == len(long_ok.split())
+
+
+def test_uniform_sample_layout_invariant():
+    from libpysal_ray.core.hashing import splitmix64
+    from libpysal_ray.text.analysis import uniform_sample
+
+    ids = np.arange(1000, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids)})
+    a = sorted(r["doc_id"] for r in uniform_sample(
+        ray.data.from_arrow(tbl).repartition(7), 50).take_all())
+    b = sorted(r["doc_id"] for r in uniform_sample(
+        ray.data.from_arrow(tbl).repartition(2), 50).take_all())
+    assert a == b and len(a) == 50
+    h = splitmix64(ids.view(np.uint64))
+    exp = sorted(ids[np.argsort(h)[:50]].tolist())
+    assert a == exp
