@@ -1,6 +1,7 @@
 """Mergeable cardinality sketches — the 100 TB count-distinct path.
 
-HyperLogLog (Flajolet et al. 2007) over the engine's splitmix64 hash:
+HyperLogLog (Flajolet et al. 2007) and a Bloom filter (Bloom 1970),
+both over the engine's splitmix64 hash. HLL:
 the accumulator is the 2^p register array, combine = elementwise max —
 order-independent and mergeable, so it runs as a Ray-native AggregateFnV2
 (one combiner pass per block, tiny merge tree, never a distinct shuffle).
@@ -13,7 +14,7 @@ Register derivation (shared by the exact oracle):
 
 For p ≤ 12 ``rest`` fits float64 exactly (≤ 52 bits), so bitlen comes
 from one vectorized ``np.frexp`` — and DuckDB reproduces it with
-``length(format('{:b}', rest))``: the register table itself is
+``length(bin(rest))``: the register table itself is
 hash-compare EXACT (see the ``hll_registers`` query); only the final
 cardinality ESTIMATE is approximate (standard error ≈ 1.04/sqrt(2^p)),
 verified by pytest accuracy/merge tests.
@@ -131,3 +132,111 @@ def hll_distinct(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
     for r in hll_registers(ds, col, p).take_all():
         regs[r["reg"]] = r["rho"]
     return _estimate(regs, p)
+
+
+_BLOOM_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_positions(vals: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions: h_j = splitmix64(v + j·GOLDEN) % m — the
+    derivation the SQL oracle replicates with the sm64/wrap64 macros."""
+    v = vals.astype(np.int64).view(np.uint64)
+    out = np.empty((len(v), k), dtype=np.int64)
+    for j in range(k):
+        h = splitmix64(v + np.uint64(j) * _BLOOM_GOLDEN)
+        out[:, j] = (h % np.uint64(m_bits)).astype(np.int64)
+    return out
+
+
+def bloom_words(
+    ds: ray.data.Dataset, col: str, m_bits: int = 1 << 18, k: int = 4
+) -> ray.data.Dataset:
+    """Bloom-filter state as a (word, bits) table — uint64 words of the
+    m-bit array, OR-merged. Like the HLL registers, the STATE is a
+    deterministic function of the value set (oracle-exact); only
+    membership answers are approximate (no false negatives, bounded
+    false positives). Per-batch OR-combine shrinks the ONE groupby(word)
+    shuffle to ≤ m/64 rows per block."""
+    if m_bits % 64 or m_bits < 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if not (1 <= k <= 8):
+        raise ValueError("k must be in [1, 8]")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        if len(v):
+            pos = _bloom_positions(np.asarray(v, np.int64), m_bits, k)
+            w = (pos >> 6).ravel()
+            b = np.uint64(1) << (pos & 63).ravel().astype(np.uint64)
+            np.bitwise_or.at(words, w, b)
+        nz = np.flatnonzero(words)
+        return pa.table({
+            "word": pa.array(nz.astype(np.int64)),
+            "bits": pa.array(words[nz].view(np.int64)),
+        })
+
+    part = ds.map_batches(_partial, batch_format="pyarrow")
+    return part.groupby("word").aggregate(OrAgg("bits")).rename_columns(
+        {"or(bits)": "bits"}
+    )
+
+
+class OrAgg(_aggfn_v2_base()):
+    """bit_or aggregate for Ray's native groupby — the Bloom word merge;
+    mirrors DuckDB's bit_or."""
+
+    def __init__(self, on: str):
+        self._on = on
+        super().__init__(
+            f"or({on})", zero_factory=lambda: 0, on=on, ignore_nulls=True
+        )
+
+    def aggregate_block(self, block):
+        on = self._on
+        if hasattr(block, "column"):
+            v = block.column(on).to_numpy(zero_copy_only=False)
+        else:  # pandas block
+            v = block[on].to_numpy()
+        return int(np.bitwise_or.reduce(v.astype(np.int64),
+                                        initial=np.int64(0)))
+
+    def combine(self, a, b):
+        return int(np.int64(a) | np.int64(b))
+
+
+def bloom_semi(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    col: str,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+) -> ray.data.Dataset:
+    """Approximate broadcast semi-join: keep left rows whose ``col`` is
+    MAYBE in right's value set per the Bloom filter — no false
+    negatives; false-positive rate ≈ (1 - e^{-kn/m})^k. The 100 TB
+    replacement for a shuffle semi-join when right is medium-sized: the
+    filter is m/8 bytes, ray.put once, and the left side streams through
+    one stateless batch filter. The verdict is deterministic (the same
+    bit tests the SQL oracle can run), just not exact set membership."""
+    import ray as _ray
+
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in bloom_words(right, col, m_bits, k).take_all():
+        words[r["word"]] = np.uint64(np.int64(r["bits"]))
+    ref = _ray.put(words)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        w = _ray.get(ref)
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return t
+        pos = _bloom_positions(np.asarray(v, np.int64), m_bits, k)
+        hit = np.ones(len(v), dtype=bool)
+        for j in range(k):
+            p = pos[:, j]
+            hit &= (w[p >> 6] >> (p & 63).astype(np.uint64)
+                    ) & np.uint64(1) > 0
+        return t.filter(pa.array(hit))
+
+    return left.map_batches(_filter, batch_format="pyarrow")

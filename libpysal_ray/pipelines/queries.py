@@ -3867,3 +3867,33 @@ r AS (
 )
 SELECT reg, CAST(MAX(rho) AS BIGINT) AS rho FROM r GROUP BY reg
 """)
+
+
+def q_bloom_bits(sf_dir: str):
+    """Bloom-filter state over doc_id (m=2^18 bits, k=4): like the HLL
+    registers, the word table is a deterministic function of the value
+    set — the approximate structure with an EXACT oracle; membership
+    behavior (no false negatives, bounded FP) is pytest-verified."""
+    from libpysal_ray.core.sketch import bloom_words
+
+    return bloom_words(_docs(sf_dir, ["doc_id"]), "doc_id")
+
+
+QUERIES["bloom_bits"] = q_bloom_bits
+
+ORACLE_SQL["bloom_bits"] = _oh.with_macros("""
+WITH j AS (SELECT unnest(range(4)) AS j),
+p AS (
+  SELECT sm64(wrap64(CAST(doc_id AS HUGEINT)
+                     + CAST(j AS HUGEINT)
+                       * CAST(11400714819323198485 AS HUGEINT)))
+         % 262144 AS pos
+  FROM documents, j
+),
+w AS (
+  SELECT CAST(pos // 64 AS BIGINT) AS word, pos % 64 AS bit FROM p
+)
+SELECT word,
+       toi64(bit_or(CAST(1 AS UBIGINT) << bit)) AS bits
+FROM w GROUP BY word
+""")
