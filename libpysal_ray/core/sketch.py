@@ -142,9 +142,10 @@ def _bloom_positions(vals: np.ndarray, m_bits: int, k: int) -> np.ndarray:
     derivation the SQL oracle replicates with the sm64/wrap64 macros."""
     v = vals.astype(np.int64).view(np.uint64)
     out = np.empty((len(v), k), dtype=np.int64)
-    for j in range(k):
-        h = splitmix64(v + np.uint64(j) * _BLOOM_GOLDEN)
-        out[:, j] = (h % np.uint64(m_bits)).astype(np.int64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        for j in range(k):
+            h = splitmix64(v + np.uint64(j) * _BLOOM_GOLDEN)
+            out[:, j] = (h % np.uint64(m_bits)).astype(np.int64)
     return out
 
 
