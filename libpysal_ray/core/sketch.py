@@ -241,3 +241,66 @@ def bloom_semi(
         return t.filter(pa.array(hit))
 
     return left.map_batches(_filter, batch_format="pyarrow")
+
+
+def cms_counts(
+    ds: ray.data.Dataset, col: str, width: int = 8192, depth: int = 4
+) -> ray.data.Dataset:
+    """Count-min sketch state (d, w, cnt) of ``col`` — depth hash rows ×
+    width counters, merge = elementwise SUM (a plain grouped sum, so the
+    state is oracle-EXACT like the HLL registers / Bloom words). Point
+    estimates (``cms_estimate``) never underestimate; overestimation is
+    bounded by 2N/width per row w.h.p. This is the engine's hot-key
+    detector: feed the estimates of a key sample into the salt-factor
+    choice instead of a full groupby(count).
+
+    Per-batch bincount-combine shrinks the ONE groupby((d, w)) shuffle
+    to ≤ depth·width rows per block."""
+    if width < 16 or depth < 1 or depth > 8:
+        raise ValueError("need width >= 16 and 1 <= depth <= 8")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({
+                "d": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            })
+        pos = _bloom_positions(np.asarray(v, np.int64), width, depth)
+        ds_, ws_, cs_ = [], [], []
+        for j in range(depth):
+            c = np.bincount(pos[:, j], minlength=width)
+            nz = np.flatnonzero(c)
+            ds_.append(np.full(len(nz), j, dtype=np.int64))
+            ws_.append(nz.astype(np.int64))
+            cs_.append(c[nz].astype(np.int64))
+        return pa.table({
+            "d": pa.array(np.concatenate(ds_)),
+            "w": pa.array(np.concatenate(ws_)),
+            "cnt": pa.array(np.concatenate(cs_)),
+        })
+
+    from libpysal_ray.core.joins import grouped_sum
+
+    part = ds.map_batches(_partial, batch_format="pyarrow")
+    return grouped_sum(part, ("d", "w"), ("cnt",)).rename_columns(
+        {"sum(cnt)": "cnt"}
+    )
+
+
+def cms_estimate(
+    state: ray.data.Dataset,
+    values: np.ndarray,
+    width: int = 8192,
+    depth: int = 4,
+) -> np.ndarray:
+    """Point-count estimates (min over depth rows) for ``values`` from a
+    ``cms_counts`` state Dataset. Never underestimates the true count."""
+    table = np.zeros((depth, width), dtype=np.int64)
+    for r in state.take_all():
+        table[r["d"], r["w"]] = r["cnt"]
+    v = np.asarray(values, dtype=np.int64)
+    pos = _bloom_positions(v, width, depth)
+    ests = np.stack([table[j, pos[:, j]] for j in range(depth)], axis=1)
+    return ests.min(axis=1)

@@ -3897,3 +3897,31 @@ SELECT word,
        toi64(bit_or(CAST(1 AS UBIGINT) << bit)) AS bits
 FROM w GROUP BY word
 """)
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-min sketch state over events.user_id (4x8192): the
+    hot-key-detection structure whose state is an EXACT grouped sum —
+    estimates feed salt-factor choices without a full groupby(count)."""
+    from libpysal_ray.core.sketch import cms_counts
+
+    ev = _events_ds(sf_dir, ["user_id"])
+    return cms_counts(ev, "user_id")
+
+
+QUERIES["cms_counts"] = q_cms_counts
+
+ORACLE_SQL["cms_counts"] = _oh.with_macros("""
+WITH j AS (SELECT unnest(range(4)) AS d),
+p AS (
+  SELECT j.d,
+         sm64(wrap64(CAST(user_id AS HUGEINT)
+                     + CAST(j.d AS HUGEINT)
+                       * CAST(11400714819323198485 AS HUGEINT)))
+         % 8192 AS w
+  FROM events, j
+)
+SELECT CAST(d AS BIGINT) AS d, CAST(w AS BIGINT) AS w,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM p GROUP BY 1, 2
+""")

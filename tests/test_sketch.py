@@ -100,3 +100,39 @@ def test_bloom_words_layout_invariant(ray_session):
     b = {(r["word"], r["bits"]) for r in bloom_words(
         ray.data.from_arrow(tbl).repartition(2), "v").take_all()}
     assert a == b and len(a) > 0
+
+
+def test_cms_never_underestimates_and_heavy_hitters(ray_session):
+    from libpysal_ray.core.sketch import cms_counts, cms_estimate
+
+    # zipf-ish: key k appears 1000 // (k+1) times for k in 0..99
+    reps = np.array([1000 // (k + 1) for k in range(100)])
+    vals = np.repeat(np.arange(100, dtype=np.int64), reps)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(5)
+    state = cms_counts(ds, "v")
+    est = cms_estimate(state, np.arange(100, dtype=np.int64))
+    assert (est >= reps).all()                   # CMS invariant
+    # at width 8192 >> 100 keys, collisions are rare: exact w.h.p.
+    assert (est == reps).mean() > 0.95
+    # total mass per depth row equals N exactly (state is exact)
+    import collections
+    per_d = collections.Counter()
+    for r in state.take_all():
+        per_d[r["d"]] += r["cnt"]
+    assert all(c == len(vals) for c in per_d.values())
+
+
+def test_cms_merge_is_sum(ray_session):
+    from libpysal_ray.core.sketch import cms_counts
+
+    a = ray.data.from_arrow(pa.table({
+        "v": pa.array(np.arange(500, dtype=np.int64))}))
+    b = ray.data.from_arrow(pa.table({
+        "v": pa.array(np.arange(250, 750, dtype=np.int64))}))
+    both = a.union(b)
+    sa = {(r["d"], r["w"]): r["cnt"] for r in cms_counts(a, "v").take_all()}
+    sb = {(r["d"], r["w"]): r["cnt"] for r in cms_counts(b, "v").take_all()}
+    su = {(r["d"], r["w"]): r["cnt"]
+          for r in cms_counts(both, "v").take_all()}
+    keys = set(sa) | set(sb)
+    assert su == {k: sa.get(k, 0) + sb.get(k, 0) for k in keys}
