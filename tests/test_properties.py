@@ -145,3 +145,83 @@ def test_remap_roundtrip(ray_session):
     new = old * 7 + 3
     g2 = g.remap_ids(old, new).remap_ids(new, old)
     assert set(_edge_dict(g2)) == set(ed)
+
+
+def test_hopping_conserves_tumbling_mass(ray_session):
+    """Each event lands in exactly window/hop hopping windows, so hop
+    totals = (window/hop) x tumbling totals — over random streams."""
+    import pyarrow as pa
+
+    from libpysal_ray.temporal.joins import hopping_window, tumbling_window
+
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        n = 500
+        ds = ray.data.from_arrow(pa.table({
+            "ts": pa.array(rng.integers(0, 10_000, n), type=None),
+            "uid": pa.array(rng.integers(0, 9, n), type=None),
+            "cents": pa.array(rng.integers(-50, 500, n), type=None),
+        })).repartition(3)
+        hop = hopping_window(ds, "ts", "uid", 40, 10,
+                             value_cents_col="cents").to_pandas()
+        tum = tumbling_window(ds, "ts", "uid", 10,
+                              value_cents_col="cents").to_pandas()
+        assert hop.n_events.sum() == 4 * tum.n_events.sum()
+        assert hop.sum_cents.sum() == 4 * tum.sum_cents.sum()
+
+
+def test_overlay_union_area_identity(ray_session):
+    """sum(union pieces) == |A| + |B| - |A∩B| on random disjoint-right
+    rectangle layers (computed from the same engine's intersection)."""
+    import pyarrow as pa
+
+    from libpysal_ray.spatial.overlay import overlay
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        # left: random axis-aligned unit squares on a grid (may overlap
+        # right); right: disjoint 1.5-squares on a coarse lattice
+        lx = rng.integers(0, 12, 14).astype(float)
+        ly = rng.integers(0, 12, 14).astype(float)
+        left = ray.data.from_arrow(pa.table({
+            "polygon_id": pa.array(np.arange(14, dtype=np.int64)),
+            "xs": pa.array([[x, x + 1, x + 1, x, x] for x in lx],
+                           pa.list_(pa.float64())),
+            "ys": pa.array([[y, y, y + 1, y + 1, y] for y in ly],
+                           pa.list_(pa.float64())),
+        }))
+        rx = np.array([0.25, 4.25, 8.25], dtype=float)
+        right = ray.data.from_arrow(pa.table({
+            "polygon_id": pa.array([100, 101, 102], pa.int64()),
+            "xs": pa.array([[x, x + 1.5, x + 1.5, x, x] for x in rx],
+                           pa.list_(pa.float64())),
+            "ys": pa.array([[5.25, 5.25, 6.75, 6.75, 5.25]] * 3,
+                           pa.list_(pa.float64())),
+        }))
+        uni = overlay(left, right, how="union").to_pandas()
+        inter = overlay(left, right, how="intersection").to_pandas()
+        # left squares may overlap each other -> |A| counts multiplicity,
+        # consistent on both sides of the identity
+        expect = 14 * 1.0 + 3 * 1.5 * 1.5 - inter.area.sum()
+        assert abs(uni.area.sum() - expect) < 1e-9, trial
+
+
+def test_pagerank_total_mass_invariant(ray_session):
+    """On a regular graph (every out-degree equal), floor division is
+    exact and total rank obeys the closed recurrence."""
+    from libpysal_ray.builders.lattice import lat2graph
+
+    # 4-regular torus-like: use bishop=False rook lattice? corners differ,
+    # so use the closed-form numpy reference instead on a random graph
+    rng = np.random.default_rng(3)
+    g, ed = _rand_graph(rng, n=25, m=120)
+    got = {r["node"]: r["r"] for r in g.pagerank_int(iters=4).take_all()}
+    m, ids = g.to_dense()
+    adj = m > 0
+    deg = adj.sum(axis=1).astype(np.int64)
+    r = np.full(len(ids), 1_000_000_000_000, dtype=np.int64)
+    for _ in range(4):
+        c = r // np.maximum(deg, 1)
+        s = adj.T @ c
+        r = 150_000_000_000 + 85 * s // 100
+    assert got == dict(zip(ids.tolist(), r.tolist()))
