@@ -3925,3 +3925,27 @@ SELECT CAST(d AS BIGINT) AS d, CAST(w AS BIGINT) AS w,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM p GROUP BY 1, 2
 """)
+
+
+def q_running_totals(sf_dir: str):
+    """Per-user event sequencing + running integer-cents totals —
+    ROW_NUMBER / SUM OVER (PARTITION BY user ORDER BY ts, id) as one
+    grouped shuffle + a segmented-cumsum kernel."""
+    from libpysal_ray.temporal.joins import per_key_running
+
+    ev = _events_ds(sf_dir, ["ts", "user_id", "event_id", "value"])
+    return per_key_running(ev, "user_id", "ts", "event_id",
+                           value_col="value")
+
+
+QUERIES["running_totals"] = q_running_totals
+
+ORACLE_SQL["running_totals"] = """
+SELECT user_id AS "key", event_id AS id,
+       CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS seq,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS run_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""

@@ -458,3 +458,84 @@ def hopping_window(
     ).rename_columns(
         {"sum(n_events)": "n_events", "sum(sum_cents)": "sum_cents"}
     )
+
+
+def per_key_running(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_cents_col: str | None = None,
+    value_col: str | None = None,
+) -> ray.data.Dataset:
+    """Per-key event sequencing + running totals — the window functions
+    ROW_NUMBER / SUM OVER (PARTITION BY key ORDER BY ts, id) as ONE
+    grouped shuffle: (key, id, seq, run_cents) with seq numbered 0.. per
+    key in (ts, id) order and run_cents the inclusive integer-cents
+    running sum (exact: int64 adds in a pinned order).
+
+    The kernel handles MANY keys per bucket vectorized — one lexsort,
+    segmented cumsums via per-key offset subtraction, no per-key
+    Python."""
+    if value_cents_col is not None and value_col is not None:
+        raise ValueError("pass value_cents_col OR value_col, not both")
+
+    def _prep(t: pa.Table) -> pa.Table:
+        if value_cents_col is not None:
+            cents = (
+                t.column(value_cents_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        elif value_col is not None:
+            cents = np.round(
+                t.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+        else:
+            cents = np.zeros(t.num_rows, dtype=np.int64)
+        return pa.table({
+            "key": t.column(key_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "t": pa.array(_ts_us(t.column(ts_col))),
+            "id": t.column(id_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "cents": pa.array(cents),
+        })
+
+    u = ds.map_batches(_prep, batch_format="pyarrow")
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "seq": pa.array([], pa.int64()),
+                "run_cents": pa.array([], pa.int64()),
+            })
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        i = t.column("id").to_numpy(zero_copy_only=False)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, ts, k))
+        ks, ids, cs = k[order], i[order], c[order]
+        n = len(ks)
+        newk = np.ones(n, bool)
+        newk[1:] = ks[1:] != ks[:-1]
+        kid = np.cumsum(newk) - 1
+        pos = np.arange(n, dtype=np.int64)
+        starts = np.flatnonzero(newk)
+        seq = pos - starts[kid]
+        run = np.cumsum(cs)
+        # inclusive per-key running sum: subtract the prefix BEFORE the
+        # key's first row
+        before = np.concatenate([[0], run])[starts[kid]]
+        return pa.table({
+            "key": pa.array(ks),
+            "id": pa.array(ids),
+            "seq": pa.array(seq),
+            "run_cents": pa.array((run - before).astype(np.int64)),
+        })
+
+    return grouped_by_key(u, ["key"], _bucket)

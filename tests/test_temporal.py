@@ -204,3 +204,19 @@ def test_hopping_window_validates():
     }))
     with pytest.raises(ValueError):
         hopping_window(ds, "ts", "uid", 5, 10)
+
+
+def test_per_key_running_closed_form():
+    from libpysal_ray.temporal.joins import per_key_running
+
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array([5, 1, 3, 2, 4], pa.int64()),
+        "uid": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "eid": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "cents": pa.array([100, 10, 1, 7, 3], pa.int64()),
+    })).repartition(3)
+    got = {r["id"]: (r["seq"], r["run_cents"]) for r in per_key_running(
+        ds, "uid", "ts", "eid", value_cents_col="cents").take_all()}
+    # uid1 by ts: 11(10), 12(1), 10(100); uid2: 13(7), 14(3)
+    assert got == {11: (0, 10), 12: (1, 11), 10: (2, 111),
+                   13: (0, 7), 14: (1, 10)}
