@@ -3949,3 +3949,28 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING)
 """
+
+
+def q_sample_quantiles(sf_dir: str):
+    """n_chars quartiles from the deterministic min-hash 100-sample —
+    the mergeable, layout-invariant quantile estimator (exact-quantile
+    counterpart: len_quantiles)."""
+    from libpysal_ray.text.analysis import sample_quantiles
+
+    return sample_quantiles(_docs(sf_dir, ["doc_id", "n_chars"]),
+                            "n_chars")
+
+
+QUERIES["sample_quantiles"] = q_sample_quantiles
+
+ORACLE_SQL["sample_quantiles"] = _oh.with_macros("""
+WITH s AS (
+  SELECT n_chars AS v FROM documents ORDER BY sm64(doc_id) LIMIT 100
+),
+o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rn FROM s),
+n AS (SELECT COUNT(*) AS n FROM s),
+qq AS (SELECT unnest([25, 50, 75]) AS q)
+SELECT CAST(qq.q AS BIGINT) AS q, CAST(o.v AS BIGINT) AS value
+FROM qq JOIN n ON TRUE
+JOIN o ON o.rn = ((n.n - 1) * qq.q) // 100
+""")

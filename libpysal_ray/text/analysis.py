@@ -1,8 +1,8 @@
 """Text-analysis stages for large-scale training-data pipelines.
 
 All are stateless vectorized ``map_batches`` stages over the documents
-table (pyarrow.compute kernels where possible; the md5 digest uses hashlib
-per row — cheap relative to I/O and embarrassingly parallel).
+table (pyarrow.compute / numpy kernels — no per-row Python in any hot
+path).
 
 Ops: token counting (whitespace), quality scoring (stopword/length ratios),
 language-ID (stopword-hit heuristic over ~8 languages), document
@@ -11,8 +11,6 @@ via core.hashing.tokenize_hash).
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -119,16 +117,6 @@ def fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
         return t.append_column(
             "fp", pa.array((out >> np.uint64(1)).astype(np.int64))
         )
-
-    return ds.map_batches(_f, batch_format="pyarrow")
-
-
-def md5_hex(ds: ray.data.Dataset, text_col: str = "text",
-            out_col: str = "text_md5") -> ray.data.Dataset:
-    def _f(t: pa.Table) -> pa.Table:
-        hx = [hashlib.md5(s.encode()).hexdigest()
-              for s in t.column(text_col).to_pylist()]
-        return t.append_column(out_col, pa.array(hx))
 
     return ds.map_batches(_f, batch_format="pyarrow")
 
@@ -886,3 +874,56 @@ def uniform_sample(
         return pa.table({id_col: t.column(id_col), "h": pa.array(h)})
 
     return out.map_batches(_shape, batch_format="pyarrow")
+
+
+def sample_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    qs: tuple[int, ...] = (25, 50, 75),
+    k_sample: int = 100,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Approximate quantiles from the DETERMINISTIC min-hash sample: the
+    k_sample rows with the smallest splitmix64(id) (see
+    ``uniform_sample``), quantile q = sample value at sorted index
+    floor((n-1)·q/100). Mergeable and layout-invariant, so unlike a
+    streaming sketch the whole estimator is oracle-exact; the ±O(1/√k)
+    statistical error is the standard sample-quantile bound. For EXACT
+    corpus quantiles see ``length_quantiles``. Output (q, value).
+
+    100 TB shape: per-batch top-k by hash (np.partition) → a k×#blocks
+    global merge → one k-row driver step."""
+    from libpysal_ray.core.hashing import splitmix64
+
+    if not qs or any(not (0 <= q <= 100) for q in qs):
+        raise ValueError("qs must be percentages in [0, 100]")
+
+    def _local(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        h = splitmix64(ids.view(np.uint64))
+        if len(ids) > k_sample:
+            sel = np.argpartition(h, k_sample)[:k_sample]
+            h, v = h[sel], v[sel]
+        key = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({"hkey": pa.array(key), "v": pa.array(v)})
+
+    part = ds.map_batches(_local, batch_format="pyarrow")
+    rows = part.sort("hkey").limit(k_sample).take_all()
+    vals = np.sort(np.array([r["v"] for r in rows], dtype=np.int64))
+    n = len(vals)
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "q": pa.array([], pa.int64()),
+            "value": pa.array([], pa.int64()),
+        }))
+    out_q = np.array(sorted(qs), dtype=np.int64)
+    idx = (n - 1) * out_q // 100
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(out_q),
+        "value": pa.array(vals[idx]),
+    }))
