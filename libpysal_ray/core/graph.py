@@ -935,6 +935,37 @@ class RayGraph:
         r, c = np.nonzero(m)
         return cls.from_arrays(ids[r], ids[c], m[r, c], ids=ids)
 
+    @staticmethod
+    def _pagerank_check_bounds(
+        iters: int, damping_pct: int, base: int, r0: int, max_indeg: int
+    ) -> None:
+        """Exact unbounded-int worst-case bound on every intermediate
+        (the hub sum s <= max_indeg * r_max): raise BEFORE any int64 adds
+        could silently wrap. The SQL oracle raises on BIGINT overflow, so
+        the engine must refuse the same inputs loudly."""
+        r_max = int(r0)
+        for _ in range(iters):
+            s_max = max_indeg * r_max
+            if s_max >= (1 << 62):
+                raise ValueError(
+                    f"pagerank_int would overflow int64: max in-degree "
+                    f"{max_indeg} x rank bound {r_max} exceeds 2^62; "
+                    "reduce r0/base or damping_pct"
+                )
+            r_max = int(base) + damping_pct * s_max // 100
+        if r_max >= (1 << 62):
+            raise ValueError(
+                "pagerank_int rank bound exceeds 2^62; reduce r0/base"
+            )
+
+    @staticmethod
+    def _pagerank_damp(s: np.ndarray, dp: int, base: int) -> np.ndarray:
+        """base + dp*s//100 WITHOUT forming dp*s: floor((dp*s)/100) =
+        dp*(s//100) + (dp*(s%100))//100 — exact, overflow-safe given the
+        _pagerank_check_bounds guarantee s < 2^62."""
+        q, rem = s // 100, s % 100
+        return int(base) + np.int64(dp) * q + (np.int64(dp) * rem) // 100
+
     def pagerank_int(
         self,
         iters: int = 3,
@@ -970,13 +1001,18 @@ class RayGraph:
             row, col, _data, ids = self.to_coo()
             n = len(ids)
             deg_d = np.bincount(row, minlength=n).astype(np.int64)
+            indeg = np.bincount(col, minlength=n)
+            self._pagerank_check_bounds(
+                iters, int(damping_pct), int(base), int(r0),
+                int(indeg.max()) if n else 0,
+            )
             r = np.full(n, int(r0), dtype=np.int64)
             dp0 = int(damping_pct)
             for _ in range(iters):
                 c = r // np.maximum(deg_d, 1)
                 s = np.zeros(n, dtype=np.int64)
                 np.add.at(s, col, c[row])
-                r = int(base) + dp0 * s // 100
+                r = self._pagerank_damp(s, dp0, int(base))
             return ray.data.from_arrow(pa.table({
                 "node": pa.array(ids),
                 "r": pa.array(r),
@@ -996,6 +1032,13 @@ class RayGraph:
             }),
             batch_format="pyarrow",
         ).materialize()
+        indeg_rows = (
+            edges.groupby("neighbor").count().max("count()")
+        )
+        self._pagerank_check_bounds(
+            iters, int(damping_pct), int(base), int(r0),
+            int(indeg_rows or 0),
+        )
 
         def _init(t: pa.Table) -> pa.Table:
             return pa.table({
@@ -1043,7 +1086,9 @@ class RayGraph:
                 ).to_numpy(zero_copy_only=False)
                 return pa.table({
                     "node": t.column("node"),
-                    "r": pa.array(int(base) + dp * s // 100),
+                    "r": pa.array(
+                        RayGraph._pagerank_damp(s, dp, int(base))
+                    ),
                 })
 
             ranks = joined.map_batches(

@@ -33,6 +33,9 @@ class DenseIdCodec:
     def __init__(self, values: np.ndarray):
         self.values = np.asarray(values)  # sorted unique originals
         self._ref = ray.put(self.values)
+        # Arrow value_set converted ONCE (index_in consumes it per batch;
+        # rebuilding pa.array(values) every batch is O(universe) each time)
+        self._ref_arrow = ray.put(pa.array(self.values))
 
     @classmethod
     def from_dataset(cls, ds: ray.data.Dataset, col: str) -> "DenseIdCodec":
@@ -57,13 +60,12 @@ class DenseIdCodec:
 
     def encode(self, ds: ray.data.Dataset, col: str,
                out_col: str | None = None) -> ray.data.Dataset:
-        ref = self._ref
+        ref = self._ref_arrow
         oc = out_col or col
 
         def _enc(t: pa.Table) -> pa.Table:
             vals = ray.get(ref)
-            idx = pc.index_in(t.column(col),
-                              value_set=pa.array(vals))
+            idx = pc.index_in(t.column(col), value_set=vals)
             if idx.null_count:
                 raise KeyError("id not in codec universe")
             t = t.drop_columns([col])

@@ -152,6 +152,24 @@ def _aggfn_v2_base():
     return AggregateFnV2
 
 
+def _agg_block_i64(block, on: str) -> np.ndarray:
+    """Non-null int64 values of ``on`` in a block — nulls surface as NaN
+    through to_numpy and would otherwise alias INT64_MIN after the cast
+    (ignore_nulls=True must actually DROP them)."""
+    if hasattr(block, "column"):
+        v = block.column(on).to_numpy(zero_copy_only=False)
+    else:  # pandas block
+        v = block[on].to_numpy()
+    v = np.asarray(v)
+    if v.dtype.kind == "f":
+        v = v[~np.isnan(v)]
+    elif v.dtype == object:
+        v = np.array([x for x in v if x is not None])
+        if len(v) == 0:
+            return np.empty(0, np.int64)
+    return v.astype(np.int64)
+
+
 class XorAgg(_aggfn_v2_base()):
     """bit_xor set-digest aggregate for Ray's native groupby (AggregateFnV2
     contract): order-independent, mergeable, int64. Used by the inverted-
@@ -164,13 +182,8 @@ class XorAgg(_aggfn_v2_base()):
         )
 
     def aggregate_block(self, block):
-        on = self._on
-        if hasattr(block, "column"):
-            v = block.column(on).to_numpy(zero_copy_only=False)
-        else:  # pandas block
-            v = block[on].to_numpy()
-        return int(np.bitwise_xor.reduce(v.astype(np.int64),
-                                         initial=np.int64(0)))
+        v = _agg_block_i64(block, self._on)
+        return int(np.bitwise_xor.reduce(v, initial=np.int64(0)))
 
     def combine(self, a, b):
         return int(np.int64(a) ^ np.int64(b))

@@ -12,9 +12,9 @@ Register derivation (shared by the exact oracle):
     rest = h & (2^(64-p) - 1)                 (low 64-p bits)
     rho  = (64 - p) - bitlen(rest) + 1        (rho = 64-p+1 when rest = 0)
 
-For p ≤ 12 ``rest`` fits float64 exactly (≤ 52 bits), so bitlen comes
-from one vectorized ``np.frexp`` — and DuckDB reproduces it with
-``length(bin(rest))``: the register table itself is
+Bitlen runs on 32-bit halves so every frexp input is float64-exact at
+ANY p — and DuckDB reproduces it with ``length(bin(rest))``: the
+register table itself is
 hash-compare EXACT (see the ``hll_registers`` query); only the final
 cardinality ESTIMATE is approximate (standard error ≈ 1.04/sqrt(2^p)),
 verified by pytest accuracy/merge tests.
@@ -27,19 +27,26 @@ import pyarrow as pa
 import ray.data
 
 from libpysal_ray.core.hashing import splitmix64
-from libpysal_ray.core.joins import _aggfn_v2_base
+from libpysal_ray.core.joins import _agg_block_i64, _aggfn_v2_base
 
 
 def _registers(vals: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
-    """(reg indices int64, rho uint8) per value — vectorized."""
-    if p < 4 or p > 12:
-        raise ValueError("p must be in [4, 12] (float64-exact bitlen)")
+    """(reg indices int64, rho uint8) per value — vectorized. Bitlen of
+    the (64-p)-bit rest is computed on 32-bit HALVES so each frexp input
+    is float64-exact (≤ 2^32) for every p — a direct float64 conversion
+    of a >52-bit rest would round at the boundary and shift rho by one."""
+    if p < 4 or p > 16:
+        raise ValueError("p must be in [4, 16]")
     h = splitmix64(vals.astype(np.int64).view(np.uint64))
     reg = (h >> np.uint64(64 - p)).astype(np.int64)
-    rest = (h & np.uint64((1 << (64 - p)) - 1)).astype(np.float64)
-    # bitlen via frexp: frexp(r) = (m, e) with r = m * 2^e, 0.5 <= m < 1
-    _, e = np.frexp(rest)
-    rho = ((64 - p) - e + 1).astype(np.uint8)  # rest=0 -> e=0 -> 64-p+1
+    rest = h & np.uint64((1 << (64 - p)) - 1)
+    hi = (rest >> np.uint64(32)).astype(np.float64)
+    lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    # frexp(r) = (m, e), r = m * 2^e with 0.5 <= m < 1 -> e = bitlen(r)
+    _, e_hi = np.frexp(hi)
+    _, e_lo = np.frexp(lo)
+    bitlen = np.where(hi > 0, 32 + e_hi, e_lo)
+    rho = ((64 - p) - bitlen + 1).astype(np.uint8)  # rest=0 -> 64-p+1
     return reg, rho
 
 
@@ -73,14 +80,10 @@ class HllAgg(_aggfn_v2_base()):
         )
 
     def aggregate_block(self, block):
-        on = self._on
-        if hasattr(block, "column"):
-            v = block.column(on).to_numpy(zero_copy_only=False)
-        else:  # pandas block
-            v = block[on].to_numpy()
+        v = _agg_block_i64(block, self._on)
         regs = np.zeros(1 << self._p, dtype=np.uint8)
         if len(v):
-            reg, rho = _registers(np.asarray(v, dtype=np.int64), self._p)
+            reg, rho = _registers(v, self._p)
             np.maximum.at(regs, reg, rho)
         return regs
 
@@ -194,13 +197,8 @@ class OrAgg(_aggfn_v2_base()):
         )
 
     def aggregate_block(self, block):
-        on = self._on
-        if hasattr(block, "column"):
-            v = block.column(on).to_numpy(zero_copy_only=False)
-        else:  # pandas block
-            v = block[on].to_numpy()
-        return int(np.bitwise_or.reduce(v.astype(np.int64),
-                                        initial=np.int64(0)))
+        v = _agg_block_i64(block, self._on)
+        return int(np.bitwise_or.reduce(v, initial=np.int64(0)))
 
     def combine(self, a, b):
         return int(np.int64(a) | np.int64(b))

@@ -297,16 +297,19 @@ def tumbling_window(
         ks, ws, cs = k[order], win[order], cents[order]
         first = np.ones(len(ks), dtype=bool)
         first[1:] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
-        gidx = np.cumsum(first) - 1
-        n = np.bincount(gidx)
-        csum = np.bincount(gidx, weights=cs).astype(np.int64)
         heads = np.flatnonzero(first)
+        n = np.diff(np.append(heads, len(ks)))
+        # int64 reduceat, NOT bincount(weights=): bincount accumulates in
+        # float64 and silently rounds above 2^53
+        csum = np.add.reduceat(cs, heads) if len(ks) else np.empty(
+            0, np.int64
+        )
         return pa.table(
             {
                 "key": pa.array(ks[heads]),
                 "window": pa.array(ws[heads]),
                 "n_events": pa.array(n.astype(np.int64)),
-                "sum_cents": pa.array(csum),
+                "sum_cents": pa.array(csum.astype(np.int64)),
             }
         )
 
@@ -434,11 +437,12 @@ def hopping_window(
         ks, ws, cs = ks[order], win[order], cs[order]
         first = np.ones(len(ks), dtype=bool)
         first[1:] = (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])
-        gidx = np.cumsum(first) - 1
-        n = np.bincount(gidx) if len(ks) else np.empty(0, np.int64)
-        csum = (np.bincount(gidx, weights=cs).astype(np.int64)
-                if len(ks) else np.empty(0, np.int64))
         heads = np.flatnonzero(first)
+        n = (np.diff(np.append(heads, len(ks)))
+             if len(ks) else np.empty(0, np.int64))
+        # int64 reduceat, NOT bincount(weights=) (float64 above 2^53)
+        csum = (np.add.reduceat(cs, heads).astype(np.int64)
+                if len(ks) else np.empty(0, np.int64))
         return pa.table(
             {
                 "key": pa.array(ks[heads]),

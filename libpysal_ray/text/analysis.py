@@ -602,6 +602,31 @@ def token_budget_select(
     return run.map_batches(_cut, batch_format="pyarrow")
 
 
+def _source_token_totals(
+    ds: ray.data.Dataset, source_col: str, text_col: str
+) -> dict:
+    """{source: total whitespace tokens} — the tiny per-source aggregate
+    shared by domain_balance and upsample_domains (#sources rows reach
+    the driver by definition)."""
+
+    def _tok(t: pa.Table) -> pa.Table:
+        spaces = pc.count_substring(t.column(text_col), " ").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table({
+            source_col: t.column(source_col),
+            "tok": pa.array(spaces + 1),
+        })
+
+    return {
+        r[source_col]: int(r["sum(tok)"])
+        for r in ds.map_batches(_tok, batch_format="pyarrow")
+        .groupby(source_col)
+        .sum("tok")
+        .take_all()
+    }
+
+
 def domain_balance(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -622,29 +647,14 @@ def domain_balance(
     from libpysal_ray.core.hashing import splitmix64
     from libpysal_ray.core.joins import XorAgg
 
-    def _tok(t: pa.Table) -> pa.Table:
-        spaces = pc.count_substring(t.column(text_col), " ").to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        return pa.table({
-            source_col: t.column(source_col),
-            "tok": pa.array(spaces + 1),
-        })
-
-    totals = {
-        r[source_col]: int(r["sum(tok)"])
-        for r in ds.map_batches(_tok, batch_format="pyarrow")
-        .groupby(source_col)
-        .sum("tok")
-        .take_all()
-    }
+    totals = _source_token_totals(ds, source_col, text_col)
     if not totals:
         return ray.data.from_arrow(pa.table({
             source_col: pa.array([], pa.large_string()),
             "rate_pct": pa.array([], pa.int64()),
-            id_col: pa.array([], pa.int64()),
-            "tok": pa.array([], pa.int64()),
-            "h": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "tok_kept": pa.array([], pa.int64()),
+            "id_xor": pa.array([], pa.int64()),
         }))
     mn = min(totals.values())
     srcs = sorted(totals)
@@ -715,22 +725,7 @@ def upsample_domains(
     if not (1 <= max_factor <= 64):
         raise ValueError("max_factor must be in [1, 64]")
 
-    def _tok(t: pa.Table) -> pa.Table:
-        spaces = pc.count_substring(t.column(text_col), " ").to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        return pa.table({
-            source_col: t.column(source_col),
-            "tok": pa.array(spaces + 1),
-        })
-
-    totals = {
-        r[source_col]: int(r["sum(tok)"])
-        for r in ds.map_batches(_tok, batch_format="pyarrow")
-        .groupby(source_col)
-        .sum("tok")
-        .take_all()
-    }
+    totals = _source_token_totals(ds, source_col, text_col)
     if not totals:
         return ray.data.from_arrow(pa.table({
             id_col: pa.array([], pa.int64()),
@@ -831,6 +826,32 @@ def gopher_filter(
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def _minhash_topk_partial(
+    t: pa.Table, id_col: str, k: int,
+    value_col: str | None = None,
+) -> pa.Table:
+    """Per-batch min-hash top-k partial shared by ``uniform_sample`` and
+    ``sample_quantiles``: keep the k rows with smallest splitmix64(id),
+    keyed by the sign-flipped hash so the global int64 sort and the SQL
+    oracle's unsigned sm64 order agree. Emits (hkey[, v])."""
+    from libpysal_ray.core.hashing import splitmix64
+
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    h = splitmix64(ids.view(np.uint64))
+    v = (t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+         if value_col is not None else None)
+    if len(ids) > k:
+        sel = np.argpartition(h, k)[:k]
+        ids, h = ids[sel], h[sel]
+        if v is not None:
+            v = v[sel]
+    key = (h ^ np.uint64(1 << 63)).view(np.int64)
+    cols = {id_col: pa.array(ids), "hkey": pa.array(key)}
+    if v is not None:
+        cols["v"] = pa.array(v)
+    return pa.table(cols)
+
+
 def uniform_sample(
     ds: ray.data.Dataset,
     k: int,
@@ -845,25 +866,13 @@ def uniform_sample(
     100 TB shape: per-batch local top-k (np.partition) shrinks the
     stream to k rows per block; the global merge sorts only
     k × #blocks partial rows."""
-    from libpysal_ray.core.hashing import splitmix64
-
     if k < 1:
         raise ValueError("k must be >= 1")
 
-    def _local(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        h = splitmix64(ids.view(np.uint64))
-        if len(ids) > k:
-            sel = np.argpartition(h, k)[:k]
-            ids, h = ids[sel], h[sel]
-        # shift to signed order-preserving key so the global sort and the
-        # SQL oracle (unsigned sm64) agree on the order
-        key = (h ^ np.uint64(1 << 63)).view(np.int64)
-        return pa.table({id_col: pa.array(ids), "hkey": pa.array(key)})
-
-    part = ds.map_batches(_local, batch_format="pyarrow")
+    part = ds.map_batches(
+        lambda t: _minhash_topk_partial(t, id_col, k),
+        batch_format="pyarrow",
+    )
     out = part.sort("hkey").limit(k)
 
     def _shape(t: pa.Table) -> pa.Table:
@@ -893,26 +902,14 @@ def sample_quantiles(
 
     100 TB shape: per-batch top-k by hash (np.partition) → a k×#blocks
     global merge → one k-row driver step."""
-    from libpysal_ray.core.hashing import splitmix64
-
     if not qs or any(not (0 <= q <= 100) for q in qs):
         raise ValueError("qs must be percentages in [0, 100]")
 
-    def _local(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        h = splitmix64(ids.view(np.uint64))
-        if len(ids) > k_sample:
-            sel = np.argpartition(h, k_sample)[:k_sample]
-            h, v = h[sel], v[sel]
-        key = (h ^ np.uint64(1 << 63)).view(np.int64)
-        return pa.table({"hkey": pa.array(key), "v": pa.array(v)})
-
-    part = ds.map_batches(_local, batch_format="pyarrow")
+    part = ds.map_batches(
+        lambda t: _minhash_topk_partial(t, id_col, k_sample,
+                                        value_col=value_col),
+        batch_format="pyarrow",
+    )
     rows = part.sort("hkey").limit(k_sample).take_all()
     vals = np.sort(np.array([r["v"] for r in rows], dtype=np.int64))
     n = len(vals)

@@ -392,3 +392,18 @@ def test_pagerank_paths_agree(ray_session):
     dist = {r["node"]: r["r"]
             for r in g.pagerank_int(iters=2, max_driver_edges=0).take_all()}
     assert drv == dist
+
+
+def test_pagerank_overflow_refused(ray_session):
+    import numpy as np
+
+    # star: 2000 sources -> one hub; huge r0 forces the bound check
+    n = 2001
+    m = np.zeros((n, n))
+    m[1:, 0] = 1.0
+    g = RayGraph.from_dense(m)
+    with pytest.raises(ValueError, match="overflow"):
+        g.pagerank_int(iters=3, r0=1 << 52)
+    # sane r0 still works and the hub dominates
+    got = {r["node"]: r["r"] for r in g.pagerank_int(iters=2).take_all()}
+    assert got[0] > got[1]

@@ -136,3 +136,15 @@ def test_cms_merge_is_sum(ray_session):
           for r in cms_counts(both, "v").take_all()}
     keys = set(sa) | set(sb)
     assert su == {k: sa.get(k, 0) + sb.get(k, 0) for k in keys}
+
+
+def test_hll_agg_ignores_nulls(ray_session):
+    from libpysal_ray.core.sketch import HllAgg
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array([0] * 4, pa.int64()),
+        "v": pa.array([1, 2, None, None], pa.int64()),
+    }))
+    out = ds.groupby("g").aggregate(HllAgg("v")).take_all()
+    # 2 distinct non-null values; a null counted as INT64_MIN would give 3
+    assert round(out[0]["hll(v)"]) == 2

@@ -220,3 +220,20 @@ def test_per_key_running_closed_form():
     # uid1 by ts: 11(10), 12(1), 10(100); uid2: 13(7), 14(3)
     assert got == {11: (0, 10), 12: (1, 11), 10: (2, 111),
                    13: (0, 7), 14: (1, 10)}
+
+
+def test_window_sums_exact_above_2e53():
+    from libpysal_ray.temporal.joins import hopping_window, tumbling_window
+
+    big = 1 << 53
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array([1, 2, 3], pa.int64()),
+        "uid": pa.array([7, 7, 7], pa.int64()),
+        "cents": pa.array([big, 1, 1], pa.int64()),
+    }))
+    t = tumbling_window(ds, "ts", "uid", 100,
+                        value_cents_col="cents").take_all()
+    assert t[0]["sum_cents"] == big + 2
+    h = hopping_window(ds, "ts", "uid", 100, 100,
+                       value_cents_col="cents").take_all()
+    assert h[0]["sum_cents"] == big + 2
