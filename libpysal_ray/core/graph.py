@@ -988,10 +988,11 @@ class RayGraph:
         ``max_driver_edges`` the whole recurrence runs as an O(E)-per-
         round numpy scatter-add on the driver (shuffle overhead would
         dwarf a small graph); above it, the distributed path — the edge
-        table and out-degrees materialized ONCE, each round one
-        bucket_join (ranks onto edges by source) + one groupby(dest)
-        sum + one left join back onto the node universe, no driver-side
-        data, ranks a (node, r) Dataset throughout. Both paths run the
+        table and out-degrees materialized ONCE, the rank state carries
+        the out-degree, so each round is one bucket_join (state onto
+        edges by source) + one groupby(dest) sum + one left join back
+        onto the node universe — TWO key shuffles + one aggregate, no
+        driver-side data. Both paths run the
         IDENTICAL int64 recurrence. Returns (node, r)."""
         from libpysal_ray.core.joins import bucket_join
 
@@ -1043,23 +1044,25 @@ class RayGraph:
         def _init(t: pa.Table) -> pa.Table:
             return pa.table({
                 "node": t.column("node"),
+                "d": t.column("d"),
                 "r": pa.array(
                     np.full(t.num_rows, int(r0), dtype=np.int64)
                 ),
             })
 
-        ranks = deg.map_batches(_init, batch_format="pyarrow")
+        # the rank state CARRIES the out-degree so each round needs only
+        # TWO key shuffles: edges⋈state (contributions) and the
+        # deg-universe left join (update) — no separate ranks⋈deg pass
+        state = deg.map_batches(_init, batch_format="pyarrow").map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"),
+                "d": t.column("d"),
+                "r": t.column("r"),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
         dp = int(damping_pct)
         for _ in range(iters):
-            # attach (r, d) to each edge by source, emit floor contribution
-            state = bucket_join(ranks, deg, on="node").map_batches(
-                lambda t: pa.table({
-                    "focal": t.column("node"),
-                    "r": t.column("r"),
-                    "d": t.column("d"),
-                }),
-                batch_format="pyarrow",
-            )
             contrib = bucket_join(edges, state, on="focal").map_batches(
                 lambda t: pa.table({
                     "node": t.column("neighbor"),
@@ -1075,26 +1078,30 @@ class RayGraph:
             sums = contrib.groupby("node").sum("c").rename_columns(
                 {"sum(c)": "s"}
             )
-            nodes = deg.map_batches(
-                lambda t: t.select(["node"]), batch_format="pyarrow"
-            )
-            joined = bucket_join(nodes, sums, on="node", how="left")
+            joined = bucket_join(deg, sums, on="node", how="left")
 
             def _update(t: pa.Table) -> pa.Table:
                 s = pc.fill_null(
                     pc.cast(t.column("s"), pa.int64()), 0
                 ).to_numpy(zero_copy_only=False)
                 return pa.table({
-                    "node": t.column("node"),
+                    "focal": t.column("node"),
+                    "d": t.column("d"),
                     "r": pa.array(
                         RayGraph._pagerank_damp(s, dp, int(base))
                     ),
                 })
 
-            ranks = joined.map_batches(
+            state = joined.map_batches(
                 _update, batch_format="pyarrow"
-            ).materialize()  # consumed twice next round (join + next init)
-        return ranks
+            ).materialize()  # next round's join input
+        return state.map_batches(
+            lambda t: pa.table({
+                "node": t.column("focal"),
+                "r": t.column("r"),
+            }),
+            batch_format="pyarrow",
+        )
 
     def neighbor_equality(self, other: "RayGraph") -> bool:
         """True iff every node has the SAME neighbor SET in both graphs,
