@@ -3974,3 +3974,56 @@ SELECT CAST(qq.q AS BIGINT) AS q, CAST(o.v AS BIGINT) AS value
 FROM qq JOIN n ON TRUE
 JOIN o ON o.rn = ((n.n - 1) * qq.q) // 100
 """)
+
+
+def q_moran(sf_dir: str):
+    """Global spatial autocorrelation (Moran's I + Geary's C) of n_chars
+    over the rook lattice — every term exact int64 (scaled deviations
+    z = n*x - sum(x)), one IEEE-pinned float division per statistic."""
+    from libpysal_ray.spatial.stats import spatial_autocorr
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return spatial_autocorr(_rook_g(sf_dir), attrs)
+
+
+QUERIES["moran"] = q_moran
+
+ORACLE_SQL["moran"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a
+),
+z AS (
+  SELECT node, x,
+         (SELECT n FROM st) * x - (SELECT sx FROM st) AS z
+  FROM a
+),
+e AS (
+  SELECT zf.z AS zf, zf.x AS xf, zn.z AS zn, zn.x AS xn
+  FROM adj
+  JOIN z zf ON adj.focal = zf.node
+  JOIN z zn ON adj.neighbor = zn.node
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(zf * zn) AS BIGINT) AS num,
+         CAST(SUM((xf - xn) * (xf - xn)) AS BIGINT) AS sq
+  FROM e
+),
+d AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den FROM z)
+SELECT (SELECT n FROM st) AS n, t.s0, t.num AS moran_num,
+       t.sq AS sq_diff, d.den,
+       CAST(CAST((SELECT n FROM st) AS HUGEINT) * t.num AS DOUBLE)
+         / CAST(CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS moran_i,
+       CAST(CAST((SELECT n FROM st) - 1 AS HUGEINT)
+            * (SELECT n FROM st) * (SELECT n FROM st) * t.sq AS DOUBLE)
+         / CAST(2 * CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS geary_c
+FROM t, d
+"""

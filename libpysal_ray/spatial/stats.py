@@ -1,0 +1,167 @@
+"""Global spatial-autocorrelation statistics over a binary graph.
+
+Moran's I and Geary's C (the canonical ESDA statistics downstream of
+libpysal weights; cf. reference weights feeding esda.Moran — here kept
+engine-side because every term is computable EXACTLY):
+
+    z_i   = n·x_i − Σx                      (integer — no float mean)
+    I     = (n · Σ_{(i,j)∈E} z_i z_j) / (S0 · Σ z_i²)
+    C     = ((n−1) · n² · Σ_{(i,j)∈E} (x_i−x_j)²) / (2 · S0 · Σ z_i²)
+
+with S0 = |E| (binary weights). Every numerator/denominator is an
+int64 (bounds checked in unbounded Python ints up front, pagerank-
+style), so the distributed sums are bit-exact at any layout and the one
+float division per statistic is IEEE-identical to the SQL oracle.
+
+100 TB shape: attribute stats are two tiny aggregates; z attaches to
+the edge table via ONE bucket_join per endpoint (the z table is the
+small side and reuses the join's size switch); the cross-product terms
+reduce through per-batch int64 partials into a #blocks-row aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+__all__ = ["spatial_autocorr"]
+
+
+def spatial_autocorr(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """One-row Dataset (n, s0, moran_num, sq_diff, den, moran_i,
+    geary_c) for integer attribute ``x`` over graph ``g``'s BINARY edge
+    set (weights ignored; transform to taste first). Raises loudly if
+    any exact term could exceed int64."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(
+                t.column(x_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x"),
+        ray.data.aggregate.Max("x"),
+        ray.data.aggregate.Min("x"),
+    )
+    n = int(agg["count()"])
+    if n < 2:
+        raise ValueError("spatial_autocorr needs at least 2 observations")
+    sx = int(agg["sum(x)"])
+    xmax = max(abs(int(agg["max(x)"])), abs(int(agg["min(x)"])))
+    # exact worst-case bounds in unbounded ints BEFORE any int64 sum
+    z_max = n * xmax + abs(sx)
+    if z_max * z_max * n >= (1 << 62) or (2 * xmax) ** 2 * n >= (1 << 62):
+        raise ValueError(
+            "spatial_autocorr terms would overflow int64; rescale x"
+        )
+
+    def _with_z(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column("node"),
+            "x": t.column("x"),
+            "z": pa.array(np.int64(n) * x - np.int64(sx)),
+        })
+
+    zt = xs.map_batches(_with_z, batch_format="pyarrow").materialize()
+
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    lhs = bucket_join(
+        edges,
+        zt.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"),
+                "zf": t.column("z"),
+                "xf": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    ).map_batches(
+        lambda t: pa.table({
+            "neighbor": t.column("neighbor"),
+            "zf": t.column("zf"),
+            "xf": t.column("xf"),
+        }),
+        batch_format="pyarrow",
+    )
+    both = bucket_join(
+        lhs,
+        zt.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"),
+                "zn": t.column("z"),
+                "xn": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+
+    def _edge_partial(t: pa.Table) -> pa.Table:
+        zf = t.column("zf").to_numpy(zero_copy_only=False)
+        zn = t.column("zn").to_numpy(zero_copy_only=False)
+        xf = t.column("xf").to_numpy(zero_copy_only=False)
+        xn = t.column("xn").to_numpy(zero_copy_only=False)
+        d = xf - xn
+        return pa.table({
+            "s0": pa.array([np.int64(t.num_rows)]),
+            "num": pa.array([np.int64((zf * zn).sum())]),
+            "sq": pa.array([np.int64((d * d).sum())]),
+        })
+
+    ep = both.map_batches(_edge_partial, batch_format="pyarrow").aggregate(
+        ray.data.aggregate.Sum("s0"),
+        ray.data.aggregate.Sum("num"),
+        ray.data.aggregate.Sum("sq"),
+    )
+    s0 = int(ep["sum(s0)"])
+    num = int(ep["sum(num)"])
+    sq = int(ep["sum(sq)"])
+    if s0 == 0:
+        raise ValueError("graph has no edges")
+
+    def _den_partial(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array([np.int64((z * z).sum())])})
+
+    den = int(
+        zt.map_batches(_den_partial, batch_format="pyarrow").sum("d")
+    )
+    if den == 0:
+        raise ValueError("x is constant; autocorrelation undefined")
+    # one float division per statistic, operand order pinned for the
+    # oracle (both multiplications exact-int before the cast)
+    moran = float(np.float64(n * num) / np.float64(s0 * den))
+    geary = float(
+        np.float64((n - 1) * n * n * sq) / np.float64(2 * s0 * den)
+    )
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "s0": pa.array([s0], pa.int64()),
+        "moran_num": pa.array([num], pa.int64()),
+        "sq_diff": pa.array([sq], pa.int64()),
+        "den": pa.array([den], pa.int64()),
+        "moran_i": pa.array([moran], pa.float64()),
+        "geary_c": pa.array([geary], pa.float64()),
+    }))

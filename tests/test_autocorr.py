@@ -1,0 +1,64 @@
+"""Moran's I / Geary's C vs classic float-formula references."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.builders.lattice import lat2graph
+from libpysal_ray.spatial.stats import spatial_autocorr
+
+
+def _classic(m, x):
+    n = len(x)
+    z = x - x.mean()
+    s0 = m.sum()
+    num = z @ m @ z
+    moran = (n / s0) * num / (z @ z)
+    d = x[:, None] - x[None, :]
+    geary = ((n - 1) / (2 * s0)) * (m * d * d).sum() / (z @ z)
+    return moran, geary
+
+
+def test_autocorr_matches_classic(ray_session):
+    g = lat2graph(5, 6, rook=True)
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 100, 30).astype(np.int64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(30, dtype=np.int64)),
+        "x": pa.array(x),
+    })).repartition(3)
+    row = spatial_autocorr(g, attrs).take_all()[0]
+    m, ids = g.to_dense()
+    em, ec = _classic((m > 0).astype(float), x.astype(float))
+    assert abs(row["moran_i"] - em) < 1e-12
+    assert abs(row["geary_c"] - ec) < 1e-12
+    assert row["s0"] == int((m > 0).sum())
+
+
+def test_autocorr_perfect_gradient_positive(ray_session):
+    # row-gradient on a lattice -> strong positive autocorrelation
+    g = lat2graph(6, 6, rook=True)
+    x = (np.arange(36) // 6).astype(np.int64) * 10
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(36, dtype=np.int64)),
+        "x": pa.array(x),
+    }))
+    row = spatial_autocorr(g, attrs).take_all()[0]
+    assert row["moran_i"] > 0.5 and row["geary_c"] < 0.5
+
+
+def test_autocorr_guards(ray_session):
+    g = lat2graph(3, 3, rook=True)
+    const = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(9, dtype=np.int64)),
+        "x": pa.array(np.full(9, 7, dtype=np.int64)),
+    }))
+    with pytest.raises(ValueError, match="constant"):
+        spatial_autocorr(g, const)
+    big = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(9, dtype=np.int64)),
+        "x": pa.array(np.full(9, 1 << 40, dtype=np.int64)),
+    }))
+    with pytest.raises(ValueError, match="overflow"):
+        spatial_autocorr(g, big)
