@@ -4027,3 +4027,44 @@ SELECT (SELECT n FROM st) AS n, t.s0, t.num AS moran_num,
          / CAST(2 * CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS geary_c
 FROM t, d
 """
+
+
+def q_local_moran(sf_dir: str):
+    """Per-observation local Moran (LISA) of n_chars over the rook
+    lattice — integer z and lag terms, one pinned float division per
+    row; 500-row oracle (a stronger check than the one-row global)."""
+    from libpysal_ray.spatial.stats import local_moran
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return local_moran(_rook_g(sf_dir), attrs)
+
+
+QUERIES["local_moran"] = q_local_moran
+
+ORACLE_SQL["local_moran"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a
+),
+z AS (
+  SELECT node, (SELECT n FROM st) * x - (SELECT sx FROM st) AS z
+  FROM a
+),
+lag AS (
+  SELECT adj.focal AS node, CAST(SUM(zn.z) AS BIGINT) AS lag_z
+  FROM adj JOIN z zn ON adj.neighbor = zn.node
+  GROUP BY 1
+),
+d AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den FROM z)
+SELECT z.node AS id, z.z, COALESCE(lag.lag_z, 0) AS lag_z,
+       CAST((SELECT n FROM st) * z.z * COALESCE(lag.lag_z, 0) AS DOUBLE)
+         / CAST((SELECT den FROM d) AS DOUBLE) AS local_i
+FROM z LEFT JOIN lag USING (node)
+"""

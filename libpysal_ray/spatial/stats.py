@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-__all__ = ["spatial_autocorr"]
+__all__ = ["local_moran", "spatial_autocorr"]
 
 
 def spatial_autocorr(
@@ -165,3 +165,128 @@ def spatial_autocorr(
         "moran_i": pa.array([moran], pa.float64()),
         "geary_c": pa.array([geary], pa.float64()),
     }))
+
+
+def local_moran(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Per-observation local Moran (LISA, Anselin 1995) over the binary
+    edge set, exact-integer inner terms: with z_i = n·x_i − Σx,
+
+        I_i = (n · z_i · Σ_{j∈N(i)} z_j) / Σ z²
+
+    (algebraically identical to the classic (z_i/m2)·Σ w_ij z_j with
+    m2 = Σ(x−x̄)²/n — both scalings by n² cancel). Output one row per
+    observation (id, z, lag_z, local_i); isolates get lag_z = 0.
+
+    100 TB shape: one bucket_join of z onto edges by neighbor, one
+    groupby(focal) sum (the spatial lag of z), one left join back onto
+    the observation universe — all int64 until one pinned float
+    division per row."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(
+                t.column(x_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x"),
+        ray.data.aggregate.Max("x"),
+        ray.data.aggregate.Min("x"),
+    )
+    n = int(agg["count()"])
+    if n < 2:
+        raise ValueError("local_moran needs at least 2 observations")
+    sx = int(agg["sum(x)"])
+    xmax = max(abs(int(agg["max(x)"])), abs(int(agg["min(x)"])))
+    z_max = n * xmax + abs(sx)
+    max_deg = int(g.cardinalities().max("cardinality") or 0)
+    # per-row numerator bound n·|z|·|lag| <= n·z_max·(max_deg·z_max),
+    # plus the den sum bound — both checked in unbounded ints
+    if (n * z_max * max_deg * z_max >= (1 << 62)
+            or z_max * z_max * n >= (1 << 62)):
+        raise ValueError("local_moran terms would overflow int64; rescale x")
+
+    def _with_z(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column("node"),
+            "z": pa.array(np.int64(n) * x - np.int64(sx)),
+        })
+
+    zt = xs.map_batches(_with_z, batch_format="pyarrow").materialize()
+    den = int(
+        zt.map_batches(
+            lambda t: pa.table({
+                "d": pa.array([
+                    np.int64(
+                        (t.column("z").to_numpy(zero_copy_only=False) ** 2)
+                        .sum()
+                    )
+                ]),
+            }),
+            batch_format="pyarrow",
+        ).sum("d")
+    )
+    if den == 0:
+        raise ValueError("x is constant; local Moran undefined")
+
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    lagged = bucket_join(
+        edges,
+        zt.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"),
+                "zn": t.column("z"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    ).map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"),
+            "zn": t.column("zn"),
+        }),
+        batch_format="pyarrow",
+    ).groupby("node").sum("zn").rename_columns({"sum(zn)": "lag_z"})
+
+    joined = bucket_join(zt, lagged, on="node", how="left")
+
+    def _score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        lag = pc.fill_null(
+            pc.cast(t.column("lag_z"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        # exact int products in unbounded python via object? bounds hold:
+        # |n·z·lag| <= n · z_max · (deg·z_max) — guarded above for den;
+        # pin as float64(n*z*lag) computed per-row from exact int64 pieces
+        num = np.int64(n) * z * lag
+        return pa.table({
+            id_col: t.column("node"),
+            "z": pa.array(z),
+            "lag_z": pa.array(lag),
+            "local_i": pa.array(
+                num.astype(np.float64) / np.float64(den)
+            ),
+        })
+
+    return joined.map_batches(_score, batch_format="pyarrow")

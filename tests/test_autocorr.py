@@ -62,3 +62,27 @@ def test_autocorr_guards(ray_session):
     }))
     with pytest.raises(ValueError, match="overflow"):
         spatial_autocorr(g, big)
+
+
+def test_local_moran_matches_classic(ray_session):
+    from libpysal_ray.spatial.stats import local_moran
+
+    g = lat2graph(5, 5, rook=True)
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 50, 25).astype(np.int64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(25, dtype=np.int64)),
+        "x": pa.array(x),
+    })).repartition(3)
+    got = {r["id"]: r["local_i"] for r in local_moran(g, attrs).take_all()}
+    m, ids = g.to_dense()
+    w = (m > 0).astype(float)
+    z = x - x.mean()
+    m2 = (z @ z) / len(z)
+    exp = (z / m2) * (w @ z)
+    for i in range(25):
+        assert abs(got[i] - exp[i]) < 1e-9, i
+    # Anselin identity: sum of local Morans = S0 * global I
+    from libpysal_ray.spatial.stats import spatial_autocorr
+    gi = spatial_autocorr(g, attrs).take_all()[0]
+    assert abs(sum(got.values()) - gi["s0"] * gi["moran_i"]) < 1e-6
