@@ -4068,3 +4068,43 @@ SELECT z.node AS id, z.z, COALESCE(lag.lag_z, 0) AS lag_z,
          / CAST((SELECT den FROM d) AS DOUBLE) AS local_i
 FROM z LEFT JOIN lag USING (node)
 """
+
+
+def q_join_counts(sf_dir: str):
+    """BB/BW/WW join counts of the binary 'long document' indicator
+    (n_chars >= 300) over the rook lattice — pure int64 end to end."""
+    from libpysal_ray.spatial.stats import join_counts
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x": pc.cast(pc.greater_equal(t.column("n_chars"), 300),
+                         pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return join_counts(_rook_g(sf_dir), attrs)
+
+
+QUERIES["join_counts"] = q_join_counts
+
+ORACLE_SQL["join_counts"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node,
+         CAST(n_chars >= 300 AS BIGINT) AS x
+  FROM documents
+),
+e AS (
+  SELECT af.x AS xf, an.x AS xn
+  FROM adj
+  JOIN a af ON adj.focal = af.node
+  JOIN a an ON adj.neighbor = an.node
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+       CAST(SUM(xf * xn) AS BIGINT) AS bb,
+       CAST(SUM((xf - xn) * (xf - xn)) AS BIGINT) AS bw,
+       CAST(COUNT(*) - SUM(xf * xn)
+            - SUM((xf - xn) * (xf - xn)) AS BIGINT) AS ww
+FROM e
+"""

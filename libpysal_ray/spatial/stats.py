@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-__all__ = ["local_moran", "spatial_autocorr"]
+__all__ = ["join_counts", "local_moran", "spatial_autocorr"]
 
 
 def spatial_autocorr(
@@ -290,3 +290,81 @@ def local_moran(
         })
 
     return joined.map_batches(_score, batch_format="pyarrow")
+
+
+def join_counts(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Join counts for a BINARY variable (Cliff & Ord; the esda
+    Join_Counts statistic downstream of libpysal weights): over the
+    directed binary edge set, one row (s0, bb, bw, ww) with
+    bb = Σ x_i·x_j, bw = Σ (x_i−x_j)², ww = s0 − bb − bw. Pure int64 —
+    no float anywhere, so the oracle compare is trivially exact.
+    Raises if x is not 0/1."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and not np.isin(x, (0, 1)).all():
+            raise ValueError("join_counts needs a 0/1 variable")
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(x),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    lhs = bucket_join(
+        edges,
+        xs.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"), "xf": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    ).map_batches(
+        lambda t: t.select(["neighbor", "xf"]), batch_format="pyarrow"
+    )
+    both = bucket_join(
+        lhs,
+        xs.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "xn": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        xf = t.column("xf").to_numpy(zero_copy_only=False)
+        xn = t.column("xn").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s0": pa.array([np.int64(t.num_rows)]),
+            "bb": pa.array([np.int64((xf * xn).sum())]),
+            "bw": pa.array([np.int64(((xf - xn) ** 2).sum())]),
+        })
+
+    ep = both.map_batches(_partial, batch_format="pyarrow").aggregate(
+        ray.data.aggregate.Sum("s0"),
+        ray.data.aggregate.Sum("bb"),
+        ray.data.aggregate.Sum("bw"),
+    )
+    s0, bb, bw = (int(ep["sum(s0)"]), int(ep["sum(bb)"]),
+                  int(ep["sum(bw)"]))
+    return ray.data.from_arrow(pa.table({
+        "s0": pa.array([s0], pa.int64()),
+        "bb": pa.array([bb], pa.int64()),
+        "bw": pa.array([bw], pa.int64()),
+        "ww": pa.array([s0 - bb - bw], pa.int64()),
+    }))

@@ -86,3 +86,26 @@ def test_local_moran_matches_classic(ray_session):
     from libpysal_ray.spatial.stats import spatial_autocorr
     gi = spatial_autocorr(g, attrs).take_all()[0]
     assert abs(sum(got.values()) - gi["s0"] * gi["moran_i"]) < 1e-6
+
+
+def test_join_counts_checkerboard_and_blocks(ray_session):
+    from libpysal_ray.spatial.stats import join_counts
+
+    g = lat2graph(4, 4, rook=True)
+    ids = np.arange(16, dtype=np.int64)
+    # checkerboard: every edge is BW
+    cb = (((ids // 4) + (ids % 4)) % 2).astype(np.int64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(cb)}))
+    row = join_counts(g, attrs).take_all()[0]
+    assert row["s0"] == 48 and row["bw"] == 48
+    assert row["bb"] == 0 and row["ww"] == 0
+    # left-half block: BW only across the middle column boundary
+    blk = (ids % 4 < 2).astype(np.int64)
+    row = join_counts(g, ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(blk)}))).take_all()[0]
+    assert row["bw"] == 8          # 4 rows x 1 crossing x 2 directions
+    assert row["bb"] + row["ww"] + row["bw"] == 48
+    with pytest.raises(Exception, match="0/1"):  # wrapped by Ray
+        join_counts(g, ray.data.from_arrow(pa.table({
+            "id": pa.array(ids), "x": pa.array(ids)}))).take_all()
