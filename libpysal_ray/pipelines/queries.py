@@ -4108,3 +4108,37 @@ SELECT CAST(COUNT(*) AS BIGINT) AS s0,
             - SUM((xf - xn) * (xf - xn)) AS BIGINT) AS ww
 FROM e
 """
+
+
+def q_getis_g(sf_dir: str):
+    """Getis-Ord G* hot-spot statistic of n_chars over the rook lattice
+    — per-observation neighborhood share of total mass, integer
+    num/den, one pinned float division per row."""
+    from libpysal_ray.spatial.stats import getis_ord_g
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return getis_ord_g(_rook_g(sf_dir), attrs)
+
+
+QUERIES["getis_g"] = q_getis_g
+
+ORACLE_SQL["getis_g"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+tot AS (SELECT CAST(SUM(x) AS BIGINT) AS total FROM a),
+lag AS (
+  SELECT adj.focal AS node, CAST(SUM(an.x) AS BIGINT) AS nsum
+  FROM adj JOIN a an ON adj.neighbor = an.node
+  GROUP BY 1
+)
+SELECT a.node AS id, a.x,
+       CAST(COALESCE(lag.nsum, 0) + a.x AS BIGINT) AS nbr_sum,
+       CAST(COALESCE(lag.nsum, 0) + a.x AS DOUBLE)
+         / CAST((SELECT total FROM tot) AS DOUBLE) AS g
+FROM a LEFT JOIN lag USING (node)
+"""

@@ -109,3 +109,23 @@ def test_join_counts_checkerboard_and_blocks(ray_session):
     with pytest.raises(Exception, match="0/1"):  # wrapped by Ray
         join_counts(g, ray.data.from_arrow(pa.table({
             "id": pa.array(ids), "x": pa.array(ids)}))).take_all()
+
+
+def test_getis_ord_gstar_hotspot(ray_session):
+    from libpysal_ray.spatial.stats import getis_ord_g
+
+    g = lat2graph(5, 5, rook=True)
+    ids = np.arange(25, dtype=np.int64)
+    x = np.where(ids == 12, 100, 1).astype(np.int64)  # spike at center
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(x)}))
+    gs = {r["id"]: r for r in getis_ord_g(g, attrs).take_all()}
+    total = 124
+    assert gs[12]["nbr_sum"] == 104            # spike + 4 neighbors
+    assert gs[12]["g"] == 104 / total
+    assert gs[0]["nbr_sum"] == 3               # corner: self + 2
+    # non-star excludes self
+    gns = {r["id"]: r for r in getis_ord_g(g, attrs,
+                                           star=False).take_all()}
+    assert gns[12]["nbr_sum"] == 4
+    assert gns[7]["nbr_sum"] == 103            # neighbor of the spike
