@@ -4142,3 +4142,43 @@ SELECT a.node AS id, a.x,
          / CAST((SELECT total FROM tot) AS DOUBLE) AS g
 FROM a LEFT JOIN lag USING (node)
 """
+
+
+def q_general_g(sf_dir: str):
+    """Global Getis-Ord General G of n_chars over the rook lattice:
+    edge-mass share of all off-diagonal mass, exact int num/den."""
+    from libpysal_ray.spatial.stats import general_g
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return general_g(_rook_g(sf_dir), attrs)
+
+
+QUERIES["general_g"] = q_general_g
+
+ORACLE_SQL["general_g"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, CAST(n_chars AS BIGINT) AS x FROM documents),
+t AS (
+  SELECT CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx
+  FROM a
+),
+e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(af.x * an.x) AS BIGINT) AS num
+  FROM adj
+  JOIN a af ON adj.focal = af.node
+  JOIN a an ON adj.neighbor = an.node
+)
+SELECT e.s0, e.num AS g_num,
+       CAST(t.sx * t.sx - t.sxx AS BIGINT) AS g_den,
+       CAST(e.num AS DOUBLE)
+         / CAST(CAST(t.sx * t.sx - t.sxx AS BIGINT) AS DOUBLE)
+         AS general_g
+FROM e, t
+"""

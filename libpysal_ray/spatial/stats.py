@@ -25,7 +25,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-__all__ = ["getis_ord_g", "join_counts", "local_moran", "spatial_autocorr"]
+__all__ = ["general_g", "getis_ord_g", "join_counts", "local_moran",
+           "spatial_autocorr"]
 
 
 def spatial_autocorr(
@@ -444,3 +445,87 @@ def getis_ord_g(
         })
 
     return joined.map_batches(_score, batch_format="pyarrow")
+
+
+def general_g(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Global Getis–Ord General G over the binary edge set:
+    G = Σ_{(i,j)∈E} x_i x_j / Σ_{i≠j} x_i x_j, x non-negative integer.
+    Numerator = one edge-join sum; denominator = (Σx)² − Σx² computed
+    in unbounded Python ints — both exact, one pinned float division.
+    Output one row (s0, g_num, g_den, general_g)."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and x.min() < 0:
+            raise ValueError("general_g needs non-negative x")
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(x),
+            "xx": pa.array(x * x),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Sum("x"), ray.data.aggregate.Sum("xx"),
+    )
+    sx, sxx = int(agg["sum(x)"]), int(agg["sum(xx)"])
+    den = sx * sx - sxx  # unbounded python ints — never wraps
+    if den <= 0:
+        raise ValueError("x has no off-diagonal mass; G undefined")
+
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    lhs = bucket_join(
+        edges,
+        xs.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"), "xf": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    ).map_batches(
+        lambda t: t.select(["neighbor", "xf"]), batch_format="pyarrow"
+    )
+    both = bucket_join(
+        lhs,
+        xs.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "xn": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+    ep = both.map_batches(
+        lambda t: pa.table({
+            "s0": pa.array([np.int64(t.num_rows)]),
+            "num": pa.array([np.int64(
+                (t.column("xf").to_numpy(zero_copy_only=False)
+                 * t.column("xn").to_numpy(zero_copy_only=False)).sum()
+            )]),
+        }),
+        batch_format="pyarrow",
+    ).aggregate(
+        ray.data.aggregate.Sum("s0"), ray.data.aggregate.Sum("num"),
+    )
+    s0, num = int(ep["sum(s0)"]), int(ep["sum(num)"])
+    return ray.data.from_arrow(pa.table({
+        "s0": pa.array([s0], pa.int64()),
+        "g_num": pa.array([num], pa.int64()),
+        "g_den": pa.array([den], pa.int64()),
+        "general_g": pa.array(
+            [float(np.float64(num) / np.float64(den))], pa.float64()
+        ),
+    }))

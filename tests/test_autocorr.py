@@ -129,3 +129,19 @@ def test_getis_ord_gstar_hotspot(ray_session):
                                            star=False).take_all()}
     assert gns[12]["nbr_sum"] == 4
     assert gns[7]["nbr_sum"] == 103            # neighbor of the spike
+
+
+def test_general_g_closed_form(ray_session):
+    from libpysal_ray.spatial.stats import general_g
+
+    g = lat2graph(3, 3, rook=True)
+    ids = np.arange(9, dtype=np.int64)
+    x = (ids + 1).astype(np.int64)
+    row = general_g(g, ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(x)}))).take_all()[0]
+    m, _ = g.to_dense()
+    w = (m > 0).astype(np.int64)
+    num = int((w * (x[:, None] * x[None, :])).sum())
+    den = int(x.sum()) ** 2 - int((x * x).sum())
+    assert row["g_num"] == num and row["g_den"] == den
+    assert row["general_g"] == num / den
