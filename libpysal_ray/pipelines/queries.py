@@ -4182,3 +4182,46 @@ SELECT e.s0, e.num AS g_num,
          AS general_g
 FROM e, t
 """
+
+
+def q_lisa_quad(sf_dir: str):
+    """LISA cluster-map quadrants of n_chars over the rook lattice —
+    integer sign labels only, no float anywhere."""
+    from libpysal_ray.spatial.stats import lisa_quadrants
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return lisa_quadrants(_rook_g(sf_dir), attrs)
+
+
+QUERIES["lisa_quad"] = q_lisa_quad
+
+ORACLE_SQL["lisa_quad"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a
+),
+z AS (
+  SELECT node, (SELECT n FROM st) * x - (SELECT sx FROM st) AS z
+  FROM a
+),
+lag AS (
+  SELECT adj.focal AS node, CAST(SUM(zn.z) AS BIGINT) AS lag_z
+  FROM adj JOIN z zn ON adj.neighbor = zn.node
+  GROUP BY 1
+)
+SELECT z.node AS id,
+       CAST(CASE
+         WHEN z.z > 0 AND COALESCE(lag.lag_z, 0) > 0 THEN 1
+         WHEN z.z < 0 AND COALESCE(lag.lag_z, 0) > 0 THEN 2
+         WHEN z.z < 0 AND COALESCE(lag.lag_z, 0) < 0 THEN 3
+         WHEN z.z > 0 AND COALESCE(lag.lag_z, 0) < 0 THEN 4
+         ELSE 0 END AS BIGINT) AS quad
+FROM z LEFT JOIN lag USING (node)
+"""

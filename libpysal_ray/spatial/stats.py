@@ -25,8 +25,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-__all__ = ["general_g", "getis_ord_g", "join_counts", "local_moran",
-           "spatial_autocorr"]
+__all__ = ["general_g", "getis_ord_g", "join_counts", "lisa_quadrants",
+           "local_moran", "spatial_autocorr"]
 
 
 def spatial_autocorr(
@@ -529,3 +529,32 @@ def general_g(
             [float(np.float64(num) / np.float64(den))], pa.float64()
         ),
     }))
+
+
+def lisa_quadrants(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Moran-scatterplot quadrant labels per observation (the LISA
+    cluster map): 1=HH, 2=LH, 3=LL, 4=HL by the signs of the integer
+    deviation z and its integer spatial lag (0 when either is exactly
+    zero) — no float anywhere, so the label table is trivially exact."""
+
+    def _quad(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        lag = t.column("lag_z").to_numpy(zero_copy_only=False)
+        quad = np.zeros(len(z), dtype=np.int64)
+        quad[(z > 0) & (lag > 0)] = 1
+        quad[(z < 0) & (lag > 0)] = 2
+        quad[(z < 0) & (lag < 0)] = 3
+        quad[(z > 0) & (lag < 0)] = 4
+        return pa.table({
+            id_col: t.column(id_col),
+            "quad": pa.array(quad),
+        })
+
+    return local_moran(g, attrs, id_col=id_col, x_col=x_col).map_batches(
+        _quad, batch_format="pyarrow"
+    )

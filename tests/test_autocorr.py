@@ -145,3 +145,17 @@ def test_general_g_closed_form(ray_session):
     den = int(x.sum()) ** 2 - int((x * x).sum())
     assert row["g_num"] == num and row["g_den"] == den
     assert row["general_g"] == num / den
+
+
+def test_lisa_quadrants_gradient(ray_session):
+    from libpysal_ray.spatial.stats import lisa_quadrants
+
+    g = lat2graph(4, 4, rook=True)
+    ids = np.arange(16, dtype=np.int64)
+    x = (ids // 4).astype(np.int64) * 10    # row gradient
+    quads = {r["id"]: r["quad"] for r in lisa_quadrants(
+        g, ray.data.from_arrow(pa.table({
+            "id": pa.array(ids), "x": pa.array(x)}))).take_all()}
+    # top row all HH, bottom row all LL
+    assert all(quads[i] == 1 for i in range(12, 16))
+    assert all(quads[i] == 3 for i in range(0, 4))
