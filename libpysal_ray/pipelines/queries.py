@@ -4225,3 +4225,62 @@ SELECT z.node AS id,
          ELSE 0 END AS BIGINT) AS quad
 FROM z LEFT JOIN lag USING (node)
 """
+
+
+def q_moran_bv(sf_dir: str):
+    """Bivariate Moran's I: n_chars against the spatial lag of the
+    token count over the rook lattice — integer inner terms, one
+    correctly-rounded sqrt + division pinned on both sides."""
+    from libpysal_ray.spatial.stats import moran_bv
+
+    attrs = _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x": t.column("n_chars"),
+            "y": pc.add(pc.count_substring(t.column("text"), " "), 1),
+        }),
+        batch_format="pyarrow",
+    )
+    return moran_bv(_rook_g(sf_dir), attrs)
+
+
+QUERIES["moran_bv"] = q_moran_bv
+
+ORACLE_SQL["moran_bv"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node, CAST(n_chars AS BIGINT) AS x,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS y
+  FROM documents
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+  FROM a
+),
+z AS (
+  SELECT node,
+         (SELECT n FROM st) * x - (SELECT sx FROM st) AS zx,
+         (SELECT n FROM st) * y - (SELECT sy FROM st) AS zy
+  FROM a
+),
+d AS (
+  SELECT CAST(SUM(zx * zx) AS BIGINT) AS denx,
+         CAST(SUM(zy * zy) AS BIGINT) AS deny
+  FROM z
+),
+e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(zf.zx * zn.zy) AS BIGINT) AS num
+  FROM adj
+  JOIN z zf ON adj.focal = zf.node
+  JOIN z zn ON adj.neighbor = zn.node
+)
+SELECT (SELECT n FROM st) AS n, e.s0, e.num AS bv_num, d.denx, d.deny,
+       CAST(CAST((SELECT n FROM st) AS HUGEINT) * e.num AS DOUBLE)
+         / (CAST(e.s0 AS DOUBLE)
+            * sqrt(CAST(CAST(d.denx AS HUGEINT) * d.deny AS DOUBLE)))
+         AS moran_bv
+FROM e, d
+"""

@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray.data
 
 __all__ = ["general_g", "getis_ord_g", "join_counts", "lisa_quadrants",
-           "local_moran", "spatial_autocorr"]
+           "local_moran", "moran_bv", "spatial_autocorr"]
 
 
 def spatial_autocorr(
@@ -558,3 +558,143 @@ def lisa_quadrants(
     return local_moran(g, attrs, id_col=id_col, x_col=x_col).map_batches(
         _quad, batch_format="pyarrow"
     )
+
+
+def moran_bv(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Bivariate Moran's I (Wartenberg 1985 / Anselin et al. 2002 —
+    x against the spatial lag of y) with exact integer inner terms:
+
+        I_xy = (n · Σ_{(i,j)∈E} zx_i zy_j)
+               / (S0 · sqrt(Σ zx² · Σ zy²))
+
+    zx = n·x − Σx, zy = n·y − Σy (both int64; bounds pre-checked in
+    unbounded ints). The denominator product is formed in unbounded
+    Python ints, converted once to float64 (correctly rounded — DuckDB's
+    HUGEINT→DOUBLE cast rounds identically) and square-rooted (IEEE
+    sqrt is correctly rounded on both sides), so the single statistic
+    is bit-equal to the SQL oracle. Output one row
+    (n, s0, bv_num, denx, deny, moran_bv)."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(
+                t.column(x_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "y": pa.array(
+                t.column(y_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x"), ray.data.aggregate.Sum("y"),
+        ray.data.aggregate.Max("x"), ray.data.aggregate.Min("x"),
+        ray.data.aggregate.Max("y"), ray.data.aggregate.Min("y"),
+    )
+    n = int(agg["count()"])
+    if n < 2:
+        raise ValueError("moran_bv needs at least 2 observations")
+    sx, sy = int(agg["sum(x)"]), int(agg["sum(y)"])
+    xm = max(abs(int(agg["max(x)"])), abs(int(agg["min(x)"])))
+    ym = max(abs(int(agg["max(y)"])), abs(int(agg["min(y)"])))
+    zx_max = n * xm + abs(sx)
+    zy_max = n * ym + abs(sy)
+    if (zx_max * zy_max * n >= (1 << 62)
+            or zx_max * zx_max * n >= (1 << 62)
+            or zy_max * zy_max * n >= (1 << 62)):
+        raise ValueError("moran_bv terms would overflow int64; rescale")
+
+    def _with_z(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column("node"),
+            "zx": pa.array(np.int64(n) * x - np.int64(sx)),
+            "zy": pa.array(np.int64(n) * y - np.int64(sy)),
+        })
+
+    zt = xs.map_batches(_with_z, batch_format="pyarrow").materialize()
+    dagg = zt.map_batches(
+        lambda t: pa.table({
+            "dx": pa.array([np.int64(
+                (t.column("zx").to_numpy(zero_copy_only=False) ** 2).sum()
+            )]),
+            "dy": pa.array([np.int64(
+                (t.column("zy").to_numpy(zero_copy_only=False) ** 2).sum()
+            )]),
+        }),
+        batch_format="pyarrow",
+    ).aggregate(ray.data.aggregate.Sum("dx"), ray.data.aggregate.Sum("dy"))
+    denx, deny = int(dagg["sum(dx)"]), int(dagg["sum(dy)"])
+    if denx == 0 or deny == 0:
+        raise ValueError("x or y is constant; bivariate Moran undefined")
+
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    lhs = bucket_join(
+        edges,
+        zt.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"), "zxf": t.column("zx"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    ).map_batches(
+        lambda t: t.select(["neighbor", "zxf"]), batch_format="pyarrow"
+    )
+    both = bucket_join(
+        lhs,
+        zt.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "zyn": t.column("zy"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+    ep = both.map_batches(
+        lambda t: pa.table({
+            "s0": pa.array([np.int64(t.num_rows)]),
+            "num": pa.array([np.int64(
+                (t.column("zxf").to_numpy(zero_copy_only=False)
+                 * t.column("zyn").to_numpy(zero_copy_only=False)).sum()
+            )]),
+        }),
+        batch_format="pyarrow",
+    ).aggregate(
+        ray.data.aggregate.Sum("s0"), ray.data.aggregate.Sum("num"),
+    )
+    s0, num = int(ep["sum(s0)"]), int(ep["sum(num)"])
+    if s0 == 0:
+        raise ValueError("graph has no edges")
+    stat = float(
+        np.float64(n * num)
+        / (np.float64(s0) * np.sqrt(np.float64(denx * deny)))
+    )
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "s0": pa.array([s0], pa.int64()),
+        "bv_num": pa.array([num], pa.int64()),
+        "denx": pa.array([denx], pa.int64()),
+        "deny": pa.array([deny], pa.int64()),
+        "moran_bv": pa.array([stat], pa.float64()),
+    }))

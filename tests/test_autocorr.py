@@ -159,3 +159,29 @@ def test_lisa_quadrants_gradient(ray_session):
     # top row all HH, bottom row all LL
     assert all(quads[i] == 1 for i in range(12, 16))
     assert all(quads[i] == 3 for i in range(0, 4))
+
+
+def test_moran_bv_matches_classic_and_self_reduces(ray_session):
+    from libpysal_ray.spatial.stats import moran_bv, spatial_autocorr
+
+    g = lat2graph(5, 5, rook=True)
+    rng = np.random.default_rng(17)
+    ids = np.arange(25, dtype=np.int64)
+    x = rng.integers(0, 50, 25).astype(np.int64)
+    y = rng.integers(0, 50, 25).astype(np.int64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)}))
+    row = moran_bv(g, attrs).take_all()[0]
+    m, _ = g.to_dense()
+    w = (m > 0).astype(float)
+    zx, zy = x - x.mean(), y - y.mean()
+    exp = (len(x) / w.sum()) * (zx @ w @ zy) / np.sqrt(
+        (zx @ zx) * (zy @ zy))
+    assert abs(row["moran_bv"] - exp) < 1e-12
+    # x vs x reduces to univariate Moran's I
+    attrs_xx = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(x), "y": pa.array(x)}))
+    bv = moran_bv(g, attrs_xx).take_all()[0]
+    uni = spatial_autocorr(g, ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(x)}))).take_all()[0]
+    assert abs(bv["moran_bv"] - uni["moran_i"]) < 1e-12
