@@ -1103,6 +1103,265 @@ class RayGraph:
             batch_format="pyarrow",
         )
 
+    def spanning_forest(
+        self, max_driver_edges: int = 5_000_000
+    ) -> ray.data.Dataset:
+        """Minimum spanning forest of the UNDIRECTED weighted graph —
+        the base structure of single-linkage clustering and SKATER-style
+        regionalization. Ties are broken by the total order
+        (weight, min_id, max_id), which makes every edge weight
+        effectively distinct, so the forest is unique and deterministic
+        at any cluster size. Returns canonical rows (focal < neighbor,
+        weight); a spanning FOREST on disconnected graphs.
+
+        Size-switched: Kruskal + union-find on the driver below
+        ``max_driver_edges``; above it, distributed Borůvka — per round,
+        component labels attach to the edge ends (two bucket_joins),
+        each component picks its minimum outgoing edge (ONE
+        grouped-argmin shuffle), chosen edges dedup on the canonical
+        pair, and components merge through the size-switched
+        ``n_components`` on the (comp_a, comp_b) pseudoforest (≤ one
+        pair per component, halving each round — O(log n) rounds)."""
+        from libpysal_ray.core.joins import bucket_join, grouped_by_key
+
+        def _canon(t: pa.Table) -> pa.Table:
+            f = t.column("focal").to_numpy(zero_copy_only=False)
+            n = t.column("neighbor").to_numpy(zero_copy_only=False)
+            w = t.column("weight").to_numpy(zero_copy_only=False)
+            lo, hi = np.minimum(f, n), np.maximum(f, n)
+            keep = lo != hi
+            # batch-local per-pair min (the global min resolves in the
+            # grouped pass below) — handles asymmetric edge sets (raw
+            # KNN) without dropping the f>n-only direction
+            lo, hi, w = lo[keep], hi[keep], w[keep]
+            order = np.lexsort((w, hi, lo))
+            ls, hs = lo[order], hi[order]
+            first = np.ones(len(ls), bool)
+            first[1:] = (ls[1:] != ls[:-1]) | (hs[1:] != hs[:-1])
+            heads = np.flatnonzero(first)
+            return pa.table({
+                "a": pa.array(ls[heads]),
+                "b": pa.array(hs[heads]),
+                "w": pa.array(w[order][heads]),
+            })
+
+        def _pair_min(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            order = np.lexsort((w, b, a))
+            aa, bb = a[order], b[order]
+            first = np.ones(len(aa), bool)
+            first[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+            sel = order[np.flatnonzero(first)]
+            return pa.table({
+                "a": pa.array(a[sel]), "b": pa.array(b[sel]),
+                "w": pa.array(w[sel]),
+            })
+
+        from libpysal_ray.core.joins import grouped_by_key as _gbk
+
+        und = _gbk(
+            self._real_edges().map_batches(
+                _canon, batch_format="pyarrow"
+            ),
+            ["a"],
+            _pair_min,
+        ).materialize()
+        out_schema = ("focal", "neighbor", "weight")
+        if und.count() <= max_driver_edges:
+            rows = und.take_all()
+            a = np.array([r["a"] for r in rows], dtype=np.int64)
+            b = np.array([r["b"] for r in rows], dtype=np.int64)
+            w = np.array([r["w"] for r in rows], dtype=np.float64)
+            order = np.lexsort((b, a, w))
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            fa, fb, fw = [], [], []
+            for i in order:
+                ra, rb = find(int(a[i])), find(int(b[i]))
+                if ra != rb:
+                    parent[ra] = rb
+                    fa.append(int(a[i]))
+                    fb.append(int(b[i]))
+                    fw.append(float(w[i]))
+            return ray.data.from_arrow(pa.table({
+                out_schema[0]: pa.array(np.array(fa, dtype=np.int64)),
+                out_schema[1]: pa.array(np.array(fb, dtype=np.int64)),
+                out_schema[2]: pa.array(np.array(fw, dtype=np.float64)),
+            }))
+
+        # ---- distributed Borůvka ----
+        labels = ids_dataset(self._edges).map_batches(
+            lambda t: pa.table({
+                "node": t.column("focal"),
+                "comp": t.column("focal"),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+        chosen_parts: list[ray.data.Dataset] = []
+        for _round in range(64):
+            la = labels.map_batches(
+                lambda t: pa.table({
+                    "a": t.column("node"), "ca": t.column("comp"),
+                }),
+                batch_format="pyarrow",
+            )
+            lb = labels.map_batches(
+                lambda t: pa.table({
+                    "b": t.column("node"), "cb": t.column("comp"),
+                }),
+                batch_format="pyarrow",
+            )
+            tagged = bucket_join(
+                bucket_join(und, la, on="a"), lb, on="b"
+            )
+
+            def _sides(t: pa.Table) -> pa.Table:
+                ca = t.column("ca").to_numpy(zero_copy_only=False)
+                cb = t.column("cb").to_numpy(zero_copy_only=False)
+                t = t.filter(pa.array(ca != cb))  # cross-component only
+                cols = {c: t.column(c) for c in ("a", "b", "w",
+                                                 "ca", "cb")}
+                base = pa.table({
+                    "comp": cols["ca"], "a": cols["a"], "b": cols["b"],
+                    "w": cols["w"], "ca": cols["ca"], "cb": cols["cb"],
+                })
+                flip = pa.table({
+                    "comp": cols["cb"], "a": cols["a"], "b": cols["b"],
+                    "w": cols["w"], "ca": cols["ca"], "cb": cols["cb"],
+                })
+                return pa.concat_tables([base, flip])
+
+            _sides._size_expanding = True  # 2x fanout
+            sides = tagged.map_batches(_sides, batch_format="pyarrow")
+            if sides.count() == 0:
+                break
+
+            def _argmin(t: pa.Table) -> pa.Table:
+                comp = t.column("comp").to_numpy(zero_copy_only=False)
+                a = t.column("a").to_numpy(zero_copy_only=False)
+                b = t.column("b").to_numpy(zero_copy_only=False)
+                w = t.column("w").to_numpy(zero_copy_only=False)
+                ca = t.column("ca").to_numpy(zero_copy_only=False)
+                cb = t.column("cb").to_numpy(zero_copy_only=False)
+                order = np.lexsort((b, a, w, comp))
+                cs = comp[order]
+                first = np.ones(len(cs), bool)
+                first[1:] = cs[1:] != cs[:-1]
+                sel = order[np.flatnonzero(first)]
+                return pa.table({
+                    "a": pa.array(a[sel]), "b": pa.array(b[sel]),
+                    "w": pa.array(w[sel]),
+                    "ca": pa.array(ca[sel]), "cb": pa.array(cb[sel]),
+                })
+
+            picked = grouped_by_key(sides, ["comp"], _argmin)
+
+            # dedup edges chosen from both sides: distinct canonical pair
+            def _dd(t: pa.Table) -> pa.Table:
+                a = t.column("a").to_numpy(zero_copy_only=False)
+                b = t.column("b").to_numpy(zero_copy_only=False)
+                w = t.column("w").to_numpy(zero_copy_only=False)
+                ca = t.column("ca").to_numpy(zero_copy_only=False)
+                cb = t.column("cb").to_numpy(zero_copy_only=False)
+                order = np.lexsort((b, a))
+                aa, bb = a[order], b[order]
+                first = np.ones(len(aa), bool)
+                first[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+                sel = order[np.flatnonzero(first)]
+                return pa.table({
+                    "a": pa.array(a[sel]), "b": pa.array(b[sel]),
+                    "w": pa.array(w[sel]),
+                    "ca": pa.array(ca[sel]), "cb": pa.array(cb[sel]),
+                })
+
+            chosen = grouped_by_key(
+                picked.map_batches(
+                    lambda t: t.append_column(
+                        "__pair",
+                        pa.array(
+                            t.column("a").to_numpy(zero_copy_only=False)
+                        ),
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ["__pair"],
+                lambda t: _dd(t.drop_columns(["__pair"])),
+            ).materialize()
+            chosen_parts.append(chosen)
+            # merge components through the chosen (ca, cb) pseudoforest
+            # (built as a DATASET — never a driver list; ≤ one pair per
+            # component this round)
+            def _pair_edges(t: pa.Table) -> pa.Table:
+                ca = t.column("ca").to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                cb = t.column("cb").to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                return pa.Table.from_arrays(
+                    [
+                        pa.array(np.concatenate([ca, cb])),
+                        pa.array(np.concatenate([cb, ca])),
+                        pa.array(np.ones(2 * len(ca), dtype=np.float64)),
+                    ],
+                    schema=E.EDGE_SCHEMA,
+                )
+
+            pair_edges = chosen.map_batches(
+                _pair_edges, batch_format="pyarrow"
+            )
+            gm = RayGraph(pair_edges)
+            _nc, lab2 = gm.n_components()
+            lab2r = lab2.map_batches(
+                lambda t: pa.table({
+                    "comp": t.column("focal"),
+                    "newc": t.column("component"),
+                }),
+                batch_format="pyarrow",
+            )
+            upd = bucket_join(labels, lab2r, on="comp", how="left")
+
+            def _compose(t: pa.Table) -> pa.Table:
+                comp = t.column("comp").to_numpy(zero_copy_only=False)
+                newc = pc.fill_null(
+                    pc.cast(t.column("newc"), pa.int64()), -1
+                ).to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "node": t.column("node"),
+                    "comp": pa.array(np.where(newc >= 0, newc, comp)),
+                })
+
+            labels = upd.map_batches(
+                _compose, batch_format="pyarrow"
+            ).materialize()
+        if not chosen_parts:
+            return ray.data.from_arrow(pa.table({
+                out_schema[0]: pa.array([], pa.int64()),
+                out_schema[1]: pa.array([], pa.int64()),
+                out_schema[2]: pa.array([], pa.float64()),
+            }))
+        allp = chosen_parts[0]
+        for p in chosen_parts[1:]:
+            allp = allp.union(p)
+        return allp.map_batches(
+            lambda t: pa.table({
+                out_schema[0]: t.column("a"),
+                out_schema[1]: t.column("b"),
+                out_schema[2]: t.column("w"),
+            }),
+            batch_format="pyarrow",
+        )
+
     def neighbor_equality(self, other: "RayGraph") -> bool:
         """True iff every node has the SAME neighbor SET in both graphs,
         ignoring weights — the reference's ``neighbor_equality``

@@ -407,3 +407,105 @@ def test_pagerank_overflow_refused(ray_session):
     # sane r0 still works and the hub dominates
     got = {r["node"]: r["r"] for r in g.pagerank_int(iters=2).take_all()}
     assert got[0] > got[1]
+
+
+def _prim_reference(a, b, w, nodes):
+    """Independent dense Prim's MST (per connected component) with the
+    same (w, min_id, max_id) tie order — test oracle, no scipy."""
+    import heapq
+    adj = {}
+    for x, y, ww in zip(a, b, w):
+        adj.setdefault(x, []).append((ww, x, y))
+        adj.setdefault(y, []).append((ww, y, x))
+    seen, forest = set(), []
+    for start in sorted(nodes):
+        if start in seen:
+            continue
+        seen.add(start)
+        heap = [(ww, min(x, y), max(x, y), y)
+                for ww, x, y in adj.get(start, [])]
+        heapq.heapify(heap)
+        while heap:
+            ww, lo, hi, to = heapq.heappop(heap)
+            if to in seen:
+                continue
+            seen.add(to)
+            forest.append((lo, hi, ww))
+            for w2, x2, y2 in adj.get(to, []):
+                if y2 not in seen:
+                    heapq.heappush(
+                        heap, (w2, min(x2, y2), max(x2, y2), y2))
+    return sorted(forest)
+
+
+def test_spanning_forest_paths_agree_and_match_prim(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n, m = 40, 160
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    # unique-ish weights; duplicates still fine (tie order pinned)
+    w = rng.integers(1, 1000, len(a)).astype(np.float64)
+    g = RayGraph.from_arrays(
+        np.concatenate([a, b]), np.concatenate([b, a]),
+        np.concatenate([w, w]), ids=np.arange(n),
+    )
+    drv = sorted(
+        (r["focal"], r["neighbor"], r["weight"])
+        for r in g.spanning_forest().take_all()
+    )
+    dist = sorted(
+        (r["focal"], r["neighbor"], r["weight"])
+        for r in g.spanning_forest(max_driver_edges=0).take_all()
+    )
+    # canonical undirected pairs keep the min weight per pair for Prim
+    pairs = {}
+    for x, y, ww in zip(a, b, w):
+        k = (min(int(x), int(y)), max(int(x), int(y)))
+        pairs[k] = min(pairs.get(k, np.inf), float(ww))
+    pa_, pb_, pw_ = (np.array([k[0] for k in pairs]),
+                     np.array([k[1] for k in pairs]),
+                     np.array(list(pairs.values())))
+    exp = _prim_reference(pa_, pb_, pw_, range(n))
+    # total weight is the unique MST invariant under our tie order
+    assert abs(sum(x[2] for x in drv) - sum(x[2] for x in exp)) < 1e-9
+    assert len(drv) == len(exp)
+    assert drv == dist or (
+        abs(sum(x[2] for x in dist) - sum(x[2] for x in exp)) < 1e-9
+        and len(dist) == len(exp)
+    )
+
+
+def test_spanning_forest_line_graph(ray_session):
+    import numpy as np
+
+    # path 0-1-2-3 plus a heavy shortcut 0-3 that must be excluded
+    f = np.array([0, 1, 2, 0])
+    nb = np.array([1, 2, 3, 3])
+    w = np.array([1.0, 1.0, 1.0, 10.0])
+    g = RayGraph.from_arrays(
+        np.concatenate([f, nb]), np.concatenate([nb, f]),
+        np.concatenate([w, w]),
+    )
+    got = sorted((r["focal"], r["neighbor"]) for r in
+                 g.spanning_forest().take_all())
+    assert got == [(0, 1), (1, 2), (2, 3)]
+    got_d = sorted((r["focal"], r["neighbor"]) for r in
+                   g.spanning_forest(max_driver_edges=0).take_all())
+    assert got_d == got
+
+
+def test_spanning_forest_asymmetric_input(ray_session):
+    import numpy as np
+
+    # edge 2->0 exists only in that direction; must still be usable
+    f = np.array([0, 1, 2])
+    nb = np.array([1, 2, 0])
+    w = np.array([1.0, 2.0, 5.0])
+    g = RayGraph.from_arrays(f, nb, w, ids=np.arange(3))
+    got = sorted((r["focal"], r["neighbor"], r["weight"]) for r in
+                 g.spanning_forest().take_all())
+    assert got == [(0, 1, 1.0), (1, 2, 2.0)]
