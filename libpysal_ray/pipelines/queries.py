@@ -4320,3 +4320,22 @@ def q_mst(sf_dir: str):
 
 
 QUERIES["mst"] = q_mst
+
+
+def q_skater(sf_dir: str):
+    """SKATER-style regionalization: 8 contiguous regions of the rook
+    lattice by n_chars dissimilarity (MST edge-cut heuristic). MST is
+    not SQL-expressible — rows-only driver check; plateau-recovery and
+    region-count behavior are pytest-verified."""
+    from libpysal_ray.spatial.stats import skater_regions
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return skater_regions(_rook_g(sf_dir), attrs, n_regions=8)
+
+
+QUERIES["skater"] = q_skater

@@ -185,3 +185,28 @@ def test_moran_bv_matches_classic_and_self_reduces(ray_session):
     uni = spatial_autocorr(g, ray.data.from_arrow(pa.table({
         "id": pa.array(ids), "x": pa.array(x)}))).take_all()[0]
     assert abs(bv["moran_bv"] - uni["moran_i"]) < 1e-12
+
+
+def test_skater_regions_two_plateaus(ray_session):
+    from libpysal_ray.spatial.stats import skater_regions
+
+    # 4x6 lattice, left half value 0, right half 100 -> the ONLY heavy
+    # MST edge crosses the middle, so k=2 recovers the two halves
+    g = lat2graph(4, 6, rook=True)
+    ids = np.arange(24, dtype=np.int64)
+    x = np.where(ids % 6 < 3, 0, 100).astype(np.int64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x": pa.array(x)}))
+    out = {r["id"]: r["region"] for r in skater_regions(
+        g, attrs, n_regions=2).take_all()}
+    left = {out[i] for i in ids if i % 6 < 3}
+    right = {out[i] for i in ids if i % 6 >= 3}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    # k=1 -> single region
+    out1 = {r["region"] for r in skater_regions(
+        g, attrs, n_regions=1).take_all()}
+    assert len(out1) == 1
+    # k=4 -> exactly 4 contiguous regions
+    out4 = {r["id"]: r["region"] for r in skater_regions(
+        g, attrs, n_regions=4).take_all()}
+    assert len(set(out4.values())) == 4
