@@ -1159,9 +1159,7 @@ class RayGraph:
                 "w": pa.array(w[sel]),
             })
 
-        from libpysal_ray.core.joins import grouped_by_key as _gbk
-
-        und = _gbk(
+        und = grouped_by_key(
             self._real_edges().map_batches(
                 _canon, batch_format="pyarrow"
             ),
@@ -1200,7 +1198,10 @@ class RayGraph:
             }))
 
         # ---- distributed Borůvka ----
-        labels = ids_dataset(self._edges).map_batches(
+        # label universe = focal ∪ neighbor: on a non-isolate-resolved
+        # edge table a node seen only as neighbor must still get a label
+        # (the sides attach via INNER joins)
+        labels = all_ids_dataset(self._edges).map_batches(
             lambda t: pa.table({
                 "node": t.column("focal"),
                 "comp": t.column("focal"),
@@ -1242,7 +1243,11 @@ class RayGraph:
                 return pa.concat_tables([base, flip])
 
             _sides._size_expanding = True  # 2x fanout
-            sides = tagged.map_batches(_sides, batch_format="pyarrow")
+            # materialized: count() + grouped_by_key would otherwise each
+            # re-run the two bucket_joins (Ray shares no subplans)
+            sides = tagged.map_batches(
+                _sides, batch_format="pyarrow"
+            ).materialize()
             if sides.count() == 0:
                 break
 
@@ -1284,19 +1289,9 @@ class RayGraph:
                     "ca": pa.array(ca[sel]), "cb": pa.array(cb[sel]),
                 })
 
-            chosen = grouped_by_key(
-                picked.map_batches(
-                    lambda t: t.append_column(
-                        "__pair",
-                        pa.array(
-                            t.column("a").to_numpy(zero_copy_only=False)
-                        ),
-                    ),
-                    batch_format="pyarrow",
-                ),
-                ["__pair"],
-                lambda t: _dd(t.drop_columns(["__pair"])),
-            ).materialize()
+            # rows sharing "a" colocate, so the (a, b) dedup is
+            # bucket-local — group by the existing column directly
+            chosen = grouped_by_key(picked, ["a"], _dd).materialize()
             chosen_parts.append(chosen)
             # merge components through the chosen (ca, cb) pseudoforest
             # (built as a DATASET — never a driver list; ≤ one pair per

@@ -4292,30 +4292,16 @@ def q_mst(sf_dir: str):
     base structure. Size-switched Kruskal/distributed-Boruvka; verified
     by an independent Prim's reference in pytest (MST is not
     SQL-expressible — rows-only driver check, like kmeans_train)."""
-    import pyarrow.parquet as _pq
-
-    g = _rook_g(sf_dir)
-    attrs = _pq.read_table(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "n_chars"])
-    ids = attrs.column("doc_id").to_numpy()
-    x = attrs.column("n_chars").to_numpy().astype(np.float64)
-    lookup = np.zeros(int(ids.max()) + 1)
-    lookup[ids] = x
-
-    def _wt(t: pa.Table) -> pa.Table:
-        f = t.column("focal").to_numpy(zero_copy_only=False)
-        n = t.column("neighbor").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "focal": pa.array(f),
-            "neighbor": pa.array(n),
-            "weight": pa.array(np.abs(lookup[f] - lookup[n])),
-        })
-
     from libpysal_ray.core.graph import RayGraph
+    from libpysal_ray.spatial.stats import dissimilarity_edges
 
-    wg = RayGraph(
-        g._real_edges().map_batches(_wt, batch_format="pyarrow")
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
     )
+    wg = RayGraph(dissimilarity_edges(_rook_g(sf_dir), attrs))
     return wg.spanning_forest()
 
 

@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray.data
 
 __all__ = ["general_g", "getis_ord_g", "join_counts", "lisa_quadrants",
-           "local_moran", "moran_bv", "skater_regions",
+           "dissimilarity_edges", "local_moran", "moran_bv", "skater_regions",
            "spatial_autocorr"]
 
 
@@ -68,9 +68,12 @@ def spatial_autocorr(
         raise ValueError("spatial_autocorr needs at least 2 observations")
     sx = int(agg["sum(x)"])
     xmax = max(abs(int(agg["max(x)"])), abs(int(agg["min(x)"])))
-    # exact worst-case bounds in unbounded ints BEFORE any int64 sum
+    # exact worst-case bounds in unbounded ints BEFORE any int64 sum;
+    # the numerator/sq sums run over the EDGE count, the den over n
     z_max = n * xmax + abs(sx)
-    if z_max * z_max * n >= (1 << 62) or (2 * xmax) ** 2 * n >= (1 << 62):
+    e_count = int(g._real_edges().count())
+    if (z_max * z_max * max(e_count, n) >= (1 << 62)
+            or (2 * xmax) ** 2 * e_count >= (1 << 62)):
         raise ValueError(
             "spatial_autocorr terms would overflow int64; rescale x"
         )
@@ -472,14 +475,28 @@ def general_g(
                 )
             ),
             "x": pa.array(x),
-            "xx": pa.array(x * x),
         })
 
     xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
     agg = xs.aggregate(
-        ray.data.aggregate.Sum("x"), ray.data.aggregate.Sum("xx"),
+        ray.data.aggregate.Sum("x"), ray.data.aggregate.Max("x"),
+        ray.data.aggregate.Count(),
     )
-    sx, sxx = int(agg["sum(x)"]), int(agg["sum(xx)"])
+    sx, xmax = int(agg["sum(x)"]), int(agg["max(x)"] or 0)
+    n_obs = int(agg["count()"])
+    # guard BEFORE any x*x is formed anywhere (per-element products and
+    # the s0-length edge sum both must fit int64)
+    e_count = int(g._real_edges().count())
+    if xmax * xmax * max(e_count, n_obs, 1) >= (1 << 62):
+        raise ValueError("general_g terms would overflow int64; rescale x")
+    sxx = int(
+        xs.map_batches(
+            lambda t: pa.table({"p": pa.array([np.int64(
+                (t.column("x").to_numpy(zero_copy_only=False) ** 2).sum()
+            )])}),
+            batch_format="pyarrow",
+        ).sum("p")
+    )
     den = sx * sx - sxx  # unbounded python ints — never wraps
     if den <= 0:
         raise ValueError("x has no off-diagonal mass; G undefined")
@@ -541,24 +558,90 @@ def lisa_quadrants(
     """Moran-scatterplot quadrant labels per observation (the LISA
     cluster map): 1=HH, 2=LH, 3=LL, 4=HL by the signs of the integer
     deviation z and its integer spatial lag (0 when either is exactly
-    zero) — no float anywhere, so the label table is trivially exact."""
+    zero) — no float anywhere, and the overflow bound is only what the
+    LABELS need (z and its lag must fit int64), strictly weaker than
+    local_moran's n·z·lag product bound."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(
+                t.column(x_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x"),
+        ray.data.aggregate.Max("x"),
+        ray.data.aggregate.Min("x"),
+    )
+    n = int(agg["count()"])
+    if n < 2:
+        raise ValueError("lisa_quadrants needs at least 2 observations")
+    sx = int(agg["sum(x)"])
+    xmax = max(abs(int(agg["max(x)"])), abs(int(agg["min(x)"])))
+    z_max = n * xmax + abs(sx)
+    max_deg = int(g.cardinalities().max("cardinality") or 0)
+    if z_max * max(max_deg, 1) >= (1 << 62):
+        raise ValueError(
+            "lisa_quadrants lag sums would overflow int64; rescale x"
+        )
+
+    def _with_z(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column("node"),
+            "z": pa.array(np.int64(n) * x - np.int64(sx)),
+        })
+
+    zt = xs.map_batches(_with_z, batch_format="pyarrow").materialize()
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    lagged = bucket_join(
+        edges,
+        zt.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "zn": t.column("z"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    ).map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"), "zn": t.column("zn"),
+        }),
+        batch_format="pyarrow",
+    ).groupby("node").sum("zn").rename_columns({"sum(zn)": "lag_z"})
+    joined = bucket_join(zt, lagged, on="node", how="left")
 
     def _quad(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         z = t.column("z").to_numpy(zero_copy_only=False)
-        lag = t.column("lag_z").to_numpy(zero_copy_only=False)
+        lag = pc.fill_null(
+            pc.cast(t.column("lag_z"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
         quad = np.zeros(len(z), dtype=np.int64)
         quad[(z > 0) & (lag > 0)] = 1
         quad[(z < 0) & (lag > 0)] = 2
         quad[(z < 0) & (lag < 0)] = 3
         quad[(z > 0) & (lag < 0)] = 4
         return pa.table({
-            id_col: t.column(id_col),
+            id_col: t.column("node"),
             "quad": pa.array(quad),
         })
 
-    return local_moran(g, attrs, id_col=id_col, x_col=x_col).map_batches(
-        _quad, batch_format="pyarrow"
-    )
+    return joined.map_batches(_quad, batch_format="pyarrow")
 
 
 def moran_bv(
@@ -617,7 +700,8 @@ def moran_bv(
     ym = max(abs(int(agg["max(y)"])), abs(int(agg["min(y)"])))
     zx_max = n * xm + abs(sx)
     zy_max = n * ym + abs(sy)
-    if (zx_max * zy_max * n >= (1 << 62)
+    e_count = int(g._real_edges().count())
+    if (zx_max * zy_max * max(e_count, n) >= (1 << 62)
             or zx_max * zx_max * n >= (1 << 62)
             or zy_max * zy_max * n >= (1 << 62)):
         raise ValueError("moran_bv terms would overflow int64; rescale")
@@ -701,6 +785,72 @@ def moran_bv(
     }))
 
 
+def dissimilarity_edges(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Edge table reweighted by attribute dissimilarity |x_f − x_n| —
+    the SKATER/single-linkage input. Attributes attach to both endpoints
+    via bucket_joins (the module's standard plumbing — no driver-side
+    attribute table, no dense-id lookup array)."""
+    from libpysal_ray.core.joins import bucket_join
+
+    ax = attrs.map_batches(
+        lambda t: pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "xv": pa.array(
+                t.column(x_col).to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+            ),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    lhs = bucket_join(
+        edges,
+        ax.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"), "xf": t.column("xv"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    )
+    both = bucket_join(
+        lhs.map_batches(
+            lambda t: t.select(["focal", "neighbor", "xf"]),
+            batch_format="pyarrow",
+        ),
+        ax.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "xn": t.column("xv"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+
+    def _wt(t: pa.Table) -> pa.Table:
+        xf = t.column("xf").to_numpy(zero_copy_only=False)
+        xn = t.column("xn").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "focal": t.column("focal"),
+            "neighbor": t.column("neighbor"),
+            "weight": pa.array(np.abs(xf - xn)),
+        })
+
+    return both.map_batches(_wt, batch_format="pyarrow")
+
+
 def skater_regions(
     g,
     attrs: ray.data.Dataset,
@@ -717,47 +867,25 @@ def skater_regions(
     (id, region) — exactly n_regions contiguous regions on a connected
     graph.
 
-    100 TB shape: the MST is the size-switched spanning_forest; the cut
-    set is n_regions−1 rows (driver-safe by definition — a global top-k
-    on the tree's n−1 edges); labels come from the size-switched
-    n_components on the cut forest."""
+    100 TB shape: attributes attach to the edge endpoints via
+    bucket_joins (``dissimilarity_edges`` — no driver attribute table);
+    the MST is the size-switched spanning_forest; the cut set is
+    n_regions−1 rows (driver-safe by definition — a global top-k on the
+    tree's n−1 edges); labels come from the size-switched n_components
+    on the cut forest."""
     from libpysal_ray.core import edges as E
     from libpysal_ray.core.graph import RayGraph
 
     if n_regions < 1:
         raise ValueError("n_regions must be >= 1")
-
-    def _wt_edges(t: pa.Table, lookup: np.ndarray) -> pa.Table:
-        f = t.column("focal").to_numpy(zero_copy_only=False)
-        n = t.column("neighbor").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "focal": pa.array(f),
-            "neighbor": pa.array(n),
-            "weight": pa.array(np.abs(lookup[f] - lookup[n])),
-        })
-
     ax = attrs.map_batches(
         lambda t: pa.table({
             "node": t.column(id_col), "x": t.column(x_col),
         }),
         batch_format="pyarrow",
     ).materialize()
-    # broadcast attribute lookup: per-batch vectorized gather (ids must
-    # be dense-ish ints; the engine's id codec provides that)
-    import ray as _ray
-
-    rows = ax.take_all()
-    ids = np.array([r["node"] for r in rows], dtype=np.int64)
-    x = np.array([r["x"] for r in rows], dtype=np.float64)
-    lookup = np.zeros(int(ids.max()) + 1 if len(ids) else 1)
-    lookup[ids] = x
-    ref = _ray.put(lookup)
-
-    def _wt(t: pa.Table) -> pa.Table:
-        return _wt_edges(t, _ray.get(ref))
-
     wg = RayGraph(
-        g._real_edges().map_batches(_wt, batch_format="pyarrow")
+        dissimilarity_edges(g, ax, id_col="node", x_col="x")
     )
     tree = wg.spanning_forest().materialize()
     n_tree = tree.count()

@@ -509,3 +509,10 @@ def test_spanning_forest_asymmetric_input(ray_session):
     got = sorted((r["focal"], r["neighbor"], r["weight"]) for r in
                  g.spanning_forest().take_all())
     assert got == [(0, 1, 1.0), (1, 2, 2.0)]
+    # forced-distributed path must agree even when an endpoint appears
+    # only in the neighbor column (label seed = focal UNION neighbor)
+    from libpysal_ray.core.graph import RayGraph as _RG
+    raw = _RG(g._real_edges())  # no isolate resolution
+    got_d = sorted((r["focal"], r["neighbor"], r["weight"]) for r in
+                   raw.spanning_forest(max_driver_edges=0).take_all())
+    assert got_d == got
