@@ -102,6 +102,38 @@ def hash_string_array_u64(arr, seed: int = 0) -> np.ndarray:
     return splitmix64(sums ^ lens.astype(np.uint64) ^ np.uint64(seed))
 
 
+def fast_text_digest_u64(arr, seed: int = 0) -> np.ndarray:
+    """ENGINE-INTERNAL 64-bit text digest for within-run byte-identity
+    witnessing (the flagship digests text at ingest and re-verifies at
+    the shuffle boundary; only the boolean reaches the output).
+
+    NOT oracle-mirrored and NOT guaranteed stable across library
+    versions — never use it for values that reach a query result, a
+    stored artifact, or a SQL oracle; those paths use
+    ``hash_string_array_u64`` (bit-mirrored in pipelines/oracle_hash).
+
+    Backed by polars' vectorized string hash (~1.9 GB/s measured vs
+    31 MB/s for the per-byte numpy mix and ~200 MB/s for a hashlib.md5
+    row loop — the r4 digest swap to the numpy mix was the flagship's
+    2x throughput regression, confirmed by worktree A/B). Falls back to
+    the exact-spec hash when polars is unavailable."""
+    import os
+
+    import pyarrow as pa
+
+    # one rayon thread per task: the digest runs inside N concurrent Ray
+    # tasks per node — polars' default all-cores pool would oversubscribe
+    # N× (takes effect only if polars is not yet imported in this worker)
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    try:
+        import polars as pl
+    except ImportError:  # env without polars: slow but correct
+        return hash_string_array_u64(arr, seed)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pl.from_arrow(arr).hash(seed=seed).to_numpy()
+
+
 def tokenize_hash(col, seed: int = 0):
     """Whitespace-tokenize a pyarrow string column and hash every token —
     all vectorized. Returns (token_hashes uint64, doc_offsets int64) with

@@ -33,21 +33,23 @@ def exact_dedup(
     with the duplicate count. One shuffle on the digest, native Min/Count
     aggregates (partial pre-aggregation per block, no per-group Python).
 
-    The digest is a 128-bit vectorized content hash — two independent
-    seeded 64-bit flat-buffer hashes as a composite group key (16 bytes
-    vs a 32-char md5 hex, no per-row Python). At 10^12 documents the
-    expected number of 128-bit birthday collisions is ~n^2/2^129 ≈
-    1e-15, so the grouping matches the oracle's GROUP BY md5(text); a
-    single 64-bit key would NOT (expected ~2.7e4 collisions at that
-    scale)."""
+    The digest is a 128-bit vectorized content hash — two independently
+    seeded 64-bit hashes as a composite group key (16 bytes vs a 32-char
+    md5 hex, no per-row Python). At 10^12 documents the expected number
+    of 128-bit birthday collisions is ~n^2/2^129 ≈ 1e-15, so the
+    grouping matches the oracle's GROUP BY md5(text); a single 64-bit
+    key would NOT (expected ~2.7e4 collisions at that scale). The hash
+    values are engine-internal (only equality matters — the output is
+    min-id + count per group), so this uses the ~GB/s
+    ``fast_text_digest_u64``, not the SQL-mirrored byte mix."""
     from ray.data.aggregate import Count, Min
 
-    from libpysal_ray.core.hashing import hash_string_array_u64
+    from libpysal_ray.core.hashing import fast_text_digest_u64
 
     def _h(t: pa.Table) -> pa.Table:
-        h1 = hash_string_array_u64(t.column(text_col)).view(np.int64)
-        h2 = hash_string_array_u64(t.column(text_col),
-                                   seed=0x5851F42D).view(np.int64)
+        h1 = fast_text_digest_u64(t.column(text_col)).view(np.int64)
+        h2 = fast_text_digest_u64(t.column(text_col),
+                                  seed=0x5851F42D).view(np.int64)
         return pa.table({
             id_col: t.column(id_col),
             "text_h": pa.array(h1),
