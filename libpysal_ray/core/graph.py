@@ -124,9 +124,21 @@ class RayGraph:
     (Reference Graph is likewise immutable — graph/_set_ops.py:41-45.)
     """
 
-    def __init__(self, edges: ray.data.Dataset, transformation: str = "O"):
+    def __init__(
+        self,
+        edges: ray.data.Dataset,
+        transformation: str = "O",
+        original: ray.data.Dataset | None = None,
+    ):
         self._edges = edges
         self.transformation = transformation
+        # handle to the pre-transform edge Dataset so transform("O") can
+        # restore originals (reference caches transformations["O"],
+        # weights/weights.py:166-174,1074-1184). Datasets are immutable
+        # lazy handles, so carrying one costs nothing; only transform()
+        # threads it — derived graphs (set ops, subgraph, …) reset their
+        # original to their own edges, like fresh reference W objects.
+        self._original = edges if original is None else original
 
     # ------------------------------------------------------------------ io
     @classmethod
@@ -209,6 +221,11 @@ class RayGraph:
             code = code.upper()
         ds = self._edges
 
+        if code == "O":
+            # restore the original (pre-transform) weights
+            # (weights.py:1074-1184: transformations["O"]).
+            return RayGraph(self._original, "O", original=self._original)
+
         if code == "B":
             def _b(t: pa.Table) -> pa.Table:
                 w = t.column("weight").to_numpy(zero_copy_only=False)
@@ -217,7 +234,8 @@ class RayGraph:
                     "weight",
                     pa.array((w != 0.0).astype(np.float64)),
                 )
-            return RayGraph(ds.map_batches(_b, batch_format="pyarrow"), "B")
+            return RayGraph(ds.map_batches(_b, batch_format="pyarrow"), "B",
+                            original=self._original)
 
         if code == "R":
             # Two-pass, fully vectorized: native groupby(focal).sum →
@@ -253,7 +271,8 @@ class RayGraph:
                     schema=E.EDGE_SCHEMA,
                 )
 
-            return RayGraph(out.map_batches(_r, batch_format="pyarrow"), "R")
+            return RayGraph(out.map_batches(_r, batch_format="pyarrow"), "R",
+                            original=self._original)
 
         if code == "D":
             s0 = float(ds.sum("weight") or 0.0)
@@ -262,7 +281,8 @@ class RayGraph:
                 return t.set_column(
                     t.schema.get_field_index("weight"), "weight", pa.array(w / s0)
                 )
-            return RayGraph(ds.map_batches(_d, batch_format="pyarrow"), "D")
+            return RayGraph(ds.map_batches(_d, batch_format="pyarrow"), "D",
+                            original=self._original)
 
         if code == "V":
             # pass 1: s_ij = w_ij / sqrt(sum_j w_ij^2) per row — native
@@ -333,18 +353,37 @@ class RayGraph:
                 return t.set_column(
                     t.schema.get_field_index("weight"), "weight", pa.array(w * nq)
                 )
-            return RayGraph(s.map_batches(_v2, batch_format="pyarrow"), "V")
+            return RayGraph(s.map_batches(_v2, batch_format="pyarrow"), "V",
+                            original=self._original)
 
         if callable(code):
+            # per-focal callable, reference 'C' hook (weights.py:1176-1184).
+            # One grouped-by-key hash shuffle, then the callable runs per
+            # focal SEGMENT inside each bucket block — bounded task count
+            # (one per bucket), not one task per focal group.
             fn = code
-            def _c(t: pa.Table) -> pa.Table:
+
+            def _c_block(t: pa.Table) -> pa.Table:
+                f = t.column("focal").to_numpy(zero_copy_only=False)
                 w = t.column("weight").to_numpy(zero_copy_only=False)
-                out = np.asarray(fn(w), dtype=np.float64)
-                return t.set_column(
-                    t.schema.get_field_index("weight"), "weight", pa.array(out)
+                out = np.empty(len(w), dtype=np.float64)
+                if len(f):
+                    starts = np.flatnonzero(np.r_[True, f[1:] != f[:-1]])
+                    bounds = np.append(starts, len(f))
+                    for i in range(len(starts)):
+                        lo, hi = bounds[i], bounds[i + 1]
+                        out[lo:hi] = np.asarray(
+                            fn(w[lo:hi]), dtype=np.float64
+                        )
+                return pa.Table.from_arrays(
+                    [t.column("focal"), t.column("neighbor"), pa.array(out)],
+                    schema=E.EDGE_SCHEMA,
                 )
+
             return RayGraph(
-                ds.groupby("focal").map_groups(_c, batch_format="pyarrow"), "C"
+                J.grouped_by_key(ds, ["focal"], _c_block),
+                "C",
+                original=self._original,
             )
 
         raise ValueError(f"Transformation '{code}' is not supported.")
@@ -1361,11 +1400,15 @@ class RayGraph:
         """True iff every node has the SAME neighbor SET in both graphs,
         ignoring weights — the reference's ``neighbor_equality``
         (weights/util.py:1236). One distributed symmetric-difference on
-        the unweighted edge sets plus an id-universe check."""
-        a = set(r["focal"] for r in ids_dataset(self._edges).take_all())
-        b = set(r["focal"] for r in ids_dataset(other._edges).take_all())
-        if a != b:
-            return False
+        the unweighted edge sets plus an id-universe check — both ways
+        as anti-join emptiness probes on the id Datasets (no driver id
+        sets: driver sees at most ONE row per probe)."""
+        a = ids_dataset(self._edges).materialize()
+        b = ids_dataset(other._edges).materialize()
+        for left, right in ((a, b), (b, a)):
+            extra = J.bucket_join(left, right, on="focal", how="anti")
+            if extra.limit(1).count() != 0:
+                return False
         sd = self._setop(other, "symmetric_difference")
         return sd._real_edges().limit(1).count() == 0
 

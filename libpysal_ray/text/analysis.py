@@ -455,12 +455,17 @@ def select_top_fraction(
 
     Physical plan (no global sort): the distinct-score histogram (per-
     batch value_counts combiner → one small groupby) gives the boundary
-    score s* and how many boundary rows survive; a second pruned scan
-    collects ONLY the ids AT s* (guarded by ``max_boundary_ids``), the
-    k' smallest are broadcast as the boundary id cutoff, and one filter
-    pass keeps score > s* or (score == s* and id ≤ cutoff). Driver
-    memory is bounded by distinct-score cardinality + boundary tie
-    count, never corpus size."""
+    score s* AND the exact tie count at s*; the boundary id cutoff (the
+    k'-th smallest id among the ties) comes from a driver gather when
+    the tie set is provably small (≤ ``max_boundary_ids``, known from
+    the histogram before any pull) and otherwise from a distributed
+    ``prefix_sum`` rank over ONLY the tied rows — one range sort of the
+    tie stream, O(#blocks) driver partials, ONE cutoff row pulled. A
+    final stateless filter keeps score > s* or (score == s* and
+    id ≤ cutoff). Driver memory is bounded by distinct-score
+    cardinality + min(tie count, #blocks), never corpus size — a
+    coarse score (0–100 over 10^12 docs) with ~1% of the corpus tied
+    at the boundary stays off the driver."""
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
 
@@ -497,6 +502,8 @@ def select_top_fraction(
     if s_star is None:  # frac == 1.0 exactly
         return ds
 
+    n_star = next(int(r["c"]) for r in rows if int(r["v"]) == s_star)
+
     def _at_star(t: pa.Table) -> pa.Table:
         v = t.column(score_col).to_numpy(zero_copy_only=False)
         m = v == s_star
@@ -507,24 +514,41 @@ def select_top_fraction(
             )}
         )
 
-    star_ids = np.sort(
-        np.array(
-            [
-                r["i"]
-                for r in ds.select_columns([id_col, score_col])
-                .map_batches(_at_star, batch_format="pyarrow")
-                .take_all()
-            ],
-            dtype=np.int64,
-        )
+    star = ds.select_columns([id_col, score_col]).map_batches(
+        _at_star, batch_format="pyarrow"
     )
-    if len(star_ids) > max_boundary_ids:
-        raise ValueError(
-            f"select_top_fraction: {len(star_ids)} rows tie at the "
-            f"boundary score {s_star} (> max_boundary_ids="
-            f"{max_boundary_ids}); use a higher-resolution score"
+    if keep_at_star <= 0:
+        id_cut = None
+    elif keep_at_star == n_star:
+        # k falls exactly at the end of the s* bucket: every tied row
+        # survives, no cutoff needed (and no tie-rank pass at all).
+        id_cut = np.iinfo(np.int64).max
+    elif n_star <= max_boundary_ids:
+        # tie set provably small (exact count from the histogram):
+        # one driver gather is cheaper than a distributed rank.
+        star_ids = np.sort(
+            np.array([r["i"] for r in star.take_all()], dtype=np.int64)
         )
-    id_cut = int(star_ids[keep_at_star - 1]) if keep_at_star > 0 else None
+        id_cut = int(star_ids[keep_at_star - 1])
+    else:
+        # tie set too large for the driver: rank the tied ids with the
+        # distributed prefix sum (ONE range sort over only the tied
+        # rows + O(#blocks) partials) and pull the single cutoff row.
+        from libpysal_ray.core.scan import prefix_sum
+
+        ranked = prefix_sum(
+            star.map_batches(
+                lambda t: t.append_column(
+                    "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            ),
+            "i",
+            "one",
+            out_col="rk",
+        )
+        hit = ranked.filter(expr=f"rk == {keep_at_star}").take_all()
+        id_cut = int(hit[0]["i"])
 
     def _filter(t: pa.Table) -> pa.Table:
         v = t.column(score_col).to_numpy(zero_copy_only=False)

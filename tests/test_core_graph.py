@@ -58,6 +58,64 @@ def test_transform_b_d(w33):
     assert wtsb[0] == [1.0, 1.0]
 
 
+def test_transform_o_restore(w33):
+    """R→O→R roundtrip: 'O' restores the ORIGINAL weights bit-exactly
+    (reference transformations['O'], weights.py:1074-1184), even through
+    a chain of transforms."""
+    gr = w33.transform("R")
+    go = gr.transform("O")
+    _, wts_o = go.neighbors_dict()
+    _, wts_orig = w33.neighbors_dict()
+    assert wts_o == wts_orig  # bit-equal binary originals
+    assert go.transformation == "O"
+    # chained: R→B→O still restores the pre-R originals
+    _, wts_chain = w33.transform("R").transform("B").transform("O") \
+        .neighbors_dict()
+    assert wts_chain == wts_orig
+    # and re-transforming the restored graph matches a direct transform
+    _, wts_r1 = gr.neighbors_dict()
+    _, wts_r2 = go.transform("R").neighbors_dict()
+    assert wts_r1 == wts_r2
+
+
+def test_transform_c_callable(w33):
+    """'C' callable runs once per focal group through the block kernel:
+    doubling weights per group matches a plain scale, and a
+    group-ORDER-sensitive callable (normalize by group max) proves the
+    callable sees exactly one focal's weights per call."""
+    gc = w33.transform(lambda w: w * 2.0)
+    _, wts = gc.neighbors_dict()
+    assert wts[0] == [2.0, 2.0]
+    assert wts[4] == [2.0] * 4
+    assert gc.transformation == "C"
+    # normalize-by-max over R weights: every group maxes to exactly 1.0
+    gn = w33.transform("R").transform(lambda w: w / w.max())
+    _, wn = gn.neighbors_dict()
+    for ws in wn.values():
+        assert max(ws) == 1.0
+
+
+def test_transform_c_many_focals(ray_session):
+    """100k-focal 'C' transform completes through ONE bucketed shuffle
+    (not one task per focal) and is value-correct on sampled groups."""
+    import pyarrow as pa
+    import ray.data
+
+    n = 100_000
+    f = np.repeat(np.arange(n, dtype=np.int64), 2)
+    nb = np.tile(np.array([0, 1], dtype=np.int64), n)
+    w = np.tile(np.array([1.0, 3.0]), n)
+    g = RayGraph(ray.data.from_arrow(pa.table({
+        "focal": pa.array(f), "neighbor": pa.array(nb),
+        "weight": pa.array(w),
+    })))
+    out = g.transform(lambda x: x / x.sum())
+    got = out._edges.filter(expr="focal < 3").take_all()
+    by = {(r["focal"], r["neighbor"]): r["weight"] for r in got}
+    for i in range(3):
+        assert by[(i, 0)] == 0.25 and by[(i, 1)] == 0.75
+
+
 def test_transform_v(w33):
     gv = w33.transform("V")
     _, wts = gv.neighbors_dict()

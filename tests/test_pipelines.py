@@ -180,3 +180,33 @@ def test_select_top_fraction_exact(ray_session):
         k = max(1, int(np.ceil(frac * n)))
         order = sorted(range(n), key=lambda i: (-scores[i], i))
         assert got == set(order[:k]), frac
+
+
+def test_select_top_fraction_massive_boundary_tie(ray_session):
+    """≥50% of the corpus tied AT the cutoff score must not be gathered
+    to the driver: max_boundary_ids=0 forces the distributed prefix-sum
+    rank path, and the result is still the exact (score desc, id asc)
+    prefix."""
+    from libpysal_ray.text.analysis import select_top_fraction
+
+    n = 4000
+    scores = np.where(np.arange(n) % 2 == 0, 7, 3).astype(np.int64)
+    # shuffle ids across blocks so the tie stream is layout-dependent
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "s": pa.array(scores)})
+    ).repartition(8)
+    # frac=0.6 → k=2400; 2000 rows score 7, so 400 of the 2000 rows
+    # tied at score 3 (50% of the corpus) survive — lowest ids first.
+    got = {int(r["doc_id"]) for r in
+           select_top_fraction(ds, "s", 0.6, max_boundary_ids=0)
+           .take_all()}
+    order = sorted(range(n), key=lambda i: (-int(scores[i]), int(ids[i])))
+    want = {int(ids[i]) for i in order[:2400]}
+    assert got == want
+    # k landing exactly on the bucket edge takes the no-cutoff path
+    got_all7 = {int(r["doc_id"]) for r in
+                select_top_fraction(ds, "s", 0.5, max_boundary_ids=0)
+                .take_all()}
+    assert got_all7 == {int(ids[i]) for i in range(n) if scores[i] == 7}
