@@ -143,6 +143,15 @@ def spatial_autocorr(
     s0 = int(ep["sum(s0)"])
     num = int(ep["sum(num)"])
     sq = int(ep["sum(sq)"])
+    if s0 != e_count:
+        # inner attr joins dropped edges whose endpoint ids are missing
+        # from attrs — a graph/attrs id-universe mismatch would silently
+        # skew every sum while n still counts all attrs rows
+        raise ValueError(
+            f"spatial_autocorr: {e_count - s0} of {e_count} edges have "
+            f"endpoints missing from attrs ({id_col}); the attribute "
+            "table must cover the graph's node universe"
+        )
     if s0 == 0:
         raise ValueError("graph has no edges")
 
@@ -327,7 +336,8 @@ def join_counts(
     xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
     edges = g._real_edges().map_batches(
         lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
-    )
+    ).materialize()
+    e_count = int(edges.count())
     lhs = bucket_join(
         edges,
         xs.map_batches(
@@ -367,6 +377,12 @@ def join_counts(
     )
     s0, bb, bw = (int(ep["sum(s0)"]), int(ep["sum(bb)"]),
                   int(ep["sum(bw)"]))
+    if s0 != e_count:
+        raise ValueError(
+            f"join_counts: {e_count - s0} of {e_count} edges have "
+            f"endpoints missing from attrs ({id_col}); the attribute "
+            "table must cover the graph's node universe"
+        )
     return ray.data.from_arrow(pa.table({
         "s0": pa.array([s0], pa.int64()),
         "bb": pa.array([bb], pa.int64()),
@@ -407,6 +423,20 @@ def getis_ord_g(
         })
 
     xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    # overflow guard BEFORE any int64 sum (like every sibling statistic
+    # here): Count/Max cannot wrap, so bound the global total (≤ xmax·n)
+    # and the per-focal neighborhood sums (≤ xmax·(max_deg+1), the +1 is
+    # the G* self term) in unbounded Python ints first — otherwise
+    # Sum('x') / groupby(node).sum(xn) wrap int64 SILENTLY and emit
+    # wrong g values instead of raising.
+    pre = xs.aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Max("x")
+    )
+    n_obs = int(pre["count()"])
+    xmax = int(pre["max(x)"] or 0)
+    max_deg = int(g.cardinalities().max("cardinality") or 0)
+    if xmax * max(max_deg + 1, n_obs, 1) >= (1 << 62):
+        raise ValueError("getis_ord_g sums would overflow int64; rescale x")
     total = int(xs.sum("x") or 0)
     if total <= 0:
         raise ValueError("x sums to zero; G undefined")
@@ -500,6 +530,14 @@ def general_g(
     den = sx * sx - sxx  # unbounded python ints — never wraps
     if den <= 0:
         raise ValueError("x has no off-diagonal mass; G undefined")
+    if sx * sx >= (1 << 62):
+        # the denominator (Σx)²−Σx² is emitted as an exact int64 column;
+        # (Σx)² can exceed int64 on inputs that pass the per-term guard
+        # above (e.g. xmax=1 over 2^40 rows) — raise loudly instead of
+        # OverflowError at output-build time
+        raise ValueError(
+            "general_g denominator (sum(x))^2 exceeds int64; rescale x"
+        )
 
     edges = g._real_edges().map_batches(
         lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
@@ -769,6 +807,12 @@ def moran_bv(
         ray.data.aggregate.Sum("s0"), ray.data.aggregate.Sum("num"),
     )
     s0, num = int(ep["sum(s0)"]), int(ep["sum(num)"])
+    if s0 != e_count:
+        raise ValueError(
+            f"moran_bv: {e_count - s0} of {e_count} edges have endpoints "
+            f"missing from attrs ({id_col}); the attribute table must "
+            "cover the graph's node universe"
+        )
     if s0 == 0:
         raise ValueError("graph has no edges")
     stat = float(

@@ -64,6 +64,56 @@ def test_autocorr_guards(ray_session):
         spatial_autocorr(g, big)
 
 
+def test_id_universe_mismatch_raises(ray_session):
+    """Attrs missing a graph node must raise, not silently drop the
+    node's edges from the sums (ADVICE r4 #3) — for every statistic
+    whose attr attach is an inner join."""
+    from libpysal_ray.spatial.stats import join_counts, moran_bv
+
+    g = lat2graph(3, 3, rook=True)
+    short = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(8, dtype=np.int64)),  # node 8 missing
+        "x": pa.array((np.arange(8) % 2).astype(np.int64)),
+    }))
+    with pytest.raises(ValueError, match="missing from attrs"):
+        spatial_autocorr(g, short)
+    with pytest.raises(ValueError, match="missing from attrs"):
+        join_counts(g, short)
+    short_xy = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(8, dtype=np.int64)),
+        "x": pa.array(np.arange(8, dtype=np.int64)),
+        "y": pa.array(np.arange(8, dtype=np.int64)[::-1].copy()),
+    }))
+    with pytest.raises(ValueError, match="missing from attrs"):
+        moran_bv(g, short_xy)
+
+
+def test_getis_and_general_g_overflow_guards(ray_session):
+    """getis_ord_g: neighborhood/total sums that would wrap int64 raise
+    before any Sum aggregate runs (ADVICE r4 #1). general_g: a legal
+    per-term input whose (Σx)² exceeds int64 raises loudly instead of
+    OverflowError at output build (ADVICE r4 #2)."""
+    from libpysal_ray.spatial.stats import general_g, getis_ord_g
+
+    g = lat2graph(3, 3, rook=True)
+    big = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(9, dtype=np.int64)),
+        "x": pa.array(np.full(9, (1 << 62) // 4, dtype=np.int64)),
+    }))
+    with pytest.raises(ValueError, match="overflow"):
+        getis_ord_g(g, big)
+    # xmax² · max(e,n) passes the per-term guard but (Σx)² > int64:
+    # xmax = 2^29 over 9 nodes → per-term 2^58·24 < 2^62 is False…
+    # use xmax = 2^28: per-term (2^56)·24 ≈ 2^60.6 < 2^62 passes,
+    # Σx = 9·2^28 ≈ 2^31.2, (Σx)² ≈ 2^62.3 ≥ 2^62 → den guard fires.
+    tricky = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(9, dtype=np.int64)),
+        "x": pa.array(np.full(9, 1 << 28, dtype=np.int64)),
+    }))
+    with pytest.raises(ValueError, match="denominator"):
+        general_g(g, tricky)
+
+
 def test_local_moran_matches_classic(ray_session):
     from libpysal_ray.spatial.stats import local_moran
 
