@@ -3242,16 +3242,43 @@ QUALIFY row_number() OVER (PARTITION BY tf.doc_id
 
 def q_kmeans_train(sf_dir: str):
     """Distributed Lloyd's k-means (k=8, 5 iterations, deterministic
-    init): one mergeable k×(d+2) combiner pass per iteration, centroids
-    re-broadcast via ray.put. Iterative float averaging is not
-    SQL-reproducible → no oracle (rows-only gate); numpy-reference
-    parity is pinned in tests/test_kmeans.py."""
+    init) in FIXED-POINT integers (scale 2^20, the PageRank
+    discipline): quantize once at ingest, exact int64 distances and
+    coordinate sums, exact floor-division centroid update — bit-equal
+    at any layout and fully SQL-reproducible (the oracle unrolls the 5
+    iterations; r4 this was rows-only). One mergeable k×(d+2) combiner
+    pass per iteration, centroids re-broadcast via ray.put. Output
+    exploded to (cluster_id, dim, size, cfix) so the compare is pure
+    int64. Float-Lloyd parity for the classic path remains pinned in
+    tests/test_kmeans.py."""
     from libpysal_ray.ann.kmeans import kmeans_train
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return kmeans_train(emb, k=8, n_iter=5)
+    out = kmeans_train(emb, k=8, n_iter=5, fixed_scale=1 << 20)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cid = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        size = t.column("size").to_numpy(zero_copy_only=False)
+        cent = t.column("centroid")
+        if isinstance(cent, pa.ChunkedArray):
+            cent = cent.combine_chunks()
+        lens = pc.list_value_length(cent).to_numpy(zero_copy_only=False)
+        flat = cent.flatten().to_numpy(zero_copy_only=False)
+        reps = np.repeat(np.arange(len(cid)), lens)
+        dim = np.concatenate([np.arange(n) for n in lens]) if len(lens) \
+            else np.array([], dtype=np.int64)
+        return pa.table({
+            "cluster_id": pa.array(cid[reps]),
+            "dim": pa.array(dim.astype(np.int64)),
+            "size": pa.array(size[reps]),
+            "cfix": pa.array(flat.astype(np.int64)),
+        })
+
+    return out.map_batches(_explode, batch_format="pyarrow")
 
 
 QUERIES["kmeans_train"] = q_kmeans_train
@@ -4290,8 +4317,10 @@ def q_mst(sf_dir: str):
     """Minimum spanning tree of the rook lattice weighted by attribute
     dissimilarity |n_chars_i - n_chars_j| — the SKATER regionalization
     base structure. Size-switched Kruskal/distributed-Boruvka; verified
-    by an independent Prim's reference in pytest (MST is not
-    SQL-expressible — rows-only driver check, like kmeans_train)."""
+    by an independent Prim's reference in pytest AND (r5) a full
+    Kruskal-in-SQL oracle: a recursive CTE replays union-find one
+    ranked edge per level (the strict (w, lo, hi) tie order makes the
+    forest unique), so the edge set is value-exact vs DuckDB."""
     from libpysal_ray.core.graph import RayGraph
     from libpysal_ray.spatial.stats import dissimilarity_edges
 
@@ -4325,3 +4354,176 @@ def q_skater(sf_dir: str):
 
 
 QUERIES["skater"] = q_skater
+
+
+def _kmeans_fixed_sql(k: int = 8, n_iter: int = 5, scale: int = 1 << 20) -> str:
+    """Unrolled fixed-point Lloyd oracle (mirrors ann/kmeans fixed path
+    bit-for-bit): quantize xi = floor(x·S) once, per-iteration exact
+    integer squared-distance argmin (ties → lowest cid) and exact
+    floor-division centroid update with empty-cluster carry-over."""
+    head = f"""
+WITH
+e AS (
+  SELECT vec_id,
+         UNNEST(range(len(embedding))) AS dim,
+         CAST(floor(CAST(UNNEST(embedding) AS DOUBLE) * {float(scale)}) AS BIGINT) AS xi
+  FROM embeddings
+),
+ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (
+  SELECT i.cid, e.dim, e.xi AS c FROM ids i JOIN e ON e.vec_id = i.vec_id
+)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        its.append(f""",
+a{i} AS (
+  SELECT e.vec_id, c.cid, SUM((e.xi - c.c) * (e.xi - c.c)) AS d2
+  FROM e JOIN c{p} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+),
+b{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM a{i}
+  ) WHERE rn = 1
+),
+s{i} AS (
+  SELECT b.cid, e.dim, COUNT(*) AS cnt, SUM(e.xi) AS sx
+  FROM b{i} b JOIN e ON e.vec_id = b.vec_id
+  GROUP BY b.cid, e.dim
+),
+c{i} AS (
+  SELECT c.cid, c.dim,
+         CASE WHEN s.cnt IS NULL THEN c.c
+              ELSE ((s.sx - (((s.sx % s.cnt) + s.cnt) % s.cnt)) // s.cnt)
+         END AS c
+  FROM c{p} c LEFT JOIN s{i} s ON s.cid = c.cid AND s.dim = c.dim
+)""")
+    tail = f"""
+SELECT c.cid AS cluster_id, c.dim AS dim,
+       COALESCE(z.size, 0) AS size, c.c AS cfix
+FROM c{n_iter} c
+LEFT JOIN (SELECT cid, COUNT(*) AS size FROM b{n_iter} GROUP BY cid) z
+  ON z.cid = c.cid
+"""
+    return head + "".join(its) + tail
+
+
+ORACLE_SQL["kmeans_train"] = _kmeans_fixed_sql()
+
+# Kruskal minimum-spanning-forest oracle (for q_mst): edges ranked by the
+# engine's strict (w, lo, hi) tie order; the recursive CTE replays union-
+# find one edge per level as per-node min-label state (DuckDB allows the
+# window over the previous level), then an edge is IN the forest iff its
+# endpoints' labels differed just before its step. n·E state rows total —
+# fine at gate scale (500 nodes × 955 edges). Recursive/expensive CTEs are
+# MATERIALIZED: DuckDB otherwise re-inlines them per reference, which made
+# the un-hinted form quadratic in CTE fanout (>400 s vs ~3 s).
+ORACLE_SQL["mst"] = f"""
+WITH RECURSIVE
+g AS (SELECT doc_id, doc_id // {LCOLS} AS r, doc_id % {LCOLS} AS c FROM documents),
+adj AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor
+  FROM g a JOIN g b
+    ON (a.r = b.r AND abs(a.c - b.c) = 1)
+    OR (a.c = b.c AND abs(a.r - b.r) = 1)
+),
+ed AS (
+  SELECT a.focal AS lo, a.neighbor AS hi,
+         abs(df.n_chars - dn.n_chars) AS w
+  FROM adj a
+  JOIN documents df ON a.focal = df.doc_id
+  JOIN documents dn ON a.neighbor = dn.doc_id
+  WHERE a.focal < a.neighbor
+),
+ranked AS MATERIALIZED (
+  SELECT lo, hi, w, row_number() OVER (ORDER BY w, lo, hi) AS r FROM ed
+),
+lab AS (
+  SELECT 0 AS step, doc_id AS node, doc_id AS comp FROM documents
+  UNION ALL
+  SELECT step + 1 AS step, node,
+    CASE WHEN comp = cl OR comp = ch THEN least(cl, ch) ELSE comp END AS comp
+  FROM (
+    SELECT l.step, l.node, l.comp,
+      MAX(CASE WHEN l.node = e.lo THEN l.comp END) OVER () AS cl,
+      MAX(CASE WHEN l.node = e.hi THEN l.comp END) OVER () AS ch
+    FROM lab l JOIN ranked e ON e.r = l.step + 1
+  )
+),
+labm AS MATERIALIZED (SELECT * FROM lab)
+SELECT e.lo AS focal, e.hi AS neighbor, CAST(e.w AS DOUBLE) AS weight
+FROM ranked e
+JOIN labm a ON a.step = e.r - 1 AND a.node = e.lo
+JOIN labm b ON b.step = e.r - 1 AND b.node = e.hi
+WHERE a.comp <> b.comp
+"""
+
+# SKATER oracle = the Kruskal forest above + cut the 7 heaviest tree edges
+# (same strict desc order as the engine) + component min-label via a
+# transitive-closure recursion over the kept forest (the emb_clusters
+# pattern; semi-naive evaluation keeps the closure linear in pairs).
+ORACLE_SQL["skater"] = f"""
+WITH RECURSIVE
+g AS (SELECT doc_id, doc_id // {LCOLS} AS r, doc_id % {LCOLS} AS c FROM documents),
+adj AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor
+  FROM g a JOIN g b
+    ON (a.r = b.r AND abs(a.c - b.c) = 1)
+    OR (a.c = b.c AND abs(a.r - b.r) = 1)
+),
+ed AS (
+  SELECT a.focal AS lo, a.neighbor AS hi,
+         abs(df.n_chars - dn.n_chars) AS w
+  FROM adj a
+  JOIN documents df ON a.focal = df.doc_id
+  JOIN documents dn ON a.neighbor = dn.doc_id
+  WHERE a.focal < a.neighbor
+),
+ranked AS MATERIALIZED (
+  SELECT lo, hi, w, row_number() OVER (ORDER BY w, lo, hi) AS r FROM ed
+),
+lab AS (
+  SELECT 0 AS step, doc_id AS node, doc_id AS comp FROM documents
+  UNION ALL
+  SELECT step + 1 AS step, node,
+    CASE WHEN comp = cl OR comp = ch THEN least(cl, ch) ELSE comp END AS comp
+  FROM (
+    SELECT l.step, l.node, l.comp,
+      MAX(CASE WHEN l.node = e.lo THEN l.comp END) OVER () AS cl,
+      MAX(CASE WHEN l.node = e.hi THEN l.comp END) OVER () AS ch
+    FROM lab l JOIN ranked e ON e.r = l.step + 1
+  )
+),
+labm AS MATERIALIZED (SELECT * FROM lab),
+forest AS MATERIALIZED (
+  SELECT e.lo, e.hi, e.w
+  FROM ranked e
+  JOIN labm a ON a.step = e.r - 1 AND a.node = e.lo
+  JOIN labm b ON b.step = e.r - 1 AND b.node = e.hi
+  WHERE a.comp <> b.comp
+),
+kept AS (
+  SELECT lo, hi FROM (
+    SELECT lo, hi,
+           row_number() OVER (ORDER BY w DESC, lo DESC, hi DESC) AS rn
+    FROM forest
+  ) WHERE rn > 7
+),
+sym AS MATERIALIZED (
+  SELECT lo AS f, hi AS nb FROM kept
+  UNION ALL
+  SELECT hi, lo FROM kept
+),
+reach(ra, rb) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.ra, s.nb FROM reach r JOIN sym s ON s.f = r.rb
+)
+SELECT ra AS id, MIN(rb) AS region FROM reach GROUP BY ra
+"""
