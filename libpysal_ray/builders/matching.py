@@ -21,11 +21,15 @@ WITHIN-set matching (y=None, reference graph/_matching.py:104-147) couples
 m_ij to both endpoints through one upper-triangle variable; that
 constraint matrix is NOT totally unimodular (odd cycles make the LP
 relaxation half-integral), so no flow formulation is exact. The engine
-solves it EXACTLY by branch-and-bound over the cost-sorted edge list
-(:func:`_b_edge_cover_bnb`, admissible half-sum bound), guarded by
-``max_within`` points; beyond that it raises — a blossom-style general
-matching solver is the scale path, and returning the relaxation silently
-would be wrong.
+solves it EXACTLY by branch-and-bound (:func:`_b_edge_cover_bnb`): a
+warm incumbent from an exact solve of the (k+2)-nearest-edge subgraph,
+a subgradient-ascended Lagrangian dual with per-node re-ascent, root
+reduced-cost edge fixing/pre-fixing, and the half-sum completion bound
+— measured exact through n=64 for n_matches ∈ {1,2,3,5} on uniform
+geometric instances (seconds to ~1 min; clustered instances are much
+easier), hence ``max_within=64``. Beyond that it raises — a
+blossom-style general b-matching solver is the scale path, and
+returning the relaxation silently would be wrong.
 
 Scale note: matching is a GLOBAL optimization — every variable couples
 rows through the shared source capacities, so (like the reference, which
@@ -163,66 +167,216 @@ def _min_cost_transport(cost: np.ndarray, demand: int, capacity: int):
     return flow
 
 
-def _b_edge_cover_bnb(
-    cost: np.ndarray,
-    k: int,
-    node_budget: int = 2_000_000,
-) -> np.ndarray:
-    """Exact minimum-weight b-edge cover on a complete graph: choose binary
-    x_ij (i<j) minimizing Σ d_ij x_ij with every vertex covered ≥ k times —
-    the reference's WITHIN-set matching MIP (graph/_matching.py:104-147).
-
-    Branch-and-bound on the cheapest available edge of the most
-    deficient vertex, with the ADMISSIBLE half-sum bound: any completion
-    pays at least half the sum, over deficit vertices, of each one's
-    (k − deg) cheapest still-available incident edges (every edge is
-    counted by at most its two endpoints). The bound is weak for k ≥ 2,
-    so proof cost grows exponentially past a few dozen points —
-    ``node_budget`` raises loudly instead of returning a silently
-    suboptimal cover (a blossom-style b-matching solver is the honest
-    scale path). Returns the boolean upper-triangular choice matrix.
-    """
-    n = cost.shape[0]
-    if k >= n:
-        raise ValueError(f"n_matches={k} needs at least {k + 1} points")
-    iu, ju = np.triu_indices(n, 1)
-    ecost = cost[iu, ju]
-    order = np.argsort(ecost, kind="stable")
-    iu, ju, ecost = iu[order], ju[order], ecost[order]
+def _greedy_cover(iu, ju, ecost, k, n):
+    """Cheapest-edge greedy cover + a drop-redundant sweep (descending
+    cost): a feasible incumbent, typically within a few percent of
+    optimal. Edges are assumed cost-sorted ascending."""
     m = len(ecost)
-    # per-vertex incident edge indices, ascending (cost-sorted == global)
-    inc = [np.flatnonzero((iu == v) | (ju == v)) for v in range(n)]
-    inc_cost = [ecost[ix] for ix in inc]
-
-    # greedy incumbent: satisfy deficits with cheapest available edges
     deg = np.zeros(n, dtype=np.int64)
     chosen = np.zeros(m, dtype=bool)
-    gcost = 0.0
     for e in range(m):
         if deg[iu[e]] < k or deg[ju[e]] < k:
             chosen[e] = True
-            gcost += ecost[e]
             deg[iu[e]] += 1
             deg[ju[e]] += 1
         if (deg >= k).all():
             break
     if not (deg >= k).all():
         raise ValueError("infeasible: not enough distinct partners")
-    best = {"cost": gcost, "x": chosen.copy()}
+    # edges picked early can become redundant once later ones cover both
+    # endpoints — drop them most-expensive-first
+    for e in np.flatnonzero(chosen)[::-1]:
+        if deg[iu[e]] > k and deg[ju[e]] > k:
+            chosen[e] = False
+            deg[iu[e]] -= 1
+            deg[ju[e]] -= 1
+    return chosen, float(ecost[chosen].sum())
 
-    # suffix count of incident edges per vertex (feasibility prune)
+
+def _swap_improve(iu, ju, ecost, k, n, chosen):
+    """Repeated first-improvement swaps on a feasible cover: drop a chosen
+    edge e=(a,b) and re-cover each endpoint that falls below k with its
+    cheapest available incident edge (covering an endpoint never breaks
+    the other vertex — degrees only grow there). Closes most of the
+    greedy incumbent's few-percent gap, which is what lets root
+    reduced-cost fixing bite."""
+    chosen = chosen.copy()
+    deg = np.bincount(iu[chosen], minlength=n) + np.bincount(
+        ju[chosen], minlength=n
+    )
+    inc = [np.flatnonzero((iu == v) | (ju == v)) for v in range(n)]
+    improved = True
+    while improved:
+        improved = False
+        for e in np.flatnonzero(chosen):
+            a, b = int(iu[e]), int(ju[e])
+            repair = 0.0
+            radd = []
+            ok = True
+            for v in (a, b):
+                if deg[v] > k:
+                    continue
+                cand = inc[v]
+                cand = cand[(~chosen[cand]) & (cand != e)]
+                if len(cand) == 0:
+                    ok = False
+                    break
+                f = int(cand[0])  # inc is cost-ascending
+                repair += float(ecost[f])
+                radd.append(f)
+            if not ok or float(ecost[e]) <= repair + 1e-12:
+                continue
+            chosen[e] = False
+            deg[a] -= 1
+            deg[b] -= 1
+            for f in radd:
+                chosen[f] = True
+                deg[iu[f]] += 1
+                deg[ju[f]] += 1
+            improved = True
+    return chosen, float(ecost[chosen].sum())
+
+
+def _lagrangian_dual(iu, ju, ecost, k, n, ub, iters=1500):
+    """Subgradient dual ascent on the cover constraints: L(λ) =
+    k·Σλ_v + Σ_e min(0, w_e − λ_u − λ_v) is a valid lower bound on the
+    b-edge-cover optimum for ANY λ ≥ 0 (weak duality). Classic Polyak
+    steps α(UB − L)/‖g‖², α halved on stagnation. Returns the best λ
+    and its bound."""
+    # start at half the k-th cheapest incident cost: prices every vertex
+    # roughly at its marginal cover cost
+    lam = np.zeros(n)
+    for v in range(n):
+        ivc = np.sort(
+            np.concatenate([ecost[iu == v], ecost[ju == v]])
+        )
+        lam[v] = 0.5 * ivc[min(k - 1, len(ivc) - 1)]
+    best_l, best_lam = -np.inf, lam.copy()
+    alpha, stall = 2.0, 0
+    for _ in range(iters):
+        r = ecost - lam[iu] - lam[ju]
+        neg = r < 0
+        lval = k * lam.sum() + r[neg].sum()
+        if lval > best_l + 1e-12:
+            best_l, best_lam = lval, lam.copy()
+            stall = 0
+        else:
+            stall += 1
+            if stall >= 20:
+                alpha *= 0.6
+                stall = 0
+                if alpha < 1e-5:
+                    break
+        deg = np.bincount(iu[neg], minlength=n) + np.bincount(
+            ju[neg], minlength=n
+        )
+        g = (k - deg).astype(np.float64)
+        g[(lam <= 0.0) & (g < 0.0)] = 0.0  # projection at the boundary
+        nrm = float(g @ g)
+        if nrm == 0.0:
+            break  # complementary degrees: dual optimum reached
+        lam = np.maximum(0.0, lam + alpha * max(ub - lval, 1e-12) / nrm * g)
+    return best_lam, best_l
+
+
+def _bec_core(
+    iu: np.ndarray,
+    ju: np.ndarray,
+    ecost: np.ndarray,
+    n: int,
+    k: int,
+    node_budget: int,
+    ub_init: float = np.inf,
+    x_init: np.ndarray | None = None,
+    ascent_iters: int = 8,
+    raise_on_budget: bool = True,
+):
+    """Exact min-weight b-edge cover over an EDGE LIST (not necessarily
+    complete; edges cost-sorted ascending): DFS branch-and-bound on the
+    cheapest available edge of the most deficient vertex, pruned by the
+    MAX of two admissible bounds:
+
+    (a) the Lagrangian cover bound L(λ) = k·Σλ + Σ_{fixed-in} r_e +
+        Σ_{free, r<0} r_e with r_e = w_e − λ_u − λ_v — valid for any
+        λ ≥ 0 and any fix/ban set by weak duality — RE-ASCENDED at every
+        node (a few warm-started Polyak subgradient steps from the
+        parent's λ), so the bound adapts to branching decisions and
+        climbs past the incumbent deep in the tree where a static-λ
+        bound plateaus inside the LP duality gap;
+    (b) the half-sum bound: half the sum, over deficit vertices, of each
+        one's (k − deg) cheapest available incident TRUE costs (every
+        completion edge serves at most two endpoints).
+
+    Root preprocessing: Lagrangian-repair incumbent, reduced-cost fixing
+    (ban edges whose r alone pushes the root bound past the incumbent;
+    the incumbent itself survives, so an optimum stays reachable), and
+    pre-fixing of edges whose REMOVAL does (bound-without-e > UB ⟹ e is
+    in every optimal solution).
+
+    Exact by construction — complete search, admissible bounds. Returns
+    ``(chosen_edge_mask, cost)``; raises ValueError if the edge list
+    cannot cover every vertex k times, RuntimeError past ``node_budget``.
+    """
+    m = len(ecost)
+    chosen0, gcost = _greedy_cover(iu, ju, ecost, k, n)
+    chosen0, gcost = _swap_improve(iu, ju, ecost, k, n, chosen0)
+    best = {"cost": gcost, "x": chosen0}
+    if x_init is not None and ub_init < gcost:
+        best = {"cost": float(ub_init), "x": x_init.copy()}
+
+    lam, _ = _lagrangian_dual(iu, ju, ecost, k, n, ub=best["cost"])
+    red = ecost - lam[iu] - lam[ju]
+    neg = red < 0.0
+    lbase = float(k * lam.sum() + red[neg].sum())
+
+    # Lagrangian-repair incumbent: the negative-reduced-cost edges,
+    # deficits repaired cheapest-first, redundant edges dropped — often
+    # beats plain greedy and tightens root fixing
+    deg = np.bincount(iu[neg], minlength=n) + np.bincount(ju[neg], minlength=n)
+    rep = neg.copy()
+    for e in range(m):
+        if not rep[e] and (deg[iu[e]] < k or deg[ju[e]] < k):
+            rep[e] = True
+            deg[iu[e]] += 1
+            deg[ju[e]] += 1
+    if (deg >= k).all():
+        for e in np.flatnonzero(rep)[::-1]:
+            if deg[iu[e]] > k and deg[ju[e]] > k:
+                rep[e] = False
+                deg[iu[e]] -= 1
+                deg[ju[e]] -= 1
+        rep, rcost = _swap_improve(iu, ju, ecost, k, n, rep)
+        if rcost < best["cost"]:
+            best["cost"] = rcost
+            best["x"] = rep.copy()
+
+    banned = np.zeros(m, dtype=bool)
+    cur = np.zeros(m, dtype=bool)
+    banned[(red >= 0.0) & (lbase + red >= best["cost"] - 1e-12)] = True
+    prefix = np.flatnonzero(neg & (lbase - red > best["cost"] + 1e-9))
+    deg0 = np.zeros(n, dtype=np.int64)
+    cost0 = 0.0
+    for e in prefix:
+        cur[e] = True
+        deg0[iu[e]] += 1
+        deg0[ju[e]] += 1
+        cost0 += float(ecost[e])
+
+    # per-vertex incident edge indices over the SURVIVING edges,
+    # ascending (cost-sorted == global)
+    alive = ~banned
+    inc = [
+        np.flatnonzero(((iu == v) | (ju == v)) & alive) for v in range(n)
+    ]
+    inc_cost = [ecost[ix] for ix in inc]
+
     import sys as _sys
 
     _old_limit = _sys.getrecursionlimit()
     _sys.setrecursionlimit(max(_old_limit, 4 * m + 500))
     nodes = 0
-    cur = np.zeros(m, dtype=bool)
-    banned = np.zeros(m, dtype=bool)
 
-    def lower_bound(deg: np.ndarray) -> float:
-        # half the sum of each deficit vertex's cheapest AVAILABLE
-        # (neither chosen nor banned) incident edges — admissible because
-        # every completion edge is counted by at most its two endpoints
+    def half_sum_bound(deg: np.ndarray) -> float:
         lb = 0.0
         for v in range(n):
             r = k - deg[v]
@@ -235,11 +389,40 @@ def _b_edge_cover_bnb(
             lb += inc_cost[v][ok][:r].sum()
         return 0.5 * lb
 
-    def dfs(cost_so_far: float, deg: np.ndarray) -> None:
-        # branch on the cheapest available edge of the MOST deficient
-        # vertex: in-branches satisfy deficits directly, out-branches ban
-        # the edge and push the bound up — far tighter than scanning the
-        # global edge order
+    def node_ascend(lam_n: np.ndarray):
+        """A few Polyak subgradient steps on the node's restricted dual,
+        warm-started from the parent's λ. Every iterate's L is a valid
+        bound (weak duality holds at ANY λ ≥ 0), so the max is too."""
+        free = ~(banned | cur)
+        best_l, best_lam = -np.inf, lam_n
+        alpha = 1.0
+        for _ in range(ascent_iters):
+            r = ecost - lam_n[iu] - lam_n[ju]
+            selneg = free & (r < 0.0)
+            lval = float(
+                k * lam_n.sum() + r[cur].sum() + r[selneg].sum()
+            )
+            if lval > best_l:
+                best_l, best_lam = lval, lam_n
+                if best_l >= best["cost"] - 1e-12:
+                    break  # prunes — no need to polish further
+            x = cur | selneg
+            dx = np.bincount(iu[x], minlength=n) + np.bincount(
+                ju[x], minlength=n
+            )
+            g = (k - dx).astype(np.float64)
+            g[(lam_n <= 0.0) & (g < 0.0)] = 0.0
+            nrm = float(g @ g)
+            if nrm == 0.0:
+                break
+            lam_n = np.maximum(
+                0.0,
+                lam_n + alpha * max(best["cost"] - lval, 1e-12) / nrm * g,
+            )
+            alpha *= 0.7
+        return best_l, best_lam
+
+    def dfs(cost_so_far: float, deg: np.ndarray, lam_n: np.ndarray) -> None:
         nonlocal nodes
         nodes += 1
         if nodes > node_budget:
@@ -253,8 +436,10 @@ def _b_edge_cover_bnb(
                 best["cost"] = cost_so_far
                 best["x"] = cur.copy()
             return
-        lb = lower_bound(deg)
-        if cost_so_far + lb >= best["cost"] - 1e-12:
+        lb, lam_b = node_ascend(lam_n)
+        if lb >= best["cost"] - 1e-12:
+            return
+        if cost_so_far + half_sum_bound(deg) >= best["cost"] - 1e-12:
             return
         v = int(np.argmax(deficit))
         ix = inc[v]
@@ -267,21 +452,83 @@ def _b_edge_cover_bnb(
         cur[e] = True
         deg[a] += 1
         deg[b] += 1
-        dfs(cost_so_far + ecost[e], deg)
+        dfs(cost_so_far + float(ecost[e]), deg, lam_b)
         deg[a] -= 1
         deg[b] -= 1
         cur[e] = False
         # OUT (ban e on this path)
         banned[e] = True
-        dfs(cost_so_far, deg)
+        dfs(cost_so_far, deg, lam_b)
         banned[e] = False
 
     try:
-        dfs(0.0, np.zeros(n, dtype=np.int64))
+        dfs(cost0, deg0, lam)
+    except RuntimeError:
+        if raise_on_budget:
+            raise
+        # best-so-far is still a valid (possibly suboptimal) cover —
+        # callers using raise_on_budget=False want exactly that
     finally:
         _sys.setrecursionlimit(_old_limit)
+    return best["x"], float(best["cost"])
+
+
+def _b_edge_cover_bnb(
+    cost: np.ndarray,
+    k: int,
+    node_budget: int = 2_000_000,
+) -> np.ndarray:
+    """Exact minimum-weight b-edge cover on a complete graph: choose binary
+    x_ij (i<j) minimizing Σ d_ij x_ij with every vertex covered ≥ k times —
+    the reference's WITHIN-set matching MIP (graph/_matching.py:104-147).
+
+    Two-phase exact solve via :func:`_bec_core`: first an exact search
+    restricted to each vertex's (k+2) cheapest incident edges (a tiny
+    space whose optimum is a near-optimal cover of the full problem —
+    used ONLY as a warm incumbent, silently skipped if the restricted
+    graph is infeasible or trips its own small budget), then the full
+    search warm-started from it. A tight incumbent makes the root
+    reduced-cost fixing eliminate almost every long edge of a geometric
+    instance before branching starts. ``node_budget`` raises loudly
+    rather than return a silently suboptimal cover. Returns the boolean
+    upper-triangular choice matrix.
+    """
+    n = cost.shape[0]
+    if k >= n:
+        raise ValueError(f"n_matches={k} needs at least {k + 1} points")
+    iu, ju = np.triu_indices(n, 1)
+    ecost = cost[iu, ju]
+    order = np.argsort(ecost, kind="stable")
+    iu, ju, ecost = iu[order], ju[order], ecost[order]
+    m = len(ecost)
+
+    ub, xw = np.inf, None
+    # warm incumbent from the (k+2)-nearest-edge subgraph
+    keep = np.zeros(m, dtype=bool)
+    for v in range(n):
+        ix = np.flatnonzero((iu == v) | (ju == v))
+        keep[ix[: k + 2]] = True
+    sub = np.flatnonzero(keep)
+    if len(sub) < m:
+        try:
+            # best-so-far on budget: the warm phase only needs a good
+            # incumbent, not a proof
+            sx, sc = _bec_core(
+                iu[sub], ju[sub], ecost[sub], n, k,
+                node_budget=min(node_budget, 50_000),
+                raise_on_budget=False,
+            )
+            xw = np.zeros(m, dtype=bool)
+            xw[sub[sx]] = True
+            ub = sc
+        except ValueError:
+            ub, xw = np.inf, None
+
+    bx, _ = _bec_core(
+        iu, ju, ecost, n, k, node_budget, ub_init=ub, x_init=xw
+    )
     x = np.zeros((n, n), dtype=bool)
-    sel = np.flatnonzero(best["x"])
+    sel = np.flatnonzero(bx)
     x[iu[sel], ju[sel]] = True
     return x
 
@@ -295,7 +542,7 @@ def spatial_matching(
     x_col: str = "x",
     y_col: str = "y",
     max_points: int = 20_000,
-    max_within: int = 24,
+    max_within: int = 64,
 ):
     """Optimal between-sets spatial matching.
 

