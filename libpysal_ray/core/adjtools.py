@@ -1,0 +1,144 @@
+"""Adjacency-list function mapping (reference ``weights/adjtools.py``).
+
+``adjlist_apply`` (adjtools.py:6-86) evaluates a binary function on the
+(focal attribute, neighbor attribute) pair of every edge; the
+multivariate form (adjtools.py:89-128) hands the function two P-length
+rows. ``adjlist_map`` (adjtools.py:157-226) maps one function per
+covariate column. The reference materializes pandas merges and applies
+the function row-by-row; here the attribute attach is the engine's
+size-switched ``bucket_join`` / broadcast lookup on the edge Dataset
+(the same path ``lag`` uses) and the function is applied once per Arrow
+batch to whole numpy arrays — so ``func`` must accept arrays, which the
+reference's documented examples (``np.subtract``, ``lambda x, y: x < y``,
+``lambda x, y: ((x - y) ** 2).sum(-1)``) already do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from libpysal_ray.core.graph import _attach_attr
+
+
+def _attach_both(edges, attr_ids, values, name, id_col, val_col):
+    out = _attach_attr(
+        edges, attr_ids, values, key_col="focal",
+        out_col=f"{name}_focal", id_col=id_col, val_col=val_col,
+    )
+    return _attach_attr(
+        out, attr_ids, values, key_col="neighbor",
+        out_col=f"{name}_neighbor", id_col=id_col, val_col=val_col,
+    )
+
+
+def adjlist_apply(
+    graph,
+    attr_ids,
+    attr_values=None,
+    func=np.subtract,
+    id_col: str = "id",
+    val_col: str = "value",
+    name: str | None = None,
+) -> ray.data.Dataset:
+    """Apply ``func`` to every edge's (focal, neighbor) attribute pair.
+
+    ``graph`` is a RayGraph or an edge Dataset. ``attr_ids`` is either a
+    numpy id array with ``attr_values`` of shape (N,) or (N, P) —
+    broadcast once via ray.put — or an attribute Dataset with
+    (``id_col``, ``val_col``) columns, attached by a distributed
+    bucket_join (the 100 TB path; single column). For (N, P) values,
+    ``func`` receives two (batch, P) arrays and must return one value
+    per row (reference _adjlist_mvapply semantics). Returns the edge
+    Dataset with ``att_focal`` / ``att_neighbor`` (single-column case)
+    and the result column named ``name`` or ``func.__name__``.
+    """
+    edges = graph.edges if hasattr(graph, "edges") else graph
+    col = name or getattr(func, "__name__", "result")
+
+    if isinstance(attr_ids, ray.data.Dataset) or (
+        attr_values is not None and np.asarray(attr_values).ndim == 1
+    ):
+        out = _attach_both(edges, attr_ids, attr_values, "att",
+                           id_col, val_col)
+
+        def _apply(t: pa.Table) -> pa.Table:
+            xf = t.column("att_focal").to_numpy(zero_copy_only=False)
+            xn = t.column("att_neighbor").to_numpy(zero_copy_only=False)
+            return t.append_column(col, pa.array(np.asarray(func(xf, xn))))
+
+        return out.map_batches(_apply, batch_format="pyarrow")
+
+    # multivariate numpy path: P columns attached via one broadcast each
+    vals = np.asarray(attr_values, dtype=np.float64)
+    if vals.ndim != 2:
+        raise ValueError("attr_values must be (N,) or (N, P)")
+    out = edges
+    p = vals.shape[1]
+    for j in range(p):
+        out = _attach_both(out, attr_ids, vals[:, j], f"c{j}",
+                           id_col, val_col)
+
+    def _mvapply(t: pa.Table) -> pa.Table:
+        xf = np.column_stack([
+            t.column(f"c{j}_focal").to_numpy(zero_copy_only=False)
+            for j in range(p)
+        ])
+        xn = np.column_stack([
+            t.column(f"c{j}_neighbor").to_numpy(zero_copy_only=False)
+            for j in range(p)
+        ])
+        return t.append_column(col, pa.array(np.asarray(func(xf, xn))))
+
+    return out.map_batches(_mvapply, batch_format="pyarrow")
+
+
+def adjlist_map(
+    graph,
+    attr_ids,
+    data,
+    funcs=(np.subtract,),
+    names: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Map one function per covariate column over the adjacency list
+    (reference adjtools.py:157-226): ``data`` is (N, P); a single
+    callable is replicated across all P columns. Returns the edge
+    Dataset with, per column j, ``{name_j}_focal`` / ``{name_j}_neighbor``
+    and the result column ``{func.__name__}_{name_j}``.
+    """
+    data = np.asarray(data, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[:, None]
+    p = data.shape[1]
+    if callable(funcs):
+        funcs = (funcs,)
+    if len(funcs) == 1:
+        funcs = [funcs[0]] * p
+    if len(funcs) != p:
+        raise ValueError(
+            f"{len(funcs)} functions for {p} data columns"
+        )
+    if names is None:
+        names = [str(j) for j in range(p)]
+    edges = graph.edges if hasattr(graph, "edges") else graph
+    out = edges
+    for j in range(p):
+        out = _attach_both(out, attr_ids, data[:, j], names[j],
+                           "id", "value")
+
+    def _apply(t: pa.Table) -> pa.Table:
+        for j, fn in enumerate(funcs):
+            xf = t.column(f"{names[j]}_focal").to_numpy(
+                zero_copy_only=False
+            )
+            xn = t.column(f"{names[j]}_neighbor").to_numpy(
+                zero_copy_only=False
+            )
+            t = t.append_column(
+                f"{getattr(fn, '__name__', 'f')}_{names[j]}",
+                pa.array(np.asarray(fn(xf, xn))),
+            )
+        return t
+
+    return out.map_batches(_apply, batch_format="pyarrow")

@@ -1,0 +1,82 @@
+"""adjlist_apply / adjlist_map (reference weights/adjtools.py:6-226)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from libpysal_ray.builders.lattice import lat2graph
+from libpysal_ray.core.adjtools import adjlist_apply, adjlist_map
+
+
+@pytest.fixture(scope="module")
+def rook5(ray_session):
+    return lat2graph(5, 5, rook=True)
+
+
+def _edge_frame(ds) -> pd.DataFrame:
+    return ds.to_pandas().sort_values(["focal", "neighbor"]).reset_index(
+        drop=True
+    )
+
+
+def test_adjlist_apply_subtract_numpy(rook5):
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, 25).astype(np.float64)
+    out = _edge_frame(
+        adjlist_apply(rook5, np.arange(25), vals, func=np.subtract)
+    )
+    want = vals[out["focal"].to_numpy()] - vals[out["neighbor"].to_numpy()]
+    assert np.array_equal(out["subtract"].to_numpy(), want)
+    assert np.array_equal(
+        out["att_focal"].to_numpy(), vals[out["focal"].to_numpy()]
+    )
+
+
+def test_adjlist_apply_custom_and_dataset(rook5, ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    vals = (np.arange(25) % 7).astype(np.float64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(25, dtype=np.int64)),
+        "value": pa.array(vals),
+    }))
+    out = _edge_frame(
+        adjlist_apply(rook5, attrs, func=lambda x, y: x < y, name="lt")
+    )
+    want = vals[out["focal"].to_numpy()] < vals[out["neighbor"].to_numpy()]
+    assert np.array_equal(out["lt"].to_numpy(), want)
+
+
+def test_adjlist_apply_multivariate(rook5):
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(25, 3))
+
+    def sqdist(a, b):
+        return ((a - b) ** 2).sum(-1)
+
+    out = _edge_frame(
+        adjlist_apply(rook5, np.arange(25), X, func=sqdist)
+    )
+    want = ((X[out["focal"].to_numpy()] -
+             X[out["neighbor"].to_numpy()]) ** 2).sum(-1)
+    assert np.allclose(out["sqdist"].to_numpy(), want)
+
+
+def test_adjlist_map(rook5):
+    rng = np.random.default_rng(11)
+    X = rng.integers(0, 9, (25, 2)).astype(np.float64)
+    out = _edge_frame(
+        adjlist_map(rook5, np.arange(25), X,
+                    funcs=(np.subtract, np.add), names=["a", "b"])
+    )
+    f, nb = out["focal"].to_numpy(), out["neighbor"].to_numpy()
+    assert np.array_equal(out["subtract_a"].to_numpy(),
+                          X[f, 0] - X[nb, 0])
+    assert np.array_equal(out["add_b"].to_numpy(), X[f, 1] + X[nb, 1])
+
+
+def test_adjlist_map_func_count_mismatch(rook5):
+    with pytest.raises(ValueError, match="functions"):
+        adjlist_map(rook5, np.arange(25), np.zeros((25, 3)),
+                    funcs=(np.subtract, np.add))
