@@ -4527,3 +4527,135 @@ reach(ra, rb) AS (
 )
 SELECT ra AS id, MIN(rb) AS region FROM reach GROUP BY ra
 """
+
+
+def q_adjlist_apply(sf_dir: str):
+    """adjlist_apply (reference weights/adjtools.py:6-86): np.subtract on
+    every rook edge's (focal, neighbor) n_chars pair — attribute Dataset
+    attached twice via the size-switched distributed bucket_join, func
+    applied per Arrow batch to whole arrays (the reference applies it
+    row-by-row over a pandas merge)."""
+    from libpysal_ray.core.adjtools import adjlist_apply
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "value": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return adjlist_apply(_rook_g(sf_dir), attrs, func=np.subtract)
+
+
+QUERIES["adjlist_apply"] = q_adjlist_apply
+
+ORACLE_SQL["adjlist_apply"] = f"""
+WITH {_ROOK_SQL}
+SELECT a.focal, a.neighbor, 1.0 AS weight,
+       CAST(df.n_chars AS DOUBLE) AS att_focal,
+       CAST(dn.n_chars AS DOUBLE) AS att_neighbor,
+       CAST(df.n_chars AS DOUBLE) - CAST(dn.n_chars AS DOUBLE) AS subtract
+FROM adj a
+JOIN documents df ON a.focal = df.doc_id
+JOIN documents dn ON a.neighbor = dn.doc_id
+"""
+
+
+def q_local_moran_wide(sf_dir: str):
+    """local_moran FORCED down the wide exact regime (the path that
+    engages automatically when n*z*lag or sum(z^2) exceeds int64, e.g.
+    the 10x stress input): den via 128-bit limb product sums, local_i
+    as the pinned float chain f64(n)*f64(z)*f64(lag)/f64(den) — the
+    pagerank_dist discipline (oracle the scale path at gate scale)."""
+    from libpysal_ray.spatial.stats import local_moran
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return local_moran(_rook_g(sf_dir), attrs, force_wide=True)
+
+
+QUERIES["local_moran_wide"] = q_local_moran_wide
+
+ORACLE_SQL["local_moran_wide"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a
+),
+z AS (
+  SELECT node, (SELECT n FROM st) * x - (SELECT sx FROM st) AS z
+  FROM a
+),
+lag AS (
+  SELECT adj.focal AS node, CAST(SUM(zn.z) AS BIGINT) AS lag_z
+  FROM adj JOIN z zn ON adj.neighbor = zn.node
+  GROUP BY 1
+),
+d AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den FROM z)
+SELECT z.node AS id, z.z, COALESCE(lag.lag_z, 0) AS lag_z,
+       CAST((SELECT n FROM st) AS DOUBLE)
+         * CAST(z.z AS DOUBLE)
+         * CAST(COALESCE(lag.lag_z, 0) AS DOUBLE)
+         / CAST((SELECT den FROM d) AS DOUBLE) AS local_i
+FROM z LEFT JOIN lag USING (node)
+"""
+
+
+def q_moran_wide(sf_dir: str):
+    """spatial_autocorr FORCED down the wide exact regime: edge and z^2
+    reductions through 128-bit limb product sums with O(#blocks)
+    decimal-string partials; moran_num/sq_diff/den emitted as exact
+    decimal strings (any magnitude), statistics from unbounded ints."""
+    from libpysal_ray.spatial.stats import spatial_autocorr
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return spatial_autocorr(_rook_g(sf_dir), attrs, force_wide=True)
+
+
+QUERIES["moran_wide"] = q_moran_wide
+
+ORACLE_SQL["moran_wide"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a
+),
+z AS (
+  SELECT node, x,
+         (SELECT n FROM st) * x - (SELECT sx FROM st) AS z
+  FROM a
+),
+e AS (
+  SELECT zf.z AS zf, zf.x AS xf, zn.z AS zn, zn.x AS xn
+  FROM adj
+  JOIN z zf ON adj.focal = zf.node
+  JOIN z zn ON adj.neighbor = zn.node
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(zf * zn) AS BIGINT) AS num,
+         CAST(SUM((xf - xn) * (xf - xn)) AS BIGINT) AS sq
+  FROM e
+),
+d AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den FROM z)
+SELECT (SELECT n FROM st) AS n, t.s0,
+       CAST(t.num AS VARCHAR) AS moran_num,
+       CAST(t.sq AS VARCHAR) AS sq_diff,
+       CAST(d.den AS VARCHAR) AS den,
+       CAST(CAST((SELECT n FROM st) AS HUGEINT) * t.num AS DOUBLE)
+         / CAST(CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS moran_i,
+       CAST(CAST((SELECT n FROM st) - 1 AS HUGEINT)
+            * (SELECT n FROM st) * (SELECT n FROM st) * t.sq AS DOUBLE)
+         / CAST(2 * CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS geary_c
+FROM t, d
+"""

@@ -29,17 +29,80 @@ __all__ = ["general_g", "getis_ord_g", "join_counts", "lisa_quadrants",
            "dissimilarity_edges", "local_moran", "moran_bv", "skater_regions",
            "spatial_autocorr"]
 
+_L32 = np.int64(0xFFFFFFFF)
+_L16 = np.int64(0xFFFF)
+
+
+def _sum_i64(t: np.ndarray) -> int:
+    """Exact Python-int sum of an int64 array with |values| < 2^62 via a
+    32-bit hi/lo split: hi terms are < 2^30 and lo terms < 2^32, so both
+    half-sums stay inside int64 for any batch under 2^30 rows (Ray
+    blocks are orders of magnitude smaller)."""
+    if len(t) >= (1 << 30):
+        raise ValueError("batch too large for exact split summation")
+    hi = (t >> 32).sum()
+    lo = (t & _L32).sum()
+    return (int(hi) << 32) + int(lo)
+
+
+def _prod_sum_exact(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact Σ a·b for int64 arrays with |a|, |b| < 2^62 — the pagerank
+    decomposed-multiply discipline: a = ah·2^32 + al (arithmetic-shift
+    hi, unsigned lo; the two's-complement identity holds for negatives),
+    b likewise, the low×low quarter split again at 16 bits so EVERY
+    elementwise product fits int64; the partial sums recombine in
+    unbounded Python ints. Removes the int64 ceiling from the ESDA
+    global reductions — per-row terms like z² may exceed int64 freely.
+    """
+    ah, al = a >> 32, a & _L32
+    bh, bl = b >> 32, b & _L32
+    alh, alo = al >> 16, al & _L16
+    blh, blo = bl >> 16, bl & _L16
+    return (
+        (_sum_i64(ah * bh) << 64)
+        + ((_sum_i64(ah * bl) + _sum_i64(al * bh)) << 32)
+        + (_sum_i64(alh * blh) << 32)
+        + ((_sum_i64(alh * blo) + _sum_i64(alo * blh)) << 16)
+        + _sum_i64(alo * blo)
+    )
+
+
+def _sum_prod_exact_ds(ds: ray.data.Dataset, acol: str, bcol: str) -> int:
+    """Exact Σ a·b across a whole Dataset: each batch reduces to ONE row
+    holding its exact partial as a decimal string (arbitrary precision,
+    losslessly serialized), so the driver combines O(#blocks) rows in
+    unbounded ints — the same partials discipline as the prefix-sum rank
+    cut, never O(n) driver state."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        a = t.column(acol).to_numpy(zero_copy_only=False)
+        b = t.column(bcol).to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array([str(_prod_sum_exact(a, b))])})
+
+    parts = ds.map_batches(_part, batch_format="pyarrow").take_all()
+    return sum(int(r["p"]) for r in parts)
+
 
 def spatial_autocorr(
     g,
     attrs: ray.data.Dataset,
     id_col: str = "id",
     x_col: str = "x",
+    force_wide: bool = False,
 ) -> ray.data.Dataset:
     """One-row Dataset (n, s0, moran_num, sq_diff, den, moran_i,
     geary_c) for integer attribute ``x`` over graph ``g``'s BINARY edge
-    set (weights ignored; transform to taste first). Raises loudly if
-    any exact term could exceed int64."""
+    set (weights ignored; transform to taste first).
+
+    NARROW regime (every sum fits int64): all-int64 columns, hash-exact
+    vs the SQL oracle. WIDE regime (auto above the int64 bounds — the
+    10x stress scale — or ``force_wide``): the edge and z² reductions
+    run through :func:`_prod_sum_exact` (128-bit limb products,
+    O(#blocks) decimal-string partials), moran_num/sq_diff/den are
+    emitted as exact DECIMAL STRINGS (any magnitude), and the two float
+    statistics use the same pinned formula evaluated from unbounded
+    Python ints. Only z itself must fit int64 (z_max < 2^62) — good to
+    ~10^12 rows at realistic attribute magnitudes."""
     from libpysal_ray.core.joins import bucket_join
 
     def _xz(t: pa.Table) -> pa.Table:
@@ -72,10 +135,13 @@ def spatial_autocorr(
     # the numerator/sq sums run over the EDGE count, the den over n
     z_max = n * xmax + abs(sx)
     e_count = int(g._real_edges().count())
-    if (z_max * z_max * max(e_count, n) >= (1 << 62)
-            or (2 * xmax) ** 2 * e_count >= (1 << 62)):
+    wide = force_wide or (
+        z_max * z_max * max(e_count, n) >= (1 << 62)
+        or (2 * xmax) ** 2 * e_count >= (1 << 62)
+    )
+    if wide and z_max >= (1 << 62):
         raise ValueError(
-            "spatial_autocorr terms would overflow int64; rescale x"
+            "spatial_autocorr z terms would overflow int64; rescale x"
         )
 
     def _with_z(t: pa.Table) -> pa.Table:
@@ -129,20 +195,37 @@ def spatial_autocorr(
         xf = t.column("xf").to_numpy(zero_copy_only=False)
         xn = t.column("xn").to_numpy(zero_copy_only=False)
         d = xf - xn
+        if wide:
+            # exact limb products per batch, decimal-string partials
+            return pa.table({
+                "s0": pa.array([np.int64(t.num_rows)]),
+                "nump": pa.array([str(_prod_sum_exact(zf, zn))]),
+                "sqp": pa.array([str(_prod_sum_exact(d, d))]),
+            })
         return pa.table({
             "s0": pa.array([np.int64(t.num_rows)]),
             "num": pa.array([np.int64((zf * zn).sum())]),
             "sq": pa.array([np.int64((d * d).sum())]),
         })
 
-    ep = both.map_batches(_edge_partial, batch_format="pyarrow").aggregate(
-        ray.data.aggregate.Sum("s0"),
-        ray.data.aggregate.Sum("num"),
-        ray.data.aggregate.Sum("sq"),
-    )
-    s0 = int(ep["sum(s0)"])
-    num = int(ep["sum(num)"])
-    sq = int(ep["sum(sq)"])
+    if wide:
+        parts = both.map_batches(
+            _edge_partial, batch_format="pyarrow"
+        ).take_all()  # O(#blocks) rows, unbounded-int combine
+        s0 = sum(int(r["s0"]) for r in parts)
+        num = sum(int(r["nump"]) for r in parts)
+        sq = sum(int(r["sqp"]) for r in parts)
+    else:
+        ep = both.map_batches(
+            _edge_partial, batch_format="pyarrow"
+        ).aggregate(
+            ray.data.aggregate.Sum("s0"),
+            ray.data.aggregate.Sum("num"),
+            ray.data.aggregate.Sum("sq"),
+        )
+        s0 = int(ep["sum(s0)"])
+        num = int(ep["sum(num)"])
+        sq = int(ep["sum(sq)"])
     if s0 != e_count:
         # inner attr joins dropped edges whose endpoint ids are missing
         # from attrs — a graph/attrs id-universe mismatch would silently
@@ -155,21 +238,26 @@ def spatial_autocorr(
     if s0 == 0:
         raise ValueError("graph has no edges")
 
-    def _den_partial(t: pa.Table) -> pa.Table:
-        z = t.column("z").to_numpy(zero_copy_only=False)
-        return pa.table({"d": pa.array([np.int64((z * z).sum())])})
-
-    den = int(
-        zt.map_batches(_den_partial, batch_format="pyarrow").sum("d")
-    )
+    den = _sum_prod_exact_ds(zt, "z", "z")
     if den == 0:
         raise ValueError("x is constant; autocorrelation undefined")
     # one float division per statistic, operand order pinned for the
-    # oracle (both multiplications exact-int before the cast)
+    # oracle (both multiplications exact unbounded-int before the cast)
     moran = float(np.float64(n * num) / np.float64(s0 * den))
     geary = float(
         np.float64((n - 1) * n * n * sq) / np.float64(2 * s0 * den)
     )
+    if wide:
+        # the exact integers can exceed int64 — decimal strings
+        return ray.data.from_arrow(pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s0": pa.array([s0], pa.int64()),
+            "moran_num": pa.array([str(num)]),
+            "sq_diff": pa.array([str(sq)]),
+            "den": pa.array([str(den)]),
+            "moran_i": pa.array([moran], pa.float64()),
+            "geary_c": pa.array([geary], pa.float64()),
+        }))
     return ray.data.from_arrow(pa.table({
         "n": pa.array([n], pa.int64()),
         "s0": pa.array([s0], pa.int64()),
@@ -186,6 +274,7 @@ def local_moran(
     attrs: ray.data.Dataset,
     id_col: str = "id",
     x_col: str = "x",
+    force_wide: bool = False,
 ) -> ray.data.Dataset:
     """Per-observation local Moran (LISA, Anselin 1995) over the binary
     edge set, exact-integer inner terms: with z_i = n·x_i − Σx,
@@ -199,7 +288,19 @@ def local_moran(
     100 TB shape: one bucket_join of z onto edges by neighbor, one
     groupby(focal) sum (the spatial lag of z), one left join back onto
     the observation universe — all int64 until one pinned float
-    division per row."""
+    division per row.
+
+    Two exact regimes: the NARROW path (n·z·lag and Σz² fit int64)
+    keeps every intermediate an int64 and is hash-exact vs the SQL
+    oracle. When those bounds fail (≈50k lattice rows at n_chars
+    magnitudes — the 10x stress input), the WIDE path engages
+    automatically: Σz² reduces through :func:`_prod_sum_exact` (128-bit
+    limb products, O(#blocks) decimal-string partials) and local_i is
+    one pinned float chain f64(n)·f64(z)·f64(lag)/f64(den) — still
+    layout-invariant and deterministic, bounded only by z and its lag
+    fitting int64 (z_max < 2^62, z_max·max_deg < 2^62), which holds to
+    ~10^12 rows at realistic attribute magnitudes. ``force_wide`` pins
+    the wide path for gate-scale oracle evidence."""
     from libpysal_ray.core.joins import bucket_join
 
     def _xz(t: pa.Table) -> pa.Table:
@@ -232,9 +333,14 @@ def local_moran(
     max_deg = int(g.cardinalities().max("cardinality") or 0)
     # per-row numerator bound n·|z|·|lag| <= n·z_max·(max_deg·z_max),
     # plus the den sum bound — both checked in unbounded ints
-    if (n * z_max * max_deg * z_max >= (1 << 62)
-            or z_max * z_max * n >= (1 << 62)):
-        raise ValueError("local_moran terms would overflow int64; rescale x")
+    wide = force_wide or (
+        n * z_max * max_deg * z_max >= (1 << 62)
+        or z_max * z_max * n >= (1 << 62)
+    )
+    if wide and (z_max >= (1 << 62) or z_max * max_deg >= (1 << 62)):
+        # even the wide path needs z and its lag sum inside int64
+        raise ValueError("local_moran z/lag terms would overflow int64; "
+                         "rescale x")
 
     def _with_z(t: pa.Table) -> pa.Table:
         x = t.column("x").to_numpy(zero_copy_only=False)
@@ -244,19 +350,10 @@ def local_moran(
         })
 
     zt = xs.map_batches(_with_z, batch_format="pyarrow").materialize()
-    den = int(
-        zt.map_batches(
-            lambda t: pa.table({
-                "d": pa.array([
-                    np.int64(
-                        (t.column("z").to_numpy(zero_copy_only=False) ** 2)
-                        .sum()
-                    )
-                ]),
-            }),
-            batch_format="pyarrow",
-        ).sum("d")
-    )
+    # Σz² through the exact limb reduction in BOTH regimes (identical
+    # int64 result on the narrow path, so the oracle is untouched; the
+    # wide path is where it earns its keep)
+    den = _sum_prod_exact_ds(zt, "z", "z")
     if den == 0:
         raise ValueError("x is constant; local Moran undefined")
 
@@ -290,17 +387,25 @@ def local_moran(
         lag = pc.fill_null(
             pc.cast(t.column("lag_z"), pa.int64()), 0
         ).to_numpy(zero_copy_only=False)
-        # exact int products in unbounded python via object? bounds hold:
-        # |n·z·lag| <= n · z_max · (deg·z_max) — guarded above for den;
-        # pin as float64(n*z*lag) computed per-row from exact int64 pieces
-        num = np.int64(n) * z * lag
+        if wide:
+            # pinned float chain f64(n)·f64(z)·f64(lag)/f64(den): no
+            # int64 product required, mirrored left-to-right by the
+            # wide oracle's CAST(..)*CAST(..)*CAST(..)/CAST(..)
+            local = (
+                np.float64(n)
+                * z.astype(np.float64)
+                * lag.astype(np.float64)
+                / np.float64(den)
+            )
+        else:
+            # exact int64 product n·z·lag (guarded above), ONE cast
+            num = np.int64(n) * z * lag
+            local = num.astype(np.float64) / np.float64(den)
         return pa.table({
             id_col: t.column("node"),
             "z": pa.array(z),
             "lag_z": pa.array(lag),
-            "local_i": pa.array(
-                num.astype(np.float64) / np.float64(den)
-            ),
+            "local_i": pa.array(local),
         })
 
     return joined.map_batches(_score, batch_format="pyarrow")

@@ -56,12 +56,30 @@ def test_autocorr_guards(ray_session):
     }))
     with pytest.raises(ValueError, match="constant"):
         spatial_autocorr(g, const)
+    # magnitudes past the int64 narrow guard auto-route to the wide
+    # (128-bit limb) path and still produce the exact statistic
+    rng = np.random.default_rng(11)
+    xb = (1 << 40) + rng.integers(0, 1000, 9).astype(np.int64)
     big = ray.data.from_arrow(pa.table({
         "id": pa.array(np.arange(9, dtype=np.int64)),
-        "x": pa.array(np.full(9, 1 << 40, dtype=np.int64)),
+        "x": pa.array(xb),
     }))
-    with pytest.raises(ValueError, match="overflow"):
-        spatial_autocorr(g, big)
+    row = spatial_autocorr(g, big).take_all()[0]
+    m, _ = lat2graph(3, 3, rook=True).to_dense()
+    em, ec = _classic((m > 0).astype(float), xb.astype(float))
+    # tolerance bounded by the FLOAT reference's precision at 2^40
+    # magnitude (engine side is exact integers; _classic subtracts a
+    # ~1e12 mean in float64, losing ~1e-8 relative)
+    assert abs(row["moran_i"] - em) < 1e-6
+    assert abs(row["geary_c"] - ec) < 1e-6
+    # truly un-representable z (>= 2^62) still raises loudly
+    huge = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(9, dtype=np.int64)),
+        "x": pa.array(
+            np.r_[np.full(8, 0, dtype=np.int64), (1 << 62) - 1]),
+    }))
+    with pytest.raises(ValueError, match="rescale|overflow|int64"):
+        spatial_autocorr(g, huge)
 
 
 def test_id_universe_mismatch_raises(ray_session):

@@ -1,0 +1,140 @@
+"""Wide (beyond-int64) exact regime of the ESDA statistics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.builders.lattice import lat2graph
+from libpysal_ray.spatial.stats import (
+    _prod_sum_exact,
+    local_moran,
+    spatial_autocorr,
+)
+
+
+def test_prod_sum_exact_fuzz():
+    rng = np.random.default_rng(5)
+    for _ in range(100):
+        n = int(rng.integers(1, 300))
+        mag = int(rng.integers(1, 62))
+        a = rng.integers(-(1 << mag), 1 << mag, n, dtype=np.int64)
+        b = rng.integers(-(1 << mag), 1 << mag, n, dtype=np.int64)
+        assert _prod_sum_exact(a, b) == sum(
+            int(x) * int(y) for x, y in zip(a, b)
+        )
+    a = np.array([(1 << 62) - 1, -(1 << 62) + 1, 0], dtype=np.int64)
+    b = np.array([(1 << 62) - 1, (1 << 62) - 1, 9], dtype=np.int64)
+    assert _prod_sum_exact(a, b) == sum(
+        int(x) * int(y) for x, y in zip(a, b)
+    )
+
+
+def _attrs(vals):
+    return ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(len(vals), dtype=np.int64)),
+        "x": pa.array(np.asarray(vals, dtype=np.int64)),
+    }))
+
+
+@pytest.fixture(scope="module")
+def rook5(ray_session):
+    return lat2graph(5, 5, rook=True)
+
+
+def test_local_moran_wide_matches_narrow(rook5):
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, 50, 25)
+    narrow = local_moran(rook5, _attrs(vals)).to_pandas().sort_values(
+        "id").reset_index(drop=True)
+    wide = local_moran(rook5, _attrs(vals), force_wide=True).to_pandas(
+    ).sort_values("id").reset_index(drop=True)
+    assert narrow[["z", "lag_z"]].equals(wide[["z", "lag_z"]])
+    # different (documented) float pinning: allclose, not bit-equal
+    assert np.allclose(narrow["local_i"], wide["local_i"], rtol=1e-12)
+
+
+def test_local_moran_wide_layout_invariant(rook5, ray_session):
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 99, 25)
+    outs = []
+    for parts in (1, 4):
+        a = _attrs(vals).repartition(parts)
+        outs.append(
+            local_moran(rook5, a, force_wide=True).to_pandas()
+            .sort_values("id").reset_index(drop=True)
+        )
+    assert outs[0].equals(outs[1])  # bit-equal across block layouts
+
+
+def test_local_moran_auto_wide_beyond_int64(rook5):
+    # x ~ 2^40: n*z*lag and sum(z^2) blow int64, so the narrow guard
+    # would previously raise — the wide path must now engage and match
+    # an unbounded-int reference exactly
+    rng = np.random.default_rng(11)
+    vals = rng.integers(1 << 39, 1 << 40, 25)
+    out = local_moran(rook5, _attrs(vals)).to_pandas().sort_values(
+        "id").reset_index(drop=True)
+    n = 25
+    sx = int(vals.sum())
+    z = {i: n * int(vals[i]) - sx for i in range(n)}
+    den = sum(v * v for v in z.values())
+    nbrs = {i: [] for i in range(n)}
+    for i in range(n):
+        r, c = divmod(i, 5)
+        for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+            if 0 <= rr < 5 and 0 <= cc < 5:
+                nbrs[i].append(rr * 5 + cc)
+    for _, row in out.iterrows():
+        i = int(row["id"])
+        lag = sum(z[j] for j in nbrs[i])
+        assert int(row["z"]) == z[i]
+        assert int(row["lag_z"]) == lag
+        want = (
+            np.float64(n) * np.float64(z[i]) * np.float64(lag)
+            / np.float64(den)
+        )
+        assert row["local_i"] == want  # identical pinned float chain
+
+
+def test_spatial_autocorr_wide_matches_narrow(rook5):
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, 25)
+    narrow = spatial_autocorr(rook5, _attrs(vals)).to_pandas().iloc[0]
+    wide = spatial_autocorr(
+        rook5, _attrs(vals), force_wide=True
+    ).to_pandas().iloc[0]
+    # exact integers serialize as decimal strings in the wide regime
+    assert int(wide["moran_num"]) == int(narrow["moran_num"])
+    assert int(wide["sq_diff"]) == int(narrow["sq_diff"])
+    assert int(wide["den"]) == int(narrow["den"])
+    assert wide["moran_i"] == narrow["moran_i"]
+    assert wide["geary_c"] == narrow["geary_c"]
+
+
+def test_spatial_autocorr_auto_wide_beyond_int64(rook5):
+    rng = np.random.default_rng(13)
+    vals = rng.integers(1 << 39, 1 << 40, 25)
+    out = spatial_autocorr(rook5, _attrs(vals)).to_pandas().iloc[0]
+    n = 25
+    sx = int(vals.sum())
+    z = [n * int(v) - sx for v in vals]
+    den = sum(v * v for v in z)
+    assert int(out["den"]) == den  # > int64, exact via limb sums
+    assert den >= (1 << 63)
+    num, sq, s0 = 0, 0, 0
+    for i in range(n):
+        r, c = divmod(i, 5)
+        for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+            if 0 <= rr < 5 and 0 <= cc < 5:
+                j = rr * 5 + cc
+                s0 += 1
+                num += z[i] * z[j]
+                d = int(vals[i]) - int(vals[j])
+                sq += d * d
+    assert int(out["moran_num"]) == num
+    assert int(out["sq_diff"]) == sq
+    assert int(out["s0"]) == s0
+    assert out["moran_i"] == float(
+        np.float64(n * num) / np.float64(s0 * den)
+    )
