@@ -118,6 +118,190 @@ def all_ids_dataset(edges: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _wl_equivalent(a: "RayGraph", b: "RayGraph", rounds: int = 6) -> bool:
+    """Distributed 1-WL (Weisfeiler–Leman color refinement) screen.
+
+    Returns False the moment any refinement round's color-class multiset
+    digest differs between the two graphs — a PROOF of non-isomorphism
+    at any scale (isomorphic graphs produce identical color multisets
+    every round, so identical digests; digests are wrap-sums of hashed
+    (color, count) pairs, so a hash collision can only MERGE classes —
+    it can never make equal multisets look different). True means WL
+    could not distinguish the graphs within ``rounds`` rounds
+    (inconclusive — WL cannot separate, e.g., same-degree regular
+    graphs). The reference stops at networkx degree-sequence screens
+    (graph/_set_ops.py:197-207); refinement strictly dominates them.
+
+    Per round and graph: two bucket_joins (attach current colors to each
+    edge end), two grouped wrap-sums, one left-join back onto the node
+    universe — all single-key hash shuffles; driver state is one digest
+    int per round (the color table itself never leaves the cluster).
+    Directed orientation is respected: in- and out-neighborhood sums are
+    keyed by different round constants.
+    """
+    from libpysal_ray.core.hashing import splitmix64
+
+    K_OUT = np.uint64(0x9E3779B97F4A7C15)
+    K_IN = np.uint64(0xBF58476D1CE4E5B9)
+    K_MIX = np.uint64(0x94D049BB133111EB)
+
+    def _u(col: pa.ChunkedArray) -> np.ndarray:
+        # int64 bits → uint64, nulls (left-join misses) → 0
+        return (
+            pc.fill_null(col, 0)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+
+    def _init_colors(g: "RayGraph") -> ray.data.Dataset:
+        ids = ids_dataset(g._edges)
+        real = g._real_edges().select_columns(["focal", "neighbor"])
+        outd = J.grouped_agg(
+            real.select_columns(["focal"]), ("focal",), (None,), "count"
+        ).map_batches(
+            lambda t: pa.table(
+                {"focal": t.column("focal"), "od": t.column("count()")}
+            ),
+            batch_format="pyarrow",
+        )
+        ind = J.grouped_agg(
+            real.map_batches(
+                lambda t: pa.table({"focal": t.column("neighbor")}),
+                batch_format="pyarrow",
+            ),
+            ("focal",), (None,), "count",
+        ).map_batches(
+            lambda t: pa.table(
+                {"focal": t.column("focal"), "idg": t.column("count()")}
+            ),
+            batch_format="pyarrow",
+        )
+        j = J.bucket_join(
+            J.bucket_join(ids, outd, on="focal", how="left"),
+            ind, on="focal", how="left",
+        )
+
+        def _c0(t: pa.Table) -> pa.Table:
+            od = _u(t.column("od"))
+            idg = _u(t.column("idg"))
+            c = splitmix64(splitmix64(od ^ K_OUT) ^ idg)
+            return pa.table({
+                "focal": t.column("focal"),
+                "color": pa.array(c.view(np.int64)),
+            })
+
+        return j.map_batches(_c0, batch_format="pyarrow").materialize()
+
+    def _refine(real: ray.data.Dataset, colors: ray.data.Dataset,
+                rnd: int) -> ray.data.Dataset:
+        kr = np.uint64(0xD6E8FEB86659FD93) * np.uint64(2 * rnd + 1)
+
+        def _h(key: np.uint64, key_name: str, out_name: str):
+            # explicit map_batches rename: Dataset.rename_columns is lazy
+            # and its schema can leak pre-rename names into bucket_join
+            def f(t: pa.Table) -> pa.Table:
+                c = _u(t.column("color"))
+                return pa.table({
+                    key_name: t.column("focal"),
+                    out_name: pa.array(
+                        splitmix64(c ^ key ^ kr).view(np.int64)
+                    ),
+                })
+            return f
+
+        # Σ over out-edges f→n of h(color(n)), keyed by f
+        nbc = colors.map_batches(
+            _h(K_OUT, "neighbor", "hc"), batch_format="pyarrow"
+        )
+        osum = J.grouped_agg(
+            J.bucket_join(real, nbc, on="neighbor"
+                          ).select_columns(["focal", "hc"]),
+            ("focal",), ("hc",), "sum",
+        ).map_batches(
+            lambda t: pa.table(
+                {"focal": t.column("focal"), "os": t.column("sum(hc)")}
+            ),
+            batch_format="pyarrow",
+        )
+        # Σ over in-edges u→f of h(color(u)), keyed by f
+        fcc = colors.map_batches(
+            _h(K_IN, "focal", "hd"), batch_format="pyarrow"
+        )
+        isum = J.grouped_agg(
+            J.bucket_join(real, fcc, on="focal"
+                          ).map_batches(
+                lambda t: pa.table(
+                    {"focal": t.column("neighbor"), "hd": t.column("hd")}
+                ),
+                batch_format="pyarrow",
+            ),
+            ("focal",), ("hd",), "sum",
+        ).map_batches(
+            lambda t: pa.table(
+                {"focal": t.column("focal"), "ins": t.column("sum(hd)")}
+            ),
+            batch_format="pyarrow",
+        )
+        j = J.bucket_join(
+            J.bucket_join(colors, osum, on="focal", how="left"),
+            isum, on="focal", how="left",
+        )
+
+        def _mix(t: pa.Table) -> pa.Table:
+            c = _u(t.column("color"))
+            os_ = _u(t.column("os"))
+            ins = _u(t.column("ins"))
+            nc = splitmix64(splitmix64(c ^ K_MIX) ^ os_ * np.uint64(3)
+                            ^ ins * np.uint64(5))
+            return pa.table({
+                "focal": t.column("focal"),
+                "color": pa.array(nc.view(np.int64)),
+            })
+
+        return j.map_batches(_mix, batch_format="pyarrow").materialize()
+
+    def _digest(colors: ray.data.Dataset) -> tuple[int, int]:
+        """(multiset digest, #distinct color classes) — one groupby,
+        then O(#blocks) one-row partials combined on the driver."""
+        counts = J.grouped_agg(
+            colors.select_columns(["color"]), ("color",), (None,), "count"
+        )
+
+        def _part(t: pa.Table) -> pa.Table:
+            c = _u(t.column("color"))
+            k = _u(t.column("count()"))
+            d = np.uint64(splitmix64(c ^ splitmix64(k)).sum())
+            return pa.table({
+                "d": pa.array([d.view(np.int64)]),
+                "k": pa.array([np.int64(len(c))]),
+            })
+
+        parts = counts.map_batches(
+            _part, batch_format="pyarrow"
+        ).take_all()
+        dig = sum(int(r["d"]) for r in parts) & ((1 << 64) - 1)
+        return dig, sum(int(r["k"]) for r in parts)
+
+    ra = a._real_edges().select_columns(["focal", "neighbor"]).materialize()
+    rb = b._real_edges().select_columns(["focal", "neighbor"]).materialize()
+    ca, cb = _init_colors(a), _init_colors(b)
+    prev_classes = -1
+    for rnd in range(rounds + 1):
+        (da, ka), (db, kb) = _digest(ca), _digest(cb)
+        if da != db or ka != kb:
+            return False
+        if ka == prev_classes:
+            # refinement stabilized (class count stopped growing on both
+            # sides) — further rounds cannot distinguish
+            return True
+        prev_classes = ka
+        if rnd < rounds:
+            ca, cb = _refine(ra, ca, rnd), _refine(rb, cb, rnd)
+    return True
+
+
 class RayGraph:
     """Immutable spatial-weights graph; every op returns a new RayGraph.
 
@@ -832,9 +1016,18 @@ class RayGraph:
         if _deg_hist(self) != _deg_hist(other):
             return False
         if self.n() > max_nodes:
+            # distributed screens that can PROVE non-isomorphism at any
+            # scale: component count, then 1-WL color refinement. Only
+            # the POSITIVE certificate needs the adjacency in one place.
+            if self.n_components()[0] != other.n_components()[0]:
+                return False
+            if not _wl_equivalent(self, other):
+                return False
             raise NotImplementedError(
-                f"exact isomorphism above {max_nodes} nodes; the degree "
-                "screen passed — use domain knowledge or raise max_nodes"
+                f"graphs are WL-equivalent and above the {max_nodes}-node "
+                "exact-matcher cap; a positive isomorphism certificate "
+                "needs the full adjacency on one node — raise max_nodes "
+                "or use domain structure"
             )
         # Asymmetric graphs (e.g. KNN) must be matched over DIRECTED
         # adjacency — the reference converts them to nx.DiGraph

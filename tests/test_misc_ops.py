@@ -606,3 +606,28 @@ def test_polyline_shapefile_contiguity(ray_session, tmp_path):
     assert all(
         not ((a == 2) ^ (b == 2)) for a, b in edges
     )
+
+
+def test_isomorphic_wl_screen_above_cap(ray_session):
+    """Above max_nodes the distributed screens settle everything they
+    can: component count, then 1-WL color refinement — a proof of
+    non-isomorphism at any scale. Only a still-WL-equivalent pair falls
+    to the loud raise (a positive certificate needs the adjacency)."""
+    # hexagon vs two triangles: same degree histogram, distinguished by
+    # the distributed component-count screen
+    hexg = _g([0, 1, 2, 3, 4, 5], [1, 2, 3, 4, 5, 0]).symmetrize("union")
+    tri2 = _g([0, 1, 2, 3, 4, 5], [1, 2, 0, 4, 5, 3]).symmetrize("union")
+    assert not hexg.isomorphic(tri2, max_nodes=2)
+    # P4 ∪ C3 vs P3 ∪ C4: same degree histogram {1:2, 2:5} AND same
+    # component count (2) — only WL refinement separates them
+    g1 = _g([0, 1, 2, 4, 5, 6], [1, 2, 3, 5, 6, 4]).symmetrize("union")
+    g2 = _g([0, 1, 3, 4, 5, 6], [1, 2, 4, 5, 6, 3]).symmetrize("union")
+    assert not g1.isomorphic(g2, max_nodes=2)
+    # relabeled lattice above the cap: every screen passes (the graphs
+    # really are isomorphic) -> declared loud raise, never a wrong bool
+    a = lat2graph(3, 3, rook=True)
+    b = a.remap_ids(np.arange(9), np.arange(9)[::-1].copy())
+    with pytest.raises(NotImplementedError, match="WL-equivalent"):
+        a.isomorphic(b, max_nodes=2)
+    # below the cap the exact matcher still answers positively
+    assert a.isomorphic(b)
