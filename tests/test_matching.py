@@ -230,3 +230,66 @@ def test_between_matching_line_sorted_optimum():
         got = np.abs(a[heads] - b[tails]).sum()
         want = np.abs(np.sort(a) - np.sort(b)).sum()
         assert got == want
+
+
+def test_auction_matches_ssp_and_bruteforce():
+    """ε-scaling auction (the n_matches=1 scale path) is exact: equal
+    optima vs brute force (tiny) and vs the SSP flow (medium), square
+    and rectangular, including the padded-square stale-price regression
+    (nt < ns across ε-phases)."""
+    from libpysal_ray.builders.matching import _auction_assignment
+
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        nt = int(rng.integers(2, 6))
+        ns = nt + int(rng.integers(0, 3))
+        c = rng.integers(0, 50, (nt, ns)).astype(np.int64)
+        a = _auction_assignment(c)
+        assert len(np.unique(a)) == nt
+        got = c[np.arange(nt), a].sum()
+        best = min(
+            sum(c[i, p[i]] for i in range(nt))
+            for p in itertools.permutations(range(ns), nt)
+        )
+        assert got == best
+    for _ in range(10):
+        nt = int(rng.integers(20, 60))
+        ns = nt + int(rng.integers(0, 20))
+        c = rng.integers(0, 1000, (nt, ns)).astype(np.int64)
+        a = _auction_assignment(c)
+        f = _min_cost_transport(c.astype(np.float64), 1, 1)
+        ti, sj = np.nonzero(f)
+        assert c[np.arange(nt), a].sum() == c[ti, sj].sum()
+    # the exact regression instance where the rectangular (unpadded)
+    # auction kept a stale unassigned-column price across ε-phases
+    c = np.array([[1, 27, 4, 14], [24, 21, 20, 1]], np.int64)
+    a = _auction_assignment(c)
+    assert c[np.arange(2), a].sum() == 2
+
+
+def test_spatial_matching_collinear_closed_form():
+    """Collinear equal-size n_matches=1 inputs take the sorted-order
+    closed form (no n² matrix): optimum equals the SSP flow optimum on
+    the same instance, at a size where the old cap was already real."""
+    rng = np.random.default_rng(1)
+    n = 300
+    xs = rng.permutation(100_000)[:n].astype(np.float64)
+    ys = rng.permutation(100_000)[:n].astype(np.float64)
+    xp = np.column_stack([xs, np.zeros(n)])
+    yp = np.column_stack([ys, np.zeros(n)])
+    heads, tails, w = spatial_matching(xp, yp, n_matches=1)
+    assert len(heads) == n and len(np.unique(tails)) == n
+    got = np.abs(xs[heads] - ys[tails]).sum()
+    want = np.abs(np.sort(xs) - np.sort(ys)).sum()
+    assert got == want
+    # non-collinear falls through to the auction: still exact vs SSP
+    xp2 = rng.uniform(0, 1000, (40, 2))
+    yp2 = rng.uniform(0, 1000, (40, 2))
+    h2, t2, _ = spatial_matching(xp2, yp2, n_matches=1)
+    cost = np.hypot(
+        xp2[:, None, 0] - yp2[None, :, 0], xp2[:, None, 1] - yp2[None, :, 1]
+    )
+    f = _min_cost_transport(cost, 1, 1)
+    ti, sj = np.nonzero(f)
+    # integerized at 2^-30 of range: totals agree to that resolution
+    assert abs(cost[h2, t2].sum() - cost[ti, sj].sum()) < 40 * 1e-6
