@@ -94,6 +94,54 @@ def adjlist_apply(
     return out.map_batches(_mvapply, batch_format="pyarrow")
 
 
+def filter_adjlist(graph_or_edges) -> ray.data.Dataset:
+    """Undirected dedup of an adjacency list: ONE row per unordered
+    {a, b} pair (reference adjtools.py:230-276; it keeps the first row
+    in pandas iteration order — a distributed Dataset has no row order,
+    so the kept row here is canonical: the (lo→hi) orientation when any
+    such row exists, else (hi→lo), with the MIN weight among kept-
+    orientation duplicates; sort the reference's input likewise for
+    parity). One grouped-aggregate shuffle on the canonical pair; no
+    driver state."""
+    from libpysal_ray.core import joins as J
+
+    edges = (graph_or_edges.edges if hasattr(graph_or_edges, "edges")
+             else graph_or_edges)
+
+    def _canon(t: pa.Table) -> pa.Table:
+        f = t.column("focal").to_numpy(zero_copy_only=False)
+        n = t.column("neighbor").to_numpy(zero_copy_only=False)
+        w = t.column("weight").to_numpy(zero_copy_only=False)
+        fwd = f <= n
+        return pa.table({
+            "lo": pa.array(np.minimum(f, n)),
+            "hi": pa.array(np.maximum(f, n)),
+            "has_fwd": pa.array(fwd.astype(np.int64)),
+            "w_fwd": pa.array(np.where(fwd, w, np.inf)),
+            "w_rev": pa.array(np.where(fwd, np.inf, w)),
+        })
+
+    g = J.grouped_agg(
+        edges.map_batches(_canon, batch_format="pyarrow"),
+        ("lo", "hi"), ("has_fwd", "w_fwd", "w_rev"),
+        ("max", "min", "min"),
+    )
+
+    def _emit(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        fwd = t.column("max(has_fwd)").to_numpy(zero_copy_only=False) > 0
+        w1 = t.column("min(w_fwd)").to_numpy(zero_copy_only=False)
+        w0 = t.column("min(w_rev)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "focal": pa.array(np.where(fwd, lo, hi)),
+            "neighbor": pa.array(np.where(fwd, hi, lo)),
+            "weight": pa.array(np.where(fwd, w1, w0)),
+        })
+
+    return g.map_batches(_emit, batch_format="pyarrow")
+
+
 def adjlist_map(
     graph,
     attr_ids,

@@ -4659,3 +4659,31 @@ SELECT (SELECT n FROM st) AS n, t.s0,
          / CAST(2 * CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS geary_c
 FROM t, d
 """
+
+
+def q_filter_adjlist(sf_dir: str):
+    """filter_adjlist (reference adjtools.py:230-276): one row per
+    unordered {a,b} pair of the rook adjacency — canonical (lo, hi)
+    orientation, min weight among kept-orientation duplicates; ONE
+    grouped-aggregate shuffle."""
+    from libpysal_ray.core.adjtools import filter_adjlist
+
+    return filter_adjlist(_real(_rook_g(sf_dir)))
+
+
+QUERIES["filter_adjlist"] = q_filter_adjlist
+
+ORACLE_SQL["filter_adjlist"] = f"""
+WITH {_ROOK_SQL}
+SELECT
+  CASE WHEN MAX(CASE WHEN focal <= neighbor THEN 1 ELSE 0 END) = 1
+       THEN LEAST(focal, neighbor) ELSE GREATEST(focal, neighbor)
+  END AS focal,
+  CASE WHEN MAX(CASE WHEN focal <= neighbor THEN 1 ELSE 0 END) = 1
+       THEN GREATEST(focal, neighbor) ELSE LEAST(focal, neighbor)
+  END AS neighbor,
+  COALESCE(MIN(CASE WHEN focal <= neighbor THEN weight END),
+           MIN(CASE WHEN focal > neighbor THEN weight END)) AS weight
+FROM (SELECT focal, neighbor, 1.0 AS weight FROM adj)
+GROUP BY LEAST(focal, neighbor), GREATEST(focal, neighbor)
+"""

@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+import ray.data
 
 from libpysal_ray.builders.lattice import lat2graph
 from libpysal_ray.core.adjtools import adjlist_apply, adjlist_map
@@ -80,3 +81,24 @@ def test_adjlist_map_func_count_mismatch(rook5):
     with pytest.raises(ValueError, match="functions"):
         adjlist_map(rook5, np.arange(25), np.zeros((25, 3)),
                     funcs=(np.subtract, np.add))
+
+
+def test_filter_adjlist(ray_session):
+    """One row per unordered pair; forward orientation preferred; min
+    weight among kept-orientation duplicates; one-sided reversed rows
+    survive re-oriented; self-loops collapse to one row."""
+    from libpysal_ray.core import edges as E
+    from libpysal_ray.core.adjtools import filter_adjlist
+
+    f = np.array([0, 1, 0, 5, 3, 7, 7], np.int64)
+    n = np.array([1, 0, 1, 2, 3, 6, 6], np.int64)
+    w = np.array([2.0, 9.0, 4.0, 1.0, 5.0, 8.0, 3.0])
+    ds = ray.data.from_arrow(E.edge_table(f, n, w))
+    got = {(int(r["focal"]), int(r["neighbor"])): r["weight"]
+           for r in filter_adjlist(ds).take_all()}
+    assert got == {
+        (0, 1): 2.0,   # fwd dup: min(2, 4); reversed (1,0) dropped
+        (5, 2): 1.0,   # only the reversed row exists -> kept as-is
+        (3, 3): 5.0,   # self-loop kept once
+        (7, 6): 3.0,   # only reversed, dup: min(8, 3), orientation kept
+    }
