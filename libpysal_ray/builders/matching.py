@@ -63,19 +63,43 @@ def _collect_points(ds, id_col: str, x_col: str, y_col: str):
     return np.arange(len(arr), dtype=np.int64), arr
 
 
+# non-integral float costs at or below this size take the SSP float
+# path (exact in float64, no quantization); measured ~20 s at 2000
+_SSP_FLOAT_EXACT = 2000
+
+
 def _collinear_param(xp: np.ndarray, yp: np.ndarray):
-    """If ALL points of both sets lie on one line (exact float cross
-    products — no tolerance), return their scalar parameters along it as
-    (t_x, t_y); else None."""
+    """If ALL points of both sets PROVABLY lie on one line, return their
+    scalar parameters along it as (t_x, t_y); else None.
+
+    Float cross products round, so a 0.0 is not a proof; the test runs
+    in exact integers instead: coordinates must be dyadic at 2⁻¹⁶
+    (integer after ×65536 — true of the engine's jittered fixtures and
+    any fixed-point source; anything else conservatively falls to the
+    general solver), cross products and projections are computed in
+    int64 when the worst case fits, else in unbounded Python ints."""
     pts = np.vstack([xp, yp])
     d = pts - pts[0]
     nz = np.nonzero((d != 0.0).any(axis=1))[0]
     if nz.size == 0:  # all points identical
         return np.zeros(len(xp)), np.zeros(len(yp))
-    v = d[nz[0]]
-    if np.any(d[:, 0] * v[1] - d[:, 1] * v[0] != 0.0):
-        return None
-    t = d @ v
+    di = d * 65536.0
+    ri = np.rint(di)
+    if not np.array_equal(ri, di) or np.abs(ri).max() >= 2.0**62:
+        return None  # not exactly fixed-point: exact test unavailable
+    ii = ri.astype(np.int64)
+    v0, v1 = int(ii[nz[0], 0]), int(ii[nz[0], 1])
+    mx = int(np.abs(ii).max())
+    if mx * (abs(v0) + abs(v1)) < (1 << 62):
+        # every product AND the projection sum fit int64 exactly
+        if np.any(ii[:, 0] * v1 - ii[:, 1] * v0 != 0):
+            return None
+        t = ii[:, 0] * v0 + ii[:, 1] * v1  # int64; argsort is exact
+    else:
+        rows = ii.tolist()
+        if any(a * v1 - b * v0 for a, b in rows):
+            return None
+        t = np.array([a * v0 + b * v1 for a, b in rows], dtype=object)
     return t[: len(xp)], t[len(xp):]
 
 
@@ -731,24 +755,36 @@ def spatial_matching(
         raise ValueError(f"unsupported metric {metric!r}")
 
     if n_matches == 1:
-        # assignment case: ε-scaling auction — exact for integer costs,
-        # minutes→seconds at 10⁴ points where SSP's O(n³) gives out.
-        # Non-integral float costs are resolved at 2⁻³⁰ of their range
-        # (documented: euclidean sqrt costs are already float64-rounded,
-        # so "the exact float optimum" is only defined to ~2⁻５² anyway).
-        ri = np.rint(cost)
-        if np.array_equal(ri, cost) and np.abs(ri).max(initial=0) < 2**52:
-            ci = ri.astype(np.int64)
-        else:
-            s = float(2**30) / max(float(np.abs(cost).max(initial=0)), 1.0)
-            ci = np.rint(cost * s).astype(np.int64)
-        if ci.shape[0] > ci.shape[1]:
+        # assignment case. Route by cost structure:
+        # * integer costs that fit the auction's (ns+1)-scaled int64
+        #   headroom → ε-scaling auction, EXACT;
+        # * non-integral floats at ≤ _SSP_FLOAT_EXACT points → the SSP
+        #   float path, exact in float64 (no quantization);
+        # * everything else → auction on costs integerized at the finest
+        #   step int64 allows (range/⌊2⁵⁹/(ns+1)⌋ ≈ 2⁻⁴⁴·range at 10k
+        #   points): the result is the exact optimum of the quantized
+        #   instance, within n·step of the float optimum.
+        nt_, ns_ = cost.shape
+        if nt_ > ns_:
             raise ValueError(
-                f"infeasible: total demand {ci.shape[0]} exceeds total "
-                f"capacity {ci.shape[1]}"
+                f"infeasible: total demand {nt_} exceeds total "
+                f"capacity {ns_}"
             )
-        ti = np.arange(ci.shape[0], dtype=np.int64)
-        sj = _auction_assignment(ci)
+        cmax = float(np.abs(cost).max(initial=0.0))
+        ri = np.rint(cost)
+        integral = np.array_equal(ri, cost)
+        headroom = (1 << 59) // (ns_ + 1)
+        ti = np.arange(nt_, dtype=np.int64)
+        if cmax == 0.0:
+            sj = ti.copy()  # all costs equal: any assignment is optimal
+        elif integral and cmax < headroom:
+            sj = _auction_assignment(ri.astype(np.int64))
+        elif not integral and max(nt_, ns_) <= _SSP_FLOAT_EXACT:
+            flow = _min_cost_transport(cost, demand=1, capacity=1)
+            ti, sj = np.nonzero(flow)
+        else:
+            s = float(headroom) / cmax
+            sj = _auction_assignment(np.rint(cost * s).astype(np.int64))
     else:
         flow = _min_cost_transport(cost, demand=n_matches, capacity=n_matches)
         ti, sj = np.nonzero(flow)

@@ -57,11 +57,14 @@ def adjlist_apply(
     edges = graph.edges if hasattr(graph, "edges") else graph
     col = name or getattr(func, "__name__", "result")
 
-    if isinstance(attr_ids, ray.data.Dataset) or (
-        attr_values is not None and np.asarray(attr_values).ndim == 1
-    ):
-        out = _attach_both(edges, attr_ids, attr_values, "att",
-                           id_col, val_col)
+    if isinstance(attr_ids, ray.data.Dataset):
+        if attr_values is not None:
+            raise ValueError(
+                "pass EITHER an attribute Dataset (attr_ids with "
+                "id_col/val_col) OR numpy ids + attr_values — got both; "
+                "the Dataset path would silently ignore attr_values"
+            )
+        out = _attach_both(edges, attr_ids, None, "att", id_col, val_col)
 
         def _apply(t: pa.Table) -> pa.Table:
             xf = t.column("att_focal").to_numpy(zero_copy_only=False)
@@ -70,28 +73,69 @@ def adjlist_apply(
 
         return out.map_batches(_apply, batch_format="pyarrow")
 
-    # multivariate numpy path: P columns attached via one broadcast each
+    if attr_values is not None and np.asarray(attr_values).ndim == 1:
+        out = _attach_both(edges, attr_ids, attr_values, "att",
+                           id_col, val_col)
+
+        def _apply1(t: pa.Table) -> pa.Table:
+            xf = t.column("att_focal").to_numpy(zero_copy_only=False)
+            xn = t.column("att_neighbor").to_numpy(zero_copy_only=False)
+            return t.append_column(col, pa.array(np.asarray(func(xf, xn))))
+
+        return out.map_batches(_apply1, batch_format="pyarrow")
+
+    # multivariate numpy path: the whole (N, P) matrix broadcast ONCE
+    # via ray.put; one map_batches does both endpoint lookups per batch
     vals = np.asarray(attr_values, dtype=np.float64)
     if vals.ndim != 2:
         raise ValueError("attr_values must be (N,) or (N, P)")
-    out = edges
-    p = vals.shape[1]
-    for j in range(p):
-        out = _attach_both(out, attr_ids, vals[:, j], f"c{j}",
-                           id_col, val_col)
+    return edges.map_batches(
+        _mv_lookup_apply(attr_ids, vals, [(col, func, None)]),
+        batch_format="pyarrow",
+    )
 
-    def _mvapply(t: pa.Table) -> pa.Table:
-        xf = np.column_stack([
-            t.column(f"c{j}_focal").to_numpy(zero_copy_only=False)
-            for j in range(p)
-        ])
-        xn = np.column_stack([
-            t.column(f"c{j}_neighbor").to_numpy(zero_copy_only=False)
-            for j in range(p)
-        ])
-        return t.append_column(col, pa.array(np.asarray(func(xf, xn))))
 
-    return out.map_batches(_mvapply, batch_format="pyarrow")
+def _mv_lookup_apply(attr_ids, vals, specs, emit_attrs=None):
+    """Per-batch closure over a ONE-time ray.put broadcast of the sorted
+    (ids, (N, P) values): looks up the focal and neighbor attribute rows
+    with two searchsorted probes and appends result columns.
+
+    ``specs``: list of (out_col, func, j) — ``j=None`` hands func the
+    full (batch, P) matrices (adjlist_apply multivariate), an int hands
+    it column j (adjlist_map). ``emit_attrs``: optional list of
+    (name, j) also emitting ``{name}_focal`` / ``{name}_neighbor``.
+    Raises loudly on edge ids missing from ``attr_ids``."""
+    ids = np.asarray(attr_ids, np.int64)
+    vals = np.asarray(vals, np.float64)
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put((ids[order], vals[order]))
+
+    def _lookup(k: np.ndarray, q: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(k, q)
+        bad = (pos >= len(k)) | (k[np.minimum(pos, len(k) - 1)] != q)
+        if bad.any():
+            raise ValueError(
+                f"{int(bad.sum())} edge ids missing from attr_ids "
+                f"(first: {int(q[bad][0])})"
+            )
+        return pos
+
+    def _f(t: pa.Table) -> pa.Table:
+        k, m = ray.get(ref)
+        f = t.column("focal").to_numpy(zero_copy_only=False)
+        n = t.column("neighbor").to_numpy(zero_copy_only=False)
+        xf = m[_lookup(k, f)]
+        xn = m[_lookup(k, n)]
+        for name, j in (emit_attrs or []):
+            t = t.append_column(f"{name}_focal", pa.array(xf[:, j]))
+            t = t.append_column(f"{name}_neighbor", pa.array(xn[:, j]))
+        for out_col, func, j in specs:
+            a = xf if j is None else xf[:, j]
+            b = xn if j is None else xn[:, j]
+            t = t.append_column(out_col, pa.array(np.asarray(func(a, b))))
+        return t
+
+    return _f
 
 
 def filter_adjlist(graph_or_edges) -> ray.data.Dataset:
@@ -169,24 +213,20 @@ def adjlist_map(
         )
     if names is None:
         names = [str(j) for j in range(p)]
+    if isinstance(attr_ids, ray.data.Dataset):
+        raise ValueError(
+            "adjlist_map takes numpy ids + an (N, P) data matrix; for a "
+            "single attribute Dataset column use adjlist_apply"
+        )
     edges = graph.edges if hasattr(graph, "edges") else graph
-    out = edges
-    for j in range(p):
-        out = _attach_both(out, attr_ids, data[:, j], names[j],
-                           "id", "value")
-
-    def _apply(t: pa.Table) -> pa.Table:
-        for j, fn in enumerate(funcs):
-            xf = t.column(f"{names[j]}_focal").to_numpy(
-                zero_copy_only=False
-            )
-            xn = t.column(f"{names[j]}_neighbor").to_numpy(
-                zero_copy_only=False
-            )
-            t = t.append_column(
-                f"{getattr(fn, '__name__', 'f')}_{names[j]}",
-                pa.array(np.asarray(fn(xf, xn))),
-            )
-        return t
-
-    return out.map_batches(_apply, batch_format="pyarrow")
+    # ONE broadcast of the whole (N, P) matrix + one map_batches with
+    # two endpoint lookups — not 2P sequential attach passes
+    specs = [
+        (f"{getattr(fn, '__name__', 'f')}_{names[j]}", fn, j)
+        for j, fn in enumerate(funcs)
+    ]
+    return edges.map_batches(
+        _mv_lookup_apply(attr_ids, data, specs,
+                         emit_attrs=[(names[j], j) for j in range(p)]),
+        batch_format="pyarrow",
+    )

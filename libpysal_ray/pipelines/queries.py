@@ -4045,8 +4045,10 @@ t AS (
   FROM e
 ),
 d AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den FROM z)
-SELECT (SELECT n FROM st) AS n, t.s0, t.num AS moran_num,
-       t.sq AS sq_diff, d.den,
+SELECT (SELECT n FROM st) AS n, t.s0,
+       CAST(t.num AS VARCHAR) AS moran_num,
+       CAST(t.sq AS VARCHAR) AS sq_diff,
+       CAST(d.den AS VARCHAR) AS den,
        CAST(CAST((SELECT n FROM st) AS HUGEINT) * t.num AS DOUBLE)
          / CAST(CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS moran_i,
        CAST(CAST((SELECT n FROM st) - 1 AS HUGEINT)

@@ -94,12 +94,13 @@ def spatial_autocorr(
     geary_c) for integer attribute ``x`` over graph ``g``'s BINARY edge
     set (weights ignored; transform to taste first).
 
-    NARROW regime (every sum fits int64): all-int64 columns, hash-exact
-    vs the SQL oracle. WIDE regime (auto above the int64 bounds — the
-    10x stress scale — or ``force_wide``): the edge and z² reductions
-    run through :func:`_prod_sum_exact` (128-bit limb products,
-    O(#blocks) decimal-string partials), moran_num/sq_diff/den are
-    emitted as exact DECIMAL STRINGS (any magnitude), and the two float
+    moran_num/sq_diff/den are exact DECIMAL STRINGS in BOTH regimes (a
+    schema that flips with data magnitude would break consumers only at
+    scale). NARROW regime (every sum fits int64): int64 reductions,
+    hash-exact vs the SQL oracle. WIDE regime (auto above the int64
+    bounds — the 10x stress scale — or ``force_wide``): the edge and z²
+    reductions run through :func:`_prod_sum_exact` (128-bit limb
+    products, O(#blocks) decimal-string partials) and the two float
     statistics use the same pinned formula evaluated from unbounded
     Python ints. Only z itself must fit int64 (z_max < 2^62) — good to
     ~10^12 rows at realistic attribute magnitudes."""
@@ -247,23 +248,15 @@ def spatial_autocorr(
     geary = float(
         np.float64((n - 1) * n * n * sq) / np.float64(2 * s0 * den)
     )
-    if wide:
-        # the exact integers can exceed int64 — decimal strings
-        return ray.data.from_arrow(pa.table({
-            "n": pa.array([n], pa.int64()),
-            "s0": pa.array([s0], pa.int64()),
-            "moran_num": pa.array([str(num)]),
-            "sq_diff": pa.array([str(sq)]),
-            "den": pa.array([str(den)]),
-            "moran_i": pa.array([moran], pa.float64()),
-            "geary_c": pa.array([geary], pa.float64()),
-        }))
+    # moran_num/sq_diff/den are decimal STRINGS in BOTH regimes (they
+    # exceed int64 exactly when the wide regime engages — a schema that
+    # flips with data magnitude breaks consumers only at scale)
     return ray.data.from_arrow(pa.table({
         "n": pa.array([n], pa.int64()),
         "s0": pa.array([s0], pa.int64()),
-        "moran_num": pa.array([num], pa.int64()),
-        "sq_diff": pa.array([sq], pa.int64()),
-        "den": pa.array([den], pa.int64()),
+        "moran_num": pa.array([str(num)]),
+        "sq_diff": pa.array([str(sq)]),
+        "den": pa.array([str(den)]),
         "moran_i": pa.array([moran], pa.float64()),
         "geary_c": pa.array([geary], pa.float64()),
     }))

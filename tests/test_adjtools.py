@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -102,3 +103,30 @@ def test_filter_adjlist(ray_session):
         (3, 3): 5.0,   # self-loop kept once
         (7, 6): 3.0,   # only reversed, dup: min(8, 3), orientation kept
     }
+
+
+def test_adjlist_dataset_plus_values_raises(ray_session, rook5):
+    """Code-review r5: Dataset attrs + numpy values together would
+    silently ignore the values — must raise."""
+    g = rook5
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(25, dtype=np.int64)),
+        "value": pa.array(np.arange(25, dtype=np.int64)),
+    }))
+    from libpysal_ray.core.adjtools import adjlist_apply, adjlist_map
+    with pytest.raises(ValueError, match="not both|got both"):
+        adjlist_apply(g, attrs, np.arange(25, dtype=np.float64))
+    with pytest.raises(ValueError, match="numpy ids"):
+        adjlist_map(g, attrs, np.ones((25, 2)))
+
+
+def test_adjlist_mv_missing_id_raises(ray_session, rook5):
+    """Multivariate lookup validates the id universe loudly."""
+    g = rook5
+    from libpysal_ray.core.adjtools import adjlist_apply
+    ids = np.arange(24, dtype=np.int64)  # node 24 missing
+    vals = np.ones((24, 2))
+    with pytest.raises(Exception, match="missing from attr_ids"):
+        adjlist_apply(
+            g, ids, vals, func=lambda a, b: (a - b).sum(axis=1)
+        ).take_all()

@@ -293,3 +293,53 @@ def test_spatial_matching_collinear_closed_form():
     ti, sj = np.nonzero(f)
     # integerized at 2^-30 of range: totals agree to that resolution
     assert abs(cost[h2, t2].sum() - cost[ti, sj].sum()) < 40 * 1e-6
+
+
+def test_assignment_float_precision_routing():
+    """Code-review r5: non-integral float costs must NOT be silently
+    quantized away at small n (SSP float path stays exact), and integer
+    costs past the auction's scaled-int64 headroom rescale instead of
+    raising."""
+    from libpysal_ray.builders.matching import spatial_matching
+
+    # 1e12-magnitude costs whose only differences are ~1e-3
+    base = 1e12
+    c = np.array([
+        [base + 0.001, base + 0.002],
+        [base + 0.002, base + 0.004],
+    ])
+    h, t, _ = spatial_matching(c, c * 0 + c, metric="precomputed",
+                               n_matches=1)
+    # optimum pairs (0,1)+(1,0): 0.002+0.002 < (0,0)+(1,1): 0.001+0.004
+    got = c[h, t].sum()
+    assert got == c[0, 1] + c[1, 0]
+    # integral costs at 2^55 with ns=64: 2^55*(65) > 2^59 headroom ->
+    # rescale branch, must solve (not raise)
+    rng = np.random.default_rng(3)
+    ci = (rng.integers(0, 2**20, (64, 64)).astype(np.float64)
+          * float(2**35))
+    h2, t2, _ = spatial_matching(ci, ci, metric="precomputed",
+                                 n_matches=1)
+    assert len(np.unique(t2)) == 64
+
+
+def test_collinear_param_exactness_gates():
+    """Code-review r5: the collinearity proof must refuse coordinates it
+    cannot test exactly (non-dyadic at 2^-16), and stay exact via
+    unbounded ints when products exceed int64."""
+    from libpysal_ray.builders.matching import _collinear_param
+
+    # non-dyadic coordinate -> conservatively None even though collinear
+    xp = np.array([[0.1, 0.0], [0.3, 0.0]])
+    yp = np.array([[0.7, 0.0]])
+    assert _collinear_param(xp, yp) is None
+    # dyadic but huge: int64 products overflow -> python-int exact path
+    big = 2.0**40
+    xp = np.array([[big, 2 * big], [3 * big, 6 * big]])
+    yp = np.array([[5 * big, 10 * big]])
+    tx, ty = _collinear_param(xp, yp)
+    assert list(np.argsort(tx)) == [0, 1] and len(ty) == 1
+    # same magnitude, off the line -> exact None (float cross would be
+    # rounding-prone here)
+    yp_off = np.array([[5 * big, 10 * big + 1024.0]])
+    assert _collinear_param(xp, yp_off) is None
