@@ -15,11 +15,13 @@ invariants the LP defines):
 
 * collinear inputs, n_matches=1, equal sizes → sorted-order pairing
   (rearrangement inequality), O(n log n), any size;
-* n_matches=1 general → ε-scaling auction (:func:`_auction_assignment`,
-  Bertsekas 1988): exact for integer costs (floats are integerized at
-  2⁻³⁰ of their range — euclidean sqrt costs carry float64 roundoff of
-  that order anyway); measured ~3 min at 10,000×10,000 dense where the
-  SSP path needs hours;
+* n_matches=1, integer costs (or n > 2000) → ε-scaling auction
+  (:func:`_auction_assignment`, Bertsekas 1988): exact for integer
+  costs; non-integral floats above the SSP budget are integerized at
+  the finest step int64 allows, ⌊2⁵⁹/(ns+1)⌋ levels across the range;
+  measured ~3 min at 10,000×10,000 dense where the SSP path needs hours;
+* n_matches=1, non-integral float costs at ≤ 2000 points → the SSP
+  float path, exact in float64 (no quantization);
 * n_matches>1 transport → successive shortest augmenting paths with
   Johnson potentials over the dense bipartite residual graph (pure
   numpy; every relaxation is a vectorized row/column scan).
@@ -110,7 +112,7 @@ def _auction_assignment(cost: np.ndarray) -> np.ndarray:
 
     ``cost`` is (nt, ns) with nt ≤ ns; every row gets a distinct column
     minimizing total cost. Costs must be int64. Internally benefits are
-    scaled by (nt+1) so the final ε=1 phase certifies TRUE optimality
+    scaled by (ns+1) so the final ε=1 phase certifies TRUE optimality
     (ε-complementary-slackness at ε < 1/n is optimal for integer costs).
     Each bidding sweep is a vectorized top-2 scan over the unassigned
     rows' benefit matrix; each accepted bid raises a price by ≥ ε, which
@@ -301,21 +303,33 @@ def _min_cost_transport(cost: np.ndarray, demand: int, capacity: int):
     return flow
 
 
-def _greedy_cover(iu, ju, ecost, k, n):
+def _greedy_cover(iu, ju, ecost, k, n, start=None, infeasible_none=False):
     """Cheapest-edge greedy cover + a drop-redundant sweep (descending
     cost): a feasible incumbent, typically within a few percent of
-    optimal. Edges are assumed cost-sorted ascending."""
+    optimal. Edges are assumed cost-sorted ascending. ``start`` seeds
+    the cover with a pre-chosen edge set (the Lagrangian-repair
+    incumbent extends the negative-reduced-cost edges this way);
+    ``infeasible_none`` returns None instead of raising when the graph
+    cannot cover every deficit."""
     m = len(ecost)
-    deg = np.zeros(n, dtype=np.int64)
-    chosen = np.zeros(m, dtype=bool)
+    if start is None:
+        chosen = np.zeros(m, dtype=bool)
+        deg = np.zeros(n, dtype=np.int64)
+    else:
+        chosen = start.copy()
+        deg = np.bincount(iu[chosen], minlength=n) + np.bincount(
+            ju[chosen], minlength=n
+        )
     for e in range(m):
-        if deg[iu[e]] < k or deg[ju[e]] < k:
+        if not chosen[e] and (deg[iu[e]] < k or deg[ju[e]] < k):
             chosen[e] = True
             deg[iu[e]] += 1
             deg[ju[e]] += 1
         if (deg >= k).all():
             break
     if not (deg >= k).all():
+        if infeasible_none:
+            return None
         raise ValueError("infeasible: not enough distinct partners")
     # edges picked early can become redundant once later ones cover both
     # endpoints — drop them most-expensive-first
@@ -464,22 +478,13 @@ def _bec_core(
     lbase = float(k * lam.sum() + red[neg].sum())
 
     # Lagrangian-repair incumbent: the negative-reduced-cost edges,
-    # deficits repaired cheapest-first, redundant edges dropped — often
-    # beats plain greedy and tightens root fixing
-    deg = np.bincount(iu[neg], minlength=n) + np.bincount(ju[neg], minlength=n)
-    rep = neg.copy()
-    for e in range(m):
-        if not rep[e] and (deg[iu[e]] < k or deg[ju[e]] < k):
-            rep[e] = True
-            deg[iu[e]] += 1
-            deg[ju[e]] += 1
-    if (deg >= k).all():
-        for e in np.flatnonzero(rep)[::-1]:
-            if deg[iu[e]] > k and deg[ju[e]] > k:
-                rep[e] = False
-                deg[iu[e]] -= 1
-                deg[ju[e]] -= 1
-        rep, rcost = _swap_improve(iu, ju, ecost, k, n, rep)
+    # deficits repaired cheapest-first, redundant edges dropped (the
+    # shared _greedy_cover sweep, seeded) — often beats plain greedy
+    # and tightens root fixing
+    res = _greedy_cover(iu, ju, ecost, k, n, start=neg,
+                        infeasible_none=True)
+    if res is not None:
+        rep, rcost = _swap_improve(iu, ju, ecost, k, n, res[0])
         if rcost < best["cost"]:
             best["cost"] = rcost
             best["x"] = rep.copy()
@@ -687,7 +692,9 @@ def spatial_matching(
     matrix. Returns (heads, tails, weights) sorted like the reference
     (_matching.py:162-171): target ids, matched source ids, unit weights.
 
-    ``y=None`` (within-set matching) raises — see the module docstring.
+    ``y=None`` (within-set matching) is solved EXACTLY up to
+    ``max_within`` points by Lagrangian-dual branch-and-bound (see the
+    module docstring) and raises loudly beyond that budget.
     """
     if y is None:
         if metric == "precomputed":

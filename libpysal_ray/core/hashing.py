@@ -31,6 +31,9 @@ def mul32(ids: np.ndarray, const: np.uint64) -> np.ndarray:
     return (a * const) & U32
 
 
+_POLARS_POOL_WARNED = False
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain constant set)."""
     z = x.astype(np.uint64, copy=True)
@@ -115,20 +118,48 @@ def fast_text_digest_u64(arr, seed: int = 0) -> np.ndarray:
     Backed by polars' vectorized string hash (~1.9 GB/s measured vs
     31 MB/s for the per-byte numpy mix and ~200 MB/s for a hashlib.md5
     row loop — the r4 digest swap to the numpy mix was the flagship's
-    2x throughput regression, confirmed by worktree A/B). Falls back to
-    the exact-spec hash when polars is unavailable."""
+    2x throughput regression, confirmed by worktree A/B). A worker
+    without polars raises (a silent per-worker fallback would mix two
+    algorithms in one run and corrupt dedup keys / identity witnesses);
+    set LPR_TEXT_DIGEST=spec cluster-wide to force the spec hash."""
     import os
 
     import pyarrow as pa
 
+    if os.environ.get("LPR_TEXT_DIGEST") == "spec":
+        # operator-forced single algorithm (set it in the cluster
+        # runtime_env so every worker agrees)
+        return hash_string_array_u64(arr, seed)
     # one rayon thread per task: the digest runs inside N concurrent Ray
     # tasks per node — polars' default all-cores pool would oversubscribe
     # N× (takes effect only if polars is not yet imported in this worker)
     os.environ.setdefault("POLARS_MAX_THREADS", "1")
     try:
         import polars as pl
-    except ImportError:  # env without polars: slow but correct
-        return hash_string_array_u64(arr, seed)
+    except ImportError:
+        # NO silent per-worker fallback: digests compare across tasks
+        # (dedup group keys, the flagship byte-identity witness), so two
+        # algorithms in one run would make identical texts hash
+        # differently — missed duplicates / false "text changed" aborts
+        raise RuntimeError(
+            "polars is unavailable in this worker but text digests must "
+            "be computed by ONE algorithm cluster-wide; install polars "
+            "on every node or set LPR_TEXT_DIGEST=spec in the cluster "
+            "runtime_env to force the (slower) spec hash everywhere"
+        ) from None
+    global _POLARS_POOL_WARNED
+    if not _POLARS_POOL_WARNED and pl.thread_pool_size() != 1:
+        _POLARS_POOL_WARNED = True
+        import warnings
+
+        warnings.warn(
+            f"polars was imported before the digest pinned "
+            f"POLARS_MAX_THREADS=1 (pool={pl.thread_pool_size()}): N "
+            "concurrent Ray tasks will each spawn an all-cores rayon "
+            "pool — set POLARS_MAX_THREADS=1 in the worker environment "
+            "to avoid N× oversubscription",
+            RuntimeWarning,
+        )
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     return pl.from_arrow(arr).hash(seed=seed).to_numpy()

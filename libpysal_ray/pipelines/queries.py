@@ -4341,9 +4341,11 @@ QUERIES["mst"] = q_mst
 
 def q_skater(sf_dir: str):
     """SKATER-style regionalization: 8 contiguous regions of the rook
-    lattice by n_chars dissimilarity (MST edge-cut heuristic). MST is
-    not SQL-expressible — rows-only driver check; plateau-recovery and
-    region-count behavior are pytest-verified."""
+    lattice by n_chars dissimilarity (MST edge-cut heuristic). Oracled
+    value-exact since r5: the SQL replays Kruskal over the recursive
+    forest CTE (MATERIALIZED) and labels regions by min reachable id
+    after the 7 deterministic cuts; plateau-recovery and region-count
+    behavior are additionally pytest-verified."""
     from libpysal_ray.spatial.stats import skater_regions
 
     attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(

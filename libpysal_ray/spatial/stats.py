@@ -262,6 +262,53 @@ def spatial_autocorr(
     }))
 
 
+def _lag_sum_guarded(g, src, val_col, out_col, stat, id_col):
+    """Spatial-lag sum of ``src[(node, val_col)]`` over g's real edges,
+    with the id-universe guard shared by every ESDA statistic here: the
+    inner attach drops edges whose neighbor id is missing from the
+    attribute table, which would silently skew the statistic (ADVICE r4
+    #3 / code-review r5) — so the grouped aggregate also counts the
+    joined edges (one extra tiny aggregate over the per-node rows) and
+    raises on any mismatch with the graph's real edge count. Returns a
+    (node, out_col) Dataset."""
+    from libpysal_ray.core.joins import bucket_join
+
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    la = bucket_join(
+        edges,
+        src.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "vv": t.column(val_col),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    ).map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"), "vv": t.column("vv"),
+        }),
+        batch_format="pyarrow",
+    ).groupby("node").aggregate(
+        ray.data.aggregate.Sum("vv"), ray.data.aggregate.Count()
+    ).materialize()
+    matched = int(la.sum("count()") or 0)
+    e_count = int(g._real_edges().count())
+    if matched != e_count:
+        raise ValueError(
+            f"{stat}: {e_count - matched} of {e_count} edges have "
+            f"endpoints missing from attrs ({id_col}); the attribute "
+            "table must cover the graph's node universe"
+        )
+    return la.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"), out_col: t.column("sum(vv)"),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def local_moran(
     g,
     attrs: ray.data.Dataset,
@@ -350,27 +397,7 @@ def local_moran(
     if den == 0:
         raise ValueError("x is constant; local Moran undefined")
 
-    edges = g._real_edges().map_batches(
-        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
-    )
-    lagged = bucket_join(
-        edges,
-        zt.map_batches(
-            lambda t: pa.table({
-                "neighbor": t.column("node"),
-                "zn": t.column("z"),
-            }),
-            batch_format="pyarrow",
-        ),
-        on="neighbor",
-    ).map_batches(
-        lambda t: pa.table({
-            "node": t.column("focal"),
-            "zn": t.column("zn"),
-        }),
-        batch_format="pyarrow",
-    ).groupby("node").sum("zn").rename_columns({"sum(zn)": "lag_z"})
-
+    lagged = _lag_sum_guarded(g, zt, "z", "lag_z", "local_moran", id_col)
     joined = bucket_join(zt, lagged, on="node", how="left")
 
     def _score(t: pa.Table) -> pa.Table:
@@ -539,25 +566,7 @@ def getis_ord_g(
     if total <= 0:
         raise ValueError("x sums to zero; G undefined")
 
-    edges = g._real_edges().map_batches(
-        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
-    )
-    lagged = bucket_join(
-        edges,
-        xs.map_batches(
-            lambda t: pa.table({
-                "neighbor": t.column("node"), "xn": t.column("x"),
-            }),
-            batch_format="pyarrow",
-        ),
-        on="neighbor",
-    ).map_batches(
-        lambda t: pa.table({
-            "node": t.column("focal"), "xn": t.column("xn"),
-        }),
-        batch_format="pyarrow",
-    ).groupby("node").sum("xn").rename_columns({"sum(xn)": "nsum"})
-
+    lagged = _lag_sum_guarded(g, xs, "x", "nsum", "getis_ord_g", id_col)
     joined = bucket_join(xs, lagged, on="node", how="left")
     inc_self = bool(star)
 
@@ -675,6 +684,12 @@ def general_g(
         ray.data.aggregate.Sum("s0"), ray.data.aggregate.Sum("num"),
     )
     s0, num = int(ep["sum(s0)"]), int(ep["sum(num)"])
+    if s0 != e_count:
+        raise ValueError(
+            f"general_g: {e_count - s0} of {e_count} edges have "
+            f"endpoints missing from attrs ({id_col}); the attribute "
+            "table must cover the graph's node universe"
+        )
     return ray.data.from_arrow(pa.table({
         "s0": pa.array([s0], pa.int64()),
         "g_num": pa.array([num], pa.int64()),
@@ -740,24 +755,8 @@ def lisa_quadrants(
         })
 
     zt = xs.map_batches(_with_z, batch_format="pyarrow").materialize()
-    edges = g._real_edges().map_batches(
-        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
-    )
-    lagged = bucket_join(
-        edges,
-        zt.map_batches(
-            lambda t: pa.table({
-                "neighbor": t.column("node"), "zn": t.column("z"),
-            }),
-            batch_format="pyarrow",
-        ),
-        on="neighbor",
-    ).map_batches(
-        lambda t: pa.table({
-            "node": t.column("focal"), "zn": t.column("zn"),
-        }),
-        batch_format="pyarrow",
-    ).groupby("node").sum("zn").rename_columns({"sum(zn)": "lag_z"})
+    lagged = _lag_sum_guarded(g, zt, "z", "lag_z", "lisa_quadrants",
+                              id_col)
     joined = bucket_join(zt, lagged, on="node", how="left")
 
     def _quad(t: pa.Table) -> pa.Table:

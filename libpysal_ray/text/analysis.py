@@ -517,9 +517,9 @@ def select_top_fraction(
     star = ds.select_columns([id_col, score_col]).map_batches(
         _at_star, batch_format="pyarrow"
     )
-    if keep_at_star <= 0:
-        id_cut = None
-    elif keep_at_star == n_star:
+    # keep_at_star >= 1 always: k = max(1, ceil(frac·n)) and cum < k at
+    # the breaking histogram bucket, so no "keep none at s*" leg exists
+    if keep_at_star == n_star:
         # k falls exactly at the end of the s* bucket: every tied row
         # survives, no cutoff needed (and no tie-rank pass at all).
         id_cut = np.iinfo(np.int64).max
@@ -552,10 +552,8 @@ def select_top_fraction(
 
     def _filter(t: pa.Table) -> pa.Table:
         v = t.column(score_col).to_numpy(zero_copy_only=False)
-        keep = v > s_star
-        if id_cut is not None:
-            ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            keep = keep | ((v == s_star) & (ids <= id_cut))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = (v > s_star) | ((v == s_star) & (ids <= id_cut))
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow")

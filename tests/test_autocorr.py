@@ -104,6 +104,13 @@ def test_id_universe_mismatch_raises(ray_session):
     }))
     with pytest.raises(ValueError, match="missing from attrs"):
         moran_bv(g, short_xy)
+    # the per-node statistics share the guarded lag helper (code-review
+    # r5: the guard originally landed on only 3 of the family)
+    from libpysal_ray.spatial.stats import (
+        general_g, getis_ord_g, lisa_quadrants, local_moran)
+    for fn in (local_moran, getis_ord_g, lisa_quadrants, general_g):
+        with pytest.raises(ValueError, match="missing from attrs"):
+            fn(g, short)
 
 
 def test_getis_and_general_g_overflow_guards(ray_session):
