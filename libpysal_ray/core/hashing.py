@@ -80,8 +80,10 @@ def hash_string_array_u64(arr, seed: int = 0) -> np.ndarray:
     raw Arrow data buffer — zero per-string Python), then a splitmix
     finalizer over (sum ^ length). Order sensitivity comes from the
     position term inside each byte's mix; collision odds are the usual
-    ~2^-64 birthday terms. This is the hot-path replacement for the
-    per-byte ``hash_strings_u64`` loop (kept for tiny inputs)."""
+    ~2^-64 birthday terms. NOT bit-compatible with ``hash_strings_u64``
+    (a different mix); the two must never key the same value space —
+    today the loop version keys only block/regime labels, this one
+    everything else."""
     data, starts, lens = _string_array_parts(arr)
     n = len(starts)
     if n == 0:
