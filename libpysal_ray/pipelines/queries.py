@@ -4691,3 +4691,195 @@ SELECT
 FROM (SELECT focal, neighbor, 1.0 AS weight FROM adj)
 GROUP BY LEAST(focal, neighbor), GREATEST(focal, neighbor)
 """
+
+
+def q_gamma(sf_dir: str):
+    """Gamma index of spatial autocorrelation (Hubert et al. 1981) of
+    n_chars over the rook lattice with the absolute-difference kernel —
+    exact integer Γ carried as a decimal string at any magnitude."""
+    from libpysal_ray.spatial.stats import gamma_index
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return gamma_index(_rook_g(sf_dir), attrs, similarity="absdiff")
+
+
+QUERIES["gamma"] = q_gamma
+
+ORACLE_SQL["gamma"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+e AS (
+  SELECT af.x AS xf, an.x AS xn
+  FROM adj
+  JOIN a af ON adj.focal = af.node
+  JOIN a an ON adj.neighbor = an.node
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         SUM(CAST(abs(xf - xn) AS HUGEINT)) AS gm
+  FROM e
+)
+SELECT s0, CAST(gm AS VARCHAR) AS gamma, CAST(gm AS DOUBLE) AS gamma_f
+FROM t
+"""
+
+
+def q_join_counts_cat(sf_dir: str):
+    """Multi-category join counts of the document language over the
+    rook lattice — one (cat_f, cat_n, cnt) row per directed language
+    pair occurring on the edge set (k-color Cliff-Ord counts)."""
+    from libpysal_ray.spatial.stats import join_counts_multi
+
+    attrs = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "cat": t.column("lang"),
+        }),
+        batch_format="pyarrow",
+    )
+    return join_counts_multi(_rook_g(sf_dir), attrs)
+
+
+QUERIES["join_counts_cat"] = q_join_counts_cat
+
+ORACLE_SQL["join_counts_cat"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, lang FROM documents)
+SELECT af.lang AS cat_f, an.lang AS cat_n,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM adj
+JOIN a af ON adj.focal = af.node
+JOIN a an ON adj.neighbor = an.node
+GROUP BY 1, 2
+"""
+
+
+def q_lisa_trans(sf_dir: str):
+    """LISA Markov transition counts (Rey 2001): Moran-quadrant labels
+    of n_chars at t0 and of the derived snapshot
+    x1 = 3*n_chars + doc_id % 97 at t1, counted per (q0, q1) pair."""
+    from libpysal_ray.spatial.stats import lisa_transitions
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x0": t.column("n_chars"),
+            "x1": pa.array(
+                3 * t.column("n_chars").to_numpy(zero_copy_only=False)
+                + t.column("doc_id").to_numpy(zero_copy_only=False) % 97
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return lisa_transitions(_rook_g(sf_dir), attrs)
+
+
+QUERIES["lisa_trans"] = q_lisa_trans
+
+ORACLE_SQL["lisa_trans"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node, n_chars AS x0,
+         3 * n_chars + doc_id % 97 AS x1
+  FROM documents
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x0) AS BIGINT) AS s0x,
+         CAST(SUM(x1) AS BIGINT) AS s1x
+  FROM a
+),
+z AS (
+  SELECT node,
+         (SELECT n FROM st) * x0 - (SELECT s0x FROM st) AS z0,
+         (SELECT n FROM st) * x1 - (SELECT s1x FROM st) AS z1
+  FROM a
+),
+lag AS (
+  SELECT adj.focal AS node,
+         CAST(SUM(zn.z0) AS BIGINT) AS lag0,
+         CAST(SUM(zn.z1) AS BIGINT) AS lag1
+  FROM adj JOIN z zn ON adj.neighbor = zn.node
+  GROUP BY 1
+),
+q AS (
+  SELECT z.node,
+         CASE WHEN z.z0 > 0 AND COALESCE(lag.lag0, 0) > 0 THEN 1
+              WHEN z.z0 < 0 AND COALESCE(lag.lag0, 0) > 0 THEN 2
+              WHEN z.z0 < 0 AND COALESCE(lag.lag0, 0) < 0 THEN 3
+              WHEN z.z0 > 0 AND COALESCE(lag.lag0, 0) < 0 THEN 4
+              ELSE 0 END AS q0,
+         CASE WHEN z.z1 > 0 AND COALESCE(lag.lag1, 0) > 0 THEN 1
+              WHEN z.z1 < 0 AND COALESCE(lag.lag1, 0) > 0 THEN 2
+              WHEN z.z1 < 0 AND COALESCE(lag.lag1, 0) < 0 THEN 3
+              WHEN z.z1 > 0 AND COALESCE(lag.lag1, 0) < 0 THEN 4
+              ELSE 0 END AS q1
+  FROM z LEFT JOIN lag USING (node)
+)
+SELECT q0, q1, CAST(COUNT(*) AS BIGINT) AS cnt FROM q GROUP BY 1, 2
+"""
+
+
+def q_moran_rank(sf_dir: str):
+    """Rank-based (Spearman-style) Moran's I / Geary's C of n_chars
+    over the rook lattice: the exact integer autocorrelation machinery
+    applied to doubled average ranks (2*minrank + ties - 1), so the
+    statistic is monotone-invariant and still hash-exact."""
+    from libpysal_ray.spatial.stats import moran_rank
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return moran_rank(_rook_g(sf_dir), attrs)
+
+
+QUERIES["moran_rank"] = q_moran_rank
+
+ORACLE_SQL["moran_rank"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node,
+         2 * RANK() OVER (ORDER BY n_chars)
+           + COUNT(*) OVER (PARTITION BY n_chars) - 1 AS x
+  FROM documents
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a
+),
+z AS (
+  SELECT node, x,
+         (SELECT n FROM st) * x - (SELECT sx FROM st) AS z
+  FROM a
+),
+e AS (
+  SELECT zf.z AS zf, zf.x AS xf, zn.z AS zn, zn.x AS xn
+  FROM adj
+  JOIN z zf ON adj.focal = zf.node
+  JOIN z zn ON adj.neighbor = zn.node
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(zf * zn) AS BIGINT) AS num,
+         CAST(SUM((xf - xn) * (xf - xn)) AS BIGINT) AS sq
+  FROM e
+),
+d AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den FROM z)
+SELECT (SELECT n FROM st) AS n, t.s0,
+       CAST(t.num AS VARCHAR) AS moran_num,
+       CAST(t.sq AS VARCHAR) AS sq_diff,
+       CAST(d.den AS VARCHAR) AS den,
+       CAST(CAST((SELECT n FROM st) AS HUGEINT) * t.num AS DOUBLE)
+         / CAST(CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS moran_i,
+       CAST(CAST((SELECT n FROM st) - 1 AS HUGEINT)
+            * (SELECT n FROM st) * (SELECT n FROM st) * t.sq AS DOUBLE)
+         / CAST(2 * CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS geary_c
+FROM t, d
+"""

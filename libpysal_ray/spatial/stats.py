@@ -27,7 +27,8 @@ import ray.data
 
 __all__ = ["general_g", "getis_ord_g", "join_counts", "lisa_quadrants",
            "dissimilarity_edges", "local_moran", "moran_bv", "skater_regions",
-           "spatial_autocorr"]
+           "spatial_autocorr", "gamma_index", "join_counts_multi",
+           "lisa_transitions", "rank_scores", "moran_rank"]
 
 _L32 = np.int64(0xFFFFFFFF)
 _L16 = np.int64(0xFFFF)
@@ -1079,4 +1080,293 @@ def skater_regions(
             "region": t.column("component"),
         }),
         batch_format="pyarrow",
+    )
+
+
+def gamma_index(
+    g,
+    attrs: ray.data.Dataset,
+    similarity: str = "product",
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Gamma index of spatial autocorrelation (Hubert/Golledge/
+    Costanzo 1981; the esda Gamma statistic downstream of libpysal
+    weights): Γ = Σ_{(i,j)∈E} a(x_i, x_j) over the binary directed edge
+    set, with the three classic similarity kernels —
+
+        product   a = x_i·x_j        sqdiff   a = (x_i−x_j)²
+        absdiff   a = |x_i−x_j|
+
+    Output one row (s0, gamma, gamma_f): the edge count, the EXACT
+    integer Γ as a decimal string (Γ can exceed int64 freely — each
+    kernel reduces through :func:`_prod_sum_exact`'s 128-bit limb
+    products; absdiff is Σ d·sign(d)), and one pinned float64 cast.
+
+    100 TB shape: identical to :func:`join_counts` — x attaches to the
+    edge table via ONE bucket_join per endpoint, every batch emits a
+    single arbitrary-precision partial, the driver combines O(#blocks)
+    rows. The id-universe guard raises if any edge endpoint is missing
+    from attrs (a silent inner-join drop would skew Γ)."""
+    from libpysal_ray.core.joins import bucket_join
+
+    if similarity not in ("product", "sqdiff", "absdiff"):
+        raise ValueError(
+            f"gamma_index similarity must be product|sqdiff|absdiff, "
+            f"got {similarity!r}"
+        )
+
+    def _xz(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(x),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    # |x| < 2^61 keeps d = x_f − x_n and both _prod_sum_exact operands
+    # inside its |a|,|b| < 2^62 contract.
+    pre = xs.aggregate(
+        ray.data.aggregate.Max("x"), ray.data.aggregate.Min("x")
+    )
+    xmax = max(abs(int(pre["max(x)"] or 0)), abs(int(pre["min(x)"] or 0)))
+    if xmax >= (1 << 61):
+        raise ValueError("gamma_index needs |x| < 2^61; rescale x")
+
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    ).materialize()
+    e_count = int(edges.count())
+    lhs = bucket_join(
+        edges,
+        xs.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"), "xf": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    ).map_batches(
+        lambda t: t.select(["neighbor", "xf"]), batch_format="pyarrow"
+    )
+    both = bucket_join(
+        lhs,
+        xs.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "xn": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+
+    def _part(t: pa.Table) -> pa.Table:
+        xf = t.column("xf").to_numpy(zero_copy_only=False)
+        xn = t.column("xn").to_numpy(zero_copy_only=False)
+        if similarity == "product":
+            a, b = xf, xn
+        elif similarity == "sqdiff":
+            a = xf - xn
+            b = a
+        else:  # absdiff: Σ|d| = Σ d·sign(d)
+            a = xf - xn
+            b = np.sign(a)
+        return pa.table({
+            "p": pa.array([str(_prod_sum_exact(a, b))]),
+            "c": pa.array([np.int64(t.num_rows)]),
+        })
+
+    parts = both.map_batches(_part, batch_format="pyarrow").take_all()
+    joined = sum(int(r["c"]) for r in parts)
+    if joined != e_count:
+        raise ValueError(
+            f"gamma_index: {e_count - joined} of {e_count} edges have "
+            f"endpoints missing from attrs ({id_col}); the attribute "
+            "table must cover the graph's node universe"
+        )
+    gamma = sum(int(r["p"]) for r in parts)
+    return ray.data.from_arrow(pa.table({
+        "s0": pa.array([e_count], pa.int64()),
+        "gamma": pa.array([str(gamma)], pa.string()),
+        "gamma_f": pa.array([float(gamma)], pa.float64()),
+    }))
+
+
+def join_counts_multi(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    cat_col: str = "cat",
+) -> ray.data.Dataset:
+    """Multi-category join counts (the k-color generalization of the
+    binary Cliff–Ord statistic; cf. esda Join_Counts' BB/BW table):
+    one row (cat_f, cat_n, cnt) per DIRECTED category pair that occurs
+    on the edge set — cnt = #{(i,j)∈E : cat_i = cat_f, cat_j = cat_n}.
+    Categories pass through as-is (string or integer). Σ cnt must equal
+    s0; the id-universe guard raises otherwise.
+
+    100 TB shape: two bucket_joins attach the category to each
+    endpoint, then ONE groupby((cat_f, cat_n)).count() whose output is
+    bounded by k² rows, not data size."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _cz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "cat": t.column(cat_col),
+        })
+
+    cs = attrs.map_batches(_cz, batch_format="pyarrow").materialize()
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    ).materialize()
+    e_count = int(edges.count())
+    lhs = bucket_join(
+        edges,
+        cs.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"), "cat_f": t.column("cat"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    ).map_batches(
+        lambda t: t.select(["neighbor", "cat_f"]), batch_format="pyarrow"
+    )
+    both = bucket_join(
+        lhs,
+        cs.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "cat_n": t.column("cat"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+    out = both.groupby(["cat_f", "cat_n"]).count().rename_columns(
+        {"count()": "cnt"}
+    ).materialize()
+    total = int(out.sum("cnt") or 0)
+    if total != e_count:
+        raise ValueError(
+            f"join_counts_multi: {e_count - total} of {e_count} edges "
+            f"have endpoints missing from attrs ({id_col}); the "
+            "attribute table must cover the graph's node universe"
+        )
+    return out
+
+
+def lisa_transitions(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x0_col: str = "x0",
+    x1_col: str = "x1",
+) -> ray.data.Dataset:
+    """LISA Markov transition counts (Rey 2001's spatial Markov /
+    LISA Markov downstream of libpysal weights, à la giddy): classify
+    every observation into its Moran-scatterplot quadrant at two
+    attribute snapshots x0 and x1 (via :func:`lisa_quadrants` — integer
+    z/lag signs, 0 when either is exactly zero) and count the
+    transitions. Output (q0, q1, cnt), at most 25 rows.
+
+    100 TB shape: two full lisa_quadrants passes (each is one
+    bucket_join + one grouped lag sum) joined by node id — one more
+    bucket_join — then a ≤25-row groupby."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _sel(col):
+        return attrs.map_batches(
+            lambda t, c=col: pa.table({
+                id_col: t.column(id_col), "x": t.column(c),
+            }),
+            batch_format="pyarrow",
+        )
+
+    q0 = lisa_quadrants(g, _sel(x0_col), id_col=id_col).map_batches(
+        lambda t: pa.table({"node": t.column(id_col),
+                            "q0": t.column("quad")}),
+        batch_format="pyarrow",
+    )
+    q1 = lisa_quadrants(g, _sel(x1_col), id_col=id_col).map_batches(
+        lambda t: pa.table({"node": t.column(id_col),
+                            "q1": t.column("quad")}),
+        batch_format="pyarrow",
+    )
+    return bucket_join(q0, q1, on="node").groupby(
+        ["q0", "q1"]
+    ).count().rename_columns({"count()": "cnt"})
+
+
+def rank_scores(
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    max_distinct: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Integer doubled average ranks of ``x``: rank2 = 2·minrank +
+    (ties − 1), i.e. twice the classic average (midrank) — kept integer
+    so downstream exact statistics (``spatial_autocorr`` on ranks =
+    the Spearman-style rank Moran) stay hash-exact. Output (id, rank2).
+
+    100 TB shape: the distinct-score histogram discipline of
+    ``select_top_fraction`` — ONE groupby(x).count() whose result is
+    bounded by #distinct values (guarded by ``max_distinct``, loud
+    raise beyond), a driver prefix sum over the sorted distinct values,
+    and one broadcast value→rank2 map applied per batch."""
+    hist = attrs.groupby(x_col).count().materialize()
+    k = int(hist.count())
+    if k > max_distinct:
+        raise ValueError(
+            f"rank_scores: {k} distinct values of {x_col} exceeds "
+            f"max_distinct={max_distinct}; a continuous score needs a "
+            "sort-rank path — bucketize or raise the cap explicitly"
+        )
+    rows = hist.take_all()
+    vals = np.array([r[x_col] for r in rows], dtype=np.int64)
+    cnts = np.array([r["count()"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    minrank = np.empty_like(cnts)
+    minrank[0] = 1
+    np.cumsum(cnts[:-1], out=minrank[1:])
+    minrank[1:] += 1
+    rank2 = 2 * minrank + cnts - 1
+    lut_ref = ray.put((vals, rank2))
+
+    def _apply(t: pa.Table) -> pa.Table:
+        v, r2 = ray.get(lut_ref)
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(v, x)
+        return pa.table({
+            id_col: t.column(id_col),
+            "rank2": pa.array(r2[pos]),
+        })
+
+    return attrs.map_batches(_apply, batch_format="pyarrow")
+
+
+def moran_rank(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    force_wide: bool = False,
+) -> ray.data.Dataset:
+    """Rank-based (Spearman-style) Moran's I / Geary's C: the exact
+    :func:`spatial_autocorr` machinery applied to the integer doubled
+    average ranks of x (:func:`rank_scores`) — monotone-invariant and
+    outlier-robust, the rank analogue used for skewed attributes.
+    Output is spatial_autocorr's one-row schema computed on rank2."""
+    ranked = rank_scores(attrs, id_col=id_col, x_col=x_col)
+    return spatial_autocorr(
+        g, ranked, id_col=id_col, x_col="rank2", force_wide=force_wide
     )

@@ -1,0 +1,151 @@
+"""gamma_index / join_counts_multi / lisa_transitions / moran_rank vs
+brute-force dense references on small lattices."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.builders.lattice import lat2graph
+from libpysal_ray.spatial.stats import (
+    gamma_index,
+    join_counts_multi,
+    lisa_transitions,
+    moran_rank,
+    rank_scores,
+    spatial_autocorr,
+)
+
+
+def _attrs(x, ids=None, col="x"):
+    n = len(x)
+    ids = np.arange(n, dtype=np.int64) if ids is None else ids
+    return ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), col: pa.array(np.asarray(x, dtype=np.int64)),
+    })).repartition(3)
+
+
+def test_gamma_all_similarities_match_dense(ray_session):
+    g = lat2graph(5, 6, rook=True)
+    rng = np.random.default_rng(11)
+    x = rng.integers(-50, 50, 30).astype(np.int64)
+    m, ids = g.to_dense()
+    w = (m > 0).astype(np.int64)
+    xo = x[np.argsort(ids)] if not np.array_equal(ids, np.arange(30)) else x
+    expect = {
+        "product": int((w * np.outer(xo, xo)).sum()),
+        "sqdiff": int((w * (xo[:, None] - xo[None, :]) ** 2).sum()),
+        "absdiff": int((w * np.abs(xo[:, None] - xo[None, :])).sum()),
+    }
+    for sim, want in expect.items():
+        row = gamma_index(g, _attrs(x), similarity=sim).take_all()[0]
+        assert row["s0"] == int(w.sum())
+        assert int(row["gamma"]) == want
+        assert row["gamma_f"] == float(want)
+
+
+def test_gamma_exact_past_int64(ray_session):
+    # per-edge products ~2^120 — the decimal-string partials must stay exact
+    g = lat2graph(3, 3, rook=True)
+    x = np.full(9, (1 << 60) + 12345, dtype=np.int64)
+    row = gamma_index(g, _attrs(x), similarity="product").take_all()[0]
+    assert int(row["gamma"]) == row["s0"] * ((1 << 60) + 12345) ** 2
+
+
+def test_gamma_guards(ray_session):
+    g = lat2graph(3, 3, rook=True)
+    with pytest.raises(ValueError, match="product|sqdiff|absdiff"):
+        gamma_index(g, _attrs(np.zeros(9)), similarity="nope")
+    # attrs covering only half the nodes -> loud universe mismatch
+    half = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(5, dtype=np.int64)),
+        "x": pa.array(np.ones(5, dtype=np.int64)),
+    }))
+    with pytest.raises(ValueError, match="node universe"):
+        gamma_index(g, half)
+
+
+def test_join_counts_multi_matches_dense(ray_session):
+    g = lat2graph(4, 5, rook=True)
+    rng = np.random.default_rng(3)
+    cats = np.array(["a", "b", "c"])[rng.integers(0, 3, 20)]
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(20, dtype=np.int64)),
+        "cat": pa.array(cats),
+    })).repartition(2)
+    out = {(r["cat_f"], r["cat_n"]): r["cnt"]
+           for r in join_counts_multi(g, attrs).take_all()}
+    m, ids = g.to_dense()
+    w = m > 0
+    want: dict = {}
+    for i in range(20):
+        for j in range(20):
+            if w[i, j]:
+                k = (cats[ids[i]], cats[ids[j]])
+                want[k] = want.get(k, 0) + 1
+    assert out == want
+    assert sum(out.values()) == int(w.sum())
+
+
+def test_lisa_transitions_quadrant_counts(ray_session):
+    g = lat2graph(6, 6, rook=True)
+    rng = np.random.default_rng(7)
+    x0 = rng.integers(0, 1000, 36).astype(np.int64)
+    x1 = rng.integers(0, 1000, 36).astype(np.int64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(36, dtype=np.int64)),
+        "x0": pa.array(x0), "x1": pa.array(x1),
+    })).repartition(3)
+    out = {(r["q0"], r["q1"]): r["cnt"]
+           for r in lisa_transitions(g, attrs).take_all()}
+    m, ids = g.to_dense()
+    w = (m > 0).astype(np.int64)
+
+    def _quads(x):
+        z = len(x) * x - x.sum()
+        lag = w @ z[np.argsort(ids)]
+        lag = lag[np.argsort(np.argsort(ids))] if not np.array_equal(
+            ids, np.arange(36)) else w @ z
+        q = np.zeros(len(x), dtype=int)
+        q[(z > 0) & (lag > 0)] = 1
+        q[(z < 0) & (lag > 0)] = 2
+        q[(z < 0) & (lag < 0)] = 3
+        q[(z > 0) & (lag < 0)] = 4
+        return q
+
+    qa, qb = _quads(x0), _quads(x1)
+    want: dict = {}
+    for a, b in zip(qa, qb):
+        want[(a, b)] = want.get((a, b), 0) + 1
+    assert out == want
+    assert sum(out.values()) == 36
+
+
+def test_rank_scores_doubled_midranks(ray_session):
+    x = np.array([30, 10, 20, 10, 30, 30], dtype=np.int64)
+    out = {r["id"]: r["rank2"]
+           for r in rank_scores(_attrs(x)).take_all()}
+    # midranks: 10 -> 1.5, 20 -> 3, 30 -> 5 ; doubled: 3, 6, 10
+    want = {0: 10, 1: 3, 2: 6, 3: 3, 4: 10, 5: 10}
+    assert out == want
+
+
+def test_rank_scores_distinct_cap(ray_session):
+    x = np.arange(100, dtype=np.int64)
+    with pytest.raises(ValueError, match="distinct"):
+        rank_scores(_attrs(x), max_distinct=10).take_all()
+
+
+def test_moran_rank_monotone_invariant(ray_session):
+    # rank Moran is invariant under any strictly monotone transform
+    g = lat2graph(5, 5, rook=True)
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 40, 25).astype(np.int64)
+    a = moran_rank(g, _attrs(x)).take_all()[0]
+    b = moran_rank(g, _attrs(x * x * 7 + 3)).take_all()[0]  # monotone on x>=0
+    assert a["moran_i"] == b["moran_i"]
+    assert a["geary_c"] == b["geary_c"]
+    # and equals plain spatial_autocorr on the rank2 column
+    ranked = rank_scores(_attrs(x))
+    c = spatial_autocorr(g, ranked, x_col="rank2").take_all()[0]
+    assert a["moran_i"] == c["moran_i"]
