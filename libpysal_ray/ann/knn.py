@@ -677,3 +677,190 @@ def emb_clusters(
         }),
         batch_format="pyarrow",
     )
+
+
+def dbscan_embeddings(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.4,
+    min_pts: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """DBSCAN (Ester et al. 1996) over an embedding column with the
+    cosine-similarity neighborhood {j : cos(i,j) ≥ threshold, j ≠ i}:
+
+    - CORE points have ≥ min_pts points in their closed neighborhood
+      (themselves + neighbors, the classic definition);
+    - clusters are the connected components of the core-core ε-graph,
+      labeled by their minimum core id;
+    - BORDER points (non-core with ≥1 core neighbor) join the MINIMUM
+      cluster label among their core neighbors — a deterministic pick
+      of the classic's arbitrary assignment, so the output is
+      layout-invariant and SQL-oracle-exact;
+    - everything else is NOISE (cluster −1).
+
+    Output (id_col, cluster, role['core'|'border'|'noise']).
+
+    100 TB shape: the ε-pair graph comes from ``cosine_dup_pairs_auto``
+    (size-switched exact / LSH-banded — never all-pairs at scale);
+    degrees are ONE groupby(id).count(); core flags attach back to the
+    pair stream via bucket_joins (two semi-join passes); components run
+    through RayGraph's size-switched union-find / distributed min-label
+    propagation; border labels are ONE more bucket_join + groupby.min.
+    No driver-side state beyond scalars."""
+    from libpysal_ray.core import edges as E
+    from libpysal_ray.core.graph import RayGraph
+    from libpysal_ray.core.joins import bucket_join
+
+    pairs = cosine_dup_pairs_auto(
+        embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+    ).map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    ).materialize()
+
+    def _empty(**cols) -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([], ty) for c, ty in cols.items()}
+        ))
+
+    def _all_noise(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            id_col: pa.compute.cast(t.column(id_col), pa.int64()),
+            "cluster": pa.array(np.full(n, -1, dtype=np.int64)),
+            "role": pa.array(np.full(n, "noise")),
+        })
+
+    if pairs.schema(fetch_if_missing=True) is None or pairs.count() == 0:
+        # no point has ANY eps-neighbor -> everything is noise
+        return embeddings.map_batches(_all_noise, batch_format="pyarrow")
+
+    # closed-neighborhood size = directed out-degree + 1 (self)
+    deg = pairs.groupby("id_a").count().map_batches(
+        lambda t: pa.table({
+            "node": t.column("id_a"),
+            "is_core": pa.array(
+                (t.column("count()").to_numpy(zero_copy_only=False) + 1
+                 >= min_pts).astype(np.int64)
+            ),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    if deg.schema(fetch_if_missing=True) is None:
+        deg = _empty(node=pa.int64(), is_core=pa.int64())
+
+    # tag each pair endpoint with its core flag (isolated ids never
+    # appear in pairs, so the inner joins lose nothing)
+    tagged = bucket_join(
+        bucket_join(
+            pairs,
+            deg.map_batches(
+                lambda t: pa.table({
+                    "id_a": t.column("node"), "core_a": t.column("is_core"),
+                }),
+                batch_format="pyarrow",
+            ),
+            on="id_a",
+        ),
+        deg.map_batches(
+            lambda t: pa.table({
+                "id_b": t.column("node"), "core_b": t.column("is_core"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="id_b",
+    ).materialize()
+
+    def _corecore(t: pa.Table) -> pa.Table:
+        keep = pa.compute.and_(
+            pa.compute.equal(t.column("core_a"), 1),
+            pa.compute.equal(t.column("core_b"), 1),
+        )
+        k = t.filter(keep)
+        return E.edge_table(
+            k.column("id_a").to_numpy(zero_copy_only=False),
+            k.column("id_b").to_numpy(zero_copy_only=False),
+            1.0,
+        )
+
+    core_ids = deg.map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(t.column("is_core"), 1)
+        ).select(["node"]).rename_columns(["focal"]),
+        batch_format="pyarrow",
+    )
+    cg = RayGraph(E.resolve_isolates(
+        tagged.map_batches(_corecore, batch_format="pyarrow"), core_ids
+    ))
+    _n, labels = cg.n_components()
+    corelab = labels.map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"), "cluster": t.column("component"),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    if corelab.schema(fetch_if_missing=True) is None:
+        # no core points at all -> typed empty side for the left joins
+        corelab = _empty(node=pa.int64(), cluster=pa.int64())
+
+    # border: non-core endpoint a with a core neighbor b -> min cluster
+    corelab_b = corelab.map_batches(
+        lambda t: pa.table({
+            "id_b": t.column("node"), "cluster": t.column("cluster"),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    if corelab_b.schema(fetch_if_missing=True) is None:
+        corelab_b = _empty(id_b=pa.int64(), cluster=pa.int64())
+    border = bucket_join(
+        tagged.map_batches(
+            lambda t: t.filter(pa.compute.and_(
+                pa.compute.equal(t.column("core_a"), 0),
+                pa.compute.equal(t.column("core_b"), 1),
+            )).select(["id_a", "id_b"]),
+            batch_format="pyarrow",
+        ),
+        corelab_b,
+        on="id_b",
+    ).groupby("id_a").min("cluster").map_batches(
+        lambda t: pa.table({
+            "node": t.column("id_a"), "bcluster": t.column("min(cluster)"),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    if border.schema(fetch_if_missing=True) is None:
+        border = _empty(node=pa.int64(), bcluster=pa.int64())
+
+    ids = embeddings.map_batches(
+        lambda t: pa.table({
+            "node": pa.compute.cast(t.column(id_col), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    out = bucket_join(
+        bucket_join(ids, corelab, on="node", how="left"),
+        border, on="node", how="left",
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        core = t.column("cluster").to_numpy(zero_copy_only=False)
+        bord = t.column("bcluster").to_numpy(zero_copy_only=False)
+        has_core = pa.compute.is_valid(t.column("cluster")).to_numpy(
+            zero_copy_only=False
+        )
+        has_bord = pa.compute.is_valid(t.column("bcluster")).to_numpy(
+            zero_copy_only=False
+        )
+        lab = np.full(t.num_rows, -1, dtype=np.int64)
+        lab[has_bord] = bord[has_bord].astype(np.int64)
+        lab[has_core] = core[has_core].astype(np.int64)
+        role = np.where(
+            has_core, "core", np.where(has_bord, "border", "noise")
+        )
+        return pa.table({
+            id_col: t.column("node"),
+            "cluster": pa.array(lab),
+            "role": pa.array(role),
+        })
+
+    return out.map_batches(_final, batch_format="pyarrow")

@@ -4883,3 +4883,57 @@ SELECT (SELECT n FROM st) AS n, t.s0,
          / CAST(2 * CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS geary_c
 FROM t, d
 """
+
+
+def q_dbscan(sf_dir: str):
+    """DBSCAN over the embeddings table (cosine >= 0.4 neighborhoods,
+    min_pts=3): core/border/noise roles and min-core-id cluster labels
+    — the density-based counterpart of emb_clusters."""
+    from libpysal_ray.ann.knn import dbscan_embeddings
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return dbscan_embeddings(emb, threshold=0.4, min_pts=3)
+
+
+QUERIES["dbscan"] = q_dbscan
+
+ORACLE_SQL["dbscan"] = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS f, b.vec_id AS nb
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+),
+core AS (
+  SELECT f AS vec_id FROM p GROUP BY f HAVING COUNT(*) + 1 >= 3
+),
+cp AS (
+  SELECT p.f, p.nb FROM p
+  WHERE p.f IN (SELECT vec_id FROM core)
+    AND p.nb IN (SELECT vec_id FROM core)
+),
+reach(ra, rb) AS (
+  SELECT vec_id, vec_id FROM core
+  UNION
+  SELECT r.ra, cp.nb FROM reach r JOIN cp ON cp.f = r.rb
+),
+corelab AS (SELECT ra AS vec_id, MIN(rb) AS cluster FROM reach GROUP BY ra),
+border AS (
+  SELECT p.f AS vec_id, MIN(cl.cluster) AS cluster
+  FROM p JOIN corelab cl ON p.nb = cl.vec_id
+  WHERE p.f NOT IN (SELECT vec_id FROM core)
+  GROUP BY p.f
+)
+SELECT e.vec_id,
+       COALESCE(c.cluster, b.cluster, -1) AS cluster,
+       CASE WHEN c.cluster IS NOT NULL THEN 'core'
+            WHEN b.cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM embeddings e
+LEFT JOIN corelab c USING (vec_id)
+LEFT JOIN border b USING (vec_id)
+"""
