@@ -4937,3 +4937,74 @@ FROM embeddings e
 LEFT JOIN corelab c USING (vec_id)
 LEFT JOIN border b USING (vec_id)
 """
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the rook lattice — exact
+    integer cross sums carried as decimal strings, one pinned float
+    correlation (degrees 2/3/4: corners/edges/interior)."""
+    from libpysal_ray.spatial.stats import degree_assortativity
+
+    return degree_assortativity(_rook_g(sf_dir))
+
+
+QUERIES["assortativity"] = q_assortativity
+
+ORACLE_SQL["assortativity"] = f"""
+WITH {_ROOK_SQL},
+deg AS (
+  SELECT focal AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1
+),
+e AS (
+  SELECT df.d AS df, COALESCE(dn.d, 0) AS dn
+  FROM adj
+  JOIN deg df ON adj.focal = df.node
+  LEFT JOIN deg dn ON adj.neighbor = dn.node
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(CAST(df AS HUGEINT)) AS sdf,
+         SUM(CAST(dn AS HUGEINT)) AS sdn,
+         SUM(CAST(df AS HUGEINT) * dn) AS sprod,
+         SUM(CAST(df AS HUGEINT) * df) AS sdf2,
+         SUM(CAST(dn AS HUGEINT) * dn) AS sdn2
+  FROM e
+)
+SELECT m, CAST(sdf AS VARCHAR) AS sdf, CAST(sdn AS VARCHAR) AS sdn,
+       CAST(sprod AS VARCHAR) AS sprod, CAST(sdf2 AS VARCHAR) AS sdf2,
+       CAST(sdn2 AS VARCHAR) AS sdn2,
+       CAST(CAST(m AS HUGEINT) * sprod - sdf * sdn AS DOUBLE)
+         / sqrt(CAST((CAST(m AS HUGEINT) * sdf2 - sdf * sdf)
+                     * (CAST(m AS HUGEINT) * sdn2 - sdn * sdn) AS DOUBLE))
+         AS assort
+FROM t
+"""
+
+
+def q_reciprocity(sf_dir: str):
+    """Edge reciprocity of the asymmetric KNN-4 graph: the fraction of
+    directed edges whose reverse is also present (the scalar companion
+    of asymmetry_knn / mutual_knn)."""
+    from libpysal_ray.spatial.stats import reciprocity
+
+    return reciprocity(_knn4_g(sf_dir))
+
+
+QUERIES["reciprocity"] = q_reciprocity
+
+ORACLE_SQL["reciprocity"] = f"""
+WITH {_KNN4_SQL},
+c AS (
+  SELECT LEAST(focal, neighbor) AS lo, GREATEST(focal, neighbor) AS hi,
+         SUM(CASE WHEN focal <= neighbor THEN 1 ELSE 0 END) AS fwd,
+         SUM(CASE WHEN focal > neighbor THEN 1 ELSE 0 END) AS rev
+  FROM knn GROUP BY 1, 2
+)
+SELECT CAST(SUM(fwd + rev) AS BIGINT) AS m,
+       CAST(COALESCE(SUM(CASE WHEN fwd > 0 AND rev > 0
+                               THEN fwd + rev END), 0) AS BIGINT) AS mutual,
+       CAST(COALESCE(SUM(CASE WHEN fwd > 0 AND rev > 0
+                               THEN fwd + rev END), 0) AS DOUBLE)
+         / CAST(SUM(fwd + rev) AS DOUBLE) AS reciprocity
+FROM c
+"""
