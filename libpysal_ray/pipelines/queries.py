@@ -5008,3 +5008,115 @@ SELECT CAST(SUM(fwd + rev) AS BIGINT) AS m,
          / CAST(SUM(fwd + rev) AS DOUBLE) AS reciprocity
 FROM c
 """
+
+
+def q_moran_inf(sf_dir: str):
+    """Moran's I with analytic inference (E[I], normality and
+    randomization variances, z-scores — Cliff & Ord 1981) of n_chars
+    over the rook lattice; every integer moment exact, every float a
+    pinned chain mirrored by the oracle."""
+    from libpysal_ray.spatial.stats import moran_inference
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return moran_inference(_rook_g(sf_dir), attrs)
+
+
+QUERIES["moran_inf"] = q_moran_inf
+
+ORACLE_SQL["moran_inf"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a
+),
+z AS (
+  SELECT node, (SELECT n FROM st) * x - (SELECT sx FROM st) AS z
+  FROM a
+),
+mom AS (
+  SELECT SUM(CAST(z AS HUGEINT) * z) AS den,
+         SUM(CAST(z AS HUGEINT) * z * z * z) AS sz4
+  FROM z
+),
+numt AS (
+  SELECT SUM(CAST(zf.z AS HUGEINT) * zn.z) AS num
+  FROM adj
+  JOIN z zf ON adj.focal = zf.node
+  JOIN z zn ON adj.neighbor = zn.node
+),
+s0t AS (SELECT CAST(COUNT(*) AS BIGINT) AS s0 FROM adj),
+c AS (
+  SELECT LEAST(focal, neighbor) AS lo, GREATEST(focal, neighbor) AS hi,
+         SUM(CASE WHEN focal <= neighbor THEN 1 ELSE 0 END) AS fwd,
+         SUM(CASE WHEN focal > neighbor THEN 1 ELSE 0 END) AS rev
+  FROM adj GROUP BY 1, 2
+),
+s1t AS (
+  SELECT CAST(SUM(CASE WHEN fwd + rev = 1 THEN 1 ELSE 0 END)
+              + 4 * SUM(CASE WHEN fwd > 0 AND rev > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS s1
+  FROM c
+),
+degs AS (
+  SELECT node, SUM(cc) AS dc FROM (
+    SELECT focal AS node, COUNT(*) AS cc FROM adj GROUP BY 1
+    UNION ALL
+    SELECT neighbor AS node, COUNT(*) AS cc FROM adj GROUP BY 1
+  ) GROUP BY 1
+),
+s2t AS (SELECT CAST(SUM(CAST(dc AS HUGEINT) * dc) AS BIGINT) AS s2
+        FROM degs),
+ing AS (
+  SELECT (SELECT n FROM st) AS n, (SELECT s0 FROM s0t) AS s0,
+         (SELECT s1 FROM s1t) AS s1, (SELECT s2 FROM s2t) AS s2,
+         (SELECT num FROM numt) AS num, (SELECT den FROM mom) AS den,
+         (SELECT sz4 FROM mom) AS sz4
+),
+poly AS (
+  SELECT *,
+         CAST(n AS HUGEINT) * n * s1 - CAST(n AS HUGEINT) * s2
+           + 3 * CAST(s0 AS HUGEINT) * s0 AS a_term,
+         CAST(s0 AS HUGEINT) * s0 * (CAST(n AS HUGEINT) * n - 1)
+           AS b_term,
+         CAST(n AS HUGEINT) * ((CAST(n AS HUGEINT) * n - 3 * n + 3) * s1
+           - CAST(n AS HUGEINT) * s2 + 3 * CAST(s0 AS HUGEINT) * s0)
+           AS c1,
+         (CAST(n AS HUGEINT) * n - n) * s1
+           - 2 * CAST(n AS HUGEINT) * s2
+           + 6 * CAST(s0 AS HUGEINT) * s0 AS c2,
+         CAST(n - 1 AS HUGEINT) * (n - 2) * (n - 3) * s0 * s0 AS d_term
+  FROM ing
+),
+fl AS (
+  SELECT *,
+         CAST(CAST(n AS HUGEINT) * num AS DOUBLE)
+           / CAST(CAST(s0 AS HUGEINT) * den AS DOUBLE) AS mi,
+         -1.0 / CAST(n - 1 AS DOUBLE) AS e_i,
+         CAST(CAST(n AS HUGEINT) * sz4 AS DOUBLE)
+           / CAST(den * den AS DOUBLE) AS b2
+  FROM poly
+),
+v AS (
+  SELECT *,
+         CAST(a_term AS DOUBLE) / CAST(b_term AS DOUBLE)
+           - e_i * e_i AS var_norm,
+         (CAST(c1 AS DOUBLE) - b2 * CAST(c2 AS DOUBLE))
+           / CAST(d_term AS DOUBLE) - e_i * e_i AS var_rand
+  FROM fl
+)
+SELECT n, s0, s1, s2,
+       CAST(num AS VARCHAR) AS moran_num,
+       CAST(den AS VARCHAR) AS den,
+       CAST(sz4 AS VARCHAR) AS sz4,
+       mi AS moran_i, e_i, var_norm,
+       (mi - e_i) / sqrt(var_norm) AS z_norm,
+       var_rand,
+       (mi - e_i) / sqrt(var_rand) AS z_rand
+FROM v
+"""

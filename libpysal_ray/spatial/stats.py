@@ -1536,3 +1536,214 @@ def reciprocity(g) -> ray.data.Dataset:
             [float(mutual) / float(m) if m else float("nan")], pa.float64()
         ),
     }))
+
+
+def moran_inference(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Moran's I with the analytic inference companions (Cliff & Ord
+    1981, the esda.Moran EI/VI_norm/VI_rand/z-scores downstream of
+    libpysal weights) over the binary edge set:
+
+        E[I]     = −1/(n−1)
+        VI_norm  = (n²s1 − n·s2 + 3s0²) / (s0²(n²−1)) − E[I]²
+        VI_rand  = (n((n²−3n+3)s1 − n·s2 + 3s0²)
+                    − b2((n²−n)s1 − 2n·s2 + 6s0²))
+                   / ((n−1)(n−2)(n−3)s0²) − E[I]²
+        b2       = n·Σz⁴ / (Σz²)²     (sample kurtosis, scale-free)
+
+    with the binary graph's moment constants computed EXACTLY as
+    integers: s0 = |E|; s1 = #one-way pairs + 4·#mutual pairs (the
+    reciprocity aggregate); s2 = Σ_i (outdeg_i + indeg_i)². Every
+    integer ingredient (num, den, Σz⁴, s1, s2 and the five composed
+    polynomial terms) is exact and unbounded; each float statistic is
+    one pinned chain of casts/ops mirrored term-for-term by the SQL
+    oracle. Output one row (n, s0, s1, s2, moran_num, den, sz4,
+    moran_i, e_i, var_norm, z_norm, var_rand, z_rand).
+
+    Bound: Σz⁴ reduces through 128-bit limb products of z², which needs
+    z_max < 2^31 (≈ attribute·n < 2^31) — raises loudly beyond; the
+    I/num/den machinery itself is good to z_max < 2^62.
+
+    100 TB shape: the spatial_autocorr edge attach (two bucket_joins +
+    O(#blocks) decimal-string partials), ONE canonical-pair groupby for
+    s1, one degree union groupby for s2 — nothing driver-side beyond
+    scalars."""
+    import math
+
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(
+                t.column(x_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x"),
+        ray.data.aggregate.Max("x"),
+        ray.data.aggregate.Min("x"),
+    )
+    n = int(agg["count()"])
+    if n < 4:
+        raise ValueError(
+            "moran_inference needs at least 4 observations (the "
+            "randomization variance has an (n-3) factor)"
+        )
+    sx = int(agg["sum(x)"])
+    xmax = max(abs(int(agg["max(x)"])), abs(int(agg["min(x)"])))
+    z_max = n * xmax + abs(sx)
+    if z_max >= (1 << 31):
+        raise ValueError(
+            "moran_inference kurtosis term needs z < 2^31 "
+            f"(got bound {z_max}); rescale x"
+        )
+
+    def _with_z(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column("node"),
+            "z": pa.array(np.int64(n) * x - np.int64(sx)),
+        })
+
+    zt = xs.map_batches(_with_z, batch_format="pyarrow").materialize()
+
+    def _moments(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        z2 = z * z  # < 2^62 by the z_max guard
+        return pa.table({
+            "den": pa.array([str(_prod_sum_exact(z, z))]),
+            "z4": pa.array([str(_prod_sum_exact(z2, z2))]),
+        })
+
+    mom = zt.map_batches(_moments, batch_format="pyarrow").take_all()
+    den = sum(int(r["den"]) for r in mom)
+    sz4 = sum(int(r["z4"]) for r in mom)
+    if den == 0:
+        raise ValueError("moran_inference needs a non-constant x")
+
+    # num = Σ_{(i,j)∈E} z_i z_j via the shared guarded lag: lag_z per
+    # node (raises on id-universe mismatch), then Σ z·lag exactly
+    lagged = _lag_sum_guarded(g, zt, "z", "lag_z", "moran_inference",
+                              id_col)
+    num = _sum_prod_exact_ds(
+        bucket_join(zt, lagged, on="node"), "z", "lag_z"
+    )
+
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    ).materialize()
+    s0 = int(edges.count())
+
+    # s1 = Σ_ij (w_ij + w_ji)² / 2 = oneway + 4·mutual_pairs (binary)
+    def _canon(t: pa.Table) -> pa.Table:
+        f = t.column("focal").to_numpy(zero_copy_only=False)
+        nb = t.column("neighbor").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lo": pa.array(np.minimum(f, nb)),
+            "hi": pa.array(np.maximum(f, nb)),
+            "fwd": pa.array((f <= nb).astype(np.int64)),
+            "rev": pa.array((f > nb).astype(np.int64)),
+        })
+
+    pair = edges.map_batches(_canon, batch_format="pyarrow").groupby(
+        ["lo", "hi"]
+    ).aggregate(
+        ray.data.aggregate.Sum("fwd"), ray.data.aggregate.Sum("rev"),
+    )
+
+    def _s1part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fwd = pc.fill_null(pc.cast(t.column("sum(fwd)"), pa.int64()),
+                           0).to_numpy(zero_copy_only=False)
+        rev = pc.fill_null(pc.cast(t.column("sum(rev)"), pa.int64()),
+                           0).to_numpy(zero_copy_only=False)
+        both = (fwd > 0) & (rev > 0)
+        one = (fwd + rev == 1)
+        return pa.table({
+            "s1": pa.array([np.int64(one.sum() + 4 * both.sum())]),
+        })
+
+    s1 = int(sum(
+        r["s1"] for r in
+        pair.map_batches(_s1part, batch_format="pyarrow").take_all()
+    ))
+
+    # s2 = Σ_i (outdeg_i + indeg_i)² — two degree counts unioned
+    outd = edges.groupby("focal").count().map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"),
+            "c": pc_cast_i64(t.column("count()")),
+        }),
+        batch_format="pyarrow",
+    )
+    ind = edges.groupby("neighbor").count().map_batches(
+        lambda t: pa.table({
+            "node": t.column("neighbor"),
+            "c": pc_cast_i64(t.column("count()")),
+        }),
+        batch_format="pyarrow",
+    )
+    tot = outd.union(ind).groupby("node").sum("c")
+    s2 = int(sum(
+        r["p"] for r in tot.map_batches(
+            lambda t: pa.table({"p": pa.array([_prod_sum_exact(
+                pc_fill0(t, "sum(c)"), pc_fill0(t, "sum(c)")
+            )])}),
+            batch_format="pyarrow",
+        ).take_all()
+    ))
+
+    # exact integer polynomial terms (unbounded)
+    a_term = n * n * s1 - n * s2 + 3 * s0 * s0
+    b_term = s0 * s0 * (n * n - 1)
+    c1 = n * ((n * n - 3 * n + 3) * s1 - n * s2 + 3 * s0 * s0)
+    c2 = (n * n - n) * s1 - 2 * n * s2 + 6 * s0 * s0
+    d_term = (n - 1) * (n - 2) * (n - 3) * s0 * s0
+
+    # ONE pinned float chain per statistic, mirrored by the SQL oracle
+    mi = float(n * num) / float(s0 * den)
+    e_i = -1.0 / float(n - 1)
+    var_norm = float(a_term) / float(b_term) - e_i * e_i
+    z_norm = (mi - e_i) / math.sqrt(var_norm)
+    b2 = float(n * sz4) / float(den * den)
+    var_rand = (float(c1) - b2 * float(c2)) / float(d_term) - e_i * e_i
+    z_rand = (mi - e_i) / math.sqrt(var_rand)
+
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "s0": pa.array([s0], pa.int64()),
+        "s1": pa.array([s1], pa.int64()),
+        "s2": pa.array([s2], pa.int64()),
+        "moran_num": pa.array([str(num)]),
+        "den": pa.array([str(den)]),
+        "sz4": pa.array([str(sz4)]),
+        "moran_i": pa.array([mi], pa.float64()),
+        "e_i": pa.array([e_i], pa.float64()),
+        "var_norm": pa.array([var_norm], pa.float64()),
+        "z_norm": pa.array([z_norm], pa.float64()),
+        "var_rand": pa.array([var_rand], pa.float64()),
+        "z_rand": pa.array([z_rand], pa.float64()),
+    }))
+
+
+def pc_fill0(t: pa.Table, col: str) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    return pc.fill_null(pc.cast(t.column(col), pa.int64()), 0).to_numpy(
+        zero_copy_only=False
+    )
