@@ -5120,3 +5120,82 @@ SELECT n, s0, s1, s2,
        (mi - e_i) / sqrt(var_rand) AS z_rand
 FROM v
 """
+
+
+def q_local_geary(sf_dir: str):
+    """Local Geary c_i (Anselin 1995) of n_chars over the rook lattice
+    — exact int64 neighborhood squared-difference sums, one pinned
+    float division per observation."""
+    from libpysal_ray.spatial.stats import local_geary
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return local_geary(_rook_g(sf_dir), attrs)
+
+
+QUERIES["local_geary"] = q_local_geary
+
+ORACLE_SQL["local_geary"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a
+),
+z AS (
+  SELECT node, (SELECT n FROM st) * x - (SELECT sx FROM st) AS z
+  FROM a
+),
+per AS (
+  SELECT adj.focal AS node,
+         CAST(SUM((zf.z - zn.z) * (zf.z - zn.z)) AS BIGINT) AS ci_num
+  FROM adj
+  JOIN z zf ON adj.focal = zf.node
+  JOIN z zn ON adj.neighbor = zn.node
+  GROUP BY 1
+),
+d AS (SELECT SUM(CAST(z AS HUGEINT) * z) AS den FROM z)
+SELECT z.node AS id, COALESCE(per.ci_num, 0) AS ci_num,
+       CAST((SELECT n FROM st) * COALESCE(per.ci_num, 0) AS DOUBLE)
+         / CAST((SELECT den FROM d) AS DOUBLE) AS c_i
+FROM z LEFT JOIN per USING (node)
+"""
+
+
+def q_local_jc(sf_dir: str):
+    """Local join counts (Anselin & Li 2019) of the binary 'long
+    document' indicator (n_chars >= 300) over the rook lattice — BB
+    joins incident to each observation, pure int64."""
+    from libpysal_ray.spatial.stats import local_join_counts
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x": pc.cast(pc.greater_equal(t.column("n_chars"), 300),
+                         pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return local_join_counts(_rook_g(sf_dir), attrs)
+
+
+QUERIES["local_jc"] = q_local_jc
+
+ORACLE_SQL["local_jc"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node, CAST(n_chars >= 300 AS BIGINT) AS x
+  FROM documents
+),
+lag AS (
+  SELECT adj.focal AS node, CAST(SUM(an.x) AS BIGINT) AS lag_x
+  FROM adj JOIN a an ON adj.neighbor = an.node
+  GROUP BY 1
+)
+SELECT a.node AS id, a.x, a.x * COALESCE(lag.lag_x, 0) AS jc
+FROM a LEFT JOIN lag USING (node)
+"""

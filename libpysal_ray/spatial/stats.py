@@ -1747,3 +1747,201 @@ def pc_fill0(t: pa.Table, col: str) -> np.ndarray:
     return pc.fill_null(pc.cast(t.column(col), pa.int64()), 0).to_numpy(
         zero_copy_only=False
     )
+
+
+def local_geary(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Local Geary c_i (Anselin 1995/2019, the esda.Geary_Local
+    statistic downstream of libpysal weights) over the binary edge set,
+    exact-integer inner terms: with z_i = n·x_i − Σx,
+
+        c_i = n · Σ_{j∈N(i)} (z_i − z_j)² / Σ z²
+
+    (identical to the classic (1/m2)·Σ w_ij (x_i−x_j)² with
+    m2 = Σ(x−x̄)²/n — the n⁴ scalings cancel). Output one row per
+    observation (id, ci_num, c_i): the exact int64 neighborhood sum and
+    one pinned float division; isolates get 0.
+
+    100 TB shape: one z bucket_join onto edges, per-batch squared-
+    difference partials, one groupby(focal) sum (universe-guarded), one
+    left join back — the local_moran plumbing."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(
+                t.column(x_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x"),
+        ray.data.aggregate.Max("x"),
+        ray.data.aggregate.Min("x"),
+    )
+    n = int(agg["count()"])
+    if n < 2:
+        raise ValueError("local_geary needs at least 2 observations")
+    sx = int(agg["sum(x)"])
+    xmax = max(abs(int(agg["max(x)"])), abs(int(agg["min(x)"])))
+    z_max = n * xmax + abs(sx)
+    max_deg = int(g.cardinalities().max("cardinality") or 0)
+    # per-focal sums of (zf-zn)^2 AND the n-scaled numerators must fit
+    # int64 (the c_i finalize is one vectorized int64->float64 cast)
+    if (2 * z_max) ** 2 * max(max_deg, 1) * n >= (1 << 62):
+        raise ValueError(
+            "local_geary neighborhood sums would overflow int64; "
+            "rescale x"
+        )
+
+    def _with_z(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column("node"),
+            "z": pa.array(np.int64(n) * x - np.int64(sx)),
+        })
+
+    zt = xs.map_batches(_with_z, batch_format="pyarrow").materialize()
+    den = _sum_prod_exact_ds(zt, "z", "z")
+    if den == 0:
+        raise ValueError("local_geary needs a non-constant x")
+
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    lhs = bucket_join(
+        edges,
+        zt.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"), "zf": t.column("z"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    )
+    both = bucket_join(
+        lhs.map_batches(
+            lambda t: t.select(["focal", "neighbor", "zf"]),
+            batch_format="pyarrow",
+        ),
+        zt.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "zn": t.column("z"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+
+    def _sq(t: pa.Table) -> pa.Table:
+        zf = t.column("zf").to_numpy(zero_copy_only=False)
+        zn = t.column("zn").to_numpy(zero_copy_only=False)
+        d = zf - zn
+        return pa.table({
+            "node": t.column("focal"),
+            "sq": pa.array(d * d),
+        })
+
+    per = both.map_batches(_sq, batch_format="pyarrow").groupby(
+        "node"
+    ).aggregate(
+        ray.data.aggregate.Sum("sq"), ray.data.aggregate.Count()
+    ).materialize()
+    matched = int(per.sum("count()") or 0)
+    e_count = int(g._real_edges().count())
+    if matched != e_count:
+        raise ValueError(
+            f"local_geary: {e_count - matched} of {e_count} edges have "
+            f"endpoints missing from attrs ({id_col}); the attribute "
+            "table must cover the graph's node universe"
+        )
+    joined = bucket_join(
+        zt.map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow"
+        ),
+        per.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"), "ci_num": t.column("sum(sq)"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="node",
+        how="left",
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        num = pc.fill_null(pc.cast(t.column("ci_num"), pa.int64()),
+                           0).to_numpy(zero_copy_only=False)
+        # n*num fits int64 by the pre-check; int64->float64 is the same
+        # correctly-rounded cast as DuckDB's BIGINT->DOUBLE
+        ci = (np.int64(n) * num).astype(np.float64) / float(den)
+        return pa.table({
+            id_col: t.column("node"),
+            "ci_num": pa.array(num),
+            "c_i": pa.array(ci, pa.float64()),
+        })
+
+    return joined.map_batches(_score, batch_format="pyarrow")
+
+
+def local_join_counts(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Local join counts (Anselin & Li 2019, esda.Join_Counts_Local):
+    for a BINARY variable, jc_i = x_i · Σ_{j∈N(i)} x_j — the number of
+    BB joins incident to i, per observation. Pure int64. Output
+    (id, x, jc); raises if x is not 0/1.
+
+    100 TB shape: the shared guarded lag sum (one bucket_join + one
+    groupby) followed by one universe left join."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and not np.isin(x, (0, 1)).all():
+            raise ValueError("local_join_counts needs a 0/1 variable")
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(x),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    lagged = _lag_sum_guarded(g, xs, "x", "lag_x", "local_join_counts",
+                              id_col)
+    joined = bucket_join(xs, lagged, on="node", how="left")
+
+    def _score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        lag = pc.fill_null(pc.cast(t.column("lag_x"), pa.int64()),
+                           0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t.column("node"),
+            "x": pa.array(x),
+            "jc": pa.array(x * lag),
+        })
+
+    return joined.map_batches(_score, batch_format="pyarrow")

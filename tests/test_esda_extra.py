@@ -149,3 +149,47 @@ def test_moran_rank_monotone_invariant(ray_session):
     ranked = rank_scores(_attrs(x))
     c = spatial_autocorr(g, ranked, x_col="rank2").take_all()[0]
     assert a["moran_i"] == c["moran_i"]
+
+
+def test_local_geary_matches_dense(ray_session):
+    from libpysal_ray.spatial.stats import local_geary
+
+    g = lat2graph(5, 6, rook=True)
+    rng = np.random.default_rng(21)
+    x = rng.integers(0, 100, 30).astype(np.int64)
+    out = {r["id"]: (r["ci_num"], r["c_i"])
+           for r in local_geary(g, _attrs(x)).take_all()}
+    m, ids = g.to_dense()
+    w = (m > 0).astype(float)
+    xf = x.astype(float)
+    z = xf - xf.mean()
+    m2 = (z * z).sum() / 30
+    for pos, i in enumerate(ids):
+        want = (w[pos] * (xf[i] - xf[ids]) ** 2).sum() / m2
+        assert abs(out[i][1] - want) < 1e-9, (i, out[i][1], want)
+    assert len(out) == 30
+
+
+def test_local_geary_guards(ray_session):
+    from libpysal_ray.spatial.stats import local_geary
+
+    g = lat2graph(3, 3, rook=True)
+    with pytest.raises(ValueError, match="non-constant"):
+        local_geary(g, _attrs(np.full(9, 5))).take_all()
+
+
+def test_local_join_counts_matches_dense(ray_session):
+    from libpysal_ray.spatial.stats import local_join_counts
+
+    g = lat2graph(4, 5, rook=True)
+    rng = np.random.default_rng(2)
+    x = (rng.random(20) < 0.5).astype(np.int64)
+    out = {r["id"]: r["jc"]
+           for r in local_join_counts(g, _attrs(x)).take_all()}
+    m, ids = g.to_dense()
+    w = (m > 0).astype(np.int64)
+    for pos, i in enumerate(ids):
+        assert out[i] == x[i] * int((w[pos] * x[ids]).sum())
+    with pytest.raises(Exception, match="0/1"):
+        # raised inside a Ray worker -> surfaces as RayTaskError
+        local_join_counts(g, _attrs(np.arange(20))).take_all()
