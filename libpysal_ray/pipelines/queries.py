@@ -5199,3 +5199,115 @@ lag AS (
 SELECT a.node AS id, a.x, a.x * COALESCE(lag.lag_x, 0) AS jc
 FROM a LEFT JOIN lag USING (node)
 """
+
+
+def q_geary_inf(sf_dir: str):
+    """Geary's C with analytic inference (E[C]=1, normality and
+    randomization variances, z-scores — Cliff & Ord 1981) of n_chars
+    over the rook lattice; exact integer moments, pinned float chains."""
+    from libpysal_ray.spatial.stats import geary_inference
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return geary_inference(_rook_g(sf_dir), attrs)
+
+
+QUERIES["geary_inf"] = q_geary_inf
+
+ORACLE_SQL["geary_inf"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a
+),
+z AS (
+  SELECT node, x, (SELECT n FROM st) * x - (SELECT sx FROM st) AS z
+  FROM a
+),
+mom AS (
+  SELECT SUM(CAST(z AS HUGEINT) * z) AS den,
+         SUM(CAST(z AS HUGEINT) * z * z * z) AS sz4
+  FROM z
+),
+sqt AS (
+  SELECT SUM(CAST(zf.x - zn.x AS HUGEINT) * (zf.x - zn.x)) AS sq
+  FROM adj
+  JOIN z zf ON adj.focal = zf.node
+  JOIN z zn ON adj.neighbor = zn.node
+),
+s0t AS (SELECT CAST(COUNT(*) AS BIGINT) AS s0 FROM adj),
+c AS (
+  SELECT LEAST(focal, neighbor) AS lo, GREATEST(focal, neighbor) AS hi,
+         SUM(CASE WHEN focal <= neighbor THEN 1 ELSE 0 END) AS fwd,
+         SUM(CASE WHEN focal > neighbor THEN 1 ELSE 0 END) AS rev
+  FROM adj GROUP BY 1, 2
+),
+s1t AS (
+  SELECT CAST(SUM(CASE WHEN fwd + rev = 1 THEN 1 ELSE 0 END)
+              + 4 * SUM(CASE WHEN fwd > 0 AND rev > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS s1
+  FROM c
+),
+degs AS (
+  SELECT node, SUM(cc) AS dc FROM (
+    SELECT focal AS node, COUNT(*) AS cc FROM adj GROUP BY 1
+    UNION ALL
+    SELECT neighbor AS node, COUNT(*) AS cc FROM adj GROUP BY 1
+  ) GROUP BY 1
+),
+s2t AS (SELECT CAST(SUM(CAST(dc AS HUGEINT) * dc) AS BIGINT) AS s2
+        FROM degs),
+ing AS (
+  SELECT (SELECT n FROM st) AS n, (SELECT s0 FROM s0t) AS s0,
+         (SELECT s1 FROM s1t) AS s1, (SELECT s2 FROM s2t) AS s2,
+         (SELECT sq FROM sqt) AS sq, (SELECT den FROM mom) AS den,
+         (SELECT sz4 FROM mom) AS sz4
+),
+poly AS (
+  SELECT *,
+         (2 * CAST(s1 AS HUGEINT) + s2) * (n - 1)
+           - 4 * CAST(s0 AS HUGEINT) * s0 AS vn_num,
+         2 * CAST(n + 1 AS HUGEINT) * s0 * s0 AS vn_den,
+         4 * CAST(n - 1 AS HUGEINT) * s1
+             * (CAST(n AS HUGEINT) * n - 3 * n + 3)
+           - CAST(n - 1 AS HUGEINT) * s2
+             * (CAST(n AS HUGEINT) * n + 3 * n - 6)
+           + 4 * CAST(s0 AS HUGEINT) * s0
+             * (CAST(n AS HUGEINT) * n - 3) AS a1,
+         4 * CAST(n - 1 AS HUGEINT) * (n - 1) * s1
+           - CAST(n - 1 AS HUGEINT) * s2
+             * (CAST(n AS HUGEINT) * n - n + 2)
+           + 4 * CAST(s0 AS HUGEINT) * s0 * (n - 1) * (n - 1) AS a2,
+         4 * CAST(n AS HUGEINT) * (n - 2) * (n - 3) * s0 * s0 AS d4
+  FROM ing
+),
+fl AS (
+  SELECT *,
+         CAST(CAST(n - 1 AS HUGEINT) * n * n * sq AS DOUBLE)
+           / CAST(2 * CAST(s0 AS HUGEINT) * den AS DOUBLE) AS gc,
+         CAST(vn_num AS DOUBLE) / CAST(vn_den AS DOUBLE) AS var_norm,
+         CAST(CAST(n AS HUGEINT) * sz4 AS DOUBLE)
+           / CAST(den * den AS DOUBLE) AS b2
+  FROM poly
+),
+v AS (
+  SELECT *,
+         (CAST(a1 AS DOUBLE) - b2 * CAST(a2 AS DOUBLE))
+           / CAST(d4 AS DOUBLE) AS var_rand
+  FROM fl
+)
+SELECT n, s0, s1, s2,
+       CAST(sq AS VARCHAR) AS sq_diff,
+       CAST(den AS VARCHAR) AS den,
+       CAST(sz4 AS VARCHAR) AS sz4,
+       gc AS geary_c, 1.0 AS e_c, var_norm,
+       (gc - 1.0) / sqrt(var_norm) AS z_norm,
+       var_rand,
+       (gc - 1.0) / sqrt(var_rand) AS z_rand
+FROM v
+"""

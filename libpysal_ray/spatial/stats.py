@@ -1648,65 +1648,8 @@ def moran_inference(
     ).materialize()
     s0 = int(edges.count())
 
-    # s1 = Σ_ij (w_ij + w_ji)² / 2 = oneway + 4·mutual_pairs (binary)
-    def _canon(t: pa.Table) -> pa.Table:
-        f = t.column("focal").to_numpy(zero_copy_only=False)
-        nb = t.column("neighbor").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "lo": pa.array(np.minimum(f, nb)),
-            "hi": pa.array(np.maximum(f, nb)),
-            "fwd": pa.array((f <= nb).astype(np.int64)),
-            "rev": pa.array((f > nb).astype(np.int64)),
-        })
-
-    pair = edges.map_batches(_canon, batch_format="pyarrow").groupby(
-        ["lo", "hi"]
-    ).aggregate(
-        ray.data.aggregate.Sum("fwd"), ray.data.aggregate.Sum("rev"),
-    )
-
-    def _s1part(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        fwd = pc.fill_null(pc.cast(t.column("sum(fwd)"), pa.int64()),
-                           0).to_numpy(zero_copy_only=False)
-        rev = pc.fill_null(pc.cast(t.column("sum(rev)"), pa.int64()),
-                           0).to_numpy(zero_copy_only=False)
-        both = (fwd > 0) & (rev > 0)
-        one = (fwd + rev == 1)
-        return pa.table({
-            "s1": pa.array([np.int64(one.sum() + 4 * both.sum())]),
-        })
-
-    s1 = int(sum(
-        r["s1"] for r in
-        pair.map_batches(_s1part, batch_format="pyarrow").take_all()
-    ))
-
-    # s2 = Σ_i (outdeg_i + indeg_i)² — two degree counts unioned
-    outd = edges.groupby("focal").count().map_batches(
-        lambda t: pa.table({
-            "node": t.column("focal"),
-            "c": pc_cast_i64(t.column("count()")),
-        }),
-        batch_format="pyarrow",
-    )
-    ind = edges.groupby("neighbor").count().map_batches(
-        lambda t: pa.table({
-            "node": t.column("neighbor"),
-            "c": pc_cast_i64(t.column("count()")),
-        }),
-        batch_format="pyarrow",
-    )
-    tot = outd.union(ind).groupby("node").sum("c")
-    s2 = int(sum(
-        r["p"] for r in tot.map_batches(
-            lambda t: pa.table({"p": pa.array([_prod_sum_exact(
-                pc_fill0(t, "sum(c)"), pc_fill0(t, "sum(c)")
-            )])}),
-            batch_format="pyarrow",
-        ).take_all()
-    ))
+    s1 = _s1_binary(edges)
+    s2 = _s2_binary(edges)
 
     # exact integer polynomial terms (unbounded)
     a_term = n * n * s1 - n * s2 + 3 * s0 * s0
@@ -1945,3 +1888,250 @@ def local_join_counts(
         })
 
     return joined.map_batches(_score, batch_format="pyarrow")
+
+
+def _s1_binary(edges: ray.data.Dataset) -> int:
+    """Exact s1 = ½ Σ_ij (w_ij + w_ji)² for a BINARY edge set:
+    #one-way pairs + 4·#mutual pairs, via ONE canonical unordered-pair
+    groupby (the reciprocity shuffle)."""
+
+    def _canon(t: pa.Table) -> pa.Table:
+        f = t.column("focal").to_numpy(zero_copy_only=False)
+        nb = t.column("neighbor").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lo": pa.array(np.minimum(f, nb)),
+            "hi": pa.array(np.maximum(f, nb)),
+            "fwd": pa.array((f <= nb).astype(np.int64)),
+            "rev": pa.array((f > nb).astype(np.int64)),
+        })
+
+    pair = edges.map_batches(_canon, batch_format="pyarrow").groupby(
+        ["lo", "hi"]
+    ).aggregate(
+        ray.data.aggregate.Sum("fwd"), ray.data.aggregate.Sum("rev"),
+    )
+
+    def _s1part(t: pa.Table) -> pa.Table:
+        fwd = pc_fill0(t, "sum(fwd)")
+        rev = pc_fill0(t, "sum(rev)")
+        both = (fwd > 0) & (rev > 0)
+        one = (fwd + rev == 1)
+        return pa.table({
+            "s1": pa.array([np.int64(one.sum() + 4 * both.sum())]),
+        })
+
+    return int(sum(
+        r["s1"] for r in
+        pair.map_batches(_s1part, batch_format="pyarrow").take_all()
+    ))
+
+
+def _s2_binary(edges: ray.data.Dataset) -> int:
+    """Exact s2 = Σ_i (outdeg_i + indeg_i)² for a BINARY edge set —
+    two degree counts unioned, one groupby(node) sum, 128-bit limb
+    square partials."""
+    outd = edges.groupby("focal").count().map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"),
+            "c": pc_cast_i64(t.column("count()")),
+        }),
+        batch_format="pyarrow",
+    )
+    ind = edges.groupby("neighbor").count().map_batches(
+        lambda t: pa.table({
+            "node": t.column("neighbor"),
+            "c": pc_cast_i64(t.column("count()")),
+        }),
+        batch_format="pyarrow",
+    )
+    tot = outd.union(ind).groupby("node").sum("c")
+    return int(sum(
+        r["p"] for r in tot.map_batches(
+            lambda t: pa.table({"p": pa.array([_prod_sum_exact(
+                pc_fill0(t, "sum(c)"), pc_fill0(t, "sum(c)")
+            )])}),
+            batch_format="pyarrow",
+        ).take_all()
+    ))
+
+
+def geary_inference(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Geary's C with the analytic inference companions (Cliff & Ord
+    1981; the esda.Geary EC/VC_norm/VC_rand/z-scores downstream of
+    libpysal weights) over the binary edge set:
+
+        E[C]     = 1
+        VC_norm  = ((2s1 + s2)(n−1) − 4s0²) / (2(n+1)s0²)
+        VC_rand  = (A1 − b2·A2) / (4n(n−2)(n−3)s0²)   with
+        A1 = 4(n−1)s1(n²−3n+3) − (n−1)s2(n²+3n−6) + 4s0²(n²−3)
+        A2 = 4(n−1)²s1 − (n−1)s2(n²−n+2) + 4s0²(n−1)²
+        b2 = n·Σz⁴ / (Σz²)²
+
+    (the classic VC_rand with its ¼ coefficients cleared by scaling
+    numerator and denominator by 4 — every polynomial term is an exact
+    unbounded integer). s0/s1/s2 are the exact binary moment constants
+    (:func:`_s1_binary` / :func:`_s2_binary`); C itself uses the
+    spatial_autocorr identity ((n−1)·n²·Σ(x_i−x_j)²) / (2·s0·Σz²).
+    Output one row (n, s0, s1, s2, sq_diff, den, sz4, geary_c, e_c,
+    var_norm, z_norm, var_rand, z_rand); z-scores are (C−1)/σ —
+    negative under positive spatial autocorrelation.
+
+    Bound: like :func:`moran_inference`, the kurtosis term needs
+    z_max < 2^31; the Σ(x_i−x_j)² edge reduction is exact at any
+    magnitude (128-bit limb partials).
+
+    100 TB shape: one two-sided bucket_join edge attach with a joined-
+    row-count universe guard, O(#blocks) decimal-string partials, the
+    two moment-constant shuffles — scalars only on the driver."""
+    import math
+
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(
+                t.column(x_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x"),
+        ray.data.aggregate.Max("x"),
+        ray.data.aggregate.Min("x"),
+    )
+    n = int(agg["count()"])
+    if n < 4:
+        raise ValueError(
+            "geary_inference needs at least 4 observations (the "
+            "randomization variance has an (n-3) factor)"
+        )
+    sx = int(agg["sum(x)"])
+    xmax = max(abs(int(agg["max(x)"])), abs(int(agg["min(x)"])))
+    z_max = n * xmax + abs(sx)
+    if z_max >= (1 << 31):
+        raise ValueError(
+            "geary_inference kurtosis term needs z < 2^31 "
+            f"(got bound {z_max}); rescale x"
+        )
+
+    def _with_z(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column("node"),
+            "x": t.column("x"),
+            "z": pa.array(np.int64(n) * x - np.int64(sx)),
+        })
+
+    zt = xs.map_batches(_with_z, batch_format="pyarrow").materialize()
+
+    def _moments(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        z2 = z * z
+        return pa.table({
+            "den": pa.array([str(_prod_sum_exact(z, z))]),
+            "z4": pa.array([str(_prod_sum_exact(z2, z2))]),
+        })
+
+    mom = zt.map_batches(_moments, batch_format="pyarrow").take_all()
+    den = sum(int(r["den"]) for r in mom)
+    sz4 = sum(int(r["z4"]) for r in mom)
+    if den == 0:
+        raise ValueError("geary_inference needs a non-constant x")
+
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    ).materialize()
+    s0 = int(edges.count())
+    lhs = bucket_join(
+        edges,
+        zt.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"), "xf": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    ).map_batches(
+        lambda t: t.select(["neighbor", "xf"]), batch_format="pyarrow"
+    )
+    both = bucket_join(
+        lhs,
+        zt.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "xn": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+
+    def _sqpart(t: pa.Table) -> pa.Table:
+        xf = t.column("xf").to_numpy(zero_copy_only=False)
+        xn = t.column("xn").to_numpy(zero_copy_only=False)
+        d = xf - xn
+        return pa.table({
+            "c": pa.array([np.int64(t.num_rows)]),
+            "sq": pa.array([str(_prod_sum_exact(d, d))]),
+        })
+
+    parts = both.map_batches(_sqpart, batch_format="pyarrow").take_all()
+    joined = sum(int(r["c"]) for r in parts)
+    if joined != s0:
+        raise ValueError(
+            f"geary_inference: {s0 - joined} of {s0} edges have "
+            f"endpoints missing from attrs ({id_col}); the attribute "
+            "table must cover the graph's node universe"
+        )
+    sq = sum(int(r["sq"]) for r in parts)
+
+    s1 = _s1_binary(edges)
+    s2 = _s2_binary(edges)
+
+    # exact integer polynomial terms (unbounded)
+    vn_num = (2 * s1 + s2) * (n - 1) - 4 * s0 * s0
+    vn_den = 2 * (n + 1) * s0 * s0
+    a1 = (4 * (n - 1) * s1 * (n * n - 3 * n + 3)
+          - (n - 1) * s2 * (n * n + 3 * n - 6)
+          + 4 * s0 * s0 * (n * n - 3))
+    a2 = (4 * (n - 1) * (n - 1) * s1
+          - (n - 1) * s2 * (n * n - n + 2)
+          + 4 * s0 * s0 * (n - 1) * (n - 1))
+    d4 = 4 * n * (n - 2) * (n - 3) * s0 * s0
+
+    # ONE pinned float chain per statistic, mirrored by the SQL oracle
+    gc = float((n - 1) * n * n * sq) / float(2 * s0 * den)
+    var_norm = float(vn_num) / float(vn_den)
+    z_norm = (gc - 1.0) / math.sqrt(var_norm)
+    b2 = float(n * sz4) / float(den * den)
+    var_rand = (float(a1) - b2 * float(a2)) / float(d4)
+    z_rand = (gc - 1.0) / math.sqrt(var_rand)
+
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "s0": pa.array([s0], pa.int64()),
+        "s1": pa.array([s1], pa.int64()),
+        "s2": pa.array([s2], pa.int64()),
+        "sq_diff": pa.array([str(sq)]),
+        "den": pa.array([str(den)]),
+        "sz4": pa.array([str(sz4)]),
+        "geary_c": pa.array([gc], pa.float64()),
+        "e_c": pa.array([1.0], pa.float64()),
+        "var_norm": pa.array([var_norm], pa.float64()),
+        "z_norm": pa.array([z_norm], pa.float64()),
+        "var_rand": pa.array([var_rand], pa.float64()),
+        "z_rand": pa.array([z_rand], pa.float64()),
+    }))

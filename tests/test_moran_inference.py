@@ -75,3 +75,52 @@ def test_inference_guards(ray_session):
         moran_inference(g, _attrs(np.full(9, 3)))
     with pytest.raises(ValueError, match="2\\^31"):
         moran_inference(g, _attrs(np.full(9, 1 << 40)))
+
+
+def _geary_ref(w, x):
+    n = len(x)
+    z = x - x.mean()
+    s0 = w.sum()
+    den = (z * z).sum()
+    sq = (w * (x[:, None] - x[None, :]) ** 2).sum()
+    gc = ((n - 1) / (2 * s0)) * sq / den
+    s1 = ((w + w.T) ** 2).sum() / 2.0
+    s2 = ((w.sum(0) + w.sum(1)) ** 2).sum()
+    var_norm = ((2 * s1 + s2) * (n - 1) - 4 * s0 * s0) / (
+        2 * (n + 1) * s0 * s0)
+    b2 = n * (z ** 4).sum() / den ** 2
+    var_rand = (
+        (n - 1) * s1 * (n * n - 3 * n + 3 - (n - 1) * b2)
+        - 0.25 * (n - 1) * s2 * (n * n + 3 * n - 6 - (n * n - n + 2) * b2)
+        + s0 * s0 * (n * n - 3 - (n - 1) ** 2 * b2)
+    ) / (n * (n - 2) * (n - 3) * s0 * s0)
+    return {
+        "geary_c": gc,
+        "var_norm": var_norm, "z_norm": (gc - 1) / math.sqrt(var_norm),
+        "var_rand": var_rand, "z_rand": (gc - 1) / math.sqrt(var_rand),
+    }
+
+
+def test_geary_inference_matches_dense(ray_session):
+    from libpysal_ray.spatial.stats import geary_inference
+
+    g = lat2graph(6, 5, rook=True)
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, 200, 30).astype(np.int64)
+    row = geary_inference(g, _attrs(x)).take_all()[0]
+    m, ids = g.to_dense()
+    want = _geary_ref((m > 0).astype(float), x.astype(float))
+    for k in ("geary_c", "var_norm", "z_norm", "var_rand", "z_rand"):
+        assert abs(row[k] - want[k]) < 1e-10, (k, row[k], want[k])
+    assert row["e_c"] == 1.0 and row["var_norm"] > 0
+
+
+def test_geary_inference_gradient(ray_session):
+    from libpysal_ray.spatial.stats import geary_inference
+
+    g = lat2graph(7, 7, rook=True)
+    x = (np.arange(49) // 7).astype(np.int64) * 5
+    row = geary_inference(g, _attrs(x)).take_all()[0]
+    # strong positive autocorrelation: C << 1, z-scores well negative
+    assert row["geary_c"] < 0.6
+    assert row["z_norm"] < -3 and row["z_rand"] < -3
