@@ -5311,3 +5311,81 @@ SELECT n, s0, s1, s2,
        (gc - 1.0) / sqrt(var_rand) AS z_rand
 FROM v
 """
+
+
+def q_correlogram(sf_dir: str):
+    """Spatial correlogram of n_chars over the rook lattice: exact
+    Moran's I / Geary's C at lag orders 1-3 (order-k = shortest-path
+    distance exactly k)."""
+    from libpysal_ray.spatial.stats import correlogram
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return correlogram(_rook_g(sf_dir), attrs, max_order=3)
+
+
+QUERIES["correlogram"] = q_correlogram
+
+_CORR_MORAN_BODY = """
+  SELECT {k} AS ord, (SELECT n FROM st) AS n,
+         CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(CAST(SUM(zf.z * zn.z) AS BIGINT) AS VARCHAR) AS moran_num,
+         CAST(CAST(SUM((zf.x - zn.x) * (zf.x - zn.x)) AS BIGINT)
+              AS VARCHAR) AS sq_diff,
+         CAST((SELECT den FROM d) AS VARCHAR) AS den,
+         CAST(CAST((SELECT n FROM st) AS HUGEINT)
+              * CAST(SUM(zf.z * zn.z) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(COUNT(*) AS HUGEINT)
+                  * (SELECT den FROM d) AS DOUBLE) AS moran_i,
+         CAST(CAST((SELECT n FROM st) - 1 AS HUGEINT)
+              * (SELECT n FROM st) * (SELECT n FROM st)
+              * CAST(SUM((zf.x - zn.x) * (zf.x - zn.x)) AS BIGINT)
+              AS DOUBLE)
+           / CAST(2 * CAST(COUNT(*) AS HUGEINT)
+                  * (SELECT den FROM d) AS DOUBLE) AS geary_c
+  FROM {adj} a
+  JOIN z zf ON a.focal = zf.node
+  JOIN z zn ON a.neighbor = zn.node
+"""
+
+ORACLE_SQL["correlogram"] = f"""
+WITH {_ROOK_SQL},
+two AS (
+  SELECT DISTINCT a.focal AS focal, b.neighbor AS neighbor
+  FROM adj a JOIN adj b ON a.neighbor = b.focal
+  WHERE a.focal <> b.neighbor
+    AND NOT EXISTS (SELECT 1 FROM adj e
+                    WHERE e.focal = a.focal AND e.neighbor = b.neighbor)
+),
+walk3 AS (
+  SELECT DISTINCT t.focal AS focal, b.neighbor AS neighbor
+  FROM two t JOIN adj b ON t.neighbor = b.focal
+  WHERE t.focal <> b.neighbor
+),
+three AS (
+  SELECT w.focal, w.neighbor FROM walk3 w
+  WHERE NOT EXISTS (SELECT 1 FROM adj e
+                    WHERE e.focal = w.focal AND e.neighbor = w.neighbor)
+    AND NOT EXISTS (SELECT 1 FROM two e
+                    WHERE e.focal = w.focal AND e.neighbor = w.neighbor)
+),
+a0 AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a0
+),
+z AS (
+  SELECT node, x, (SELECT n FROM st) * x - (SELECT sx FROM st) AS z
+  FROM a0
+),
+d AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den FROM z)
+{_CORR_MORAN_BODY.format(k=1, adj="adj")}
+UNION ALL
+{_CORR_MORAN_BODY.format(k=2, adj="two")}
+UNION ALL
+{_CORR_MORAN_BODY.format(k=3, adj="three")}
+"""

@@ -193,3 +193,35 @@ def test_local_join_counts_matches_dense(ray_session):
     with pytest.raises(Exception, match="0/1"):
         # raised inside a Ray worker -> surfaces as RayTaskError
         local_join_counts(g, _attrs(np.arange(20))).take_all()
+
+
+def test_correlogram_matches_dense_orders(ray_session):
+    from libpysal_ray.spatial.stats import correlogram
+
+    g = lat2graph(6, 6, rook=True)
+    rng = np.random.default_rng(31)
+    x = rng.integers(0, 100, 36).astype(np.int64)
+    rows = {r["ord"]: r for r in correlogram(
+        g, _attrs(x), max_order=3).take_all()}
+    assert set(rows) == {1, 2, 3}
+    m, ids = g.to_dense()
+    w1 = (m > 0).astype(np.int64)
+    # BFS shortest-path order-k adjacency
+    import numpy.linalg  # noqa: F401
+    dist = np.full((36, 36), 99)
+    np.fill_diagonal(dist, 0)
+    for _ in range(6):
+        for i in range(36):
+            for j in range(36):
+                if w1[i, j]:
+                    dist[:, j] = np.minimum(dist[:, j], dist[:, i] + 1)
+    xf = x[ids].astype(float)
+
+    def _moran(w):
+        z = xf - xf.mean()
+        return (len(xf) / w.sum()) * (z @ w @ z) / (z @ z)
+
+    for k in (1, 2, 3):
+        wk = (dist == k).astype(float)
+        assert rows[k]["s0"] == int(wk.sum())
+        assert abs(rows[k]["moran_i"] - _moran(wk)) < 1e-10
