@@ -5389,3 +5389,63 @@ UNION ALL
 UNION ALL
 {_CORR_MORAN_BODY.format(k=3, adj="three")}
 """
+
+
+def q_local_moran_bv(sf_dir: str):
+    """Bivariate local Moran (Anselin et al. 2002): n_chars against the
+    spatial lag of the derived snapshot 3*n_chars + doc_id % 97 over
+    the rook lattice — exact int64 inner terms, one pinned
+    float/IEEE-sqrt denominator."""
+    from libpysal_ray.spatial.stats import local_moran_bv
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x": t.column("n_chars"),
+            "y": pa.array(
+                3 * t.column("n_chars").to_numpy(zero_copy_only=False)
+                + t.column("doc_id").to_numpy(zero_copy_only=False) % 97
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return local_moran_bv(_rook_g(sf_dir), attrs)
+
+
+QUERIES["local_moran_bv"] = q_local_moran_bv
+
+ORACLE_SQL["local_moran_bv"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node, n_chars AS x,
+         3 * n_chars + doc_id % 97 AS y
+  FROM documents
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+  FROM a
+),
+z AS (
+  SELECT node,
+         (SELECT n FROM st) * x - (SELECT sx FROM st) AS zx,
+         (SELECT n FROM st) * y - (SELECT sy FROM st) AS zy
+  FROM a
+),
+d AS (
+  SELECT SUM(CAST(zx AS HUGEINT) * zx) AS dx,
+         SUM(CAST(zy AS HUGEINT) * zy) AS dy
+  FROM z
+),
+lag AS (
+  SELECT adj.focal AS node, CAST(SUM(zn.zy) AS BIGINT) AS lag_zy
+  FROM adj JOIN z zn ON adj.neighbor = zn.node
+  GROUP BY 1
+)
+SELECT z.node AS id, z.zx, COALESCE(lag.lag_zy, 0) AS lag_zy,
+       CAST((SELECT n FROM st) * z.zx * COALESCE(lag.lag_zy, 0)
+            AS DOUBLE)
+         / sqrt(CAST((SELECT dx FROM d) * (SELECT dy FROM d) AS DOUBLE))
+         AS local_ixy
+FROM z LEFT JOIN lag USING (node)
+"""

@@ -225,3 +225,34 @@ def test_correlogram_matches_dense_orders(ray_session):
         wk = (dist == k).astype(float)
         assert rows[k]["s0"] == int(wk.sum())
         assert abs(rows[k]["moran_i"] - _moran(wk)) < 1e-10
+
+
+def test_local_moran_bv_matches_dense(ray_session):
+    from libpysal_ray.spatial.stats import local_moran_bv
+
+    g = lat2graph(5, 6, rook=True)
+    rng = np.random.default_rng(41)
+    x = rng.integers(0, 100, 30).astype(np.int64)
+    y = rng.integers(0, 100, 30).astype(np.int64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(30, dtype=np.int64)),
+        "x": pa.array(x), "y": pa.array(y),
+    })).repartition(3)
+    out = {r["id"]: r["local_ixy"]
+           for r in local_moran_bv(g, attrs).take_all()}
+    m, ids = g.to_dense()
+    w = (m > 0).astype(float)
+    n = 30
+    zx = n * x.astype(float) - x.sum()
+    zy = n * y.astype(float) - y.sum()
+    lag = w @ zy[ids]
+    import math
+    den = math.sqrt((zx * zx).sum() * (zy * zy).sum())
+    for pos, i in enumerate(ids):
+        want = n * zx[i] * lag[pos] / den
+        assert abs(out[i] - want) < 1e-9 * max(1.0, abs(want))
+    # consistency with the global bivariate Moran: sum/s0 recovers it
+    from libpysal_ray.spatial.stats import moran_bv
+    gi = moran_bv(g, attrs).take_all()[0]
+    total = sum(out.values()) / int((m > 0).sum())
+    assert abs(total - gi["moran_bv"]) < 1e-9
