@@ -5449,3 +5449,143 @@ SELECT z.node AS id, z.zx, COALESCE(lag.lag_zy, 0) AS lag_zy,
          AS local_ixy
 FROM z LEFT JOIN lag USING (node)
 """
+
+
+def q_gini(sf_dir: str):
+    """Exact Gini coefficient of document length (n_chars): the
+    pairwise numerator via ONE distinct-value histogram shuffle, the
+    driver sweep O(#distinct), one pinned float division."""
+    from libpysal_ray.spatial.inequality import gini
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return gini(attrs)
+
+
+QUERIES["gini"] = q_gini
+
+ORACLE_SQL["gini"] = """
+WITH a AS (SELECT n_chars AS x FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sum_x
+  FROM a
+),
+p AS (
+  SELECT SUM(CAST(abs(i.x - j.x) AS HUGEINT)) AS num
+  FROM a i CROSS JOIN a j
+)
+SELECT st.n, st.sum_x, CAST(p.num AS VARCHAR) AS num,
+       CAST(p.num AS DOUBLE)
+         / CAST(2 * CAST(st.n AS HUGEINT) * st.sum_x AS DOUBLE) AS gini_f
+FROM st, p
+"""
+
+
+def q_spatial_gini(sf_dir: str):
+    """Rey-Smith spatial Gini decomposition of n_chars over the rook
+    lattice: the pairwise numerator split exactly into neighbor-pair
+    and non-neighbor-pair components (decimal strings at any
+    magnitude), neighbor term via one bucket_join per endpoint."""
+    from libpysal_ray.spatial.inequality import spatial_gini
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "x": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    return spatial_gini(_rook_g(sf_dir), attrs)
+
+
+QUERIES["spatial_gini"] = q_spatial_gini
+
+ORACLE_SQL["spatial_gini"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, n_chars AS x FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sum_x
+  FROM a
+),
+tot AS (
+  SELECT SUM(CAST(abs(i.x - j.x) AS HUGEINT)) AS num
+  FROM a i CROSS JOIN a j
+),
+nbr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         SUM(CAST(abs(af.x - an.x) AS HUGEINT)) AS num_nbr
+  FROM adj
+  JOIN a af ON adj.focal = af.node
+  JOIN a an ON adj.neighbor = an.node
+)
+SELECT st.n, st.sum_x, nbr.s0,
+       CAST(tot.num AS VARCHAR) AS num,
+       CAST(nbr.num_nbr AS VARCHAR) AS num_nbr,
+       CAST(tot.num - nbr.num_nbr AS VARCHAR) AS num_far,
+       CAST(tot.num AS DOUBLE)
+         / CAST(2 * CAST(st.n AS HUGEINT) * st.sum_x AS DOUBLE) AS gini_f,
+       CAST(nbr.num_nbr AS DOUBLE) / CAST(tot.num AS DOUBLE) AS frac_nbr_f
+FROM st, tot, nbr
+"""
+
+
+def q_dissim(sf_dir: str):
+    """Duncan dissimilarity index of English vs non-English documents
+    across doc_id//20 areal units — exact integer numerator
+    Sum |b*W - w*B| over units, one pinned float division."""
+    from libpysal_ray.spatial.inequality import dissimilarity_index
+
+    def _bw(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        en = pc.equal(t.column("lang"), "en").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table({
+            "unit": pa.array(ids // 20),
+            "b": pa.array(en),
+            "w": pa.array(1 - en),
+        })
+
+    units = (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(_bw, batch_format="pyarrow")
+        .groupby("unit")
+        .sum(["b", "w"])
+        .map_batches(
+            lambda t: pa.table({
+                "unit": t.column("unit"),
+                "b": t.column("sum(b)"),
+                "w": t.column("sum(w)"),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    return dissimilarity_index(units)
+
+
+QUERIES["dissim"] = q_dissim
+
+ORACLE_SQL["dissim"] = """
+WITH u AS (
+  SELECT doc_id // 20 AS unit,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS w
+  FROM documents GROUP BY 1
+),
+st AS (
+  SELECT CAST(SUM(b) AS HUGEINT) AS bt, CAST(SUM(w) AS HUGEINT) AS wt
+  FROM u
+),
+p AS (
+  SELECT SUM(abs(CAST(u.b AS HUGEINT) * st.wt
+                 - CAST(u.w AS HUGEINT) * st.bt)) AS num
+  FROM u, st
+)
+SELECT CAST(st.bt AS VARCHAR) AS b_tot, CAST(st.wt AS VARCHAR) AS w_tot,
+       CAST(p.num AS VARCHAR) AS d_num,
+       CAST(p.num AS DOUBLE) / CAST(2 * st.bt * st.wt AS DOUBLE) AS d_f
+FROM st, p
+"""

@@ -1,0 +1,269 @@
+"""Inequality and segregation statistics over attribute tables and a
+spatial graph — the ESDA-adjacent family downstream of libpysal
+weights (reference: the `inequality`/`segregation` PySAL packages
+consume `libpysal.weights.W`; the graph construction semantics live in
+/root/reference/libpysal/weights/weights.py and graph/base.py).
+
+Everything here is EXACT-INTEGER like the rest of `spatial.stats`: the
+Gini numerator Σ_i Σ_j |x_i − x_j| and the Rey–Smith neighbor/non-
+neighbor split are carried as unbounded Python ints (decimal strings in
+the output), with one pinned IEEE float division per headline figure so
+the SQL oracle reproduces every bit.
+
+100 TB shape:
+* `gini` reduces through ONE distinct-value histogram
+  (`groupby(x).count()`), the same bounded-cardinality discipline as
+  the curation score histogram: the driver sweep is O(#distinct
+  values), never O(n), and a loud guard raises past the cardinality
+  budget rather than silently materializing.
+* `spatial_gini`'s neighbor component attaches x to the directed edge
+  set via ONE bucket_join per endpoint and reduces per-batch exact
+  partials (the `gamma_index` absdiff plan) — no pair materialization
+  beyond the existing edge table.
+* `dissimilarity_index` is two passes: one exact global (B, W)
+  aggregate, then one stateless per-batch reduction of
+  Σ|b_i·W − w_i·B|; a fast int64 path when the pre-checked bounds
+  allow, an object-dtype unbounded-int path past them (batch-local
+  either way — the driver combines O(#blocks) decimal-string rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from libpysal_ray.spatial.stats import _prod_sum_exact, _sum_i64
+
+__all__ = ["gini", "spatial_gini", "dissimilarity_index"]
+
+# Distinct-value budget for the histogram sweep. Integer-valued scores
+# (chars, tokens, cents) stay far below this at any corpus size; a
+# continuous column must be bucketed by the caller first.
+MAX_DISTINCT = 4_000_000
+
+
+def _sum_exact_ds(ds: ray.data.Dataset, col: str) -> int:
+    """Exact Σ col (int64 elements, |v| < 2^62) as an unbounded Python
+    int: per-batch split-sum partials serialized as decimal strings,
+    combined on the driver in O(#blocks)."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"p": pa.array([str(_sum_i64(v))])})
+
+    return sum(int(r["p"]) for r in ds.map_batches(
+        _part, batch_format="pyarrow").take_all())
+
+
+def _value_histogram(
+    attrs: ray.data.Dataset, x_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted distinct values, counts) of an integer column via ONE
+    groupby shuffle. Loud guard past MAX_DISTINCT — the driver holds
+    exactly #distinct rows, nothing else."""
+    hist = attrs.groupby(x_col).count().materialize()
+    ndist = int(hist.count())
+    if ndist > MAX_DISTINCT:
+        raise ValueError(
+            f"gini: {ndist} distinct values exceeds the histogram budget "
+            f"({MAX_DISTINCT}); bucket the column first"
+        )
+    t = pa.Table.from_pylist(hist.take_all())
+    v = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    return v[order], c[order]
+
+
+def _gini_numerator(values: np.ndarray, counts: np.ndarray) -> tuple[int, int, int]:
+    """(Σ_i Σ_j |x_i − x_j|, n, Σx) from a sorted distinct-value
+    histogram: one sweep keeping the cumulative count C and sum S of
+    strictly-smaller values — each value v with multiplicity c adds
+    2·c·(C·v − S) ordered-pair distance. Unbounded Python ints."""
+    num = 0
+    cum_c = 0
+    cum_s = 0
+    for v, c in zip(values.tolist(), counts.tolist()):
+        num += 2 * c * (cum_c * v - cum_s)
+        cum_c += c
+        cum_s += c * v
+    return num, cum_c, cum_s
+
+
+def gini(
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Gini coefficient of a nonnegative integer column, exact:
+
+        G = Σ_i Σ_j |x_i − x_j| / (2 · n · Σx)
+
+    Output one row (n, sum_x, num, gini_f): the ordered-pair absolute-
+    difference numerator as a decimal string (unbounded) and ONE pinned
+    float64 division — bit-identical to the SQL cross-join oracle."""
+    values, counts = _value_histogram(attrs, x_col)
+    num, n, sum_x = _gini_numerator(values, counts)
+    if n == 0 or sum_x == 0:
+        raise ValueError("gini needs n > 0 and Σx > 0")
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "sum_x": pa.array([sum_x], pa.int64()),
+        "num": pa.array([str(num)], pa.string()),
+        "gini_f": pa.array([float(num) / float(2 * n * sum_x)], pa.float64()),
+    }))
+
+
+def spatial_gini(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Rey–Smith (2013) spatial decomposition of the Gini: the pairwise
+    numerator splits into NEIGHBOR pairs (graph edges) and NON-NEIGHBOR
+    pairs,
+
+        Σ_i Σ_j |x_i−x_j|  =  num_nbr + num_far,
+        num_nbr = Σ_{(i,j)∈E} |x_i − x_j|   (directed binary edges).
+
+    Output one row (n, sum_x, s0, num, num_nbr, num_far, gini_f,
+    frac_nbr_f). The neighbor term reuses the `gamma_index` absdiff
+    plan: x attaches to edges via ONE bucket_join per endpoint, each
+    batch reduces to one exact decimal-string partial; the total term
+    is the `gini` histogram sweep; num_far is their exact difference.
+    The id-universe guard raises if any edge endpoint is missing from
+    attrs (a silent inner-join drop would skew the split)."""
+    from libpysal_ray.core.joins import bucket_join
+
+    values, counts = _value_histogram(attrs, x_col)
+    num, n, sum_x = _gini_numerator(values, counts)
+    if n == 0 or sum_x == 0:
+        raise ValueError("spatial_gini needs n > 0 and Σx > 0")
+    xmax = int(max(abs(int(values[0])), abs(int(values[-1]))))
+    if xmax >= (1 << 61):
+        raise ValueError("spatial_gini needs |x| < 2^61; rescale x")
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc_i64(t.column(id_col)),
+            "x": pc_i64(t.column(x_col)),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    ).materialize()
+    e_count = int(edges.count())
+    lhs = bucket_join(
+        edges,
+        xs.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"), "xf": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    ).map_batches(
+        lambda t: t.select(["neighbor", "xf"]), batch_format="pyarrow"
+    )
+    both = bucket_join(
+        lhs,
+        xs.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "xn": t.column("x"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+
+    def _part(t: pa.Table) -> pa.Table:
+        d = (t.column("xf").to_numpy(zero_copy_only=False)
+             - t.column("xn").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "p": pa.array([str(_prod_sum_exact(d, np.sign(d)))]),
+            "c": pa.array([np.int64(t.num_rows)]),
+        })
+
+    parts = both.map_batches(_part, batch_format="pyarrow").take_all()
+    joined = sum(int(r["c"]) for r in parts)
+    if joined != e_count:
+        raise ValueError(
+            f"spatial_gini: {e_count - joined} of {e_count} edges have "
+            f"endpoints missing from attrs ({id_col}); the attribute "
+            "table must cover the graph's node universe"
+        )
+    num_nbr = sum(int(r["p"]) for r in parts)
+    num_far = num - num_nbr
+    den = 2 * n * sum_x
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "sum_x": pa.array([sum_x], pa.int64()),
+        "s0": pa.array([e_count], pa.int64()),
+        "num": pa.array([str(num)], pa.string()),
+        "num_nbr": pa.array([str(num_nbr)], pa.string()),
+        "num_far": pa.array([str(num_far)], pa.string()),
+        "gini_f": pa.array([float(num) / float(den)], pa.float64()),
+        "frac_nbr_f": pa.array(
+            [float(num_nbr) / float(num)] if num else [0.0], pa.float64()
+        ),
+    }))
+
+
+def pc_i64(col) -> pa.Array:
+    return pa.array(
+        np.asarray(col.to_numpy(zero_copy_only=False)).astype(np.int64)
+    )
+
+
+def dissimilarity_index(
+    units: ray.data.Dataset,
+    unit_col: str = "unit",
+    b_col: str = "b",
+    w_col: str = "w",
+) -> ray.data.Dataset:
+    """Duncan & Duncan dissimilarity index over areal-unit group counts:
+
+        D = ½ Σ_u | b_u/B − w_u/W |
+          = Σ_u | b_u·W − w_u·B |  /  (2·B·W)
+
+    Output one row (b_tot, w_tot, d_num, d_f) with the numerator exact
+    (decimal string) and one pinned float division. Two passes: the
+    global (B, W) totals (exact per-batch split-sum partials), then a
+    stateless per-batch reduction of Σ|b_u·W − w_u·B| — int64 fast path
+    when the pre-checked product bounds allow, object-dtype unbounded
+    ints past them (still batch-local; the driver sees decimal strings,
+    never rows)."""
+    b_tot = _sum_exact_ds(units, b_col)
+    w_tot = _sum_exact_ds(units, w_col)
+    if b_tot <= 0 or w_tot <= 0:
+        raise ValueError("dissimilarity_index needs B > 0 and W > 0")
+    bmax = int(units.max(b_col))
+    wmax = int(units.max(w_col))
+    if min(int(units.min(b_col)), int(units.min(w_col))) < 0:
+        raise ValueError("dissimilarity_index needs nonnegative counts")
+    fast = (bmax * w_tot < (1 << 62)) and (wmax * b_tot < (1 << 62))
+
+    def _part(t: pa.Table) -> pa.Table:
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if fast:
+            d = b * w_tot - w * b_tot
+            p = _prod_sum_exact(d, np.sign(d))
+        else:
+            d = b.astype(object) * w_tot - w.astype(object) * b_tot
+            p = int(np.abs(d).sum()) if len(d) else 0
+        return pa.table({"p": pa.array([str(p)])})
+
+    num = sum(int(r["p"]) for r in units.map_batches(
+        _part, batch_format="pyarrow").take_all())
+    return ray.data.from_arrow(pa.table({
+        "b_tot": pa.array([str(b_tot)], pa.string()),
+        "w_tot": pa.array([str(w_tot)], pa.string()),
+        "d_num": pa.array([str(num)], pa.string()),
+        "d_f": pa.array(
+            [float(num) / float(2 * b_tot * w_tot)], pa.float64()
+        ),
+    }))
