@@ -61,10 +61,13 @@ def tile_points(
     id_col: str = "id",
     x_col: str = "x",
     y_col: str = "y",
+    extra_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Emit (tile, id, x, y, core) rows: one home row + ghost rows to each
     neighbor tile within ``halo`` of the point. Stateless flat-map; the
-    subsequent groupby(tile) is the ONE shuffle of the whole builder."""
+    subsequent groupby(tile) is the ONE shuffle of the whole builder.
+    ``extra_cols`` are carried through verbatim on home and ghost rows
+    (e.g. a timestamp for space-time statistics)."""
 
     def _emit(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -72,13 +75,20 @@ def tile_points(
         y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
         tx = np.floor(x / cs).astype(np.int64)
         ty = np.floor(y / cs).astype(np.int64)
+        extras = {
+            c: t.column(c).to_numpy(zero_copy_only=False)
+            for c in extra_cols
+        }
         rows_t, rows_i, rows_x, rows_y, rows_c = [], [], [], [], []
+        rows_e: dict = {c: [] for c in extra_cols}
         # home rows
         rows_t.append(_pack_tile(tx, ty))
         rows_i.append(ids)
         rows_x.append(x)
         rows_y.append(y)
         rows_c.append(np.ones(len(ids), dtype=np.bool_))
+        for c in extra_cols:
+            rows_e[c].append(extras[c])
         # ghost rows: neighbor tile (dx,dy) needs p iff p is within halo of
         # that tile's rectangle
         lo_x, hi_x = x - tx * cs, (tx + 1) * cs - x  # distance to own edges
@@ -103,15 +113,18 @@ def tile_points(
                 rows_x.append(x[m])
                 rows_y.append(y[m])
                 rows_c.append(np.zeros(int(m.sum()), dtype=np.bool_))
-        return pa.table(
-            {
-                "tile": pa.array(np.concatenate(rows_t)),
-                "id": pa.array(np.concatenate(rows_i)),
-                "x": pa.array(np.concatenate(rows_x)),
-                "y": pa.array(np.concatenate(rows_y)),
-                "core": pa.array(np.concatenate(rows_c)),
-            }
-        )
+                for c in extra_cols:
+                    rows_e[c].append(extras[c][m])
+        cols = {
+            "tile": pa.array(np.concatenate(rows_t)),
+            "id": pa.array(np.concatenate(rows_i)),
+            "x": pa.array(np.concatenate(rows_x)),
+            "y": pa.array(np.concatenate(rows_y)),
+            "core": pa.array(np.concatenate(rows_c)),
+        }
+        for c in extra_cols:
+            cols[c] = pa.array(np.concatenate(rows_e[c]))
+        return pa.table(cols)
 
     return points.map_batches(_emit, batch_format="pyarrow")
 

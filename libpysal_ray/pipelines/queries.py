@@ -5589,3 +5589,157 @@ SELECT CAST(st.bt AS VARCHAR) AS b_tot, CAST(st.wt AS VARCHAR) AS w_tot,
        CAST(p.num AS DOUBLE) / CAST(2 * st.bt * st.wt AS DOUBLE) AS d_f
 FROM st, p
 """
+
+
+def q_ripley_k(sf_dir: str):
+    """Ripley's K at three radii over the hash-geocoded document
+    points: exact ordered pair counts via the one tile shuffle, pinned
+    float K-hat (area = the full GRID x GRID window)."""
+    from libpysal_ray.spatial.pointpat import ripley_k
+
+    return ripley_k(
+        _points(sf_dir), radii=[25.0, 50.0, 100.0],
+        area=float(GRID * GRID), id_col="doc_id",
+    )
+
+
+QUERIES["ripley_k"] = q_ripley_k
+
+ORACLE_SQL["ripley_k"] = f"""
+WITH {_PTS_SQL},
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+rad AS (
+  SELECT * FROM (VALUES (25.0), (50.0), (100.0)) AS v(r)
+),
+cnt AS (
+  SELECT rad.r, CAST(COUNT(i.doc_id) AS BIGINT) AS pair_count
+  FROM rad
+  LEFT JOIN (pts i JOIN pts j ON i.doc_id <> j.doc_id)
+    ON (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y) <= rad.r * rad.r
+  GROUP BY rad.r
+)
+SELECT cnt.r, cnt.pair_count,
+       {GRID * GRID}.0 * CAST(cnt.pair_count AS DOUBLE)
+         / CAST(st.n * (st.n - 1) AS DOUBLE) AS k_f
+FROM cnt, st
+"""
+
+
+def q_quadrat(sf_dir: str):
+    """Quadrat counts of the document points on a 125-unit grid — one
+    (cell_r, cell_c, cnt) row per occupied quadrat."""
+    from libpysal_ray.spatial.pointpat import quadrat_counts
+
+    return quadrat_counts(_points(sf_dir), cell=125.0, id_col="doc_id")
+
+
+QUERIES["quadrat"] = q_quadrat
+
+ORACLE_SQL["quadrat"] = f"""
+WITH {_PTS_SQL}
+SELECT CAST(floor(y / 125.0) AS BIGINT) AS cell_r,
+       CAST(floor(x / 125.0) AS BIGINT) AS cell_c,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pts GROUP BY 1, 2
+"""
+
+
+def q_nn_pairs(sf_dir: str):
+    """Each document point's nearest non-self neighbor with the exact
+    integer squared distance, ties pinned to (distance, neighbor id) —
+    the Clark-Evans ingredient table."""
+    from libpysal_ray.spatial.pointpat import nn_pairs
+
+    return nn_pairs(_points(sf_dir), id_col="doc_id")
+
+
+QUERIES["nn_pairs"] = q_nn_pairs
+
+ORACLE_SQL["nn_pairs"] = f"""
+WITH {_PTS_SQL},
+d AS (
+  SELECT i.doc_id AS focal, j.doc_id AS neighbor,
+         CAST((i.x - j.x) * (i.x - j.x)
+              + (i.y - j.y) * (i.y - j.y) AS BIGINT) AS d2
+  FROM pts i JOIN pts j ON i.doc_id <> j.doc_id
+)
+SELECT focal, neighbor, d2
+FROM d
+QUALIFY row_number() OVER (
+  PARTITION BY focal ORDER BY d2, neighbor
+) = 1
+"""
+
+
+def q_knox(sf_dir: str):
+    """Knox space-time interaction over the events stream: user-hash
+    coordinates, event timestamps in exact epoch microseconds,
+    delta = 50 grid units, tau = 1 hour. Ordered-pair counts for
+    space-close, time-close, and both, plus the pinned independence
+    expectation."""
+    from libpysal_ray.spatial.geocode import geocode_ids
+    from libpysal_ray.sources.read import read_parquet_sized
+    from libpysal_ray.spatial.pointpat import knox
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def _t(t: pa.Table) -> pa.Table:
+        tv = t.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64).astype(np.float64)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "x": t.column("x"),
+            "y": t.column("y"),
+            "t": pa.array(tv),
+        })
+
+    pts = geocode_ids(ev, id_col="user_id", grid=GRID).map_batches(
+        _t, batch_format="pyarrow"
+    )
+    return knox(
+        pts, delta=50.0, tau=3_600_000_000.0,
+        id_col="event_id", t_col="t",
+    )
+
+
+QUERIES["knox"] = q_knox
+
+ORACLE_SQL["knox"] = f"""
+WITH e AS (
+  SELECT event_id AS id,
+         CAST((user_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
+         CAST((user_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y,
+         CAST(epoch_us(ts) AS DOUBLE) AS t,
+         user_id
+  FROM events
+),
+u AS (
+  SELECT user_id,
+         CAST((user_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
+         CAST((user_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+sp AS (
+  SELECT CAST(SUM(a.c * b.c) AS BIGINT) - (SELECT n FROM st) AS pairs_space
+  FROM u a JOIN u b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500.0
+),
+tp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS pairs_time,
+         CAST(COUNT(*) FILTER (WHERE
+           (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y) <= 2500.0
+         ) AS BIGINT) AS pairs_both
+  FROM e i JOIN e j
+    ON j.t BETWEEN i.t - 3600000000.0 AND i.t + 3600000000.0
+   AND i.id <> j.id
+)
+SELECT st.n, sp.pairs_space, tp.pairs_time, tp.pairs_both,
+       CAST(sp.pairs_space AS DOUBLE) * CAST(tp.pairs_time AS DOUBLE)
+         / CAST(st.n * (st.n - 1) AS DOUBLE) AS expected_f
+FROM st, sp, tp
+"""

@@ -1,0 +1,315 @@
+"""Point-pattern statistics: Ripley's K pair counts, quadrat counts,
+nearest-neighbor pairs, and the Knox space-time interaction statistic.
+
+The reference stack computes these downstream of libpysal's geometry
+and KD-tree layer (/root/reference/libpysal/cg/kdtree.py,
+cg/locators.py); at 100 TB there is no global tree, so every statistic
+here rides the ONE tile-shuffle plan of `builders.distance`
+(tile_points home+ghost emission → groupby(tile) → per-tile vectorized
+pair kernels) and reduces to per-tile integer COUNT partials — pairs
+are never materialized, so the shuffle moves O(n·fanout) point rows
+and the post-tile aggregate moves O(#tiles · #bins) count rows only.
+
+Exactness: coordinates and times are integer-valued doubles (< 2^53),
+so squared distances and time deltas are exact; every count is an
+exact int64 reduction and every headline float is ONE pinned IEEE
+expression mirrored verbatim by the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from libpysal_ray.builders.distance import _CHUNK, tile_points
+from libpysal_ray.core import joins as J
+
+__all__ = ["ripley_k", "quadrat_counts", "nn_pairs", "knox"]
+
+
+def ripley_k(
+    points: ray.data.Dataset,
+    radii: list[float],
+    area: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Ripley's K function at the given radii (ascending): the ordered
+    pair count cnt(r) = #{(i,j): i≠j, d_ij ≤ r} and the unadjusted
+    estimator K̂(r) = area · cnt(r) / (n·(n−1)).
+
+    One tile shuffle at cs = halo = max(r); each tile emits ONE row of
+    cumulative per-radius counts via a sorted-d² searchsorted (all
+    radii in one pass), so the post-shuffle aggregate sums
+    #tiles × #radii int64 partials. Output (r, pair_count, k_f) rows.
+    """
+    radii = sorted(float(r) for r in radii)
+    if not radii or radii[0] <= 0:
+        raise ValueError("ripley_k needs positive radii")
+    rmax = radii[-1]
+    r2 = np.array([r * r for r in radii], dtype=np.float64)
+    n = int(points.count())
+    if n < 2:
+        raise ValueError("ripley_k needs n >= 2 points")
+    tiled = tile_points(points, cs=rmax, halo=rmax,
+                        id_col=id_col, x_col=x_col, y_col=y_col)
+
+    def _counts(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ci = np.flatnonzero(core)
+        acc = np.zeros(len(r2), dtype=np.int64)
+        for s in range(0, len(ci), _CHUNK):
+            sel = ci[s : s + _CHUNK]
+            dx = x[sel, None] - x[None, :]
+            dy = y[sel, None] - y[None, :]
+            d2 = dx * dx + dy * dy
+            d2 = d2[(d2 <= r2[-1]) & (i[sel, None] != i[None, :])]
+            d2.sort()
+            acc += np.searchsorted(d2, r2, side="right")
+        return pa.table({
+            "ridx": pa.array(np.arange(len(r2), dtype=np.int64)),
+            "cnt": pa.array(acc),
+        })
+
+    sums = (
+        J.per_group(tiled, ("tile",), _counts)
+        .groupby("ridx")
+        .aggregate(Sum("cnt"))
+        .take_all()
+    )
+    cnt = np.zeros(len(r2), dtype=np.int64)
+    for row in sums:
+        cnt[int(row["ridx"])] = int(row["sum(cnt)"])
+    return ray.data.from_arrow(pa.table({
+        "r": pa.array(radii, pa.float64()),
+        "pair_count": pa.array(cnt),
+        "k_f": pa.array(
+            [area * float(c) / float(n * (n - 1)) for c in cnt],
+            pa.float64(),
+        ),
+    }))
+
+
+def quadrat_counts(
+    points: ray.data.Dataset,
+    cell: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Quadrat counts: points binned into a cell×cell grid, one
+    (cell_r, cell_c, cnt) row per OCCUPIED cell. One stateless binning
+    pass + one groupby — the quadrat test's Σ(c−E)² terms are derived
+    from these counts downstream."""
+
+    def _cells(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False)
+        y = t.column(y_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cell_r": pa.array(np.floor(y / cell).astype(np.int64)),
+            "cell_c": pa.array(np.floor(x / cell).astype(np.int64)),
+        })
+
+    return (
+        points.map_batches(_cells, batch_format="pyarrow")
+        .groupby(["cell_r", "cell_c"])
+        .count()
+        .map_batches(
+            lambda t: pa.table({
+                "cell_r": t.column("cell_r"),
+                "cell_c": t.column("cell_c"),
+                "cnt": t.column("count()"),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def nn_pairs(
+    points: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Each point's nearest non-self neighbor, ties broken by
+    (distance, neighbor id): rows (focal, neighbor, d2) with the EXACT
+    integer squared distance (re-derived from the coordinates, not the
+    float distance). Rides the KNN tile plan (k=1) then attaches both
+    endpoints' coordinates via one bucket_join per side."""
+    from libpysal_ray.builders.distance import knn_edges_with_dist
+    from libpysal_ray.core.joins import bucket_join
+
+    nn = knn_edges_with_dist(
+        points, k=1, id_col=id_col, x_col=x_col, y_col=y_col
+    ).map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    pts = points.map_batches(
+        lambda t: pa.table({
+            "node": t.column(id_col),
+            "px": t.column(x_col),
+            "py": t.column(y_col),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    lhs = bucket_join(
+        nn,
+        pts.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"),
+                "xf": t.column("px"), "yf": t.column("py"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    )
+    both = bucket_join(
+        lhs,
+        pts.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"),
+                "xn": t.column("px"), "yn": t.column("py"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+
+    def _d2(t: pa.Table) -> pa.Table:
+        dx = (t.column("xf").to_numpy(zero_copy_only=False)
+              - t.column("xn").to_numpy(zero_copy_only=False))
+        dy = (t.column("yf").to_numpy(zero_copy_only=False)
+              - t.column("yn").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "focal": t.column("focal"),
+            "neighbor": t.column("neighbor"),
+            "d2": pa.array((dx * dx + dy * dy).astype(np.int64)),
+        })
+
+    return both.map_batches(_d2, batch_format="pyarrow")
+
+
+def knox(
+    points: ray.data.Dataset,
+    delta: float,
+    tau: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    t_col: str = "t",
+) -> ray.data.Dataset:
+    """Knox space-time interaction statistic: over all ordered pairs
+    (i, j), i≠j,
+
+        pairs_space = #{d_ij ≤ δ}          pairs_time = #{|t_i−t_j| ≤ τ}
+        pairs_both  = #{d_ij ≤ δ AND |t_i−t_j| ≤ τ}   (the Knox count)
+
+    plus the independence expectation
+    E = pairs_space·pairs_time / (n·(n−1)) in ordered-pair units.
+
+    Two independent tile shuffles, both reducing to per-tile int64
+    COUNT partials (never pair rows): a 2-D spatial tiling at
+    cs = halo = δ carrying t as an extra column (space and space∧time
+    counted in the same kernel pass), and a 1-D temporal tiling at
+    cs = halo = τ. Output is ONE row."""
+    n = int(points.count())
+    if n < 2:
+        raise ValueError("knox needs n >= 2 points")
+    d2max = delta * delta
+
+    tiled = tile_points(points, cs=delta, halo=delta, id_col=id_col,
+                        x_col=x_col, y_col=y_col, extra_cols=(t_col,))
+
+    def _space(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        tt = t.column(t_col).to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ci = np.flatnonzero(core)
+        s_cnt = 0
+        b_cnt = 0
+        for s in range(0, len(ci), _CHUNK):
+            sel = ci[s : s + _CHUNK]
+            dx = x[sel, None] - x[None, :]
+            dy = y[sel, None] - y[None, :]
+            near = (dx * dx + dy * dy <= d2max) & (
+                i[sel, None] != i[None, :]
+            )
+            s_cnt += int(near.sum())
+            dt = np.abs(tt[sel, None] - tt[None, :])
+            b_cnt += int((near & (dt <= tau)).sum())
+        return pa.table({
+            "s": pa.array([s_cnt], pa.int64()),
+            "b": pa.array([b_cnt], pa.int64()),
+        })
+
+    sp = J.per_group(tiled, ("tile",), _space).aggregate(
+        Sum("s"), Sum("b")
+    )
+    pairs_space = int(sp["sum(s)"] or 0)
+    pairs_both = int(sp["sum(b)"] or 0)
+
+    # 1-D temporal tiling: home cell floor(t/2τ) plus ghosts to the
+    # adjacent cell when within τ of a boundary (same home+ghost
+    # contract as tile_points, one dimension; cell = 2τ keeps the
+    # ghost fanout ≤ 1 per point instead of always-2 at cell = τ).
+    tcs = 2.0 * tau
+
+    def _temit(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        tv = t.column(t_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        tc = np.floor(tv / tcs).astype(np.int64)
+        lo = tv - tc * tcs
+        hi = (tc + 1) * tcs - tv
+        ml, mh = lo <= tau, hi <= tau
+        return pa.table({
+            "tile": pa.array(np.concatenate([tc, tc[ml] - 1, tc[mh] + 1])),
+            "id": pa.array(np.concatenate([ids, ids[ml], ids[mh]])),
+            "t": pa.array(np.concatenate([tv, tv[ml], tv[mh]])),
+            "core": pa.array(np.concatenate([
+                np.ones(len(ids), dtype=np.bool_),
+                np.zeros(int(ml.sum()), dtype=np.bool_),
+                np.zeros(int(mh.sum()), dtype=np.bool_),
+            ])),
+        })
+
+    ttiled = points.map_batches(_temit, batch_format="pyarrow")
+
+    def _time(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy(zero_copy_only=False)
+        tv = t.column("t").to_numpy(zero_copy_only=False)
+        ci = np.flatnonzero(
+            t.column("core").to_numpy(zero_copy_only=False)
+        )
+        cnt = 0
+        for s in range(0, len(ci), _CHUNK):
+            sel = ci[s : s + _CHUNK]
+            dt = np.abs(tv[sel, None] - tv[None, :])
+            cnt += int(((dt <= tau) & (i[sel, None] != i[None, :])).sum())
+        return pa.table({"c": pa.array([cnt], pa.int64())})
+
+    pairs_time = int(
+        J.per_group(ttiled, ("tile",), _time).sum("c") or 0
+    )
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "pairs_space": pa.array([pairs_space], pa.int64()),
+        "pairs_time": pa.array([pairs_time], pa.int64()),
+        "pairs_both": pa.array([pairs_both], pa.int64()),
+        "expected_f": pa.array(
+            [float(pairs_space) * float(pairs_time)
+             / float(n * (n - 1))],
+            pa.float64(),
+        ),
+    }))

@@ -1,0 +1,126 @@
+"""ripley_k / quadrat_counts / nn_pairs / knox vs brute-force dense
+references on small random point sets (tile-boundary coverage is the
+thing under test — the brute force has no tiles)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.spatial.pointpat import (
+    knox,
+    nn_pairs,
+    quadrat_counts,
+    ripley_k,
+)
+
+
+def _pts(n, seed, lo=0, hi=200, tmax=None):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(lo, hi, n).astype(np.float64)
+    y = rng.integers(lo, hi, n).astype(np.float64)
+    cols = {
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(x),
+        "y": pa.array(y),
+    }
+    t = None
+    if tmax is not None:
+        t = rng.integers(0, tmax, n).astype(np.float64)
+        cols["t"] = pa.array(t)
+    return ray.data.from_arrow(pa.table(cols)).repartition(3), x, y, t
+
+
+def test_ripley_k_matches_brute(ray_session):
+    ds, x, y, _ = _pts(80, 7)
+    radii = [10.0, 35.0, 90.0]
+    out = {r["r"]: r for r in ripley_k(ds, radii, area=4e4).take_all()}
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    off = ~np.eye(80, dtype=bool)
+    for r in radii:
+        want = int(((d2 <= r * r) & off).sum())
+        assert out[r]["pair_count"] == want
+        assert out[r]["k_f"] == 4e4 * float(want) / float(80 * 79)
+
+
+def test_ripley_k_guards(ray_session):
+    ds, *_ = _pts(5, 1)
+    with pytest.raises(ValueError, match="positive radii"):
+        ripley_k(ds, [], area=1.0)
+    one = ray.data.from_arrow(pa.table({
+        "id": pa.array([0], pa.int64()),
+        "x": pa.array([0.0]), "y": pa.array([0.0]),
+    }))
+    with pytest.raises(ValueError, match="n >= 2"):
+        ripley_k(one, [1.0], area=1.0)
+
+
+def test_quadrat_counts_match_brute(ray_session):
+    ds, x, y, _ = _pts(60, 3)
+    rows = quadrat_counts(ds, cell=50.0).take_all()
+    got = {(r["cell_r"], r["cell_c"]): r["cnt"] for r in rows}
+    want: dict = {}
+    for xi, yi in zip(x, y):
+        k = (int(np.floor(yi / 50.0)), int(np.floor(xi / 50.0)))
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_nn_pairs_match_brute(ray_session):
+    ds, x, y, _ = _pts(50, 9)
+    rows = nn_pairs(ds).take_all()
+    assert len(rows) == 50
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    for r in rows:
+        i = r["focal"]
+        best = d2[i].min()
+        # tie order: (distance, neighbor id)
+        want_nbr = int(np.flatnonzero(d2[i] == best).min())
+        assert r["neighbor"] == want_nbr
+        assert r["d2"] == int(best)
+
+
+def test_nn_pairs_duplicate_coords(ray_session):
+    # two coincident points: each is the other's nn at d2=0
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "x": pa.array([5.0, 5.0, 100.0]),
+        "y": pa.array([5.0, 5.0, 100.0]),
+    }))
+    got = {r["focal"]: r for r in nn_pairs(ds).take_all()}
+    assert got[0]["neighbor"] == 1 and got[0]["d2"] == 0
+    assert got[1]["neighbor"] == 0 and got[1]["d2"] == 0
+    assert got[2]["d2"] == (95 ** 2) * 2
+
+
+def test_knox_matches_brute(ray_session):
+    ds, x, y, t = _pts(70, 13, tmax=5000)
+    delta, tau = 40.0, 600.0
+    row = knox(ds, delta=delta, tau=tau).take_all()[0]
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    dt = np.abs(t[:, None] - t[None, :])
+    off = ~np.eye(70, dtype=bool)
+    sp = (d2 <= delta * delta) & off
+    tp = (dt <= tau) & off
+    assert row["n"] == 70
+    assert row["pairs_space"] == int(sp.sum())
+    assert row["pairs_time"] == int(tp.sum())
+    assert row["pairs_both"] == int((sp & tp).sum())
+    assert row["expected_f"] == (
+        float(sp.sum()) * float(tp.sum()) / float(70 * 69)
+    )
+
+
+def test_knox_boundary_times(ray_session):
+    # points straddling a temporal tile boundary at exactly tau apart
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([0, 1, 2], pa.int64()),
+        "x": pa.array([0.0, 1.0, 2.0]),
+        "y": pa.array([0.0, 0.0, 0.0]),
+        "t": pa.array([199.0, 201.0, 399.0]),  # 2tau cell = 200
+    }))
+    row = knox(ds, delta=10.0, tau=100.0).take_all()[0]
+    # |199-201|<=100, |201-399|<=100 fails (198), |199-399|=200 fails
+    assert row["pairs_time"] == 2
+    assert row["pairs_both"] == 2
