@@ -5743,3 +5743,59 @@ SELECT st.n, sp.pairs_space, tp.pairs_time, tp.pairs_both,
          / CAST(st.n * (st.n - 1) AS DOUBLE) AS expected_f
 FROM st, sp, tp
 """
+
+
+def q_spatial_markov(sf_dir: str):
+    """Spatial Markov transition counts (Rey 2001): n_chars and the
+    derived snapshot 3*n_chars + doc_id % 97 classified by fixed
+    integer bins, conditioned on the rook-lag class of the first
+    snapshot."""
+    from libpysal_ray.spatial.stats import spatial_markov
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x0": t.column("n_chars"),
+            "x1": pa.array(
+                3 * t.column("n_chars").to_numpy(zero_copy_only=False)
+                + t.column("doc_id").to_numpy(zero_copy_only=False) % 97
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return spatial_markov(
+        _rook_g(sf_dir), attrs,
+        class_bins=[150, 300, 600], lag_bins=[600, 1200],
+    )
+
+
+QUERIES["spatial_markov"] = q_spatial_markov
+
+ORACLE_SQL["spatial_markov"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node, n_chars AS x0,
+         3 * n_chars + doc_id % 97 AS x1
+  FROM documents
+),
+lag AS (
+  SELECT adj.focal AS node, CAST(SUM(an.x0) AS BIGINT) AS lag0
+  FROM adj JOIN a an ON adj.neighbor = an.node
+  GROUP BY 1
+),
+cls AS (
+  SELECT
+    CAST((CASE WHEN COALESCE(lag.lag0, 0) >= 600 THEN 1 ELSE 0 END)
+       + (CASE WHEN COALESCE(lag.lag0, 0) >= 1200 THEN 1 ELSE 0 END)
+       AS BIGINT) AS lag_class,
+    CAST((CASE WHEN a.x0 >= 150 THEN 1 ELSE 0 END)
+       + (CASE WHEN a.x0 >= 300 THEN 1 ELSE 0 END)
+       + (CASE WHEN a.x0 >= 600 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+    CAST((CASE WHEN a.x1 >= 150 THEN 1 ELSE 0 END)
+       + (CASE WHEN a.x1 >= 300 THEN 1 ELSE 0 END)
+       + (CASE WHEN a.x1 >= 600 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM a LEFT JOIN lag USING (node)
+)
+SELECT lag_class, c0, c1, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cls GROUP BY 1, 2, 3
+"""

@@ -2294,3 +2294,86 @@ def local_moran_bv(
         })
 
     return joined.map_batches(_score, batch_format="pyarrow")
+
+
+def spatial_markov(
+    g,
+    attrs: ray.data.Dataset,
+    class_bins: list[int],
+    lag_bins: list[int],
+    id_col: str = "id",
+    x0_col: str = "x0",
+    x1_col: str = "x1",
+) -> ray.data.Dataset:
+    """Spatial Markov transition counts (Rey 2001, the giddy
+    Spatial_Markov downstream of libpysal weights): every observation
+    is classified at two attribute snapshots x0, x1 by the fixed
+    integer ``class_bins`` (class = #edges ≤ x, i.e. an exact
+    searchsorted-right), its spatial CONTEXT is the class of the
+    integer lag Σ_{j∈N(i)} x0_j under ``lag_bins``, and the output is
+    the conditioned transition count table (lag_class, c0, c1, cnt) —
+    at most (#lag_bins+1)·(#class_bins+1)² rows. Fixed integer bins
+    (not run-time quantiles) keep every classification exact and
+    layout-invariant; isolates take lag = 0.
+
+    100 TB shape: ONE bucket_join of x0 onto edges + one
+    groupby(focal) sum (the guarded lag), one left join back onto the
+    observation universe, one tiny groupby over ≤K³ classes."""
+    from libpysal_ray.core.joins import bucket_join
+
+    cb = np.asarray(sorted(class_bins), dtype=np.int64)
+    lb = np.asarray(sorted(lag_bins), dtype=np.int64)
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "x0": pa.array(
+                t.column(x0_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "x1": pa.array(
+                t.column(x1_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Max("x0"), ray.data.aggregate.Min("x0")
+    )
+    xmax = max(abs(int(agg["max(x0)"] or 0)), abs(int(agg["min(x0)"] or 0)))
+    max_deg = int(g.cardinalities().max("cardinality") or 0)
+    if xmax * max(max_deg, 1) >= (1 << 62):
+        raise ValueError("spatial_markov lag sum would overflow int64; "
+                         "rescale x0")
+
+    x0s = xs.map_batches(
+        lambda t: t.select(["node", "x0"]), batch_format="pyarrow"
+    )
+    lagged = _lag_sum_guarded(g, x0s, "x0", "lag0", "spatial_markov",
+                              id_col)
+    joined = bucket_join(xs, lagged, on="node", how="left")
+
+    def _classify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x0 = t.column("x0").to_numpy(zero_copy_only=False)
+        x1 = t.column("x1").to_numpy(zero_copy_only=False)
+        lag = pc.fill_null(
+            pc.cast(t.column("lag0"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lag_class": pa.array(
+                np.searchsorted(lb, lag, side="right").astype(np.int64)),
+            "c0": pa.array(
+                np.searchsorted(cb, x0, side="right").astype(np.int64)),
+            "c1": pa.array(
+                np.searchsorted(cb, x1, side="right").astype(np.int64)),
+        })
+
+    return (
+        joined.map_batches(_classify, batch_format="pyarrow")
+        .groupby(["lag_class", "c0", "c1"])
+        .count()
+        .rename_columns({"count()": "cnt"})
+    )

@@ -256,3 +256,46 @@ def test_local_moran_bv_matches_dense(ray_session):
     gi = moran_bv(g, attrs).take_all()[0]
     total = sum(out.values()) / int((m > 0).sum())
     assert abs(total - gi["moran_bv"]) < 1e-9
+
+
+def test_spatial_markov_matches_brute(ray_session):
+    from libpysal_ray.spatial.stats import spatial_markov
+
+    g = lat2graph(5, 6, rook=True)
+    rng = np.random.default_rng(21)
+    x0 = rng.integers(0, 100, 30).astype(np.int64)
+    x1 = rng.integers(0, 100, 30).astype(np.int64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(30, dtype=np.int64)),
+        "x0": pa.array(x0), "x1": pa.array(x1),
+    })).repartition(3)
+    cb, lb = [30, 60], [100, 200]
+    rows = spatial_markov(g, attrs, class_bins=cb, lag_bins=lb).take_all()
+    got = {(r["lag_class"], r["c0"], r["c1"]): r["cnt"] for r in rows}
+    m, ids = g.to_dense()
+    w = (m > 0).astype(np.int64)
+    order = np.argsort(ids)
+    x0o, x1o = x0[order], x1[order]
+    lag = w @ x0o
+    want: dict = {}
+    for i in range(30):
+        k = (
+            int(np.searchsorted(lb, lag[i], side="right")),
+            int(np.searchsorted(cb, x0o[i], side="right")),
+            int(np.searchsorted(cb, x1o[i], side="right")),
+        )
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_spatial_markov_overflow_guard(ray_session):
+    from libpysal_ray.spatial.stats import spatial_markov
+
+    g = lat2graph(3, 3, rook=True)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(9, dtype=np.int64)),
+        "x0": pa.array(np.full(9, (1 << 61), dtype=np.int64)),
+        "x1": pa.array(np.zeros(9, dtype=np.int64)),
+    }))
+    with pytest.raises(ValueError, match="overflow"):
+        spatial_markov(g, attrs, class_bins=[1], lag_bins=[1])
