@@ -5799,3 +5799,192 @@ cls AS (
 SELECT lag_class, c0, c1, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM cls GROUP BY 1, 2, 3
 """
+
+
+def q_variogram(sf_dir: str):
+    """Empirical semivariogram of n_chars over the hash-geocoded
+    document points at three distance annuli — exact pair counts and
+    squared-difference sums, pinned float gamma."""
+    from libpysal_ray.spatial.geocode import geocode_ids
+    from libpysal_ray.spatial.pointpat import variogram
+
+    pts = geocode_ids(
+        _docs(sf_dir, ["doc_id", "n_chars"]), "doc_id", grid=GRID
+    )
+    return variogram(pts, radii=[50.0, 100.0, 200.0],
+                     id_col="doc_id", v_col="n_chars")
+
+
+QUERIES["variogram"] = q_variogram
+
+ORACLE_SQL["variogram"] = f"""
+WITH p AS (
+  SELECT doc_id, n_chars AS v,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y
+  FROM documents
+),
+pairs AS (
+  SELECT (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y) AS d2,
+         CAST(i.v - j.v AS HUGEINT) AS dv
+  FROM p i JOIN p j ON i.doc_id <> j.doc_id
+  WHERE (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y) <= 40000.0
+),
+b AS (
+  SELECT CASE WHEN d2 <= 2500.0 THEN 0
+              WHEN d2 <= 10000.0 THEN 1 ELSE 2 END AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt, SUM(dv * dv) AS sq
+  FROM pairs GROUP BY 1
+),
+allb AS (
+  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0.0, 50.0),
+                        (CAST(1 AS BIGINT), 50.0, 100.0),
+                        (CAST(2 AS BIGINT), 100.0, 200.0))
+    AS v(bin, r_lo, r_hi)
+)
+SELECT allb.bin, allb.r_lo, allb.r_hi,
+       COALESCE(b.cnt, 0) AS pair_count,
+       CAST(COALESCE(b.sq, 0) AS VARCHAR) AS sq_sum,
+       CASE WHEN COALESCE(b.cnt, 0) = 0 THEN 0.0
+            ELSE CAST(b.sq AS DOUBLE) / CAST(2 * b.cnt AS DOUBLE)
+       END AS gamma_f
+FROM allb LEFT JOIN b USING (bin)
+"""
+
+
+def q_cross_k(sf_dir: str):
+    """Bivariate Ripley's K between English and non-English document
+    points at three radii — exact cross-pair counts, pinned K-hat."""
+    from libpysal_ray.spatial.pointpat import cross_k
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def _side(en):
+        return geocode_docs_side(docs, en)
+
+    return cross_k(
+        _side(True), _side(False), radii=[50.0, 100.0, 200.0],
+        area=float(GRID * GRID), id_col="doc_id",
+    )
+
+
+def geocode_docs_side(docs, en: bool):
+    from libpysal_ray.spatial.geocode import geocode_ids
+
+    def _f(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("lang"), "en")
+        if not en:
+            m = pc.invert(m)
+        return t.filter(m).select(["doc_id"])
+
+    return geocode_ids(
+        docs.map_batches(_f, batch_format="pyarrow"), "doc_id", grid=GRID
+    )
+
+
+QUERIES["cross_k"] = q_cross_k
+
+ORACLE_SQL["cross_k"] = f"""
+WITH pa_ AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y
+  FROM documents WHERE lang = 'en'
+),
+pb AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y
+  FROM documents WHERE lang <> 'en'
+),
+st AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pa_) AS na,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pb) AS nb
+),
+rad AS (
+  SELECT * FROM (VALUES (50.0), (100.0), (200.0)) AS v(r)
+),
+cnt AS (
+  SELECT rad.r, CAST(COUNT(i.doc_id) AS BIGINT) AS pair_count
+  FROM rad
+  LEFT JOIN (pa_ i JOIN pb j ON TRUE)
+    ON (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y)
+       <= rad.r * rad.r
+  GROUP BY rad.r
+)
+SELECT cnt.r, cnt.pair_count,
+       {GRID * GRID}.0 * CAST(cnt.pair_count AS DOUBLE)
+         / CAST(st.na * st.nb AS DOUBLE) AS k_f
+FROM cnt, st
+"""
+
+
+def q_rose(sf_dir: str):
+    """Directional-LISA rose octant counts (giddy Rose): movement
+    vectors in the Moran scatterplot between n_chars and the derived
+    snapshot 3*n_chars + doc_id % 97, classified into eight 45-degree
+    octants by exact integer comparisons."""
+    from libpysal_ray.spatial.stats import directional_rose
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x0": t.column("n_chars"),
+            "x1": pa.array(
+                3 * t.column("n_chars").to_numpy(zero_copy_only=False)
+                + t.column("doc_id").to_numpy(zero_copy_only=False) % 97
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return directional_rose(_rook_g(sf_dir), attrs)
+
+
+QUERIES["rose"] = q_rose
+
+ORACLE_SQL["rose"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node, n_chars AS x0,
+         3 * n_chars + doc_id % 97 AS x1
+  FROM documents
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x0) AS BIGINT) AS s0, CAST(SUM(x1) AS BIGINT) AS s1
+  FROM a
+),
+z AS (
+  SELECT node,
+         (SELECT n FROM st) * x0 - (SELECT s0 FROM st) AS z0,
+         (SELECT n FROM st) * x1 - (SELECT s1 FROM st) AS z1
+  FROM a
+),
+lag AS (
+  SELECT adj.focal AS node,
+         CAST(SUM(zn.z0) AS BIGINT) AS lag0,
+         CAST(SUM(zn.z1) AS BIGINT) AS lag1
+  FROM adj JOIN z zn ON adj.neighbor = zn.node
+  GROUP BY 1
+),
+v AS (
+  SELECT z.z1 - z.z0 AS dz,
+         COALESCE(lag.lag1, 0) - COALESCE(lag.lag0, 0) AS dl
+  FROM z LEFT JOIN lag USING (node)
+),
+o AS (
+  SELECT CAST(CASE
+    WHEN dz = 0 AND dl = 0 THEN -1
+    WHEN dz > 0 AND dl >= 0 AND abs(dl) < abs(dz) THEN 0
+    WHEN dl > 0 AND dz > 0 AND abs(dl) >= abs(dz) THEN 1
+    WHEN dl > 0 AND dz <= 0 AND abs(dl) > abs(dz) THEN 2
+    WHEN dl > 0 AND dz < 0 AND abs(dl) <= abs(dz) THEN 3
+    WHEN dl <= 0 AND dz < 0 AND abs(dl) < abs(dz) THEN 4
+    WHEN dl < 0 AND dz < 0 AND abs(dl) >= abs(dz) THEN 5
+    WHEN dl < 0 AND dz >= 0 AND abs(dl) > abs(dz) THEN 6
+    ELSE 7 END AS BIGINT) AS octant
+  FROM v
+)
+SELECT octant, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM o GROUP BY 1
+"""

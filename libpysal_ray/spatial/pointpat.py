@@ -26,7 +26,8 @@ from ray.data.aggregate import Sum
 from libpysal_ray.builders.distance import _CHUNK, tile_points
 from libpysal_ray.core import joins as J
 
-__all__ = ["ripley_k", "quadrat_counts", "nn_pairs", "knox"]
+__all__ = ["ripley_k", "cross_k", "quadrat_counts", "nn_pairs", "knox",
+           "variogram"]
 
 
 def ripley_k(
@@ -310,6 +311,197 @@ def knox(
         "expected_f": pa.array(
             [float(pairs_space) * float(pairs_time)
              / float(n * (n - 1))],
+            pa.float64(),
+        ),
+    }))
+
+
+def variogram(
+    points: ray.data.Dataset,
+    radii: list[float],
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    v_col: str = "v",
+) -> ray.data.Dataset:
+    """Empirical semivariogram over integer-valued marks: for each
+    distance annulus h_k = (r_{k-1}, r_k] (r_0 = 0, self-pairs
+    excluded),
+
+        γ(h_k) = Σ_{pairs in h_k} (v_i − v_j)²  /  (2 · N(h_k))
+
+    with ordered pair counts. Output one row per annulus
+    (bin, r_lo, r_hi, pair_count, sq_sum, gamma_f): the squared-
+    difference sum is EXACT (unbounded, decimal string) and gamma_f is
+    one pinned float division.
+
+    100 TB shape: the ONE tile shuffle at cs = halo = max(r) carrying
+    the mark as an extra column; each tile reduces to ≤ #bins rows of
+    (int64 count, decimal-string sum) partials via per-annulus masked
+    limb-exact sums; a per-batch combiner then folds tile rows so the
+    driver merges O(#blocks · #bins) rows, never O(#tiles)."""
+    from libpysal_ray.spatial.stats import _prod_sum_exact
+
+    radii = sorted(float(r) for r in radii)
+    if not radii or radii[0] <= 0:
+        raise ValueError("variogram needs positive radii")
+    rmax = radii[-1]
+    r2 = np.array([r * r for r in radii], dtype=np.float64)
+    tiled = tile_points(points, cs=rmax, halo=rmax, id_col=id_col,
+                        x_col=x_col, y_col=y_col, extra_cols=(v_col,))
+    nb = len(r2)
+
+    def _parts(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        v = t.column(v_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ci = np.flatnonzero(core)
+        cnt = np.zeros(nb, dtype=np.int64)
+        sq = [0] * nb
+        for s in range(0, len(ci), _CHUNK):
+            sel = ci[s : s + _CHUNK]
+            dx = x[sel, None] - x[None, :]
+            dy = y[sel, None] - y[None, :]
+            d2 = dx * dx + dy * dy
+            keep = (d2 <= r2[-1]) & (i[sel, None] != i[None, :])
+            if not keep.any():
+                continue
+            b = np.searchsorted(r2, d2[keep], side="left")
+            dv = (v[sel, None] - v[None, :])[keep]
+            for k in range(nb):
+                m = b == k
+                if m.any():
+                    cnt[k] += int(m.sum())
+                    sq[k] += _prod_sum_exact(dv[m], dv[m])
+        return pa.table({
+            "bin": pa.array(np.arange(nb, dtype=np.int64)),
+            "cnt": pa.array(cnt),
+            "sq": pa.array([str(q) for q in sq], pa.string()),
+        })
+
+    def _combine(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        q = t.column("sq").to_pylist()
+        cnt = np.zeros(nb, dtype=np.int64)
+        sq = [0] * nb
+        for bi, ci_, qi in zip(b, c, q):
+            cnt[bi] += ci_
+            sq[bi] += int(qi)
+        return pa.table({
+            "bin": pa.array(np.arange(nb, dtype=np.int64)),
+            "cnt": pa.array(cnt),
+            "sq": pa.array([str(x_) for x_ in sq], pa.string()),
+        })
+
+    parts = (
+        J.per_group(tiled, ("tile",), _parts)
+        .map_batches(_combine, batch_format="pyarrow")
+        .take_all()
+    )
+    cnt = np.zeros(nb, dtype=np.int64)
+    sq = [0] * nb
+    for row in parts:
+        cnt[int(row["bin"])] += int(row["cnt"])
+        sq[int(row["bin"])] += int(row["sq"])
+    lo = [0.0] + radii[:-1]
+    return ray.data.from_arrow(pa.table({
+        "bin": pa.array(np.arange(nb, dtype=np.int64)),
+        "r_lo": pa.array(lo, pa.float64()),
+        "r_hi": pa.array(radii, pa.float64()),
+        "pair_count": pa.array(cnt),
+        "sq_sum": pa.array([str(q) for q in sq], pa.string()),
+        "gamma_f": pa.array(
+            [float(q) / float(2 * c) if c else 0.0
+             for q, c in zip(sq, cnt)],
+            pa.float64(),
+        ),
+    }))
+
+
+def cross_k(
+    points_a: ray.data.Dataset,
+    points_b: ray.data.Dataset,
+    radii: list[float],
+    area: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Bivariate (cross) Ripley's K: for each radius, the pair count
+    cnt(r) = #{(i∈A, j∈B): d_ij ≤ r} (coincident points count — the
+    standard cross-K has no self-exclusion across sets) and
+    K̂_ab(r) = area · cnt(r) / (n_a · n_b).
+
+    Same ONE tile shuffle as :func:`ripley_k`, over the tagged union of
+    both sets (mark carried as an extra tile column): each tile counts
+    core-A × all-B via the cumulative searchsorted, so nothing beyond
+    count partials moves after the shuffle."""
+    radii = sorted(float(r) for r in radii)
+    if not radii or radii[0] <= 0:
+        raise ValueError("cross_k needs positive radii")
+    rmax = radii[-1]
+    r2 = np.array([r * r for r in radii], dtype=np.float64)
+    na, nb_ = int(points_a.count()), int(points_b.count())
+    if na == 0 or nb_ == 0:
+        raise ValueError("cross_k needs nonempty point sets")
+
+    def _tag(mark):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "id": t.column(id_col),
+                "x": t.column(x_col),
+                "y": t.column(y_col),
+                "mark": pa.array(
+                    np.full(t.num_rows, mark, dtype=np.int64)),
+            })
+        return _f
+
+    both = points_a.map_batches(
+        _tag(1), batch_format="pyarrow"
+    ).union(points_b.map_batches(_tag(2), batch_format="pyarrow"))
+    tiled = tile_points(both, cs=rmax, halo=rmax,
+                        extra_cols=("mark",))
+
+    def _counts(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        mark = t.column("mark").to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ci = np.flatnonzero(core & (mark == 1))
+        bj = np.flatnonzero(mark == 2)
+        acc = np.zeros(len(r2), dtype=np.int64)
+        if len(bj):
+            xb, yb = x[bj], y[bj]
+            for s in range(0, len(ci), _CHUNK):
+                sel = ci[s : s + _CHUNK]
+                dx = x[sel, None] - xb[None, :]
+                dy = y[sel, None] - yb[None, :]
+                d2 = dx * dx + dy * dy
+                d2 = d2[d2 <= r2[-1]]
+                d2.sort()
+                acc += np.searchsorted(d2, r2, side="right")
+        return pa.table({
+            "ridx": pa.array(np.arange(len(r2), dtype=np.int64)),
+            "cnt": pa.array(acc),
+        })
+
+    sums = (
+        J.per_group(tiled, ("tile",), _counts)
+        .groupby("ridx")
+        .aggregate(Sum("cnt"))
+        .take_all()
+    )
+    cnt = np.zeros(len(r2), dtype=np.int64)
+    for row in sums:
+        cnt[int(row["ridx"])] = int(row["sum(cnt)"])
+    return ray.data.from_arrow(pa.table({
+        "r": pa.array(radii, pa.float64()),
+        "pair_count": pa.array(cnt),
+        "k_f": pa.array(
+            [area * float(c) / float(na * nb_) for c in cnt],
             pa.float64(),
         ),
     }))

@@ -2377,3 +2377,126 @@ def spatial_markov(
         .count()
         .rename_columns({"count()": "cnt"})
     )
+
+
+def directional_rose(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x0_col: str = "x0",
+    x1_col: str = "x1",
+) -> ray.data.Dataset:
+    """Directional-LISA rose counts (Rey et al. 2011's giddy Rose
+    downstream of libpysal weights): each observation moves in the
+    Moran scatterplot from (z0, lag z0) to (z1, lag z1); the movement
+    vector (dz, dlag) = (z1−z0, lag1−lag0) is classified into eight
+    45° octants [k·45°, (k+1)·45°) with EXACT integer sign/magnitude
+    comparisons (no arctan — boundary vectors land deterministically);
+    zero vectors get octant −1. z_t = n·x_t − Σx_t keeps everything in
+    integers. Output (octant, cnt), ≤ 9 rows.
+
+    100 TB shape: two guarded lag passes (one bucket_join + one
+    grouped sum each), one join back onto the observation universe,
+    one ≤9-row groupby."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "x0": pa.array(
+                t.column(x0_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "x1": pa.array(
+                t.column(x1_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x0"), ray.data.aggregate.Sum("x1"),
+        ray.data.aggregate.Max("x0"), ray.data.aggregate.Min("x0"),
+        ray.data.aggregate.Max("x1"), ray.data.aggregate.Min("x1"),
+    )
+    n = int(agg["count()"])
+    if n < 2:
+        raise ValueError("directional_rose needs at least 2 observations")
+    sx0, sx1 = int(agg["sum(x0)"]), int(agg["sum(x1)"])
+    xmax = max(abs(int(agg[k])) for k in
+               ("max(x0)", "min(x0)", "max(x1)", "min(x1)"))
+    z_max = n * xmax + max(abs(sx0), abs(sx1))
+    max_deg = int(g.cardinalities().max("cardinality") or 0)
+    if z_max >= (1 << 61) or z_max * max(max_deg, 1) >= (1 << 61):
+        raise ValueError("directional_rose z/lag terms would overflow "
+                         "int64; rescale x")
+
+    def _z(col, s):
+        def _f(t: pa.Table, c=col, sv=s) -> pa.Table:
+            x = t.column(c).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": t.column("node"),
+                "z": pa.array(np.int64(n) * x - np.int64(sv)),
+            })
+        return _f
+
+    z0 = xs.map_batches(_z("x0", sx0), batch_format="pyarrow").materialize()
+    z1 = xs.map_batches(_z("x1", sx1), batch_format="pyarrow").materialize()
+    l0 = _lag_sum_guarded(g, z0, "z", "lag0", "directional_rose", id_col)
+    l1 = _lag_sum_guarded(g, z1, "z", "lag1", "directional_rose", id_col)
+    zj = bucket_join(
+        z0.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"), "z0": t.column("z"),
+            }),
+            batch_format="pyarrow",
+        ),
+        z1.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"), "z1": t.column("z"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="node",
+    )
+    # isolates are absent from BOTH lag tables (same graph) — two left
+    # joins + fill(0) keep them with lag 0
+    j = bucket_join(
+        bucket_join(zj, l0, on="node", how="left"),
+        l1, on="node", how="left",
+    )
+
+    def _oct(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def _fill(c):
+            return pc.fill_null(
+                pc.cast(t.column(c), pa.int64()), 0
+            ).to_numpy(zero_copy_only=False)
+
+        dz = _fill("z1") - _fill("z0")
+        dl = _fill("lag1") - _fill("lag0")
+        adz, adl = np.abs(dz), np.abs(dl)
+        octant = np.select(
+            [
+                (dz == 0) & (dl == 0),
+                (dz > 0) & (dl >= 0) & (adl < adz),
+                (dl > 0) & (dz > 0) & (adl >= adz),
+                (dl > 0) & (dz <= 0) & (adl > adz),
+                (dl > 0) & (dz < 0) & (adl <= adz),
+                (dl <= 0) & (dz < 0) & (adl < adz),
+                (dl < 0) & (dz < 0) & (adl >= adz),
+                (dl < 0) & (dz >= 0) & (adl > adz),
+            ],
+            [-1, 0, 1, 2, 3, 4, 5, 6],
+            default=7,
+        ).astype(np.int64)
+        return pa.table({"octant": pa.array(octant)})
+
+    return (
+        j.map_batches(_oct, batch_format="pyarrow")
+        .groupby("octant")
+        .count()
+        .rename_columns({"count()": "cnt"})
+    )

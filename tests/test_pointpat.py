@@ -124,3 +124,73 @@ def test_knox_boundary_times(ray_session):
     # |199-201|<=100, |201-399|<=100 fails (198), |199-399|=200 fails
     assert row["pairs_time"] == 2
     assert row["pairs_both"] == 2
+
+
+def test_variogram_matches_brute(ray_session):
+    from libpysal_ray.spatial.pointpat import variogram
+
+    rng = np.random.default_rng(17)
+    n = 60
+    x = rng.integers(0, 150, n).astype(np.float64)
+    y = rng.integers(0, 150, n).astype(np.float64)
+    v = rng.integers(0, 100, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(x), "y": pa.array(y), "v": pa.array(v),
+    })).repartition(3)
+    radii = [20.0, 60.0, 120.0]
+    rows = {r["bin"]: r for r in variogram(ds, radii).take_all()}
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    dv2 = (v[:, None].astype(object) - v[None, :].astype(object)) ** 2
+    off = ~np.eye(n, dtype=bool)
+    lo2 = [0.0] + [r * r for r in radii[:-1]]
+    for k, r in enumerate(radii):
+        m = off & (d2 > lo2[k]) & (d2 <= r * r)
+        assert rows[k]["pair_count"] == int(m.sum())
+        assert int(rows[k]["sq_sum"]) == int(dv2[m].sum())
+        if m.sum():
+            assert rows[k]["gamma_f"] == (
+                float(int(dv2[m].sum())) / float(2 * int(m.sum()))
+            )
+        assert rows[k]["r_lo"] == ([0.0] + radii[:-1])[k]
+        assert rows[k]["r_hi"] == r
+
+
+def test_variogram_exact_past_int64(ray_session):
+    from libpysal_ray.spatial.pointpat import variogram
+
+    # marks ~2^40: per-pair dv^2 ~2^80 — decimal strings must stay exact
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "x": pa.array([0.0, 3.0]), "y": pa.array([0.0, 4.0]),
+        "v": pa.array([0, 1 << 40], pa.int64()),
+    }))
+    row = variogram(ds, [10.0]).take_all()[0]
+    assert row["pair_count"] == 2
+    assert int(row["sq_sum"]) == 2 * (1 << 80)
+
+
+def test_cross_k_matches_brute(ray_session):
+    from libpysal_ray.spatial.pointpat import cross_k
+
+    rng = np.random.default_rng(23)
+    na, nb = 40, 55
+    ax = rng.integers(0, 200, na).astype(np.float64)
+    ay = rng.integers(0, 200, na).astype(np.float64)
+    bx = rng.integers(0, 200, nb).astype(np.float64)
+    by = rng.integers(0, 200, nb).astype(np.float64)
+    A = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(na, dtype=np.int64)),
+        "x": pa.array(ax), "y": pa.array(ay),
+    })).repartition(2)
+    B = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(nb, dtype=np.int64)),
+        "x": pa.array(bx), "y": pa.array(by),
+    })).repartition(3)
+    radii = [15.0, 50.0, 120.0]
+    out = {r["r"]: r for r in cross_k(A, B, radii, area=4e4).take_all()}
+    d2 = (ax[:, None] - bx[None, :]) ** 2 + (ay[:, None] - by[None, :]) ** 2
+    for r in radii:
+        want = int((d2 <= r * r).sum())
+        assert out[r]["pair_count"] == want
+        assert out[r]["k_f"] == 4e4 * float(want) / float(na * nb)
