@@ -2097,6 +2097,68 @@ class RayGraph:
             .rename_columns({"max(cluster_coef)": "cluster_coef"})
         )
 
+    def transitivity(self) -> ray.data.Dataset:
+        """Global transitivity (the graph-level companion of
+        :meth:`local_clustering`, util.py:556-607): T = closed / triads
+        with closed = # ordered node triples (i, j, k), i≠k, where all
+        three edges exist, and triads = Σ_j deg_j·(deg_j − 1) = #
+        ordered connected triples centered at j. One row
+        (closed, triads, transitivity_f) — both counts exact int64,
+        one pinned float division.
+
+        Plan: the same ONE bucketed self-join (paths i→j→k) +
+        pair-cogroup semi-join as local_clustering, but reduced to two
+        scalar integer partial sums instead of per-node rows."""
+        adj = E.dedup(
+            self._real_edges().map_batches(_binarize, batch_format="pyarrow")
+        ).materialize()
+        e1 = adj.select_columns(["focal", "neighbor"]).rename_columns(
+            {"neighbor": "mid"}
+        )
+        e2 = adj.select_columns(["focal", "neighbor"]).rename_columns(
+            {"focal": "mid"}
+        )
+        paths = J.bucket_join(e1, e2, on="mid").map_batches(
+            lambda t: pa.table({
+                "focal": t.column("focal"),
+                "neighbor": t.column("neighbor"),
+                "weight": pa.array(np.ones(t.num_rows)),
+            }),
+            batch_format="pyarrow",
+        ).filter(expr="focal != neighbor").materialize()
+        tri = J.pair_semi(
+            paths, adj.select_columns(["focal", "neighbor"])
+        )
+
+        def _wsum(t: pa.Table) -> pa.Table:
+            w = t.column("weight").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "c": pa.array([np.int64(w.sum())])
+            })
+
+        closed = sum(
+            int(r["c"]) for r in tri.map_batches(
+                _wsum, batch_format="pyarrow").take_all()
+        )
+
+        def _triads(t: pa.Table) -> pa.Table:
+            k = t.column("cardinality").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"c": pa.array([np.int64((k * (k - 1)).sum())])})
+
+        triads = sum(
+            int(r["c"]) for r in self.cardinalities().map_batches(
+                _triads, batch_format="pyarrow").take_all()
+        )
+        return ray.data.from_arrow(pa.table({
+            "closed": pa.array([closed], pa.int64()),
+            "triads": pa.array([triads], pa.int64()),
+            "transitivity_f": pa.array(
+                [float(closed) / float(triads) if triads else 0.0],
+                pa.float64(),
+            ),
+        }))
+
     @staticmethod
     def _order_driver(f: np.ndarray, n: np.ndarray, kmax: int) -> ray.data.Dataset:
         """Vectorized all-pairs BFS to depth kmax over packed uint64 pair

@@ -5988,3 +5988,119 @@ o AS (
 SELECT octant, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM o GROUP BY 1
 """
+
+
+def q_spatial_tau(sf_dir: str):
+    """Spatial Kendall tau (Rey 2004 rank concordance): n_chars vs the
+    derived snapshot 3*n_chars + doc_id % 97 compared over the rook
+    lattice's directed edges — exact concordant/discordant/tie counts."""
+    from libpysal_ray.spatial.stats import spatial_tau
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x0": t.column("n_chars"),
+            "x1": pa.array(
+                3 * t.column("n_chars").to_numpy(zero_copy_only=False)
+                + t.column("doc_id").to_numpy(zero_copy_only=False) % 97
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return spatial_tau(_rook_g(sf_dir), attrs)
+
+
+QUERIES["spatial_tau"] = q_spatial_tau
+
+ORACLE_SQL["spatial_tau"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node, n_chars AS x0,
+         3 * n_chars + doc_id % 97 AS x1
+  FROM documents
+),
+e AS (
+  SELECT sign(af.x0 - an.x0) * sign(af.x1 - an.x1) AS p
+  FROM adj
+  JOIN a af ON adj.focal = af.node
+  JOIN a an ON adj.neighbor = an.node
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(COUNT(*) FILTER (WHERE p > 0) AS BIGINT) AS concordant,
+         CAST(COUNT(*) FILTER (WHERE p < 0) AS BIGINT) AS discordant,
+         CAST(COUNT(*) FILTER (WHERE p = 0) AS BIGINT) AS ties
+  FROM e
+)
+SELECT s0, concordant, discordant, ties,
+       CAST(concordant - discordant AS DOUBLE) / CAST(s0 AS DOUBLE)
+         AS tau_f
+FROM t
+"""
+
+
+def q_centrography(sf_dir: str):
+    """Mean center and exact standard-distance² of the document
+    points — one stateless pass of integer partials, no shuffle."""
+    from libpysal_ray.spatial.pointpat import centrography
+
+    return centrography(_points(sf_dir), id_col="doc_id")
+
+
+QUERIES["centrography"] = q_centrography
+
+ORACLE_SQL["centrography"] = f"""
+WITH {_PTS_SQL},
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS BIGINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS BIGINT)) AS HUGEINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS BIGINT)
+             + CAST(y AS HUGEINT) * CAST(y AS BIGINT)) AS ss
+  FROM pts
+)
+SELECT n, CAST(sx AS VARCHAR) AS sum_x, CAST(sy AS VARCHAR) AS sum_y,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x_f,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y_f,
+       CAST(n * ss - sx * sx - sy * sy AS VARCHAR) AS sd2_num,
+       CAST(n * ss - sx * sx - sy * sy AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS sd2_f
+FROM st
+"""
+
+
+def q_transitivity(sf_dir: str):
+    """Global transitivity of the queen lattice graph (diagonal +
+    orthogonal edges close triangles): exact closed / connected
+    ordered-triple counts via the bucketed path self-join."""
+    return _queen_g(sf_dir).transitivity()
+
+
+QUERIES["transitivity"] = q_transitivity
+
+ORACLE_SQL["transitivity"] = f"""
+WITH g AS (SELECT doc_id, doc_id // {LCOLS} AS r, doc_id % {LCOLS} AS c
+           FROM documents),
+adj AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor
+  FROM g a JOIN g b ON {_QUEEN_COND}
+),
+p AS (
+  SELECT e1.focal AS i, e1.neighbor AS j, e2.neighbor AS k
+  FROM adj e1 JOIN adj e2 ON e1.neighbor = e2.focal
+  WHERE e1.focal <> e2.neighbor
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS triads,
+         CAST(COUNT(*) FILTER (WHERE EXISTS (
+           SELECT 1 FROM adj w
+           WHERE w.focal = p.i AND w.neighbor = p.k
+         )) AS BIGINT) AS closed
+  FROM p
+)
+SELECT closed, triads,
+       CASE WHEN triads = 0 THEN 0.0
+            ELSE CAST(closed AS DOUBLE) / CAST(triads AS DOUBLE)
+       END AS transitivity_f
+FROM t
+"""

@@ -505,3 +505,51 @@ def cross_k(
             pa.float64(),
         ),
     }))
+
+
+def centrography(
+    points: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Centrography of a point set (the cg-layer mean center /
+    standard distance): one row
+
+        (n, sum_x, sum_y, mean_x_f, mean_y_f, sd2_num, sd2_f)
+
+    with the standard-distance² numerator EXACT:
+    sd² = Σ((x−x̄)² + (y−ȳ)²)/n = (n·Σ(x²+y²) − (Σx)² − (Σy)²) / n²,
+    carried as a decimal string (unbounded), and the two means + sd²
+    as pinned float divisions. ONE stateless pass of per-batch exact
+    integer partials — no shuffle at all."""
+    from libpysal_ray.spatial.stats import _prod_sum_exact, _sum_i64
+
+    def _part(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([np.int64(len(x))]),
+            "sx": pa.array([str(_sum_i64(x))]),
+            "sy": pa.array([str(_sum_i64(y))]),
+            "ss": pa.array([str(_prod_sum_exact(x, x)
+                                + _prod_sum_exact(y, y))]),
+        })
+
+    parts = points.map_batches(_part, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in parts)
+    if n == 0:
+        raise ValueError("centrography needs n > 0 points")
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    ss = sum(int(r["ss"]) for r in parts)
+    num = n * ss - sx * sx - sy * sy
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "sum_x": pa.array([str(sx)], pa.string()),
+        "sum_y": pa.array([str(sy)], pa.string()),
+        "mean_x_f": pa.array([float(sx) / float(n)], pa.float64()),
+        "mean_y_f": pa.array([float(sy) / float(n)], pa.float64()),
+        "sd2_num": pa.array([str(num)], pa.string()),
+        "sd2_f": pa.array([float(num) / float(n * n)], pa.float64()),
+    }))

@@ -2500,3 +2500,103 @@ def directional_rose(
         .count()
         .rename_columns({"count()": "cnt"})
     )
+
+
+def spatial_tau(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x0_col: str = "x0",
+    x1_col: str = "x1",
+) -> ray.data.Dataset:
+    """Spatial rank concordance (Rey 2004's spatial Kendall tau in
+    giddy, downstream of libpysal weights): over the DIRECTED binary
+    edge set, each edge (i, j) compares the two snapshots' orderings —
+
+        concordant:  sign(x0_i−x0_j) · sign(x1_i−x1_j) > 0
+        discordant:  sign·sign < 0        ties: either diff = 0
+
+    Output one row (s0, concordant, discordant, ties, tau_f) with
+    tau_f = (concordant − discordant) / s0 pinned. Exact integer
+    comparisons; the id-universe guard raises on missing endpoints.
+
+    100 TB shape: identical to :func:`gamma_index` — ONE bucket_join
+    per endpoint, per-batch int64 count partials."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "x0": pa.array(
+                t.column(x0_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "x1": pa.array(
+                t.column(x1_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    ).materialize()
+    e_count = int(edges.count())
+    lhs = bucket_join(
+        edges,
+        xs.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"),
+                "af": t.column("x0"), "bf": t.column("x1"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    ).map_batches(
+        lambda t: t.select(["neighbor", "af", "bf"]),
+        batch_format="pyarrow",
+    )
+    both = bucket_join(
+        lhs,
+        xs.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"),
+                "an": t.column("x0"), "bn": t.column("x1"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+
+    def _part(t: pa.Table) -> pa.Table:
+        s0 = np.sign(t.column("af").to_numpy(zero_copy_only=False)
+                     - t.column("an").to_numpy(zero_copy_only=False))
+        s1 = np.sign(t.column("bf").to_numpy(zero_copy_only=False)
+                     - t.column("bn").to_numpy(zero_copy_only=False))
+        p = s0 * s1
+        return pa.table({
+            "c": pa.array([np.int64((p > 0).sum())]),
+            "d": pa.array([np.int64((p < 0).sum())]),
+            "t": pa.array([np.int64((p == 0).sum())]),
+        })
+
+    parts = both.map_batches(_part, batch_format="pyarrow").take_all()
+    conc = sum(int(r["c"]) for r in parts)
+    disc = sum(int(r["d"]) for r in parts)
+    ties = sum(int(r["t"]) for r in parts)
+    if conc + disc + ties != e_count:
+        raise ValueError(
+            f"spatial_tau: {e_count - conc - disc - ties} of {e_count} "
+            f"edges have endpoints missing from attrs ({id_col}); the "
+            "attribute table must cover the graph's node universe"
+        )
+    return ray.data.from_arrow(pa.table({
+        "s0": pa.array([e_count], pa.int64()),
+        "concordant": pa.array([conc], pa.int64()),
+        "discordant": pa.array([disc], pa.int64()),
+        "ties": pa.array([ties], pa.int64()),
+        "tau_f": pa.array(
+            [float(conc - disc) / float(e_count)] if e_count else [0.0],
+            pa.float64(),
+        ),
+    }))

@@ -362,3 +362,47 @@ def test_directional_rose_octant_boundaries(ray_session):
     }))
     rows = directional_rose(g, attrs).take_all()
     assert rows == [{"octant": -1, "cnt": 2}]
+
+
+def test_spatial_tau_matches_brute(ray_session):
+    from libpysal_ray.spatial.stats import spatial_tau
+
+    g = lat2graph(5, 6, rook=True)
+    rng = np.random.default_rng(41)
+    x0 = rng.integers(0, 20, 30).astype(np.int64)  # small range -> ties
+    x1 = rng.integers(0, 20, 30).astype(np.int64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(30, dtype=np.int64)),
+        "x0": pa.array(x0), "x1": pa.array(x1),
+    })).repartition(3)
+    row = spatial_tau(g, attrs).take_all()[0]
+    m, ids = g.to_dense()
+    w = (m > 0).astype(np.int64)
+    order = np.argsort(ids)
+    a, b = x0[order], x1[order]
+    conc = disc = ties = 0
+    for i in range(30):
+        for j in range(30):
+            if w[i, j]:
+                p = np.sign(a[i] - a[j]) * np.sign(b[i] - b[j])
+                if p > 0:
+                    conc += 1
+                elif p < 0:
+                    disc += 1
+                else:
+                    ties += 1
+    assert row["s0"] == int(w.sum())
+    assert (row["concordant"], row["discordant"], row["ties"]) == (
+        conc, disc, ties
+    )
+    assert row["tau_f"] == float(conc - disc) / float(w.sum())
+
+
+def test_transitivity_closed_forms(ray_session):
+    # rook lattice: no triangles at all
+    rk = lat2graph(4, 4, rook=True).transitivity().take_all()[0]
+    assert rk["closed"] == 0 and rk["transitivity_f"] == 0.0
+    # queen 2x2: complete graph K4 -> transitivity 1
+    qn = lat2graph(2, 2, rook=False).transitivity().take_all()[0]
+    assert qn["closed"] == qn["triads"] > 0
+    assert qn["transitivity_f"] == 1.0

@@ -194,3 +194,22 @@ def test_cross_k_matches_brute(ray_session):
         want = int((d2 <= r * r).sum())
         assert out[r]["pair_count"] == want
         assert out[r]["k_f"] == 4e4 * float(want) / float(na * nb)
+
+
+def test_centrography_matches_brute(ray_session):
+    from libpysal_ray.spatial.pointpat import centrography
+
+    ds, x, y, _ = _pts(45, 29)
+    row = centrography(ds).take_all()[0]
+    n = 45
+    sx, sy = int(x.sum()), int(y.sum())
+    ss = int((x * x + y * y).sum())
+    num = n * ss - sx * sx - sy * sy
+    assert row["n"] == n
+    assert int(row["sum_x"]) == sx and int(row["sum_y"]) == sy
+    assert int(row["sd2_num"]) == num
+    assert row["mean_x_f"] == float(sx) / float(n)
+    assert row["sd2_f"] == float(num) / float(n * n)
+    # identity: sd2 == mean squared deviation from the mean
+    want = (((x - x.mean()) ** 2 + (y - y.mean()) ** 2).mean())
+    assert abs(row["sd2_f"] - want) < 1e-9
