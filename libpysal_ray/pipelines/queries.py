@@ -6104,3 +6104,93 @@ SELECT closed, triads,
        END AS transitivity_f
 FROM t
 """
+
+
+def q_colocation(sf_dir: str):
+    """Colocation quotients of document languages over the hash-
+    geocoded points: exact nearest-neighbor category counts, pinned
+    CLQ float chain."""
+    from libpysal_ray.spatial.geocode import geocode_ids
+    from libpysal_ray.spatial.pointpat import colocation
+
+    pts = geocode_ids(
+        _docs(sf_dir, ["doc_id", "lang"]), "doc_id", grid=GRID
+    )
+    return colocation(pts, id_col="doc_id", cat_col="lang")
+
+
+QUERIES["colocation"] = q_colocation
+
+ORACLE_SQL["colocation"] = f"""
+WITH p AS (
+  SELECT doc_id, lang,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y
+  FROM documents
+),
+nn AS (
+  SELECT i.lang AS cat_a, j.lang AS cat_b
+  FROM p i JOIN p j ON i.doc_id <> j.doc_id
+  QUALIFY row_number() OVER (
+    PARTITION BY i.doc_id
+    ORDER BY (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y),
+             j.doc_id
+  ) = 1
+),
+c AS (
+  SELECT cat_a, cat_b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM nn GROUP BY 1, 2
+),
+tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM p GROUP BY 1),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p)
+SELECT c.cat_a, c.cat_b, c.cnt,
+       ta.nl AS n_a,
+       tb.nl - (CASE WHEN c.cat_a = c.cat_b THEN 1 ELSE 0 END) AS n_b,
+       CAST(c.cnt AS DOUBLE) / CAST(ta.nl AS DOUBLE)
+         / (CAST(tb.nl - (CASE WHEN c.cat_a = c.cat_b THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / CAST(st.n - 1 AS DOUBLE)) AS clq_f
+FROM c
+JOIN tot ta ON ta.lang = c.cat_a
+JOIN tot tb ON tb.lang = c.cat_b
+CROSS JOIN st
+"""
+
+
+def q_sd_ellipse(sf_dir: str):
+    """Standard deviational ellipse second moments of the document
+    points — exact n²-scaled covariance numerators, pinned
+    orientation tangent."""
+    from libpysal_ray.spatial.pointpat import sd_ellipse
+
+    return sd_ellipse(_points(sf_dir), id_col="doc_id")
+
+
+QUERIES["sd_ellipse"] = q_sd_ellipse
+
+ORACLE_SQL["sd_ellipse"] = f"""
+WITH {_PTS_SQL},
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS BIGINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS BIGINT)) AS HUGEINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS BIGINT)) AS qxx,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS BIGINT)) AS qyy,
+         SUM(CAST(x AS HUGEINT) * CAST(y AS BIGINT)) AS qxy
+  FROM pts
+),
+m AS (
+  SELECT n,
+         n * qxx - sx * sx AS sxx,
+         n * qyy - sy * sy AS syy,
+         n * qxy - sx * sy AS sxy
+  FROM st
+)
+SELECT n, CAST(sxx AS VARCHAR) AS sxx, CAST(syy AS VARCHAR) AS syy,
+       CAST(sxy AS VARCHAR) AS sxy,
+       CASE WHEN sxx = syy THEN 0.0
+            ELSE 2.0 * CAST(sxy AS DOUBLE)
+                 / (CAST(sxx AS DOUBLE) - CAST(syy AS DOUBLE))
+       END AS tan2theta_f
+FROM m
+"""

@@ -553,3 +553,143 @@ def centrography(
         "sd2_num": pa.array([str(num)], pa.string()),
         "sd2_f": pa.array([float(num) / float(n * n)], pa.float64()),
     }))
+
+
+def colocation(
+    points: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    cat_col: str = "cat",
+) -> ray.data.Dataset:
+    """Colocation quotient (Leslie & Kronenfeld 2011): for each ordered
+    category pair (a, b),
+
+        CLQ_{a→b} = (C_{a→b} / N_a) / (N_b' / (N − 1))
+
+    where C_{a→b} = # category-a points whose nearest non-self neighbor
+    (ties pinned to (distance, neighbor id)) is category b, and
+    N_b' = N_b − [a = b] (a point cannot be its own neighbor). Output
+    one row per observed (cat_a, cat_b): (cat_a, cat_b, cnt, n_a, n_b,
+    clq_f), counts exact, CLQ one pinned float chain.
+
+    100 TB shape: :func:`nn_pairs` (the KNN tile plan) + one
+    bucket_join per endpoint to attach categories + a ≤K² groupby; the
+    category totals are one tiny groupby broadcast to the final rows.
+    """
+    from libpysal_ray.core.joins import bucket_join
+
+    cats = points.map_batches(
+        lambda t: pa.table({
+            "node": t.column(id_col), "cat": t.column(cat_col),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    totals = {
+        r["cat"]: int(r["count()"])
+        for r in cats.groupby("cat").count().take_all()
+    }
+    n = sum(totals.values())
+    nn = nn_pairs(points, id_col=id_col, x_col=x_col, y_col=y_col)
+    lhs = bucket_join(
+        nn.map_batches(
+            lambda t: t.select(["focal", "neighbor"]),
+            batch_format="pyarrow",
+        ),
+        cats.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"), "cat_a": t.column("cat"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    ).map_batches(
+        lambda t: t.select(["neighbor", "cat_a"]), batch_format="pyarrow"
+    )
+    both = bucket_join(
+        lhs,
+        cats.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "cat_b": t.column("cat"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+    counts = (
+        both.groupby(["cat_a", "cat_b"])
+        .count()
+        .rename_columns({"count()": "cnt"})
+    )
+
+    def _clq(t: pa.Table) -> pa.Table:
+        ca = t.column("cat_a").to_pylist()
+        cb = t.column("cat_b").to_pylist()
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        na = np.array([totals[c] for c in ca], dtype=np.int64)
+        nb = np.array(
+            [totals[b] - (1 if a == b else 0) for a, b in zip(ca, cb)],
+            dtype=np.int64,
+        )
+        clq = (
+            cnt.astype(np.float64) / na.astype(np.float64)
+            / (nb.astype(np.float64) / np.float64(n - 1))
+        )
+        return pa.table({
+            "cat_a": t.column("cat_a"), "cat_b": t.column("cat_b"),
+            "cnt": pa.array(cnt), "n_a": pa.array(na),
+            "n_b": pa.array(nb), "clq_f": pa.array(clq),
+        })
+
+    return counts.map_batches(_clq, batch_format="pyarrow")
+
+
+def sd_ellipse(
+    points: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Standard deviational ellipse ingredients (centrography's second
+    moment): EXACT n²-scaled central covariance numerators
+
+        sxx = n·Σx² − (Σx)²   syy = n·Σy² − (Σy)²   sxy = n·Σxy − Σx·Σy
+
+    as decimal strings plus the pinned orientation figure
+    tan2theta_f = 2·sxy / (sxx − syy) (one float chain; the ellipse
+    angle/axes follow driver-side from these three scalars). ONE
+    stateless pass of per-batch exact partials, no shuffle."""
+    from libpysal_ray.spatial.stats import _prod_sum_exact, _sum_i64
+
+    def _part(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([np.int64(len(x))]),
+            "sx": pa.array([str(_sum_i64(x))]),
+            "sy": pa.array([str(_sum_i64(y))]),
+            "sxx": pa.array([str(_prod_sum_exact(x, x))]),
+            "syy": pa.array([str(_prod_sum_exact(y, y))]),
+            "sxy": pa.array([str(_prod_sum_exact(x, y))]),
+        })
+
+    parts = points.map_batches(_part, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in parts)
+    if n < 2:
+        raise ValueError("sd_ellipse needs n >= 2 points")
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    sxx = n * sum(int(r["sxx"]) for r in parts) - sx * sx
+    syy = n * sum(int(r["syy"]) for r in parts) - sy * sy
+    sxy = n * sum(int(r["sxy"]) for r in parts) - sx * sy
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "sxx": pa.array([str(sxx)], pa.string()),
+        "syy": pa.array([str(syy)], pa.string()),
+        "sxy": pa.array([str(sxy)], pa.string()),
+        "tan2theta_f": pa.array(
+            [2.0 * float(sxy) / (float(sxx) - float(syy))
+             if sxx != syy else 0.0],
+            pa.float64(),
+        ),
+    }))

@@ -213,3 +213,52 @@ def test_centrography_matches_brute(ray_session):
     # identity: sd2 == mean squared deviation from the mean
     want = (((x - x.mean()) ** 2 + (y - y.mean()) ** 2).mean())
     assert abs(row["sd2_f"] - want) < 1e-9
+
+
+def test_colocation_matches_brute(ray_session):
+    from libpysal_ray.spatial.pointpat import colocation
+
+    rng = np.random.default_rng(37)
+    n = 60
+    x = rng.integers(0, 300, n).astype(np.float64)
+    y = rng.integers(0, 300, n).astype(np.float64)
+    cat = rng.choice(["a", "b", "c"], n)
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(x), "y": pa.array(y), "cat": pa.array(cat),
+    })).repartition(3)
+    rows = colocation(ds).take_all()
+    got = {(r["cat_a"], r["cat_b"]): r for r in rows}
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    want: dict = {}
+    for i in range(n):
+        best = d2[i].min()
+        j = int(np.flatnonzero(d2[i] == best).min())
+        k = (cat[i], cat[j])
+        want[k] = want.get(k, 0) + 1
+    totals = {c: int((cat == c).sum()) for c in ("a", "b", "c")}
+    assert {k: v["cnt"] for k, v in got.items()} == want
+    for (a, b), r in got.items():
+        nb = totals[b] - (1 if a == b else 0)
+        assert r["n_a"] == totals[a] and r["n_b"] == nb
+        assert r["clq_f"] == (
+            float(r["cnt"]) / float(totals[a])
+            / (float(nb) / float(n - 1))
+        )
+
+
+def test_sd_ellipse_matches_brute(ray_session):
+    from libpysal_ray.spatial.pointpat import sd_ellipse
+
+    ds, x, y, _ = _pts(40, 43)
+    row = sd_ellipse(ds).take_all()[0]
+    n = 40
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = n * int((x * x).sum()) - sx * sx
+    syy = n * int((y * y).sum()) - sy * sy
+    sxy = n * int((x * y).sum()) - sx * sy
+    assert int(row["sxx"]) == sxx
+    assert int(row["syy"]) == syy
+    assert int(row["sxy"]) == sxy
+    assert row["tan2theta_f"] == 2.0 * float(sxy) / (float(sxx) - float(syy))
