@@ -204,6 +204,8 @@ def knn_edges_with_dist(
     cs: float | None = None,
     include_self: bool = False,
     query_ids: np.ndarray | None = None,
+    focal_col: str | None = None,
+    cand_col: str | None = None,
 ) -> ray.data.Dataset:
     """Dataset (focal, neighbor, dist) of the k nearest (non-self unless
     include_self) neighbors; ties broken by (dist, neighbor_id).
@@ -217,7 +219,19 @@ def knn_edges_with_dist(
     every point still serves as a candidate neighbor. attach_islands uses
     this so island repair costs KNN(|islands|), not KNN(corpus)
     (VERDICT r2 #4).
+
+    ``focal_col`` / ``cand_col``: optional BOOL columns restricting which
+    rows act as queries / as candidate neighbors — the cross-set
+    (sjoin_nearest-style) plan: union the two sets with role flags, ONE
+    tile shuffle, same guard + fallback. Requires include_self=True (id
+    spaces may overlap across sets, so id-based self-exclusion would
+    drop legitimate cross pairs); both flags travel as tile extras, so
+    the restriction is per-row, never a driver-held id set.
     """
+    if cand_col is not None and not include_self:
+        raise ValueError(
+            "cand_col requires include_self=True (cross-set semantics)"
+        )
     if cs is None:
         cs = _auto_cell_size(points, k, x_col, y_col)
     halo = cs
@@ -226,8 +240,10 @@ def knn_edges_with_dist(
         if query_ids is not None
         else None
     )
+    extra = tuple(c for c in (focal_col, cand_col) if c is not None)
     tiled = tile_points(points, cs=cs, halo=halo,
-                        id_col=id_col, x_col=x_col, y_col=y_col)
+                        id_col=id_col, x_col=x_col, y_col=y_col,
+                        extra_cols=extra)
     kk = k + (1 if include_self else 0)
 
     def _local_knn(t: pa.Table) -> pa.Table:
@@ -237,6 +253,15 @@ def knn_edges_with_dist(
         core = t.column("core").to_numpy(zero_copy_only=False)
         if q_ref is not None:
             core = core & np.isin(i, ray.get(q_ref))
+        if focal_col is not None:
+            core = core & t.column(focal_col).to_numpy(
+                zero_copy_only=False)
+        if cand_col is not None:
+            cj = np.flatnonzero(
+                t.column(cand_col).to_numpy(zero_copy_only=False))
+            i_cand, x_cand, y_cand = i[cj], x[cj], y[cj]
+        else:
+            i_cand, x_cand, y_cand = i, x, y
         ci = np.flatnonzero(core)
         tile = int(t.column("tile")[0].as_py())
         tx = tile // (1 << 21) - _TOFF
@@ -247,15 +272,17 @@ def knn_edges_with_dist(
         out_f, out_n, out_d, out_ok = [], [], [], []
         for s in range(0, len(ci), _CHUNK):
             sel = ci[s : s + _CHUNK]
-            dx = x[sel, None] - x[None, :]
-            dy = y[sel, None] - y[None, :]
+            dx = x[sel, None] - x_cand[None, :]
+            dy = y[sel, None] - y_cand[None, :]
             d = np.sqrt(dx * dx + dy * dy)
             if not include_self:
-                d[i[sel, None] == i[None, :]] = np.inf
+                d[i[sel, None] == i_cand[None, :]] = np.inf
             # top-kk by (d, neighbor id): lexsort per row
             m = d.shape[1]
             take = min(kk, m if include_self else m - 1)
-            ord_ = np.lexsort((np.broadcast_to(i, d.shape), d), axis=1)[:, :take]
+            ord_ = np.lexsort(
+                (np.broadcast_to(i_cand, d.shape), d), axis=1
+            )[:, :take]
             rows = np.repeat(np.arange(len(sel)), take)
             cols = ord_.ravel()
             dd = d[rows, cols]
@@ -266,7 +293,7 @@ def knn_edges_with_dist(
                 kth = dd.reshape(len(sel), take)[:, -1]
                 resolved = (kth < guard) & (take == kk)
                 out_f.append(np.repeat(i[sel], take))
-                out_n.append(i[cols])
+                out_n.append(i_cand[cols])
                 out_d.append(dd)
                 out_ok.append(np.repeat(resolved, take))
             # points with no candidates at all: sentinel rows so the
@@ -324,7 +351,13 @@ def knn_edges_with_dist(
     # unresolved set filters with a driver-broadcast id array (np.isin);
     # above FALLBACK_SEMI_IDS the id array itself is O(U) driver memory,
     # so route the selection through a distributed semi-join instead.
-    pts_sel = points.select_columns([id_col, x_col, y_col])
+    pts_q = points
+    if focal_col is not None:
+        pts_q = points.map_batches(
+            lambda t: t.filter(t.column(focal_col)),
+            batch_format="pyarrow",
+        )
+    pts_sel = pts_q.select_columns([id_col, x_col, y_col])
     if n_unres <= FALLBACK_SEMI_IDS:
         uq = np.array(
             [r["focal"] for r in unresolved_ds.take_all()], dtype=np.int64
@@ -357,6 +390,8 @@ def knn_edges_with_dist(
         )))
 
     def _scan(t: pa.Table) -> pa.Table:
+        if cand_col is not None:
+            t = t.filter(t.column(cand_col))
         i = t.column(id_col).to_numpy(zero_copy_only=False)
         x = t.column(x_col).to_numpy(zero_copy_only=False)
         y = t.column(y_col).to_numpy(zero_copy_only=False)

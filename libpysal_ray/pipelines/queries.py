@@ -6194,3 +6194,43 @@ SELECT n, CAST(sxx AS VARCHAR) AS sxx, CAST(syy AS VARCHAR) AS syy,
        END AS tan2theta_f
 FROM m
 """
+
+
+def q_nearest_join(sf_dir: str):
+    """Cross-set nearest join (sjoin_nearest): every English document
+    point joined to its nearest non-English document point, ties
+    pinned to (distance, neighbor id), exact integer d²."""
+    from libpysal_ray.spatial.pointpat import nearest_join
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    return nearest_join(
+        geocode_docs_side(docs, True), geocode_docs_side(docs, False),
+        id_col="doc_id",
+    )
+
+
+QUERIES["nearest_join"] = q_nearest_join
+
+ORACLE_SQL["nearest_join"] = f"""
+WITH pa_ AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y
+  FROM documents WHERE lang = 'en'
+),
+pb AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y
+  FROM documents WHERE lang <> 'en'
+)
+SELECT i.doc_id AS focal, j.doc_id AS neighbor,
+       CAST((i.x - j.x) * (i.x - j.x)
+            + (i.y - j.y) * (i.y - j.y) AS BIGINT) AS d2
+FROM pa_ i JOIN pb j ON TRUE
+QUALIFY row_number() OVER (
+  PARTITION BY i.doc_id
+  ORDER BY (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y),
+           j.doc_id
+) = 1
+"""

@@ -27,7 +27,8 @@ from libpysal_ray.builders.distance import _CHUNK, tile_points
 from libpysal_ray.core import joins as J
 
 __all__ = ["ripley_k", "cross_k", "quadrat_counts", "nn_pairs", "knox",
-           "variogram"]
+           "variogram", "colocation", "sd_ellipse", "nearest_join",
+           "centrography"]
 
 
 def ripley_k(
@@ -693,3 +694,80 @@ def sd_ellipse(
             pa.float64(),
         ),
     }))
+
+
+def nearest_join(
+    points_a: ray.data.Dataset,
+    points_b: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Cross-set nearest-neighbor join (GeoPandas sjoin_nearest
+    semantics): for every point in A, its single nearest point in B,
+    ties pinned to (distance, b id). Coincident points join at
+    distance 0 — there is no self-exclusion across sets (id spaces are
+    independent). Rows (focal, neighbor, d2) with the EXACT integer
+    squared distance re-derived from the coordinates.
+
+    100 TB shape: the union of both sets with role flags rides the ONE
+    guarded KNN tile shuffle (focal_col/cand_col restrict roles
+    per-row — no driver-held id sets); A points whose nearest B could
+    lie beyond the tile halo are finished by the standard chunked
+    broadcast fallback. Coordinates then re-attach via one bucket_join
+    per side for the exact d²."""
+    from libpysal_ray.builders.distance import knn_edges_with_dist
+    from libpysal_ray.core.joins import bucket_join
+
+    def _tag(is_a):
+        def _f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "id": t.column(id_col),
+                "x": t.column(x_col),
+                "y": t.column(y_col),
+                "is_q": pa.array(np.full(n, is_a, dtype=np.bool_)),
+                "is_c": pa.array(np.full(n, not is_a, dtype=np.bool_)),
+            })
+        return _f
+
+    both = points_a.map_batches(
+        _tag(True), batch_format="pyarrow"
+    ).union(points_b.map_batches(_tag(False), batch_format="pyarrow"))
+    # k=0 + include_self=True → kk=1 candidate with NO id-based
+    # exclusion (the cross-set contract; see knn_edges_with_dist)
+    nn = knn_edges_with_dist(
+        both, k=0, include_self=True,
+        focal_col="is_q", cand_col="is_c",
+    ).map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+
+    def _coords(src, key, xo, yo):
+        return src.map_batches(
+            lambda t: pa.table({
+                key: t.column(id_col),
+                xo: t.column(x_col), yo: t.column(y_col),
+            }),
+            batch_format="pyarrow",
+        )
+
+    lhs = bucket_join(
+        nn, _coords(points_a, "focal", "xf", "yf"), on="focal"
+    )
+    full = bucket_join(
+        lhs, _coords(points_b, "neighbor", "xn", "yn"), on="neighbor"
+    )
+
+    def _d2(t: pa.Table) -> pa.Table:
+        dx = (t.column("xf").to_numpy(zero_copy_only=False)
+              - t.column("xn").to_numpy(zero_copy_only=False))
+        dy = (t.column("yf").to_numpy(zero_copy_only=False)
+              - t.column("yn").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "focal": t.column("focal"),
+            "neighbor": t.column("neighbor"),
+            "d2": pa.array((dx * dx + dy * dy).astype(np.int64)),
+        })
+
+    return full.map_batches(_d2, batch_format="pyarrow")

@@ -262,3 +262,71 @@ def test_sd_ellipse_matches_brute(ray_session):
     assert int(row["syy"]) == syy
     assert int(row["sxy"]) == sxy
     assert row["tan2theta_f"] == 2.0 * float(sxy) / (float(sxx) - float(syy))
+
+
+def test_nearest_join_matches_brute(ray_session):
+    from libpysal_ray.spatial.pointpat import nearest_join
+
+    rng = np.random.default_rng(51)
+    na, nb = 45, 35
+    ax = rng.integers(0, 300, na).astype(np.float64)
+    ay = rng.integers(0, 300, na).astype(np.float64)
+    bx = rng.integers(0, 300, nb).astype(np.float64)
+    by = rng.integers(0, 300, nb).astype(np.float64)
+    # overlapping id spaces on purpose: ids must NOT self-exclude
+    A = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(na, dtype=np.int64)),
+        "x": pa.array(ax), "y": pa.array(ay),
+    })).repartition(2)
+    B = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(nb, dtype=np.int64)),
+        "x": pa.array(bx), "y": pa.array(by),
+    })).repartition(3)
+    rows = nearest_join(A, B).take_all()
+    assert len(rows) == na
+    d2 = (ax[:, None] - bx[None, :]) ** 2 + (ay[:, None] - by[None, :]) ** 2
+    for r in rows:
+        i = r["focal"]
+        best = d2[i].min()
+        want = int(np.flatnonzero(d2[i] == best).min())
+        assert r["neighbor"] == want, (i, r, want)
+        assert r["d2"] == int(best)
+
+
+def test_nearest_join_coincident_cross_ids(ray_session):
+    from libpysal_ray.spatial.pointpat import nearest_join
+
+    # A point with the SAME id and SAME coords as a B point must still
+    # join (distance 0) — no cross-set self-exclusion
+    A = ray.data.from_arrow(pa.table({
+        "id": pa.array([7], pa.int64()),
+        "x": pa.array([10.0]), "y": pa.array([10.0]),
+    }))
+    B = ray.data.from_arrow(pa.table({
+        "id": pa.array([7, 8], pa.int64()),
+        "x": pa.array([10.0, 50.0]), "y": pa.array([10.0, 50.0]),
+    }))
+    rows = nearest_join(A, B).take_all()
+    assert rows == [{"focal": 7, "neighbor": 7, "d2": 0}]
+
+
+def test_nearest_join_sparse_b_forces_fallback(ray_session):
+    from libpysal_ray.spatial.pointpat import nearest_join
+
+    # B far away from every A point: local tiles have no candidates ->
+    # every A point resolves through the broadcast fallback pass
+    rng = np.random.default_rng(53)
+    na = 30
+    A = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(na, dtype=np.int64)),
+        "x": pa.array(rng.integers(0, 50, na).astype(np.float64)),
+        "y": pa.array(rng.integers(0, 50, na).astype(np.float64)),
+    })).repartition(2)
+    B = ray.data.from_arrow(pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "x": pa.array([5000.0, 9000.0]),
+        "y": pa.array([5000.0, 9000.0]),
+    }))
+    rows = nearest_join(A, B).take_all()
+    assert len(rows) == na
+    assert all(r["neighbor"] == 0 for r in rows)  # 5000 is closer
