@@ -6234,3 +6234,59 @@ QUALIFY row_number() OVER (
            j.doc_id
 ) = 1
 """
+
+
+def q_theta(sf_dir: str):
+    """Theta rank-mobility index (giddy Theta): n_chars vs the derived
+    snapshot 3*n_chars + doc_id % 97 with language regimes — exact
+    integer doubled-rank sums, one pinned division."""
+    from libpysal_ray.spatial.stats import theta_index
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars", "lang"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x0": t.column("n_chars"),
+            "x1": pa.array(
+                3 * t.column("n_chars").to_numpy(zero_copy_only=False)
+                + t.column("doc_id").to_numpy(zero_copy_only=False) % 97
+            ),
+            "regime": t.column("lang"),
+        }),
+        batch_format="pyarrow",
+    )
+    return theta_index(attrs)
+
+
+QUERIES["theta"] = q_theta
+
+ORACLE_SQL["theta"] = """
+WITH a AS (
+  SELECT doc_id AS node, n_chars AS x0,
+         3 * n_chars + doc_id % 97 AS x1, lang AS regime
+  FROM documents
+),
+r AS (
+  SELECT node, regime,
+         2 * RANK() OVER (ORDER BY x0)
+           + COUNT(*) OVER (PARTITION BY x0) - 1 AS r0,
+         2 * RANK() OVER (ORDER BY x1)
+           + COUNT(*) OVER (PARTITION BY x1) - 1 AS r1
+  FROM a
+),
+per AS (
+  SELECT regime,
+         CAST(SUM(r1 - r0) AS BIGINT) AS net,
+         CAST(SUM(abs(r1 - r0)) AS BIGINT) AS gross
+  FROM r GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(abs(net)) AS BIGINT) AS theta_num,
+         CAST(SUM(gross) AS BIGINT) AS theta_den
+  FROM per
+)
+SELECT theta_num, theta_den,
+       CASE WHEN theta_den = 0 THEN 0.0
+            ELSE CAST(theta_num AS DOUBLE) / CAST(theta_den AS DOUBLE)
+       END AS theta_f
+FROM t
+"""

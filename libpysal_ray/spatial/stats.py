@@ -2600,3 +2600,80 @@ def spatial_tau(
             pa.float64(),
         ),
     }))
+
+
+def theta_index(
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x0_col: str = "x0",
+    x1_col: str = "x1",
+    regime_col: str = "regime",
+) -> ray.data.Dataset:
+    """Theta index of regime (cohesion) rank mobility (Rey 2004, the
+    giddy Theta): with integer doubled average ranks r_t =
+    :func:`rank_scores` of each snapshot,
+
+        Θ = Σ_regimes |Σ_{i∈regime} (r1_i − r0_i)|  /  Σ_i |r1_i − r0_i|
+
+    — 1 when all rank movement is regime-cohesive, → 0 when within-
+    regime movements cancel. Output one row (theta_num, theta_den,
+    theta_f): both sums exact int64, one pinned float division
+    (theta_f = 0 when no ranks moved).
+
+    100 TB shape: two distinct-value histogram rank passes, one
+    bucket_join per rank table + one for the regime, a ≤#regimes
+    groupby of int64 partials."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _sel(col):
+        return attrs.map_batches(
+            lambda t, c=col: pa.table({
+                "id": t.column(id_col), "x": t.column(c),
+            }),
+            batch_format="pyarrow",
+        )
+
+    r0 = rank_scores(_sel(x0_col)).map_batches(
+        lambda t: pa.table({"node": t.column("id"),
+                            "r0": t.column("rank2")}),
+        batch_format="pyarrow",
+    )
+    r1 = rank_scores(_sel(x1_col)).map_batches(
+        lambda t: pa.table({"node": t.column("id"),
+                            "r1": t.column("rank2")}),
+        batch_format="pyarrow",
+    )
+    reg = attrs.map_batches(
+        lambda t: pa.table({
+            "node": t.column(id_col), "regime": t.column(regime_col),
+        }),
+        batch_format="pyarrow",
+    )
+    j = bucket_join(bucket_join(r0, r1, on="node"), reg, on="node")
+
+    def _d(t: pa.Table) -> pa.Table:
+        d = (t.column("r1").to_numpy(zero_copy_only=False)
+             - t.column("r0").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "regime": t.column("regime"),
+            "net": pa.array(d),
+            "gross": pa.array(np.abs(d)),
+        })
+
+    per = (
+        j.map_batches(_d, batch_format="pyarrow")
+        .groupby("regime")
+        .aggregate(
+            ray.data.aggregate.Sum("net"), ray.data.aggregate.Sum("gross")
+        )
+        .take_all()
+    )
+    num = sum(abs(int(r["sum(net)"])) for r in per)
+    den = sum(int(r["sum(gross)"]) for r in per)
+    return ray.data.from_arrow(pa.table({
+        "theta_num": pa.array([num], pa.int64()),
+        "theta_den": pa.array([den], pa.int64()),
+        "theta_f": pa.array(
+            [float(num) / float(den) if den else 0.0], pa.float64()
+        ),
+    }))

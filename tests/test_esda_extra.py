@@ -406,3 +406,59 @@ def test_transitivity_closed_forms(ray_session):
     qn = lat2graph(2, 2, rook=False).transitivity().take_all()[0]
     assert qn["closed"] == qn["triads"] > 0
     assert qn["transitivity_f"] == 1.0
+
+
+def test_theta_index_matches_brute(ray_session):
+    from libpysal_ray.spatial.stats import theta_index
+
+    rng = np.random.default_rng(61)
+    n = 40
+    x0 = rng.integers(0, 15, n).astype(np.int64)  # ties on purpose
+    x1 = rng.integers(0, 15, n).astype(np.int64)
+    reg = rng.choice(["r1", "r2", "r3"], n)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "x0": pa.array(x0), "x1": pa.array(x1),
+        "regime": pa.array(reg),
+    })).repartition(3)
+    row = theta_index(attrs).take_all()[0]
+
+    def rank2(v):
+        # doubled average rank with ties
+        order = np.argsort(v, kind="stable")
+        r = np.empty(n, dtype=np.int64)
+        sv = v[order]
+        minrank = np.empty(n, dtype=np.int64)
+        rk = 1
+        i = 0
+        while i < n:
+            j = i
+            while j < n and sv[j] == sv[i]:
+                j += 1
+            minrank[i:j] = rk
+            rk += j - i
+            i = j
+        cnt = np.array([np.sum(sv == sv[k]) for k in range(n)])
+        r[order] = 2 * minrank + cnt - 1
+        return r
+
+    d = rank2(x1) - rank2(x0)
+    num = sum(abs(int(d[reg == g].sum())) for g in ("r1", "r2", "r3"))
+    den = int(np.abs(d).sum())
+    assert row["theta_num"] == num
+    assert row["theta_den"] == den
+    assert row["theta_f"] == float(num) / float(den)
+
+
+def test_theta_index_cohesive_is_one(ray_session):
+    from libpysal_ray.spatial.stats import theta_index
+
+    # regimes move as blocks: theta must be exactly 1
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(6, dtype=np.int64)),
+        "x0": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "x1": pa.array([4, 5, 6, 1, 2, 3], pa.int64()),
+        "regime": pa.array(["a", "a", "a", "b", "b", "b"]),
+    }))
+    row = theta_index(attrs).take_all()[0]
+    assert row["theta_f"] == 1.0 and row["theta_den"] > 0
