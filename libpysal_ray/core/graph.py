@@ -2558,3 +2558,139 @@ def _binarize(t: pa.Table) -> pa.Table:
     )
 
 
+
+
+def _kcore_driver(f: np.ndarray, n: np.ndarray, k: int) -> pa.Table:
+    """Exact k-core peel over int64 endpoint arrays of a SYMMETRIC edge
+    set (both directions present, so degree(v) = #rows with focal == v).
+    Vectorized: each round kills every current-degree-<k node at once
+    and decrements via one bincount over the dying directed edges."""
+    nodes = np.unique(np.concatenate([f, n])) if len(f) else np.array(
+        [], np.int64
+    )
+    if len(nodes) == 0:
+        return pa.table({
+            "node": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64()),
+        })
+    fi = np.searchsorted(nodes, f)
+    ni = np.searchsorted(nodes, n)
+    deg = np.bincount(fi, minlength=len(nodes))
+    alive_node = np.ones(len(nodes), bool)
+    alive_edge = np.ones(len(f), bool)
+    while True:
+        kill = alive_node & (deg < k)
+        if not kill.any():
+            break
+        alive_node &= ~kill
+        dead = alive_edge & (kill[fi] | kill[ni])
+        deg -= np.bincount(fi[dead], minlength=len(nodes))
+        alive_edge &= ~dead
+    keep = alive_node & (deg >= k)
+    return pa.table({
+        "node": pa.array(nodes[keep]),
+        "deg": pa.array(deg[keep].astype(np.int64)),
+    })
+
+
+def kcore(
+    g,
+    k: int,
+    max_driver_edges: int = 5_000_000,
+    force_distributed: bool = False,
+    max_rounds: int = 256,
+) -> ray.data.Dataset:
+    """k-core decomposition (fixed k): the maximal subgraph in which
+    every node keeps degree ≥ k. Requires a symmetric (undirected)
+    edge set, like the reference's contiguity/symmetrized graphs.
+    Output (node, deg): core members with their within-core degrees,
+    exact integers.
+
+    Size-switched like :meth:`RayGraph.order` / :meth:`n_components`:
+    under ``max_driver_edges`` the peel is one vectorized numpy pass on
+    the driver (no per-round shuffle at all). Above it (or with
+    ``force_distributed=True``) it peels synchronously on the EDGE set
+    — an edge survives a round iff BOTH endpoints had surviving degree
+    ≥ k; at the fixpoint the survivors are exactly the k-core. 100 TB
+    shape: per round ONE size-switched grouped count + one bucket_join
+    per endpoint (the degree table is the small side), edge set
+    re-materialized per round so Ray never replays the chain; rounds
+    are data-dependent (pathological path graphs peel O(n) times) —
+    ``max_rounds`` raises loudly instead of spinning."""
+    from libpysal_ray.core import joins as JJ
+
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    ).materialize()
+    e_count = int(edges.count())
+
+    if not force_distributed and e_count <= max_driver_edges:
+        fs, ns = [], []
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            fs.append(b.column("focal").to_numpy(zero_copy_only=False))
+            ns.append(b.column("neighbor").to_numpy(zero_copy_only=False))
+        f = (
+            np.concatenate(fs) if fs else np.array([], np.int64)
+        ).astype(np.int64)
+        n = (
+            np.concatenate(ns) if ns else np.array([], np.int64)
+        ).astype(np.int64)
+        return ray.data.from_arrow(_kcore_driver(f, n, k))
+
+    def _deg(es: ray.data.Dataset) -> ray.data.Dataset:
+        return JJ.grouped_agg(es, ("focal",), (None,), "count").map_batches(
+            lambda t: pa.table({
+                "focal": t.column("focal"),
+                "__d": t.column("count()"),
+            }),
+            batch_format="pyarrow",
+        )
+
+    _empty = pa.table({
+        "node": pa.array([], pa.int64()),
+        "deg": pa.array([], pa.int64()),
+    })
+    if e_count == 0:
+        return ray.data.from_arrow(_empty)
+    for _ in range(max_rounds):
+        deg = _deg(edges).materialize()
+        keepf = JJ.bucket_join(edges, deg, on="focal").map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("__d"), k)
+            ).drop_columns(["__d"]),
+            batch_format="pyarrow",
+        )
+        nd = deg.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("focal"), "__dn": t.column("__d"),
+            }),
+            batch_format="pyarrow",
+        )
+        kept = JJ.bucket_join(keepf, nd, on="neighbor").map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("__dn"), k)
+            ).drop_columns(["__dn"]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_kept = int(kept.count())
+        if n_kept == 0:
+            return ray.data.from_arrow(_empty)
+        if n_kept == e_count:
+            break
+        edges, e_count = kept, n_kept
+    else:
+        raise ValueError(
+            f"kcore did not converge within max_rounds={max_rounds}; "
+            "raise the budget explicitly"
+        )
+    return _deg(edges).map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"),
+            "deg": pa.array(
+                t.column("__d").to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+        }),
+        batch_format="pyarrow",
+    )

@@ -6290,3 +6290,42 @@ SELECT theta_num, theta_den,
        END AS theta_f
 FROM t
 """
+
+
+def q_kcore(sf_dir: str):
+    """3-core of the 50-unit distance-band graph: synchronous edge-
+    survival peeling to the fixpoint (16 rounds at this instance),
+    exact within-core degrees."""
+    from libpysal_ray.builders.distance import distance_band
+    from libpysal_ray.core.graph import kcore
+
+    g = distance_band(_points(sf_dir), threshold=50.0, binary=True,
+                      id_col="doc_id")
+    return kcore(g, k=3)
+
+
+QUERIES["kcore"] = q_kcore
+
+ORACLE_SQL["kcore"] = f"""
+WITH RECURSIVE {_PTS_SQL},
+adj AS (
+  SELECT i.doc_id AS f, j.doc_id AS n
+  FROM pts i JOIN pts j
+    ON i.doc_id <> j.doc_id
+   AND (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y) <= 2500.0
+),
+se AS (
+  SELECT 0 AS round, f, n FROM adj
+  UNION ALL
+  SELECT round + 1, f, n FROM (
+    SELECT round, f, n,
+           COUNT(*) OVER (PARTITION BY f) AS df,
+           COUNT(*) OVER (PARTITION BY n) AS dn
+    FROM se
+  )
+  WHERE df >= 3 AND dn >= 3 AND round < 24
+)
+SELECT f AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM se WHERE round = 24
+GROUP BY 1
+"""

@@ -574,3 +574,39 @@ def test_spanning_forest_asymmetric_input(ray_session):
     got_d = sorted((r["focal"], r["neighbor"], r["weight"]) for r in
                    raw.spanning_forest(max_driver_edges=0).take_all())
     assert got_d == got
+
+
+def test_kcore_driver_and_distributed(ray_session):
+    import numpy as np
+
+    from libpysal_ray.builders.lattice import lat2graph
+    from libpysal_ray.core.graph import kcore
+
+    # 4x4 rook lattice: 2-core is the whole lattice (every node has
+    # degree >= 2); 3-core is empty (peeling corners cascades:
+    # corners deg 2 -> edge nodes lose support -> everything peels)
+    g = lat2graph(4, 4, rook=True)
+    core2 = kcore(g, 2).to_pandas()
+    assert len(core2) == 16
+    degs = dict(zip(core2["node"], core2["deg"]))
+    assert degs[0] == 2 and degs[5] == 4  # corner / interior
+    assert len(kcore(g, 3).to_pandas()) == 0
+
+    # pendant chain hanging off a clique: only the clique survives k=3
+    from libpysal_ray.core.graph import RayGraph
+    cl = [(a, b) for a in range(4) for b in range(4) if a != b]
+    chain = [(3, 4), (4, 3), (4, 5), (5, 4), (5, 6), (6, 5)]
+    e = np.array(cl + chain)
+    g2 = RayGraph.from_arrays(e[:, 0], e[:, 1], np.ones(len(e)))
+    got = kcore(g2, 3).to_pandas().sort_values("node")
+    assert list(got["node"]) == [0, 1, 2, 3]
+    assert list(got["deg"]) == [3, 3, 3, 3]
+    # forced-distributed peel must agree exactly
+    got_d = kcore(g2, 3, force_distributed=True).to_pandas().sort_values(
+        "node"
+    )
+    assert list(got_d["node"]) == [0, 1, 2, 3]
+    assert list(got_d["deg"]) == [3, 3, 3, 3]
+    assert len(
+        kcore(g, 3, force_distributed=True).to_pandas()
+    ) == 0
