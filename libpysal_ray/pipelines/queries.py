@@ -6329,3 +6329,70 @@ SELECT f AS node, CAST(COUNT(*) AS BIGINT) AS deg
 FROM se WHERE round = 24
 GROUP BY 1
 """
+
+
+def q_lee_l(sf_dir: str):
+    """Lee's L bivariate spatial association (the spatial Pearson):
+    n_chars against the token count over the rook lattice — exact
+    integer lag products with doubled deviations, one pinned float."""
+    from libpysal_ray.spatial.stats import lee_l
+
+    attrs = _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x": t.column("n_chars"),
+            "y": pc.add(pc.count_substring(t.column("text"), " "), 1),
+        }),
+        batch_format="pyarrow",
+    )
+    return lee_l(_rook_g(sf_dir), attrs)
+
+
+QUERIES["lee_l"] = q_lee_l
+
+ORACLE_SQL["lee_l"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node, CAST(n_chars AS BIGINT) AS x,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1
+              AS BIGINT) AS y
+  FROM documents
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+  FROM a
+),
+z AS (
+  SELECT node,
+         (SELECT n FROM st) * x - (SELECT sx FROM st) AS zx,
+         (SELECT n FROM st) * y - (SELECT sy FROM st) AS zy
+  FROM a
+),
+lg AS (
+  SELECT adj.focal AS node,
+         CAST(SUM(zn.zx) AS BIGINT) AS lx,
+         CAST(SUM(zn.zy) AS BIGINT) AS ly,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM adj JOIN z zn ON adj.neighbor = zn.node
+  GROUP BY 1
+),
+s AS (
+  SELECT SUM(CAST(lx AS HUGEINT) * ly) AS num,
+         CAST(SUM(d * d) AS BIGINT) AS s02
+  FROM lg
+),
+dd AS (
+  SELECT SUM(CAST(zx AS HUGEINT) * zx) AS ssx,
+         SUM(CAST(zy AS HUGEINT) * zy) AS ssy
+  FROM z
+)
+SELECT (SELECT n FROM st) AS n, s.s02,
+       CAST(s.num AS VARCHAR) AS lee_num,
+       CAST(dd.ssx AS VARCHAR) AS ssx,
+       CAST(dd.ssy AS VARCHAR) AS ssy,
+       CAST((SELECT n FROM st) AS DOUBLE) * CAST(s.num AS DOUBLE)
+         / (CAST(s.s02 AS DOUBLE) * sqrt(CAST(dd.ssx AS DOUBLE))
+            * sqrt(CAST(dd.ssy AS DOUBLE))) AS lee_f
+FROM s, dd
+"""

@@ -2677,3 +2677,201 @@ def theta_index(
             [float(num) / float(den) if den else 0.0], pa.float64()
         ),
     }))
+
+
+def lee_l(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    force_wide: bool = False,
+) -> ray.data.Dataset:
+    """Lee's L bivariate spatial-association statistic (Lee 2001 — the
+    spatial analogue of Pearson's r, combining Moran smoothing of both
+    variables) over g's BINARY edge set:
+
+        L = (n / Σ_i (Σ_j w_ij)²) · Σ_i (lagdev_x)_i (lagdev_y)_i
+            / (sqrt(Σ devx²) · sqrt(Σ devy²))
+
+    computed entirely in exact integers with DOUBLED deviations
+    z = n·x − Σx (the shared ESDA discipline — the n² factors cancel
+    between numerator and the two root sums). Output one row
+    (n, s02, lee_num, ssx, ssy, lee_f): s02 exact int64, the three
+    big sums exact decimal STRINGS (they exceed int64 exactly when the
+    wide regime engages), lee_f one pinned float expression
+
+        float(n)·float(num) / (float(s02)·sqrt(float(ssx))·sqrt(float(ssy)))
+
+    mirrored by the SQL oracle. NARROW/WIDE regime switching and the
+    id-universe guard follow :func:`spatial_autocorr`: bounds are
+    pre-checked in unbounded Python ints, the wide path reduces through
+    :func:`_prod_sum_exact` 128-bit limb products with O(#blocks)
+    decimal-string partials. 100 TB shape: one lag bucket_join + one
+    groupby(focal) carrying BOTH z columns and the edge count, then
+    three whole-dataset product sums — no driver-side per-node state.
+    """
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xy(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(
+                t.column(x_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "y": pa.array(
+                t.column(y_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+        })
+
+    xs = attrs.map_batches(_xy, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x"),
+        ray.data.aggregate.Max("x"),
+        ray.data.aggregate.Min("x"),
+        ray.data.aggregate.Sum("y"),
+        ray.data.aggregate.Max("y"),
+        ray.data.aggregate.Min("y"),
+    )
+    n = int(agg["count()"])
+    if n < 2:
+        raise ValueError("lee_l needs at least 2 observations")
+    sx, sy = int(agg["sum(x)"]), int(agg["sum(y)"])
+    xmax = max(abs(int(agg["max(x)"])), abs(int(agg["min(x)"])))
+    ymax = max(abs(int(agg["max(y)"])), abs(int(agg["min(y)"])))
+    zx_max = n * xmax + abs(sx)
+    zy_max = n * ymax + abs(sy)
+    e_count = int(g._real_edges().count())
+    # per-focal lag sums are bounded by max_deg·z_max; use e_count as a
+    # loose max_deg bound without an extra degree pass — the lag values
+    # themselves must fit int64 on BOTH regimes
+    card = g.cardinalities().max("cardinality")
+    max_deg = int(card or 0)
+    lx_max = max_deg * zx_max
+    ly_max = max_deg * zy_max
+    if lx_max >= (1 << 62) or ly_max >= (1 << 62):
+        raise ValueError("lee_l lag terms would overflow int64; rescale")
+    wide = force_wide or (
+        lx_max * ly_max * n >= (1 << 62)
+        or zx_max * zx_max * n >= (1 << 62)
+        or zy_max * zy_max * n >= (1 << 62)
+    )
+
+    def _with_z(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column("node"),
+            "zx": pa.array(np.int64(n) * x - np.int64(sx)),
+            "zy": pa.array(np.int64(n) * y - np.int64(sy)),
+        })
+
+    zt = xs.map_batches(_with_z, batch_format="pyarrow").materialize()
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    lag = bucket_join(
+        edges,
+        zt.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"),
+                "zxn": t.column("zx"),
+                "zyn": t.column("zy"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    ).map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"),
+            "zxn": t.column("zxn"),
+            "zyn": t.column("zyn"),
+        }),
+        batch_format="pyarrow",
+    ).groupby("node").aggregate(
+        ray.data.aggregate.Sum("zxn"),
+        ray.data.aggregate.Sum("zyn"),
+        ray.data.aggregate.Count(),
+    ).materialize()
+    matched = int(lag.sum("count()") or 0)
+    if matched != e_count:
+        raise ValueError(
+            f"lee_l: {e_count - matched} of {e_count} edges have "
+            f"endpoints missing from attrs ({id_col}); the attribute "
+            "table must cover the graph's node universe"
+        )
+    if e_count == 0:
+        raise ValueError("graph has no edges")
+
+    def _lag_cols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lx": pc_cast_i64(t.column("sum(zxn)")),
+            "ly": pc_cast_i64(t.column("sum(zyn)")),
+            "d": pc_cast_i64(t.column("count()")),
+        })
+
+    lagc = lag.map_batches(_lag_cols, batch_format="pyarrow").materialize()
+    if wide:
+        num = _sum_prod_exact_ds(lagc, "lx", "ly")
+        ssx = _sum_prod_exact_ds(zt, "zx", "zx")
+        ssy = _sum_prod_exact_ds(zt, "zy", "zy")
+    else:
+        def _narrow(t: pa.Table) -> pa.Table:
+            lx = t.column("lx").to_numpy(zero_copy_only=False)
+            ly = t.column("ly").to_numpy(zero_copy_only=False)
+            return pa.table({"p": pa.array([np.int64((lx * ly).sum())])})
+
+        num = int(
+            lagc.map_batches(_narrow, batch_format="pyarrow").sum("p") or 0
+        )
+
+        def _sq(col):
+            def f(t: pa.Table) -> pa.Table:
+                z = t.column(col).to_numpy(zero_copy_only=False)
+                return pa.table({"p": pa.array([np.int64((z * z).sum())])})
+            return f
+
+        ssx = int(
+            zt.map_batches(_sq("zx"), batch_format="pyarrow").sum("p") or 0
+        )
+        ssy = int(
+            zt.map_batches(_sq("zy"), batch_format="pyarrow").sum("p") or 0
+        )
+    s02 = int(
+        lagc.map_batches(
+            lambda t: pa.table({
+                "p": pa.array([
+                    np.int64(
+                        (t.column("d").to_numpy(zero_copy_only=False) ** 2)
+                        .sum()
+                    )
+                ]),
+            }),
+            batch_format="pyarrow",
+        ).sum("p")
+        or 0
+    )
+    if ssx == 0 or ssy == 0:
+        raise ValueError("constant attribute; Lee's L undefined")
+    lee_f = float(
+        np.float64(n) * np.float64(num)
+        / (np.float64(s02) * np.sqrt(np.float64(ssx))
+           * np.sqrt(np.float64(ssy)))
+    )
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "s02": pa.array([s02], pa.int64()),
+        "lee_num": pa.array([str(num)]),
+        "ssx": pa.array([str(ssx)]),
+        "ssy": pa.array([str(ssy)]),
+        "lee_f": pa.array([lee_f], pa.float64()),
+    }))

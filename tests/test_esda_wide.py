@@ -138,3 +138,46 @@ def test_spatial_autocorr_auto_wide_beyond_int64(rook5):
     assert out["moran_i"] == float(
         np.float64(n * num) / np.float64(s0 * den)
     )
+
+
+def test_lee_l_matches_numpy_reference(rook5):
+    from libpysal_ray.spatial.stats import lee_l
+
+    rng = np.random.default_rng(11)
+    xv = rng.integers(0, 50, 25)
+    yv = rng.integers(0, 50, 25)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(25, dtype=np.int64)),
+        "x": pa.array(xv.astype(np.int64)),
+        "y": pa.array(yv.astype(np.int64)),
+    }))
+    got = lee_l(rook5, attrs).to_pandas().iloc[0]
+
+    # independent dense reference: Lee (2001) eq. 18 with binary W
+    W = np.zeros((25, 25))
+    for r in range(5):
+        for c in range(5):
+            i = r * 5 + c
+            for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < 5 and 0 <= cc < 5:
+                    W[i, rr * 5 + cc] = 1.0
+    n = 25
+    dx = xv - xv.mean()
+    dy = yv - yv.mean()
+    lx = W @ dx
+    ly = W @ dy
+    ref = (n / (W.sum(axis=1) ** 2).sum()) * (lx * ly).sum() / (
+        np.sqrt((dx * dx).sum()) * np.sqrt((dy * dy).sum())
+    )
+    assert np.isclose(float(got["lee_f"]), ref, rtol=1e-12)
+    # exact integer identities with doubled deviations
+    assert int(got["lee_num"]) == int(round((lx * ly).sum() * n * n))
+    assert int(got["s02"]) == int((W.sum(axis=1) ** 2).sum())
+
+    # forced-wide regime must agree exactly on the integer sums
+    wide = lee_l(rook5, attrs, force_wide=True).to_pandas().iloc[0]
+    assert wide["lee_num"] == got["lee_num"]
+    assert wide["ssx"] == got["ssx"]
+    assert wide["ssy"] == got["ssy"]
+    assert np.isclose(float(wide["lee_f"]), float(got["lee_f"]), rtol=1e-12)
