@@ -1335,6 +1335,133 @@ class RayGraph:
             batch_format="pyarrow",
         )
 
+    def hits_int(
+        self,
+        iters: int = 3,
+        h0: int = 1_000_000,
+        max_driver_edges: int = 5_000_000,
+    ) -> ray.data.Dataset:
+        """Fixed-point INTEGER HITS (Kleinberg hubs/authorities) over
+        the directed edge set, ``iters`` synchronous rounds from
+        h_0 = ``h0``:
+
+            a_t(v) = Σ_{u→v} h_{t-1}(u)     (authority update)
+            h_t(u) = Σ_{u→v} a_t(v)         (hub update)
+
+        UN-normalized int64 sums — the engine's exactness discipline
+        (pagerank_int) applied to the second classic web-graph
+        iteration: bit-exact at any cluster size / batch layout and
+        SQL-reproducible by unrolled oracle CTEs. Worst-case growth
+        (max_indeg·max_outdeg per round) is pre-checked in unbounded
+        Python ints and raises loudly instead of wrapping. Nodes with no
+        in-edges hold authority 0, dangling nodes hub 0.
+
+        Size-switched like pagerank_int: a driver scatter-add recurrence
+        under ``max_driver_edges``; above it, each round is two
+        state⋈edges bucket_joins + two grouped sums + two node-universe
+        left joins — FOUR key shuffles, no driver-side data. Returns
+        (node, hub, auth)."""
+        from libpysal_ray.core.joins import bucket_join
+
+        if iters < 1:
+            raise ValueError("iters must be >= 1")
+        e_count = int(self._real_edges().count())
+        edges = (
+            self._real_edges()
+            .map_batches(
+                lambda t: t.select(["focal", "neighbor"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        max_out = int(edges.groupby("focal").count().max("count()") or 0)
+        max_in = int(edges.groupby("neighbor").count().max("count()") or 0)
+        # exact unbounded-int growth bound BEFORE any int64 sum
+        hmax = int(h0)
+        for _ in range(iters):
+            amax = max_in * hmax
+            hmax = max_out * amax
+            if amax >= (1 << 62) or hmax >= (1 << 62):
+                raise ValueError(
+                    "hits_int would overflow int64: in/out-degree "
+                    f"bounds {max_in}x{max_out} over {iters} rounds "
+                    "exceed 2^62; reduce h0 or iters"
+                )
+
+        if e_count <= max_driver_edges:
+            row, col, _data, ids = self.to_coo()
+            n = len(ids)
+            h = np.full(n, int(h0), dtype=np.int64)
+            a = np.zeros(n, dtype=np.int64)
+            for _ in range(iters):
+                a = np.zeros(n, dtype=np.int64)
+                np.add.at(a, col, h[row])
+                h = np.zeros(n, dtype=np.int64)
+                np.add.at(h, row, a[col])
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array(ids),
+                "hub": pa.array(h),
+                "auth": pa.array(a),
+            }))
+
+        nodes = ids_dataset(self._edges).map_batches(
+            lambda t: pa.table({"node": t.column("focal")}),
+            batch_format="pyarrow",
+        ).materialize()
+
+        def _sum_onto(state, key_in, key_out, val, out_col):
+            """Σ state[val] over edges grouped by the OTHER endpoint,
+            left-joined onto the node universe with 0 fill."""
+            contrib = bucket_join(
+                edges,
+                state.map_batches(
+                    lambda t, ki=key_in, v=val: pa.table({
+                        ki: t.column("node"), "vv": t.column(v),
+                    }),
+                    batch_format="pyarrow",
+                ),
+                on=key_in,
+            ).map_batches(
+                lambda t, ko=key_out: pa.table({
+                    "node": t.column(ko), "vv": t.column("vv"),
+                }),
+                batch_format="pyarrow",
+            ).groupby("node").sum("vv").map_batches(
+                lambda t: pa.table({
+                    "node": t.column("node"), "s": t.column("sum(vv)"),
+                }),
+                batch_format="pyarrow",
+            )
+            joined = bucket_join(nodes, contrib, on="node", how="left")
+            return joined.map_batches(
+                lambda t, oc=out_col: pa.table({
+                    "node": t.column("node"),
+                    oc: pc.fill_null(pc.cast(t.column("s"), pa.int64()), 0),
+                }),
+                batch_format="pyarrow",
+            ).materialize()
+
+        hstate = nodes.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "h": pa.array(np.full(t.num_rows, int(h0), np.int64)),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+        astate = None
+        for _ in range(iters):
+            astate = _sum_onto(hstate, "focal", "neighbor", "h", "a")
+            hstate = _sum_onto(astate, "neighbor", "focal", "a", "h")
+        out = bucket_join(hstate, astate, on="node")
+        return out.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "hub": t.column("h"),
+                "auth": t.column("a"),
+            }),
+            batch_format="pyarrow",
+        )
+
     def spanning_forest(
         self, max_driver_edges: int = 5_000_000
     ) -> ray.data.Dataset:

@@ -6396,3 +6396,58 @@ SELECT (SELECT n FROM st) AS n, s.s02,
             * sqrt(CAST(dd.ssy AS DOUBLE))) AS lee_f
 FROM s, dd
 """
+
+
+def q_hits(sf_dir: str):
+    """Fixed-point integer HITS hubs/authorities (3 rounds) over the
+    rook lattice — un-normalized int64 sums, bit-exact at any layout,
+    SQL-reproducible via unrolled iteration CTEs."""
+    return _rook_g(sf_dir).hits_int(iters=3)
+
+
+QUERIES["hits"] = q_hits
+
+_HITS_ITER = """
+sa{i} AS (
+  SELECT adj.neighbor AS node, SUM(h{p}.h) AS s
+  FROM adj JOIN h{p} ON adj.focal = h{p}.node
+  GROUP BY 1
+),
+a{i} AS (
+  SELECT n0.node, CAST(COALESCE(sa{i}.s, 0) AS BIGINT) AS a
+  FROM n0 LEFT JOIN sa{i} USING (node)
+),
+sh{i} AS (
+  SELECT adj.focal AS node, SUM(a{i}.a) AS s
+  FROM adj JOIN a{i} ON adj.neighbor = a{i}.node
+  GROUP BY 1
+),
+h{i} AS (
+  SELECT n0.node, CAST(COALESCE(sh{i}.s, 0) AS BIGINT) AS h
+  FROM n0 LEFT JOIN sh{i} USING (node)
+)"""
+
+ORACLE_SQL["hits"] = (
+    "WITH "
+    + _ROOK_SQL
+    + """,
+n0 AS (SELECT DISTINCT focal AS node FROM adj),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n0),"""
+    + ",".join(_HITS_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT h3.node, h3.h AS hub, a3.a AS auth
+FROM h3 JOIN a3 USING (node)
+"""
+)
+
+
+def q_hits_dist(sf_dir: str):
+    """Forced-distributed HITS evidence path: the same 3-round integer
+    recurrence over per-round bucket_join + grouped-sum shuffles —
+    bit-equal to the driver recurrence and the unrolled SQL."""
+    return _rook_g(sf_dir).hits_int(iters=3, max_driver_edges=0)
+
+
+QUERIES["hits_dist"] = q_hits_dist
+
+ORACLE_SQL["hits_dist"] = ORACLE_SQL["hits"]

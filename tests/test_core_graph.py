@@ -610,3 +610,32 @@ def test_kcore_driver_and_distributed(ray_session):
     assert len(
         kcore(g, 3, force_distributed=True).to_pandas()
     ) == 0
+
+
+def test_hits_int_driver_and_distributed(ray_session):
+    import numpy as np
+
+    # star: 0->1, 0->2, 3->1 ; authority concentrates on 1
+    f = np.array([0, 0, 3])
+    nb = np.array([1, 2, 1])
+    g = RayGraph.from_arrays(f, nb, np.ones(3), ids=np.arange(4))
+    got = {r["node"]: (r["hub"], r["auth"]) for r in
+           g.hits_int(iters=1, h0=10).take_all()}
+    # a1: node1 = h0(0)+h0(3) = 20, node2 = 10; h1: node0 = a(1)+a(2)=30,
+    # node3 = a(1) = 20
+    assert got[1] == (0, 20) and got[2] == (0, 10)
+    assert got[0] == (30, 0) and got[3] == (20, 0)
+    got2 = {r["node"]: (r["hub"], r["auth"]) for r in
+            g.hits_int(iters=2, h0=10).take_all()}
+    # a2: node1 = h1(0)+h1(3) = 50, node2 = h1(0) = 30
+    # h2: node0 = 80, node3 = 50
+    assert got2[1] == (0, 50) and got2[2] == (0, 30)
+    assert got2[0] == (80, 0) and got2[3] == (50, 0)
+    # forced-distributed path must agree exactly
+    gd = {r["node"]: (r["hub"], r["auth"]) for r in
+          g.hits_int(iters=2, h0=10, max_driver_edges=0).take_all()}
+    assert gd == got2
+    # overflow pre-check raises loudly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="overflow"):
+        g.hits_int(iters=40, h0=1 << 60)
