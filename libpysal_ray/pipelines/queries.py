@@ -6451,3 +6451,65 @@ def q_hits_dist(sf_dir: str):
 QUERIES["hits_dist"] = q_hits_dist
 
 ORACLE_SQL["hits_dist"] = ORACLE_SQL["hits"]
+
+
+def q_gfj(sf_dir: str):
+    """G / F / J nearest-neighbor distance functions of the hash-
+    geocoded document points at three radii — exact NN and empty-space
+    counts (KNN tile plan + cross-set nearest from a 20x20 anchor
+    lattice), pinned fraction floats."""
+    from libpysal_ray.spatial.pointpat import gfj_functions
+
+    return gfj_functions(
+        _points(sf_dir), radii=[10.0, 25.0, 50.0],
+        grid=float(GRID), anchor_step=50.0, id_col="doc_id",
+    )
+
+
+QUERIES["gfj"] = q_gfj
+
+ORACLE_SQL["gfj"] = f"""
+WITH {_PTS_SQL},
+nn AS (
+  SELECT i.doc_id,
+         MIN((i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y)) AS d2
+  FROM pts i JOIN pts j ON i.doc_id <> j.doc_id
+  GROUP BY 1
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+anch AS (
+  SELECT CAST(a.i * 20 + b.j AS BIGINT) AS aid,
+         CAST(a.i * 50 AS DOUBLE) AS x, CAST(b.j * 50 AS DOUBLE) AS y
+  FROM (SELECT unnest(range(20)) AS i) a,
+       (SELECT unnest(range(20)) AS j) b
+),
+fa AS (
+  SELECT aid,
+         MIN((anch.x - p.x) * (anch.x - p.x)
+             + (anch.y - p.y) * (anch.y - p.y)) AS d2
+  FROM anch, pts p
+  GROUP BY 1
+),
+rr AS (SELECT * FROM (VALUES (10.0), (25.0), (50.0)) v(r)),
+gc AS (
+  SELECT rr.r,
+         CAST(COUNT(*) FILTER (WHERE nn.d2 <= rr.r * rr.r) AS BIGINT)
+           AS g_cnt
+  FROM rr, nn GROUP BY 1
+),
+fc AS (
+  SELECT rr.r,
+         CAST(COUNT(*) FILTER (WHERE fa.d2 <= rr.r * rr.r) AS BIGINT)
+           AS f_cnt
+  FROM rr, fa GROUP BY 1
+)
+SELECT gc.r, g_cnt, f_cnt,
+       (SELECT n FROM st) AS n, CAST(400 AS BIGINT) AS m2,
+       CAST(g_cnt AS DOUBLE) / CAST((SELECT n FROM st) AS DOUBLE) AS g_f,
+       CAST(f_cnt AS DOUBLE) / 400.0 AS f_f,
+       CASE WHEN f_cnt < 400
+            THEN CAST(((SELECT n FROM st) - g_cnt) * 400 AS DOUBLE)
+                 / CAST((400 - f_cnt) * (SELECT n FROM st) AS DOUBLE)
+            ELSE 0.0 END AS j_f
+FROM gc JOIN fc USING (r)
+"""

@@ -771,3 +771,110 @@ def nearest_join(
         })
 
     return full.map_batches(_d2, batch_format="pyarrow")
+
+
+def gfj_functions(
+    points: ray.data.Dataset,
+    radii: list[float],
+    grid: float,
+    anchor_step: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """The G / F / J nearest-neighbor distance functions of a point
+    pattern (Ripley / van Lieshout–Baddeley; the reference ecosystem's
+    pointpats distance statistics) at the given radii:
+
+        G(d) = P(nearest-neighbor distance ≤ d)   (event-to-event)
+        F(d) = P(empty-space distance ≤ d)        (anchor-to-event)
+        J(d) = (1 − G(d)) / (1 − F(d))
+
+    Exact integer counts over EXACT integer squared distances: G rides
+    :func:`nn_pairs` (the guarded KNN k=1 tile plan), F rides
+    :func:`nearest_join` from a deterministic ``anchor_step``-spaced
+    evaluation lattice over [0, grid)² (the anchor table is O((grid/
+    step)²) — an evaluation GRID, not data; generated driver-side by
+    design). Output one row per radius: (r, g_cnt, f_cnt, n, m2,
+    g_f, f_f, j_f) — fractions and J are single pinned float
+    expressions from the exact integer cross-products (j_f = 0 when
+    every anchor is within r of an event)."""
+    radii = sorted(float(r) for r in radii)
+    if not radii or radii[0] <= 0:
+        raise ValueError("gfj_functions needs positive radii")
+    r2 = np.array([r * r for r in radii], dtype=np.float64)
+    n = int(points.count())
+    if n < 2:
+        raise ValueError("gfj_functions needs n >= 2 points")
+    m = int(np.floor(grid / anchor_step))
+    if m < 1:
+        raise ValueError("anchor_step larger than the grid")
+    m2 = m * m
+
+    def _cnts(col):
+        def f(t: pa.Table) -> pa.Table:
+            d2 = np.sort(
+                t.column(col).to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            return pa.table({
+                "ridx": pa.array(np.arange(len(r2), dtype=np.int64)),
+                "cnt": pa.array(
+                    np.searchsorted(d2, r2, side="right").astype(np.int64)
+                ),
+            })
+        return f
+
+    def _sum_cnts(ds: ray.data.Dataset) -> np.ndarray:
+        rows = (
+            ds.map_batches(_cnts("d2"), batch_format="pyarrow")
+            .groupby("ridx")
+            .sum("cnt")
+            .take_all()
+        )
+        out = np.zeros(len(r2), dtype=np.int64)
+        for r in rows:
+            out[int(r["ridx"])] = int(r["sum(cnt)"])
+        return out
+
+    g_cnt = _sum_cnts(
+        nn_pairs(points, id_col=id_col, x_col=x_col, y_col=y_col)
+    )
+
+    ai = np.arange(m2, dtype=np.int64)
+    anchors = ray.data.from_arrow(pa.table({
+        "id": pa.array(ai),
+        "x": pa.array(((ai // m) * anchor_step).astype(np.float64)),
+        "y": pa.array(((ai % m) * anchor_step).astype(np.float64)),
+    }))
+    pts_b = points.map_batches(
+        lambda t: pa.table({
+            "id": t.column(id_col),
+            "x": t.column(x_col),
+            "y": t.column(y_col),
+        }),
+        batch_format="pyarrow",
+    )
+    f_cnt = _sum_cnts(nearest_join(anchors, pts_b))
+
+    j_f = [
+        (
+            float((n - int(g)) * m2) / float((m2 - int(f)) * n)
+            if int(f) < m2 else 0.0
+        )
+        for g, f in zip(g_cnt, f_cnt)
+    ]
+    return ray.data.from_arrow(pa.table({
+        "r": pa.array(radii, pa.float64()),
+        "g_cnt": pa.array(g_cnt),
+        "f_cnt": pa.array(f_cnt),
+        "n": pa.array(np.full(len(r2), n, np.int64)),
+        "m2": pa.array(np.full(len(r2), m2, np.int64)),
+        "g_f": pa.array(
+            [float(int(g)) / float(n) for g in g_cnt], pa.float64()
+        ),
+        "f_f": pa.array(
+            [float(int(f)) / float(m2) for f in f_cnt], pa.float64()
+        ),
+        "j_f": pa.array(j_f, pa.float64()),
+    }))

@@ -330,3 +330,37 @@ def test_nearest_join_sparse_b_forces_fallback(ray_session):
     rows = nearest_join(A, B).take_all()
     assert len(rows) == na
     assert all(r["neighbor"] == 0 for r in rows)  # 5000 is closer
+
+
+def test_gfj_functions_closed_form(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.spatial.pointpat import gfj_functions
+
+    # 4 points on a 10-spaced row inside a 40x40 window
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(4, dtype=np.int64)),
+        "x": pa.array([5.0, 15.0, 25.0, 35.0]),
+        "y": pa.array([5.0, 5.0, 5.0, 5.0]),
+    }))
+    out = gfj_functions(
+        pts, radii=[9.0, 10.0], grid=40.0, anchor_step=10.0
+    ).to_pandas().sort_values("r").reset_index(drop=True)
+    # every NN distance is exactly 10 -> G(9)=0, G(10)=4
+    assert list(out["g_cnt"]) == [0, 4]
+    assert out["n"].iloc[0] == 4 and out["m2"].iloc[0] == 16
+    # anchors at (10i,10j), i,j in 0..3; points on y=5 row:
+    # min distance from anchor rows y=0 and y=10 is 5 or sqrt(25+25);
+    # from rows y=20,30 it's 15, 25 -> F(9) counts 8 anchors (d=5 or
+    # sqrt(50)<=9? sqrt(50)=7.07 yes): anchors (0,0): nearest point
+    # (5,5) d=sqrt(50); (10,0): (5,5)/(15,5) d=sqrt(50)... all 8
+    # anchors in rows y=0,10 are within sqrt(50); rows 20/30 at 15+,25+
+    assert list(out["f_cnt"]) == [8, 8]
+    assert np.isclose(out["g_f"].iloc[1], 1.0)
+    assert np.isclose(out["f_f"].iloc[0], 0.5)
+    # J(9) = (1-0)/(1-0.5) = 2
+    assert np.isclose(out["j_f"].iloc[0], 2.0)
+    # J at G=1: (1-1)/(1-0.5) = 0
+    assert np.isclose(out["j_f"].iloc[1], 0.0)
