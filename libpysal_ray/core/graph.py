@@ -1335,6 +1335,96 @@ class RayGraph:
             batch_format="pyarrow",
         )
 
+    def khop_centrality(
+        self, kmax: int = 3, **order_kwargs
+    ) -> ray.data.Dataset:
+        """k-hop-bounded harmonic and closeness centrality, riding
+        :meth:`order` (the shortest-path k-hop table): for every node,
+        over the pairs first reachable within ``kmax`` hops,
+
+            reached  = #pairs,  hop_sum = Σ hops,
+            harm_num = Σ lcm(1..kmax) // hops     (exact — every hop
+                                                    divides the lcm)
+            harm_f  = harm_num / (lcm·(n−1))       (∈ [0,1])
+            close_f = reached² / (hop_sum·(n−1))   (Lin's closeness
+                                                    bounded to k hops)
+
+        All sums exact int64; both floats are single pinned divisions of
+        exact integer cross-products, SQL-mirrored. Nodes reaching
+        nothing within kmax get all-zero rows. Requires n < 2^31 so
+        reached² fits int64 (raises otherwise). ``order_kwargs`` pass
+        through (e.g. ``force_distributed=True`` for the evidence
+        path). Returns (node, reached, hop_sum, harm_num, harm_f,
+        close_f)."""
+        import math
+
+        n = self.n()
+        if n < 2:
+            raise ValueError("khop_centrality needs n >= 2")
+        lc = math.lcm(*range(1, kmax + 1))
+        # exact unbounded-int worst case: reached <= n-1 and
+        # hop_sum <= kmax*(n-1), so the largest int64 intermediate is
+        # max(reached^2, hop_sum*(n-1), harm_num's lc*(n-1) scale)
+        if max(
+            (n - 1) * (n - 1), kmax * (n - 1) * (n - 1), lc * (n - 1)
+        ) >= (1 << 62):
+            raise ValueError(
+                "khop_centrality: per-node products would overflow "
+                "int64 at this n; rescale or shard the id space"
+            )
+        ord_ds = self.order(kmax=kmax, **order_kwargs)
+
+        def _parts(t: pa.Table) -> pa.Table:
+            po = t.column("path_order").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": t.column("focal"),
+                "hop": pa.array(po),
+                "harm": pa.array(np.int64(lc) // po),
+            })
+
+        agg = ord_ds.map_batches(_parts, batch_format="pyarrow").groupby(
+            "node"
+        ).aggregate(
+            ray.data.aggregate.Count(),
+            ray.data.aggregate.Sum("hop"),
+            ray.data.aggregate.Sum("harm"),
+        )
+        uni = ids_dataset(self._edges).map_batches(
+            lambda t: pa.table({"node": t.column("focal")}),
+            batch_format="pyarrow",
+        )
+        joined = J.bucket_join(uni, agg, on="node", how="left")
+        den_h = lc * (n - 1)
+
+        def _final(t: pa.Table) -> pa.Table:
+            reached = pc.fill_null(
+                pc.cast(t.column("count()"), pa.int64()), 0
+            ).to_numpy(zero_copy_only=False)
+            hop_sum = pc.fill_null(
+                pc.cast(t.column("sum(hop)"), pa.int64()), 0
+            ).to_numpy(zero_copy_only=False)
+            harm = pc.fill_null(
+                pc.cast(t.column("sum(harm)"), pa.int64()), 0
+            ).to_numpy(zero_copy_only=False)
+            close = np.where(
+                hop_sum > 0,
+                (reached * reached).astype(np.float64)
+                / (hop_sum * np.int64(n - 1)).astype(np.float64),
+                0.0,
+            )
+            return pa.table({
+                "node": t.column("node"),
+                "reached": pa.array(reached),
+                "hop_sum": pa.array(hop_sum),
+                "harm_num": pa.array(harm),
+                "harm_f": pa.array(
+                    harm.astype(np.float64) / np.float64(den_h)
+                ),
+                "close_f": pa.array(close),
+            })
+
+        return joined.map_batches(_final, batch_format="pyarrow")
+
     def hits_int(
         self,
         iters: int = 3,

@@ -6513,3 +6513,57 @@ SELECT gc.r, g_cnt, f_cnt,
             ELSE 0.0 END AS j_f
 FROM gc JOIN fc USING (r)
 """
+
+
+def q_centrality3(sf_dir: str):
+    """3-hop harmonic and Lin closeness centrality over the rook
+    lattice — exact k-hop sums from the order() table, lcm-scaled
+    integer harmonic numerators, pinned float normalizations."""
+    return _rook_g(sf_dir).khop_centrality(kmax=3)
+
+
+QUERIES["centrality3"] = q_centrality3
+
+ORACLE_SQL["centrality3"] = f"""
+WITH {_ROOK_SQL},
+o1 AS (SELECT focal, neighbor FROM adj),
+two AS (
+  SELECT DISTINCT a.focal, b.neighbor FROM adj a
+  JOIN adj b ON a.neighbor = b.focal WHERE a.focal <> b.neighbor
+),
+o2 AS (SELECT t.focal, t.neighbor FROM two t
+       LEFT JOIN o1 e ON t.focal = e.focal AND t.neighbor = e.neighbor
+       WHERE e.focal IS NULL),
+three AS (
+  SELECT DISTINCT a.focal, b.neighbor FROM o2 a
+  JOIN adj b ON a.neighbor = b.focal WHERE a.focal <> b.neighbor
+),
+o3 AS (SELECT t.focal, t.neighbor FROM three t
+       LEFT JOIN o1 e1 ON t.focal = e1.focal AND t.neighbor = e1.neighbor
+       LEFT JOIN o2 e2 ON t.focal = e2.focal AND t.neighbor = e2.neighbor
+       WHERE e1.focal IS NULL AND e2.focal IS NULL),
+allp AS (
+  SELECT focal, 1 AS hop FROM o1
+  UNION ALL SELECT focal, 2 FROM o2
+  UNION ALL SELECT focal, 3 FROM o3
+),
+uni AS (SELECT DISTINCT focal AS node FROM adj),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+ag AS (
+  SELECT focal AS node, CAST(COUNT(*) AS BIGINT) AS reached,
+         CAST(SUM(hop) AS BIGINT) AS hop_sum,
+         CAST(SUM(6 // hop) AS BIGINT) AS harm_num
+  FROM allp GROUP BY 1
+)
+SELECT uni.node,
+       COALESCE(ag.reached, 0) AS reached,
+       COALESCE(ag.hop_sum, 0) AS hop_sum,
+       COALESCE(ag.harm_num, 0) AS harm_num,
+       CAST(COALESCE(ag.harm_num, 0) AS DOUBLE)
+         / CAST(6 * ((SELECT n FROM st) - 1) AS DOUBLE) AS harm_f,
+       CASE WHEN COALESCE(ag.hop_sum, 0) > 0
+            THEN CAST(ag.reached * ag.reached AS DOUBLE)
+                 / CAST(ag.hop_sum * ((SELECT n FROM st) - 1) AS DOUBLE)
+            ELSE 0.0 END AS close_f
+FROM uni LEFT JOIN ag USING (node)
+"""

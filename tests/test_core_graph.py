@@ -639,3 +639,28 @@ def test_hits_int_driver_and_distributed(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="overflow"):
         g.hits_int(iters=40, h0=1 << 60)
+
+
+def test_khop_centrality_closed_form(ray_session):
+    import numpy as np
+
+    # path graph 0-1-2-3 (symmetric), kmax=3, lcm=6
+    f = np.array([0, 1, 1, 2, 2, 3])
+    nb = np.array([1, 0, 2, 1, 3, 2])
+    g = RayGraph.from_arrays(f, nb, np.ones(6))
+    out = {r["node"]: r for r in g.khop_centrality(kmax=3).take_all()}
+    # node 0 reaches 1@1, 2@2, 3@3: reached=3, hop_sum=6,
+    # harm_num = 6+3+2 = 11; harm_f = 11/(6*3); close = 9/(6*3)
+    assert out[0]["reached"] == 3 and out[0]["hop_sum"] == 6
+    assert out[0]["harm_num"] == 11
+    assert np.isclose(out[0]["harm_f"], 11.0 / 18.0)
+    assert np.isclose(out[0]["close_f"], 0.5)
+    # node 1 reaches 0@1, 2@1, 3@2: reached=3, hop_sum=4,
+    # harm = 6+6+3 = 15; close = 9/(4*3)
+    assert out[1]["hop_sum"] == 4 and out[1]["harm_num"] == 15
+    assert np.isclose(out[1]["close_f"], 0.75)
+    # distributed order path agrees
+    outd = {r["node"]: r for r in
+            g.khop_centrality(kmax=3, force_distributed=True).take_all()}
+    for k in out:
+        assert out[k] == outd[k]
