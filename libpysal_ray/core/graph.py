@@ -1335,6 +1335,154 @@ class RayGraph:
             batch_format="pyarrow",
         )
 
+    def label_propagation(
+        self,
+        iters: int = 3,
+        max_driver_edges: int = 5_000_000,
+        force_distributed: bool = False,
+    ) -> ray.data.Dataset:
+        """Synchronous label-propagation community detection (Raghavan
+        et al. 2007), DETERMINISTIC variant: labels start as node ids;
+        each round every node adopts the most frequent label among its
+        neighbors, ties broken by the SMALLEST label; a fixed ``iters``
+        rounds (not to convergence — synchronous LPA can oscillate, so
+        a pinned round count is the reproducible contract, bit-exact at
+        any layout and SQL-mirrored by unrolled CTEs). Nodes with no
+        neighbors keep their own id. Returns (node, label).
+
+        Size-switched: a driver lexsort recurrence under
+        ``max_driver_edges``; above it (or forced), each round is ONE
+        labels⋈edges bucket_join + a (node,label) count + a per-node
+        max over the packed (count, ~label) priority — encoded as
+        count·2^32 + (2^32−1−label) so a single integer MAX implements
+        the (most-frequent, smallest-label) argmax. Requires label ids
+        < 2^31 (the dense-codec guarantee) and degree < 2^31."""
+        from libpysal_ray.core.joins import bucket_join
+
+        if iters < 1:
+            raise ValueError("iters must be >= 1")
+        e_count = int(self._real_edges().count())
+        if not force_distributed and e_count <= max_driver_edges:
+            row, col, _data, ids = self.to_coo()
+            n = len(ids)
+            if n and ids.max() >= (1 << 31):
+                raise ValueError(
+                    "label_propagation needs ids < 2^31; remap first"
+                )
+            lab_vals = ids.copy()  # label VALUE per node position
+            for _ in range(iters):
+                nl = lab_vals[col]  # neighbor label values per edge
+                # count per (focal position, label value), then argmax
+                # by (count desc, label asc) via one lexsort
+                uq, cnt = np.unique(
+                    np.stack([row, nl], axis=1), axis=0,
+                    return_counts=True,
+                )
+                order = np.lexsort((uq[:, 1], -cnt, uq[:, 0]))
+                uqo = uq[order]
+                first = np.ones(len(uqo), dtype=bool)
+                first[1:] = uqo[1:, 0] != uqo[:-1, 0]
+                upd = uqo[first]
+                new = lab_vals.copy()
+                new[upd[:, 0]] = upd[:, 1]
+                lab_vals = new
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array(ids),
+                "label": pa.array(lab_vals),
+            }))
+
+        if int(self.cardinalities().max("cardinality") or 0) >= (1 << 31):
+            raise ValueError("label_propagation: degree >= 2^31")
+        edges = (
+            self._real_edges()
+            .map_batches(
+                lambda t: t.select(["focal", "neighbor"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        nodes = ids_dataset(self._edges).map_batches(
+            lambda t: pa.table({"node": t.column("focal")}),
+            batch_format="pyarrow",
+        ).materialize()
+        idmax = int(nodes.max("node") or 0)
+        if idmax >= (1 << 31):
+            raise ValueError(
+                "label_propagation needs ids < 2^31; remap first"
+            )
+        state = nodes.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"), "label": t.column("node"),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+        _M32 = np.int64((1 << 32) - 1)
+        for _ in range(iters):
+            nl = bucket_join(
+                edges,
+                state.map_batches(
+                    lambda t: pa.table({
+                        "neighbor": t.column("node"),
+                        "lab": t.column("label"),
+                    }),
+                    batch_format="pyarrow",
+                ),
+                on="neighbor",
+            ).map_batches(
+                lambda t: pa.table({
+                    "node": t.column("focal"), "lab": t.column("lab"),
+                }),
+                batch_format="pyarrow",
+            )
+            cnt = J.grouped_agg(nl, ("node", "lab"), (None,), "count")
+            enc = cnt.map_batches(
+                lambda t: pa.table({
+                    "node": t.column("node"),
+                    "enc": pa.array(
+                        t.column("count()")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64) * np.int64(1 << 32)
+                        + (
+                            _M32
+                            - t.column("lab").to_numpy(
+                                zero_copy_only=False
+                            ).astype(np.int64)
+                        )
+                    ),
+                }),
+                batch_format="pyarrow",
+            ).groupby("node").max("enc")
+            upd = bucket_join(
+                state.map_batches(
+                    lambda t: pa.table({
+                        "node": t.column("node"), "old": t.column("label"),
+                    }),
+                    batch_format="pyarrow",
+                ),
+                enc,
+                on="node",
+                how="left",
+            )
+            state = upd.map_batches(
+                lambda t: pa.table({
+                    "node": t.column("node"),
+                    "label": pa.array(np.where(
+                        pc.is_null(t.column("max(enc)"))
+                        .to_numpy(zero_copy_only=False),
+                        t.column("old").to_numpy(zero_copy_only=False),
+                        _M32 - (
+                            pc.fill_null(
+                                pc.cast(t.column("max(enc)"), pa.int64()),
+                                0,
+                            ).to_numpy(zero_copy_only=False)
+                            & _M32
+                        ),
+                    )),
+                }),
+                batch_format="pyarrow",
+            ).materialize()
+        return state
+
     def khop_centrality(
         self, kmax: int = 3, **order_kwargs
     ) -> ray.data.Dataset:

@@ -6567,3 +6567,55 @@ SELECT uni.node,
             ELSE 0.0 END AS close_f
 FROM uni LEFT JOIN ag USING (node)
 """
+
+
+def q_lpa(sf_dir: str):
+    """Deterministic synchronous label propagation (3 rounds, ties to
+    the smallest label) over the rook lattice — the packed
+    (count, ~label) integer argmax, bit-exact at any layout."""
+    return _rook_g(sf_dir).label_propagation(iters=3)
+
+
+QUERIES["lpa"] = q_lpa
+
+_LPA_ITER = """
+c{i} AS (
+  SELECT adj.focal AS node, l{p}.label AS lab,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM adj JOIN l{p} ON adj.neighbor = l{p}.node
+  GROUP BY 1, 2
+),
+m{i} AS (
+  SELECT node, MAX(cnt * 4294967296 + (4294967295 - lab)) AS enc
+  FROM c{i} GROUP BY 1
+),
+l{i} AS (
+  SELECT lp.node,
+         CAST(COALESCE(4294967295 - (m{i}.enc % 4294967296), lp.label)
+              AS BIGINT) AS label
+  FROM l{p} lp LEFT JOIN m{i} USING (node)
+)"""
+
+ORACLE_SQL["lpa"] = (
+    "WITH "
+    + _ROOK_SQL
+    + """,
+n0 AS (SELECT DISTINCT focal AS node FROM adj),
+l0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM n0),"""
+    + ",".join(_LPA_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node, label FROM l3
+"""
+)
+
+
+def q_lpa_dist(sf_dir: str):
+    """Forced-distributed label propagation evidence path: per round
+    ONE labels-onto-edges bucket_join + a (node,label) grouped count +
+    one packed-priority max — bit-equal to the driver lexsort."""
+    return _rook_g(sf_dir).label_propagation(iters=3, force_distributed=True)
+
+
+QUERIES["lpa_dist"] = q_lpa_dist
+
+ORACLE_SQL["lpa_dist"] = ORACLE_SQL["lpa"]
