@@ -6619,3 +6619,67 @@ def q_lpa_dist(sf_dir: str):
 QUERIES["lpa_dist"] = q_lpa_dist
 
 ORACLE_SQL["lpa_dist"] = ORACLE_SQL["lpa"]
+
+
+def q_seed_dist(sf_dir: str):
+    """Multi-source BFS hop distance (kmax=3) from the doc_id % 97 == 0
+    seed set over the rook lattice — the TrustRank seed-proximity
+    primitive; per-round frontier joins, exact hop levels."""
+    def _seeds(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(ids[ids % 97 == 0])})
+
+    seeds = _docs(sf_dir, ["doc_id"]).map_batches(
+        _seeds, batch_format="pyarrow"
+    )
+    return _rook_g(sf_dir).seed_distance(seeds, kmax=3)
+
+
+QUERIES["seed_dist"] = q_seed_dist
+
+ORACLE_SQL["seed_dist"] = f"""
+WITH {_ROOK_SQL},
+s0 AS (SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0),
+f1 AS (
+  SELECT DISTINCT adj.neighbor AS node
+  FROM adj JOIN s0 ON adj.focal = s0.node
+  WHERE adj.neighbor NOT IN (SELECT node FROM s0)
+),
+f2 AS (
+  SELECT DISTINCT adj.neighbor AS node
+  FROM adj JOIN f1 ON adj.focal = f1.node
+  WHERE adj.neighbor NOT IN (SELECT node FROM s0)
+    AND adj.neighbor NOT IN (SELECT node FROM f1)
+),
+f3 AS (
+  SELECT DISTINCT adj.neighbor AS node
+  FROM adj JOIN f2 ON adj.focal = f2.node
+  WHERE adj.neighbor NOT IN (SELECT node FROM s0)
+    AND adj.neighbor NOT IN (SELECT node FROM f1)
+    AND adj.neighbor NOT IN (SELECT node FROM f2)
+)
+SELECT node, CAST(0 AS BIGINT) AS dist FROM s0
+UNION ALL SELECT node, 1 FROM f1
+UNION ALL SELECT node, 2 FROM f2
+UNION ALL SELECT node, 3 FROM f3
+"""
+
+
+def q_seed_dist_fd(sf_dir: str):
+    """Forced-distributed seed-distance evidence path: per round one
+    semi-join frontier expansion + dedup + anti-join against the seen
+    set — bit-equal to the driver BFS."""
+    def _seeds(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(ids[ids % 97 == 0])})
+
+    seeds = _docs(sf_dir, ["doc_id"]).map_batches(
+        _seeds, batch_format="pyarrow"
+    )
+    return _rook_g(sf_dir).seed_distance(seeds, kmax=3,
+                                         force_distributed=True)
+
+
+QUERIES["seed_dist_fd"] = q_seed_dist_fd
+
+ORACLE_SQL["seed_dist_fd"] = ORACLE_SQL["seed_dist"]

@@ -699,3 +699,27 @@ def test_label_propagation_two_cliques(ray_session):
             new[v] = labs[cnts == cnts.max()].min()
         lab = new
     assert out == {i: int(lab[i]) for i in range(6)}
+
+
+def test_seed_distance_path_graph(ray_session):
+    import numpy as np
+
+    # path 0-1-2-3-4-5, seeds {0, 5}
+    f = np.array([0, 1, 1, 2, 2, 3, 3, 4, 4, 5])
+    nb = np.array([1, 0, 2, 1, 3, 2, 4, 3, 5, 4])
+    g = RayGraph.from_arrays(f, nb, np.ones(10))
+    out = {r["node"]: r["dist"] for r in
+           g.seed_distance([0, 5], kmax=2).take_all()}
+    assert out == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+    outd = {r["node"]: r["dist"] for r in
+            g.seed_distance([0, 5], kmax=2,
+                            force_distributed=True).take_all()}
+    assert outd == out
+    # kmax=1 truncates
+    out1 = {r["node"]: r["dist"] for r in
+            g.seed_distance([0], kmax=1).take_all()}
+    assert out1 == {0: 0, 1: 1}
+    # a seed off the graph still reports itself at dist 0
+    out2 = {r["node"]: r["dist"] for r in
+            g.seed_distance([99], kmax=1).take_all()}
+    assert out2 == {99: 0}
