@@ -6683,3 +6683,92 @@ def q_seed_dist_fd(sf_dir: str):
 QUERIES["seed_dist_fd"] = q_seed_dist_fd
 
 ORACLE_SQL["seed_dist_fd"] = ORACLE_SQL["seed_dist"]
+
+
+def q_2sfca(sf_dir: str):
+    """Two-step floating catchment area accessibility: every 20th
+    document is a facility (capacity doc_id%7+1), all documents are
+    demand (population n_chars%100+1), catchment radius 50 — floor
+    fixed-point ratios at scale 1e6, exact int64 catchment sums."""
+    from libpysal_ray.spatial.access import two_step_fca
+
+    pts = _points(sf_dir)
+
+    def _sup(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % 20 == 0
+        return pa.table({
+            "id": pa.array(ids[m]),
+            "x": pa.array(
+                t.column("x").to_numpy(zero_copy_only=False)[m]
+            ),
+            "y": pa.array(
+                t.column("y").to_numpy(zero_copy_only=False)[m]
+            ),
+            "s": pa.array((ids[m] % 7 + 1).astype(np.int64)),
+        })
+
+    supply = pts.map_batches(_sup, batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    nch = docs.map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "p": pa.array(
+                (t.column("n_chars").to_numpy(zero_copy_only=False)
+                 % 100 + 1).astype(np.int64)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    from libpysal_ray.core.joins import bucket_join
+
+    demand = bucket_join(
+        pts.map_batches(
+            lambda t: pa.table({
+                "id": t.column("doc_id"),
+                "x": t.column("x"),
+                "y": t.column("y"),
+            }),
+            batch_format="pyarrow",
+        ),
+        nch,
+        on="id",
+    )
+    return two_step_fca(supply, demand, threshold=50.0, scale=1_000_000)
+
+
+QUERIES["two_sfca"] = q_2sfca
+
+ORACLE_SQL["two_sfca"] = f"""
+WITH {_PTS_SQL},
+sup AS (
+  SELECT doc_id, x, y, CAST(doc_id % 7 + 1 AS BIGINT) AS s
+  FROM pts WHERE doc_id % 20 = 0
+),
+dem AS (
+  SELECT p.doc_id, p.x, p.y,
+         CAST(d.n_chars % 100 + 1 AS BIGINT) AS pp
+  FROM pts p JOIN documents d USING (doc_id)
+),
+dj AS (
+  SELECT sup.doc_id AS j, sup.s, sup.x, sup.y,
+         CAST(COALESCE(SUM(dem.pp), 0) AS BIGINT) AS dsum
+  FROM sup LEFT JOIN dem
+    ON (sup.x - dem.x) * (sup.x - dem.x)
+       + (sup.y - dem.y) * (sup.y - dem.y) <= 2500.0
+  GROUP BY 1, 2, 3, 4
+),
+rj AS (
+  SELECT j, x, y,
+         CASE WHEN dsum > 0 THEN s * 1000000 // dsum
+              ELSE CAST(0 AS BIGINT) END AS r
+  FROM dj
+)
+SELECT dem.doc_id AS id,
+       CAST(COALESCE(SUM(rj.r), 0) AS BIGINT) AS acc,
+       CAST(COALESCE(SUM(rj.r), 0) AS DOUBLE) / 1000000.0 AS acc_f
+FROM dem LEFT JOIN rj
+  ON (dem.x - rj.x) * (dem.x - rj.x)
+     + (dem.y - rj.y) * (dem.y - rj.y) <= 2500.0
+GROUP BY 1
+"""

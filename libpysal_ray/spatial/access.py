@@ -1,0 +1,188 @@
+"""Spatial accessibility: fixed-point two-step floating catchment area.
+
+2SFCA (Luo & Wang 2003 — the access-measures family the reference
+ecosystem ships around libpysal weights) under the engine's exactness
+discipline: supply-to-demand ratios are FLOOR FIXED-POINT integers
+R_j = s_j·scale // D_j, so both catchment sums are exact int64 and the
+whole measure is bit-reproducible at any cluster size / batch layout
+and SQL-mirrored (floats from float sums would be summation-order-
+dependent; the floor quantization at 1/scale is the documented,
+deterministic contract).
+
+100 TB shape: each catchment aggregation is ONE tagged-union tile
+shuffle at cs = halo = threshold (the :func:`tile_points` plan shared
+with ripley_k/cross_k) — every A point is core in exactly one tile, so
+per-tile vectorized masked sums emit final rows directly; nothing but
+(id, sum) rows move after the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from libpysal_ray.builders.distance import tile_points
+from libpysal_ray.core import joins as J
+
+_CHUNK = 2048
+
+
+def band_value_sum(
+    points_a: ray.data.Dataset,
+    points_b: ray.data.Dataset,
+    threshold: float,
+    val_col: str,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """For every point in A, the exact int64 sum of B's ``val_col``
+    over all B points within ``threshold`` (inclusive, squared-distance
+    test — coincident points count; no cross-set self-exclusion).
+    Returns (id, bsum, bcnt) with a row for EVERY A point (0s when the
+    catchment is empty). One tile shuffle; A-core rows emit finished
+    sums per tile."""
+    t2 = float(threshold) * float(threshold)
+
+    def _tag(mark, with_val):
+        def _f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "id": t.column(id_col),
+                "x": t.column(x_col),
+                "y": t.column(y_col),
+                "mark": pa.array(np.full(n, mark, dtype=np.int64)),
+                "val": (
+                    pa.array(
+                        t.column(val_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    if with_val
+                    else pa.array(np.zeros(n, dtype=np.int64))
+                ),
+            })
+        return _f
+
+    both = points_a.map_batches(
+        _tag(1, False), batch_format="pyarrow"
+    ).union(points_b.map_batches(_tag(2, True), batch_format="pyarrow"))
+    tiled = tile_points(both, cs=float(threshold), halo=float(threshold),
+                        extra_cols=("mark", "val"))
+
+    def _sums(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        mark = t.column("mark").to_numpy(zero_copy_only=False)
+        val = t.column("val").to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        ai = np.flatnonzero(core & (mark == 1))
+        bj = np.flatnonzero(mark == 2)
+        out_s = np.zeros(len(ai), dtype=np.int64)
+        out_c = np.zeros(len(ai), dtype=np.int64)
+        if len(bj):
+            xb, yb, vb = x[bj], y[bj], val[bj]
+            for s in range(0, len(ai), _CHUNK):
+                sel = ai[s : s + _CHUNK]
+                dx = x[sel, None] - xb[None, :]
+                dy = y[sel, None] - yb[None, :]
+                m = (dx * dx + dy * dy) <= t2
+                out_s[s : s + _CHUNK] = m @ vb
+                out_c[s : s + _CHUNK] = m.sum(axis=1)
+        return pa.table({
+            "id": pa.array(ids[ai]),
+            "bsum": pa.array(out_s),
+            "bcnt": pa.array(out_c),
+        })
+
+    return J.per_group(tiled, ("tile",), _sums)
+
+
+def two_step_fca(
+    supply: ray.data.Dataset,
+    demand: ray.data.Dataset,
+    threshold: float,
+    scale: int = 1_000_000,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    s_col: str = "s",
+    p_col: str = "p",
+) -> ray.data.Dataset:
+    """Two-step floating catchment area accessibility with floor
+    fixed-point ratios:
+
+        D_j = Σ_{i: d_ij ≤ t} p_i             (demand on facility j)
+        R_j = s_j·scale // D_j  (0 if D_j=0)  (exact integer ratio)
+        A_i = Σ_{j: d_ij ≤ t} R_j             (accessibility of i)
+
+    Output (id, acc, acc_f) for EVERY demand point — acc exact int64 in
+    1/scale units, acc_f = acc / scale one pinned float division.
+    Overflow is pre-checked in unbounded ints: A_i ≤ scale·Σ_j s_j, so
+    total supply × scale must stay under 2^62 (raises loudly)."""
+    sagg = supply.aggregate(
+        ray.data.aggregate.Sum(s_col), ray.data.aggregate.Min(s_col)
+    )
+    total_s = int(sagg[f"sum({s_col})"] or 0)
+    if int(sagg[f"min({s_col})"] or 0) < 0:
+        raise ValueError("two_step_fca: supply must be non-negative")
+    if total_s * int(scale) >= (1 << 62):
+        raise ValueError(
+            "two_step_fca: total supply x scale exceeds 2^62; "
+            "reduce scale"
+        )
+    pmin = demand.min(p_col)
+    if pmin is not None and int(pmin) < 0:
+        raise ValueError("two_step_fca: demand must be non-negative")
+
+    dj = band_value_sum(
+        supply, demand, threshold, p_col,
+        id_col=id_col, x_col=x_col, y_col=y_col,
+    )
+    sup_attrs = supply.map_batches(
+        lambda t: pa.table({
+            "id": t.column(id_col),
+            "xs": t.column(x_col),
+            "ys": t.column(y_col),
+            "sv": pa.array(
+                t.column(s_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    rj = J.bucket_join(sup_attrs, dj, on="id").map_batches(
+        lambda t: pa.table({
+            "id": t.column("id"),
+            "x": t.column("xs"),
+            "y": t.column("ys"),
+            "r": pa.array(np.where(
+                t.column("bsum").to_numpy(zero_copy_only=False) > 0,
+                t.column("sv").to_numpy(zero_copy_only=False)
+                * np.int64(scale)
+                // np.maximum(
+                    t.column("bsum").to_numpy(zero_copy_only=False), 1
+                ),
+                np.int64(0),
+            )),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    ai = band_value_sum(
+        demand, rj, threshold, "r",
+        id_col=id_col, x_col=x_col, y_col=y_col,
+    )
+    inv = float(int(scale))
+    return ai.map_batches(
+        lambda t: pa.table({
+            "id": t.column("id"),
+            "acc": t.column("bsum"),
+            "acc_f": pa.array(
+                t.column("bsum").to_numpy(zero_copy_only=False)
+                .astype(np.float64) / inv
+            ),
+        }),
+        batch_format="pyarrow",
+    )

@@ -364,3 +364,37 @@ def test_gfj_functions_closed_form(ray_session):
     assert np.isclose(out["j_f"].iloc[0], 2.0)
     # J at G=1: (1-1)/(1-0.5) = 0
     assert np.isclose(out["j_f"].iloc[1], 0.0)
+
+
+def test_two_step_fca_closed_form(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.spatial.access import two_step_fca
+
+    # facility at (0,0) cap 2; demand at (0,0) p=3 and (10,0) p=5,
+    # threshold 10: D = 8, R = 2e6 // 8 = 250000; both demands see it
+    supply = ray.data.from_arrow(pa.table({
+        "id": pa.array([100], pa.int64()),
+        "x": pa.array([0.0]), "y": pa.array([0.0]),
+        "s": pa.array([2], pa.int64()),
+    }))
+    demand = ray.data.from_arrow(pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "x": pa.array([0.0, 10.0]), "y": pa.array([0.0, 0.0]),
+        "p": pa.array([3, 5], pa.int64()),
+    }))
+    out = {r["id"]: (r["acc"], r["acc_f"]) for r in
+           two_step_fca(supply, demand, threshold=10.0).take_all()}
+    assert out[0] == (250000, 0.25) and out[1] == (250000, 0.25)
+
+    # out-of-range demand gets a zero row, not a missing row
+    demand2 = ray.data.from_arrow(pa.table({
+        "id": pa.array([0, 7], pa.int64()),
+        "x": pa.array([0.0, 500.0]), "y": pa.array([0.0, 0.0]),
+        "p": pa.array([4, 9], pa.int64()),
+    }))
+    out2 = {r["id"]: r["acc"] for r in
+            two_step_fca(supply, demand2, threshold=10.0).take_all()}
+    assert out2[7] == 0 and out2[0] == 500000  # 2e6 // 4
