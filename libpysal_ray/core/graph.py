@@ -3046,6 +3046,100 @@ def _binarize(t: pa.Table) -> pa.Table:
 
 
 
+def ktruss(g, k: int, max_rounds: int = 64) -> ray.data.Dataset:
+    """k-truss decomposition (fixed k ≥ 3): the maximal subgraph in
+    which every edge participates in at least k−2 triangles, by
+    synchronous support peeling to the fixpoint. Requires a symmetric
+    (undirected) edge set. Output (focal, neighbor, support): both
+    directions of every surviving edge with its exact WITHIN-TRUSS
+    triangle count.
+
+    100 TB shape: per round the bucketed wedge expansion
+    (edges⋈edges on the shared midpoint — a marked size-expander,
+    materialized) + ONE pair cogroup against the edge set (support =
+    summed path weights, the w_local_cluster triangle plan) + a
+    vectorized filter; edges with no triangle rows drop implicitly
+    (support 0). Rounds are data-dependent — ``max_rounds`` raises
+    loudly instead of spinning. The small-input coalesced paths in
+    core/joins make each round one vectorized task at test scale."""
+    if k < 3:
+        raise ValueError("ktruss needs k >= 3 (k-2 triangle support)")
+    need = float(k - 2)
+    edges = E.dedup(
+        g._real_edges().map_batches(_binarize, batch_format="pyarrow")
+    ).materialize()
+    e_count = int(edges.count())
+    _empty = pa.table({
+        "focal": pa.array([], pa.int64()),
+        "neighbor": pa.array([], pa.int64()),
+        "support": pa.array([], pa.int64()),
+    })
+    if e_count == 0:
+        return ray.data.from_arrow(_empty)
+    tri = None
+    for _ in range(max_rounds):
+        e1 = edges.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("focal"), "mid": t.column("neighbor"),
+            }),
+            batch_format="pyarrow",
+        )
+        e2 = edges.map_batches(
+            lambda t: pa.table({
+                "mid": t.column("focal"), "neighbor": t.column("neighbor"),
+            }),
+            batch_format="pyarrow",
+        )
+        paths = J.bucket_join(e1, e2, on="mid").map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("focal"), t.column("neighbor"),
+                 pa.array(np.ones(t.num_rows))],
+                schema=E.EDGE_SCHEMA,
+            ).filter(
+                pc.invert(pc.equal(t.column("focal"),
+                                   t.column("neighbor")))
+            ),
+            batch_format="pyarrow",
+        ).materialize()  # marked size-expander: true size known only now
+        tri = J.pair_semi(
+            paths, edges.select_columns(["focal", "neighbor"])
+        ).materialize()  # (focal, neighbor, weight = support)
+        kept = tri.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("focal"), t.column("neighbor"),
+                 pa.array(np.ones(t.num_rows))],
+                schema=E.EDGE_SCHEMA,
+            ).filter(pc.greater_equal(t.column("weight"), need)),
+            batch_format="pyarrow",
+        ).materialize()
+        n_kept = int(kept.count())
+        if n_kept == 0:
+            return ray.data.from_arrow(_empty)
+        if n_kept == e_count:
+            break
+        edges, e_count = kept, n_kept
+    else:
+        raise ValueError(
+            f"ktruss did not converge within max_rounds={max_rounds}; "
+            "raise the budget explicitly"
+        )
+    return tri.map_batches(
+        lambda t: pa.table({
+            "focal": t.column("focal"),
+            "neighbor": t.column("neighbor"),
+            "support": pa.array(
+                t.column("weight").to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            ),
+        }).filter(
+            pc.greater_equal(
+                pa.table({"w": t.column("weight")}).column("w"), need
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _kcore_driver(f: np.ndarray, n: np.ndarray, k: int) -> pa.Table:
     """Exact k-core peel over int64 endpoint arrays of a SYMMETRIC edge
     set (both directions present, so degree(v) = #rows with focal == v).

@@ -6772,3 +6772,43 @@ FROM dem LEFT JOIN rj
      + (dem.y - rj.y) * (dem.y - rj.y) <= 2500.0
 GROUP BY 1
 """
+
+
+def q_ktruss(sf_dir: str):
+    """4-truss of the 50-unit distance-band graph: synchronous
+    triangle-support peeling to the fixpoint, exact within-truss
+    support counts per surviving directed edge."""
+    from libpysal_ray.builders.distance import distance_band
+    from libpysal_ray.core.graph import ktruss
+
+    g = distance_band(_points(sf_dir), threshold=50.0, binary=True,
+                      id_col="doc_id")
+    return ktruss(g, k=4)
+
+
+QUERIES["ktruss"] = q_ktruss
+
+_TRUSS_ROUND = """
+e{i} AS MATERIALIZED (
+  SELECT e.f, e.n FROM e{p} e
+  WHERE (SELECT COUNT(*) FROM e{p} a JOIN e{p} b
+         ON a.f = e.f AND a.n = b.f AND b.n = e.n) >= 2
+)"""
+
+ORACLE_SQL["ktruss"] = (
+    f"""WITH {_PTS_SQL},
+e0 AS MATERIALIZED (
+  SELECT i.doc_id AS f, j.doc_id AS n
+  FROM pts i JOIN pts j
+    ON i.doc_id <> j.doc_id
+   AND (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y) <= 2500.0
+),"""
+    + ",".join(_TRUSS_ROUND.format(i=i, p=i - 1) for i in range(1, 13))
+    + """
+SELECT e.f AS focal, e.n AS neighbor,
+       CAST((SELECT COUNT(*) FROM e12 a JOIN e12 b
+             ON a.f = e.f AND a.n = b.f AND b.n = e.n) AS BIGINT)
+         AS support
+FROM e12 e
+"""
+)

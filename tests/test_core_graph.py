@@ -723,3 +723,30 @@ def test_seed_distance_path_graph(ray_session):
     out2 = {r["node"]: r["dist"] for r in
             g.seed_distance([99], kmax=1).take_all()}
     assert out2 == {99: 0}
+
+
+def test_ktruss_closed_forms(ray_session):
+    import numpy as np
+
+    from libpysal_ray.core.graph import ktruss
+
+    # K4 plus a pendant triangle sharing one vertex: K4 edges each have
+    # support 2 (4-truss survives); the pendant triangle's edges have
+    # support 1 and peel at k=4 but survive at k=3
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    tri = [(3, 4), (4, 3), (4, 5), (5, 4), (5, 3), (3, 5)]
+    e = np.array(k4 + tri)
+    g = RayGraph.from_arrays(e[:, 0], e[:, 1], np.ones(len(e)))
+    t4 = ktruss(g, 4).to_pandas()
+    got = sorted(set(zip(t4["focal"], t4["neighbor"])))
+    assert got == sorted((a, b) for a, b in k4)
+    assert (t4["support"] == 2).all()
+    t3 = ktruss(g, 3).to_pandas()
+    assert len(t3) == len(k4) + len(tri)
+    # k=5 empties the graph
+    assert len(ktruss(g, 5).to_pandas()) == 0
+    # path graph has no triangles: k=3 truss is empty
+    f = np.array([0, 1, 1, 2])
+    nb = np.array([1, 0, 2, 1])
+    g2 = RayGraph.from_arrays(f, nb, np.ones(4))
+    assert len(ktruss(g2, 3).to_pandas()) == 0
