@@ -6812,3 +6812,75 @@ SELECT e.f AS focal, e.n AS neighbor,
 FROM e12 e
 """
 )
+
+
+def q_idw(sf_dir: str):
+    """Fixed-point inverse-distance-weighted interpolation of n_chars
+    at a 20x20 anchor lattice (radius 100, scale 1e9): exact integer
+    weight/value sums per anchor, one pinned division."""
+    from libpysal_ray.core.joins import bucket_join
+    from libpysal_ray.spatial.access import idw_interpolate
+
+    ai = np.arange(400, dtype=np.int64)
+    anchors = ray.data.from_arrow(pa.table({
+        "id": pa.array(ai),
+        "x": pa.array(((ai // 20) * 50).astype(np.float64)),
+        "y": pa.array(((ai % 20) * 50).astype(np.float64)),
+    }))
+    pts = _points(sf_dir)
+    nch = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"), "v": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    pv = bucket_join(
+        pts.map_batches(
+            lambda t: pa.table({
+                "id": t.column("doc_id"),
+                "x": t.column("x"), "y": t.column("y"),
+            }),
+            batch_format="pyarrow",
+        ),
+        nch,
+        on="id",
+    )
+    return idw_interpolate(anchors, pv, radius=100.0,
+                           scale=1_000_000_000)
+
+
+QUERIES["idw_grid"] = q_idw
+
+ORACLE_SQL["idw_grid"] = f"""
+WITH {_PTS_SQL},
+pv AS (
+  SELECT p.doc_id, p.x, p.y, CAST(d.n_chars AS BIGINT) AS v
+  FROM pts p JOIN documents d USING (doc_id)
+),
+anch AS (
+  SELECT CAST(a.i * 20 + b.j AS BIGINT) AS aid,
+         CAST(a.i * 50 AS DOUBLE) AS x, CAST(b.j * 50 AS DOUBLE) AS y
+  FROM (SELECT unnest(range(20)) AS i) a,
+       (SELECT unnest(range(20)) AS j) b
+),
+w AS (
+  SELECT anch.aid, pv.v,
+         1000000000 // GREATEST(CAST(
+           (anch.x - pv.x) * (anch.x - pv.x)
+           + (anch.y - pv.y) * (anch.y - pv.y) AS BIGINT), 1) AS w
+  FROM anch JOIN pv
+    ON (anch.x - pv.x) * (anch.x - pv.x)
+       + (anch.y - pv.y) * (anch.y - pv.y) <= 10000.0
+),
+agg AS (
+  SELECT aid, CAST(SUM(v * w) AS BIGINT) AS num,
+         CAST(SUM(w) AS BIGINT) AS den
+  FROM w GROUP BY 1
+)
+SELECT anch.aid AS id, COALESCE(agg.num, 0) AS num,
+       COALESCE(agg.den, 0) AS den,
+       CASE WHEN COALESCE(agg.den, 0) > 0
+            THEN CAST(agg.num AS DOUBLE) / CAST(agg.den AS DOUBLE)
+            ELSE 0.0 END AS idw_f
+FROM anch LEFT JOIN agg USING (aid)
+"""

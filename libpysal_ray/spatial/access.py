@@ -186,3 +186,126 @@ def two_step_fca(
         }),
         batch_format="pyarrow",
     )
+
+
+def idw_interpolate(
+    anchors: ray.data.Dataset,
+    points: ray.data.Dataset,
+    radius: float,
+    scale: int = 1_000_000_000,
+    v_col: str = "v",
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Inverse-distance-weighted interpolation of ``points[v_col]`` at
+    every anchor location, bounded to ``radius``, with FLOOR FIXED-POINT
+    weights so the sums are exact integers at any layout:
+
+        w_j   = scale // max(d²_j, 1)          (d² exact integer)
+        num_i = Σ_{j: d_ij ≤ r} v_j · w_j
+        den_i = Σ_{j: d_ij ≤ r} w_j
+        idw_f = num / den                      (one pinned division)
+
+    Coincident points (d² = 0) take the full ``scale`` weight (the
+    documented d² ≥ 1 clamp — a deterministic contract both the engine
+    and the SQL oracle share, in place of the reference family's
+    float 1/d² whose distributed sum is order-dependent). Output
+    (id, num, den, idw_f) for EVERY anchor; empty neighborhoods get
+    (0, 0, 0.0). Same ONE tile shuffle as :func:`band_value_sum`.
+    Overflow pre-check: |v|_max·scale·n_points < 2^62 (unbounded-int,
+    loud)."""
+    vagg = points.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Max(v_col),
+        ray.data.aggregate.Min(v_col),
+    )
+    n_pts = int(vagg["count()"])
+    vmax = max(
+        abs(int(vagg[f"max({v_col})"] or 0)),
+        abs(int(vagg[f"min({v_col})"] or 0)),
+    )
+    if vmax * int(scale) * max(n_pts, 1) >= (1 << 62):
+        raise ValueError(
+            "idw_interpolate: v_max x scale x n exceeds 2^62; reduce "
+            "scale"
+        )
+    t2 = float(radius) * float(radius)
+
+    def _tag(mark, with_val):
+        def _f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "id": t.column(id_col),
+                "x": t.column(x_col),
+                "y": t.column(y_col),
+                "mark": pa.array(np.full(n, mark, dtype=np.int64)),
+                "val": (
+                    pa.array(
+                        t.column(v_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    if with_val
+                    else pa.array(np.zeros(n, dtype=np.int64))
+                ),
+            })
+        return _f
+
+    both = anchors.map_batches(
+        _tag(1, False), batch_format="pyarrow"
+    ).union(points.map_batches(_tag(2, True), batch_format="pyarrow"))
+    tiled = tile_points(both, cs=float(radius), halo=float(radius),
+                        extra_cols=("mark", "val"))
+    sc = np.int64(scale)
+
+    def _sums(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        mark = t.column("mark").to_numpy(zero_copy_only=False)
+        val = t.column("val").to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        ai = np.flatnonzero(core & (mark == 1))
+        bj = np.flatnonzero(mark == 2)
+        num = np.zeros(len(ai), dtype=np.int64)
+        den = np.zeros(len(ai), dtype=np.int64)
+        if len(bj):
+            xb, yb, vb = x[bj], y[bj], val[bj]
+            for s in range(0, len(ai), _CHUNK):
+                sel = ai[s : s + _CHUNK]
+                dx = x[sel, None] - xb[None, :]
+                dy = y[sel, None] - yb[None, :]
+                d2 = dx * dx + dy * dy
+                m = d2 <= t2
+                # exact: coordinates are integer-valued, so d2 is an
+                # exactly-represented integer in float64
+                w = np.where(
+                    m, sc // np.maximum(d2.astype(np.int64), 1), 0
+                )
+                num[s : s + _CHUNK] += (w * vb[None, :]).sum(axis=1)
+                den[s : s + _CHUNK] += w.sum(axis=1)
+        return pa.table({
+            "id": pa.array(ids[ai]),
+            "num": pa.array(num),
+            "den": pa.array(den),
+        })
+
+    out = J.per_group(tiled, ("tile",), _sums)
+    return out.map_batches(
+        lambda t: pa.table({
+            "id": t.column("id"),
+            "num": t.column("num"),
+            "den": t.column("den"),
+            "idw_f": pa.array(np.where(
+                t.column("den").to_numpy(zero_copy_only=False) > 0,
+                t.column("num").to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                / np.maximum(
+                    t.column("den").to_numpy(zero_copy_only=False), 1
+                ).astype(np.float64),
+                0.0,
+            )),
+        }),
+        batch_format="pyarrow",
+    )

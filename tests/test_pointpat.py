@@ -398,3 +398,44 @@ def test_two_step_fca_closed_form(ray_session):
     out2 = {r["id"]: r["acc"] for r in
             two_step_fca(supply, demand2, threshold=10.0).take_all()}
     assert out2[7] == 0 and out2[0] == 500000  # 2e6 // 4
+
+
+def test_idw_interpolate_closed_form(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.spatial.access import idw_interpolate
+
+    # anchor at origin; points at d2=1 (v=10) and d2=4 (v=40)
+    anchors = ray.data.from_arrow(pa.table({
+        "id": pa.array([0], pa.int64()),
+        "x": pa.array([0.0]), "y": pa.array([0.0]),
+    }))
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "x": pa.array([1.0, 2.0]), "y": pa.array([0.0, 0.0]),
+        "v": pa.array([10, 40], pa.int64()),
+    }))
+    out = idw_interpolate(anchors, pts, radius=5.0, scale=100).to_pandas()
+    # w1 = 100//1 = 100, w2 = 100//4 = 25
+    # num = 10*100 + 40*25 = 2000, den = 125, idw = 16.0
+    assert out["num"].iloc[0] == 2000 and out["den"].iloc[0] == 125
+    assert np.isclose(out["idw_f"].iloc[0], 16.0)
+
+    # coincident point takes the full scale weight (d2 clamp)
+    pts2 = ray.data.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "x": pa.array([0.0]), "y": pa.array([0.0]),
+        "v": pa.array([7], pa.int64()),
+    }))
+    out2 = idw_interpolate(anchors, pts2, radius=5.0, scale=100).to_pandas()
+    assert out2["num"].iloc[0] == 700 and out2["den"].iloc[0] == 100
+    # empty neighborhood -> zero row
+    pts3 = ray.data.from_arrow(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "x": pa.array([100.0]), "y": pa.array([0.0]),
+        "v": pa.array([7], pa.int64()),
+    }))
+    out3 = idw_interpolate(anchors, pts3, radius=5.0, scale=100).to_pandas()
+    assert out3["den"].iloc[0] == 0 and out3["idw_f"].iloc[0] == 0.0
