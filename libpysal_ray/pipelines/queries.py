@@ -6884,3 +6884,140 @@ SELECT anch.aid AS id, COALESCE(agg.num, 0) AS num,
             ELSE 0.0 END AS idw_f
 FROM anch LEFT JOIN agg USING (aid)
 """
+
+
+def _two_snapshots(sf_dir: str):
+    """(id, x0, x1): n_chars%100 and a deterministic pseudo-second
+    snapshot (n_chars*7+doc_id)%100 — two comparable integer periods."""
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x0": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False)
+                % 100
+            ),
+            "x1": pa.array(
+                (t.column("n_chars").to_numpy(zero_copy_only=False) * 7
+                 + t.column("doc_id").to_numpy(zero_copy_only=False))
+                % 100
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+_SNAP_SQL = """
+snap AS (
+  SELECT doc_id AS id,
+         CAST(n_chars % 100 AS BIGINT) AS x0,
+         CAST((n_chars * 7 + doc_id) % 100 AS BIGINT) AS x1
+  FROM documents
+)"""
+
+
+def q_sigma_conv(sf_dir: str):
+    """Sigma-convergence variance ratio between two snapshots — exact
+    n²-scaled variances as decimal strings, one pinned division."""
+    from libpysal_ray.spatial.stats import sigma_convergence
+
+    return sigma_convergence(_two_snapshots(sf_dir))
+
+
+QUERIES["sigma_conv"] = q_sigma_conv
+
+ORACLE_SQL["sigma_conv"] = f"""
+WITH {_SNAP_SQL},
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x0) AS BIGINT) AS s0, CAST(SUM(x1) AS BIGINT) AS s1,
+         SUM(CAST(x0 AS HUGEINT) * x0) AS q0,
+         SUM(CAST(x1 AS HUGEINT) * x1) AS q1
+  FROM snap
+)
+SELECT n,
+       CAST(n * q0 - CAST(s0 AS HUGEINT) * s0 AS VARCHAR) AS v0,
+       CAST(n * q1 - CAST(s1 AS HUGEINT) * s1 AS VARCHAR) AS v1,
+       CAST(n * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+         / CAST(n * q0 - CAST(s0 AS HUGEINT) * s0 AS DOUBLE) AS ratio_f
+FROM st
+"""
+
+
+def q_shorrocks(sf_dir: str):
+    """Shorrocks mobility index of the snapshot transition matrix
+    (3 fixed classes) — one exact rational trace, pinned division."""
+    from libpysal_ray.spatial.stats import shorrocks_index
+
+    return shorrocks_index(_two_snapshots(sf_dir), class_bins=[33, 66])
+
+
+QUERIES["shorrocks"] = q_shorrocks
+
+ORACLE_SQL["shorrocks"] = f"""
+WITH {_SNAP_SQL},
+cl AS (
+  SELECT CASE WHEN x0 < 33 THEN 0 WHEN x0 < 66 THEN 1 ELSE 2 END AS c0,
+         CASE WHEN x1 < 33 THEN 0 WHEN x1 < 66 THEN 1 ELSE 2 END AS c1
+  FROM snap
+),
+cn AS (SELECT c0, c1, CAST(COUNT(*) AS BIGINT) AS cnt FROM cl GROUP BY 1, 2),
+pv AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN c0 = 0 THEN cnt END), 0) AS r0,
+    COALESCE(SUM(CASE WHEN c0 = 1 THEN cnt END), 0) AS r1,
+    COALESCE(SUM(CASE WHEN c0 = 2 THEN cnt END), 0) AS r2,
+    COALESCE(SUM(CASE WHEN c0 = 0 AND c1 = 0 THEN cnt END), 0) AS n00,
+    COALESCE(SUM(CASE WHEN c0 = 1 AND c1 = 1 THEN cnt END), 0) AS n11,
+    COALESCE(SUM(CASE WHEN c0 = 2 AND c1 = 2 THEN cnt END), 0) AS n22
+  FROM cn
+),
+q AS (
+  SELECT *,
+         CASE WHEN r0 > 0 THEN r0 ELSE 1 END AS q0,
+         CASE WHEN r1 > 0 THEN r1 ELSE 1 END AS q1,
+         CASE WHEN r2 > 0 THEN r2 ELSE 1 END AS q2,
+         CAST(r0 > 0 AS BIGINT) + CAST(r1 > 0 AS BIGINT)
+           + CAST(r2 > 0 AS BIGINT) AS m_eff
+  FROM pv
+)
+SELECT m_eff,
+       CAST(n00 * q1 * q2 + n11 * q0 * q2 + n22 * q0 * q1 AS VARCHAR)
+         AS trace_num,
+       CAST(q0 * q1 * q2 AS VARCHAR) AS den,
+       CAST(m_eff * (q0 * q1 * q2)
+            - (n00 * q1 * q2 + n11 * q0 * q2 + n22 * q0 * q1) AS DOUBLE)
+         / CAST((m_eff - 1) * (q0 * q1 * q2) AS DOUBLE) AS shorrocks_f
+FROM q
+"""
+
+
+def q_quadrat_chi2(sf_dir: str):
+    """Quadrat chi-square CSR statistic over the 10x10 cell lattice —
+    exact integer numerator (m·Σc² − n²), one pinned division."""
+    from libpysal_ray.spatial.pointpat import quadrat_chi2
+
+    return quadrat_chi2(_points(sf_dir), cell=100.0, grid=float(GRID),
+                        id_col="doc_id")
+
+
+QUERIES["quadrat_chi2"] = q_quadrat_chi2
+
+ORACLE_SQL["quadrat_chi2"] = f"""
+WITH {_PTS_SQL},
+c AS (
+  SELECT CAST(FLOOR(y / 100.0) AS BIGINT) AS cr,
+         CAST(FLOOR(x / 100.0) AS BIGINT) AS cc,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+st AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_c2
+  FROM c
+)
+SELECT n, CAST(100 AS BIGINT) AS m, sum_c2,
+       100 * sum_c2 - n * n AS chi_num,
+       CAST(99 AS BIGINT) AS dof,
+       CAST(100 * sum_c2 - n * n AS DOUBLE) / CAST(n AS DOUBLE) AS chi2_f
+FROM st
+"""

@@ -878,3 +878,51 @@ def gfj_functions(
         ),
         "j_f": pa.array(j_f, pa.float64()),
     }))
+
+
+def quadrat_chi2(
+    points: ray.data.Dataset,
+    cell: float,
+    grid: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Quadrat-count chi-square CSR test statistic over the full
+    m = (grid/cell)² cell lattice (EMPTY cells included — they
+    contribute (0−E)²): with integer counts c and E = n/m,
+
+        χ² = Σ (c−E)²/E = (m·Σc² − n²) / n
+
+    — one exact integer numerator and ONE pinned float division
+    (degrees of freedom m−1 emitted alongside). Rides
+    :func:`quadrat_counts` (one binning pass + one ≤m groupby).
+    Overflow pre-check: m·Σc² < 2^62 in unbounded ints."""
+    mm = int(np.floor(grid / cell))
+    if mm < 1:
+        raise ValueError("cell larger than the grid")
+    m = mm * mm
+    n = int(points.count())
+    qc = quadrat_counts(points, cell, id_col=id_col,
+                        x_col=x_col, y_col=y_col)
+
+    def _sq(t: pa.Table) -> pa.Table:
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array([np.int64((c * c).sum())])})
+
+    sum_c2 = int(qc.map_batches(_sq, batch_format="pyarrow").sum("p") or 0)
+    if m * sum_c2 >= (1 << 62) or n * n >= (1 << 62):
+        raise ValueError("quadrat_chi2 would overflow int64; rescale")
+    if n == 0:
+        raise ValueError("quadrat_chi2 needs points")
+    chi_num = m * sum_c2 - n * n
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "m": pa.array([m], pa.int64()),
+        "sum_c2": pa.array([sum_c2], pa.int64()),
+        "chi_num": pa.array([chi_num], pa.int64()),
+        "dof": pa.array([m - 1], pa.int64()),
+        "chi2_f": pa.array(
+            [float(np.float64(chi_num) / np.float64(n))], pa.float64()
+        ),
+    }))

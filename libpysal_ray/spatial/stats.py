@@ -2875,3 +2875,122 @@ def lee_l(
         "ssy": pa.array([str(ssy)]),
         "lee_f": pa.array([lee_f], pa.float64()),
     }))
+
+
+def sigma_convergence(
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x0_col: str = "x0",
+    x1_col: str = "x1",
+) -> ray.data.Dataset:
+    """Sigma-convergence between two attribute snapshots (the regional-
+    convergence variance ratio): with the n²-scaled exact variance
+    V_t = n·Σx_t² − (Σx_t)², emits one row (n, v0, v1, ratio_f =
+    float(v1)/float(v0)) — ratio < 1 ⟺ dispersion shrank. v0/v1 are
+    exact decimal strings at any magnitude (the 128-bit limb reduction
+    of :func:`_prod_sum_exact`); the ratio is one pinned division.
+    100 TB shape: two whole-dataset product sums of O(#blocks)
+    decimal-string partials, no shuffle at all."""
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "x0": pa.array(
+                t.column(x0_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "x1": pa.array(
+                t.column(x1_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x0"),
+        ray.data.aggregate.Sum("x1"),
+    )
+    n = int(agg["count()"])
+    if n < 2:
+        raise ValueError("sigma_convergence needs n >= 2")
+    s0, s1 = int(agg["sum(x0)"]), int(agg["sum(x1)"])
+    v0 = n * _sum_prod_exact_ds(xs, "x0", "x0") - s0 * s0
+    v1 = n * _sum_prod_exact_ds(xs, "x1", "x1") - s1 * s1
+    if v0 == 0:
+        raise ValueError("x0 is constant; sigma ratio undefined")
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "v0": pa.array([str(v0)]),
+        "v1": pa.array([str(v1)]),
+        "ratio_f": pa.array(
+            [float(np.float64(v1) / np.float64(v0))], pa.float64()
+        ),
+    }))
+
+
+def shorrocks_index(
+    attrs: ray.data.Dataset,
+    class_bins: list[int],
+    id_col: str = "id",
+    x0_col: str = "x0",
+    x1_col: str = "x1",
+) -> ray.data.Dataset:
+    """Shorrocks mobility index of the x0→x1 class transition matrix
+    (giddy's Markov mobility summary): with n_ij the transition counts
+    under the fixed integer ``class_bins`` and r_i the row sums over
+    the m_eff NON-EMPTY rows,
+
+        S = (m_eff − Σ_i n_ii/r_i) / (m_eff − 1)
+
+    computed as ONE exact rational: trace_num = Σ_i n_ii·Π_{j≠i} r_j
+    and den = Π_i r_i (unbounded Python ints, decimal strings in the
+    output), so S_f = (m_eff·den − trace_num)/((m_eff−1)·den) is a
+    single pinned float division. Empty classes are excluded from
+    m_eff (the reference's Markov drops all-zero rows the same way).
+    100 TB shape: one ≤(k+1)² class groupby; the rational combine is
+    k-bounded driver work."""
+    cb = np.asarray(sorted(class_bins), dtype=np.int64)
+
+    def _cls(t: pa.Table) -> pa.Table:
+        x0 = t.column(x0_col).to_numpy(zero_copy_only=False)
+        x1 = t.column(x1_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c0": pa.array(
+                np.searchsorted(cb, x0, side="right").astype(np.int64)),
+            "c1": pa.array(
+                np.searchsorted(cb, x1, side="right").astype(np.int64)),
+        })
+
+    rows = (
+        attrs.map_batches(_cls, batch_format="pyarrow")
+        .groupby(["c0", "c1"])
+        .count()
+        .take_all()
+    )
+    k = len(cb) + 1
+    nm = np.zeros((k, k), dtype=object)
+    for r in rows:
+        nm[int(r["c0"]), int(r["c1"])] = int(r["count()"])
+    rs = [int(sum(nm[i, :])) for i in range(k)]
+    live = [i for i in range(k) if rs[i] > 0]
+    m_eff = len(live)
+    if m_eff < 2:
+        raise ValueError("shorrocks_index needs >= 2 occupied classes")
+    den = 1
+    for i in live:
+        den *= rs[i]
+    trace_num = 0
+    for i in live:
+        p = int(nm[i, i])
+        for j in live:
+            if j != i:
+                p *= rs[j]
+        trace_num += p
+    s_f = float(
+        np.float64(m_eff * den - trace_num)
+        / np.float64((m_eff - 1) * den)
+    )
+    return ray.data.from_arrow(pa.table({
+        "m_eff": pa.array([m_eff], pa.int64()),
+        "trace_num": pa.array([str(trace_num)]),
+        "den": pa.array([str(den)]),
+        "shorrocks_f": pa.array([s_f], pa.float64()),
+    }))

@@ -181,3 +181,54 @@ def test_lee_l_matches_numpy_reference(rook5):
     assert wide["ssx"] == got["ssx"]
     assert wide["ssy"] == got["ssy"]
     assert np.isclose(float(wide["lee_f"]), float(got["lee_f"]), rtol=1e-12)
+
+
+def test_sigma_convergence_and_shorrocks(ray_session):
+    from libpysal_ray.spatial.stats import (
+        shorrocks_index,
+        sigma_convergence,
+    )
+
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(4, dtype=np.int64)),
+        "x0": pa.array([0, 10, 20, 30], pa.int64()),
+        "x1": pa.array([14, 15, 15, 16], pa.int64()),
+    }))
+    out = sigma_convergence(attrs).to_pandas().iloc[0]
+    # v0 = 4*(0+100+400+900) - 60^2 = 5600 - 3600 = 2000
+    # v1 = 4*(196+225+225+256) - 60^2 = 3608 - 3600 = 8
+    assert out["v0"] == "2000" and out["v1"] == "8"
+    assert np.isclose(out["ratio_f"], 8.0 / 2000.0)
+
+    # transition matrix with bins [15]: classes by searchsorted-right
+    # x0: [0,10] -> 0, [20,30] -> 1 ; x1: [14] -> 0, [15,15,16] -> 1
+    # n00=1 n01=1 n10=0 n11=2; r0=2, r1=2; trace = 1/2 + 2/2 = 1.5
+    # S = (2 - 1.5)/(2-1) = 0.5
+    sh = shorrocks_index(attrs, class_bins=[15]).to_pandas().iloc[0]
+    assert sh["m_eff"] == 2
+    assert int(sh["trace_num"]) == 1 * 2 + 2 * 2  # n00*r1 + n11*r0
+    assert int(sh["den"]) == 4
+    assert np.isclose(sh["shorrocks_f"], 0.5)
+
+
+def test_quadrat_chi2_closed_form(ray_session):
+    from libpysal_ray.spatial.pointpat import quadrat_chi2
+
+    # 4 points all in one of 4 cells: chi2 = (4*16 - 16)/4 = 12
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(4, dtype=np.int64)),
+        "x": pa.array([1.0, 2.0, 3.0, 4.0]),
+        "y": pa.array([1.0, 2.0, 3.0, 4.0]),
+    }))
+    out = quadrat_chi2(pts, cell=10.0, grid=20.0).to_pandas().iloc[0]
+    assert out["m"] == 4 and out["sum_c2"] == 16
+    assert out["chi_num"] == 48 and out["dof"] == 3
+    assert np.isclose(out["chi2_f"], 12.0)
+    # perfectly uniform: one point per cell -> chi2 = 0
+    pts2 = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(4, dtype=np.int64)),
+        "x": pa.array([5.0, 15.0, 5.0, 15.0]),
+        "y": pa.array([5.0, 5.0, 15.0, 15.0]),
+    }))
+    out2 = quadrat_chi2(pts2, cell=10.0, grid=20.0).to_pandas().iloc[0]
+    assert out2["chi_num"] == 0 and out2["chi2_f"] == 0.0
