@@ -7021,3 +7021,87 @@ SELECT n, CAST(100 AS BIGINT) AS m, sum_c2,
        CAST(100 * sum_c2 - n * n AS DOUBLE) / CAST(n AS DOUBLE) AS chi2_f
 FROM st
 """
+
+
+def q_jc_inference(sf_dir: str):
+    """Analytic randomization inference for the BB join count of the
+    English-language indicator over the rook lattice — Cliff-Ord
+    moments as exact rationals, pinned float z."""
+    from libpysal_ray.spatial.stats import join_counts_inference
+
+    attrs = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x": pc.cast(pc.equal(t.column("lang"), "en"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return join_counts_inference(_rook_g(sf_dir), attrs)
+
+
+QUERIES["jc_inference"] = q_jc_inference
+
+ORACLE_SQL["jc_inference"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node, CAST(lang = 'en' AS BIGINT) AS x FROM documents
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS n1
+  FROM a
+),
+eb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(zf.x * zn.x) AS BIGINT) AS bb
+  FROM adj
+  JOIN a zf ON adj.focal = zf.node
+  JOIN a zn ON adj.neighbor = zn.node
+),
+mu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS mut
+  FROM adj x JOIN adj y
+    ON x.focal = y.neighbor AND x.neighbor = y.focal
+),
+degs AS (
+  SELECT node, CAST(SUM(c) AS BIGINT) AS d FROM (
+    SELECT focal AS node, COUNT(*) AS c FROM adj GROUP BY 1
+    UNION ALL
+    SELECT neighbor AS node, COUNT(*) AS c FROM adj GROUP BY 1
+  ) GROUP BY 1
+),
+s2t AS (SELECT CAST(SUM(d * d) AS BIGINT) AS s2 FROM degs),
+r AS (
+  SELECT eb.bb, st.n, st.n1, eb.s0,
+         eb.s0 + mu.mut AS s1, s2t.s2,
+         CAST(eb.s0 AS HUGEINT) * st.n1 * (st.n1 - 1) AS e_num,
+         CAST(st.n AS HUGEINT) * (st.n - 1) AS e_den,
+         CAST(st.n AS HUGEINT) * (st.n - 1) * (st.n - 2) * (st.n - 3)
+           AS d4,
+         CAST(eb.s0 + mu.mut AS HUGEINT)
+             * st.n1 * (st.n1 - 1) * (st.n - 2) * (st.n - 3)
+         + CAST(s2t.s2 - 2 * (eb.s0 + mu.mut) AS HUGEINT)
+             * st.n1 * (st.n1 - 1) * (st.n1 - 2) * (st.n - 3)
+         + CAST(eb.s0 * eb.s0 + (eb.s0 + mu.mut) - s2t.s2 AS HUGEINT)
+             * st.n1 * (st.n1 - 1) * (st.n1 - 2) * (st.n1 - 3) AS aa
+  FROM eb, st, mu, s2t
+),
+r2 AS (
+  SELECT *,
+         aa * e_den * e_den - e_num * e_num * d4 AS var_num,
+         d4 * e_den * e_den AS var_den,
+         CAST(e_num AS DOUBLE) / CAST(e_den AS DOUBLE) AS e_f
+  FROM r
+),
+r3 AS (
+  SELECT *,
+         CAST(var_num AS DOUBLE) / CAST(var_den AS DOUBLE) AS var_f
+  FROM r2
+)
+SELECT bb, n, n1, s0, s1, s2,
+       CAST(e_num AS VARCHAR) AS e_num, CAST(e_den AS VARCHAR) AS e_den,
+       CAST(var_num AS VARCHAR) AS var_num,
+       CAST(var_den AS VARCHAR) AS var_den,
+       e_f, var_f,
+       (CAST(bb AS DOUBLE) - e_f) / sqrt(var_f) AS z_f
+FROM r3
+"""

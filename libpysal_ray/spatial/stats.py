@@ -2994,3 +2994,87 @@ def shorrocks_index(
         "den": pa.array([str(den)]),
         "shorrocks_f": pa.array([s_f], pa.float64()),
     }))
+
+
+def join_counts_inference(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Analytic (randomization / nonfree sampling) inference for the
+    directed BB join count (Cliff & Ord 1981 moments; the esda
+    Join_Counts family does this by permutation — here the moments are
+    EXACT RATIONALS so the whole inference is reproducible): with
+    B = Σ_ij w_ij x_i x_j over the directed binary edge set, n₁ ones,
+    falling-factorial probabilities m_k = n₁⁽ᵏ⁾/n⁽ᵏ⁾ and the binary
+    graph constants S0/S1/S2,
+
+        E[B]   = S0·m₂
+        E[B²]  = S1·m₂ + (S2−2S1)·m₃ + (S0²+S1−S2)·m₄
+
+    Every moment is carried as an exact integer numerator/denominator
+    (unbounded Python ints, decimal strings in the output; the SQL
+    oracle mirrors them in HUGEINT — fine at gate scale, the strings
+    are authoritative beyond). Output one row: (bb, n, n1, s0, s1, s2,
+    e_num, e_den, var_num, var_den, e_f, var_f, z_f) — the three floats
+    are the pinned chain e = e_num/e_den, v = var_num/var_den,
+    z = (bb − e)/sqrt(v). Needs n ≥ 4 and Var > 0 (raises loudly).
+
+    100 TB shape: one :func:`join_counts` pass (two bucket_joins), the
+    canonical-pair S1 groupby and the degree S2 groupby — everything
+    else is O(1) driver rational arithmetic."""
+    jc = join_counts(g, attrs, id_col=id_col, x_col=x_col).take_all()[0]
+    s0, b = int(jc["s0"]), int(jc["bb"])
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    ).materialize()
+    s1 = _s1_binary(edges)
+    s2 = _s2_binary(edges)
+
+    def _x01(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"x": pa.array(x)})
+
+    xs = attrs.map_batches(_x01, batch_format="pyarrow")
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Sum("x")
+    )
+    n = int(agg["count()"])
+    n1 = int(agg["sum(x)"])
+    if n < 4:
+        raise ValueError("join_counts_inference needs n >= 4")
+    e_num = s0 * n1 * (n1 - 1)
+    e_den = n * (n - 1)
+    d4 = n * (n - 1) * (n - 2) * (n - 3)
+    a = (
+        s1 * n1 * (n1 - 1) * (n - 2) * (n - 3)
+        + (s2 - 2 * s1) * n1 * (n1 - 1) * (n1 - 2) * (n - 3)
+        + (s0 * s0 + s1 - s2) * n1 * (n1 - 1) * (n1 - 2) * (n1 - 3)
+    )
+    var_num = a * e_den * e_den - e_num * e_num * d4
+    var_den = d4 * e_den * e_den
+    if var_num <= 0:
+        raise ValueError(
+            "join_counts_inference: zero analytic variance (constant x "
+            "or degenerate graph)"
+        )
+    e_f = float(np.float64(e_num) / np.float64(e_den))
+    var_f = float(np.float64(var_num) / np.float64(var_den))
+    z_f = float((np.float64(b) - np.float64(e_f)) / np.sqrt(
+        np.float64(var_f)))
+    return ray.data.from_arrow(pa.table({
+        "bb": pa.array([b], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+        "n1": pa.array([n1], pa.int64()),
+        "s0": pa.array([s0], pa.int64()),
+        "s1": pa.array([s1], pa.int64()),
+        "s2": pa.array([s2], pa.int64()),
+        "e_num": pa.array([str(e_num)]),
+        "e_den": pa.array([str(e_den)]),
+        "var_num": pa.array([str(var_num)]),
+        "var_den": pa.array([str(var_den)]),
+        "e_f": pa.array([e_f], pa.float64()),
+        "var_f": pa.array([var_f], pa.float64()),
+        "z_f": pa.array([z_f], pa.float64()),
+    }))

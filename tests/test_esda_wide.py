@@ -232,3 +232,41 @@ def test_quadrat_chi2_closed_form(ray_session):
     }))
     out2 = quadrat_chi2(pts2, cell=10.0, grid=20.0).to_pandas().iloc[0]
     assert out2["chi_num"] == 0 and out2["chi2_f"] == 0.0
+
+
+def test_join_counts_inference_vs_enumeration(ray_session):
+    from fractions import Fraction
+    from itertools import combinations
+
+    from libpysal_ray.builders.lattice import lat2graph
+    from libpysal_ray.spatial.stats import join_counts_inference
+
+    # 2x3 rook lattice, 2 ones among 6 nodes: enumerate ALL C(6,2)
+    # assignments and compare the analytic rational moments exactly
+    g = lat2graph(2, 3, rook=True)
+    n, n1 = 6, 2
+    xv = np.array([1, 1, 0, 0, 0, 0], dtype=np.int64)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(xv),
+    }))
+    out = join_counts_inference(g, attrs).to_pandas().iloc[0]
+
+    edges = []
+    for r in range(2):
+        for c in range(3):
+            i = r * 3 + c
+            for rr, cc in ((r + 1, c), (r, c + 1)):
+                if rr < 2 and cc < 3:
+                    edges += [(i, rr * 3 + cc), (rr * 3 + cc, i)]
+    bs = []
+    for ones in combinations(range(n), n1):
+        x = np.zeros(n, dtype=np.int64)
+        x[list(ones)] = 1
+        bs.append(sum(int(x[i] * x[j]) for i, j in edges))
+    e_ref = Fraction(sum(bs), len(bs))
+    v_ref = Fraction(sum(b * b for b in bs), len(bs)) - e_ref * e_ref
+    assert Fraction(int(out["e_num"]), int(out["e_den"])) == e_ref
+    assert Fraction(int(out["var_num"]), int(out["var_den"])) == v_ref
+    # the observed bb for this x: nodes 0,1 adjacent -> 2 directed
+    assert out["bb"] == 2
