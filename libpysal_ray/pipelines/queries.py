@@ -7105,3 +7105,48 @@ SELECT bb, n, n1, s0, s1, s2,
        (CAST(bb AS DOUBLE) - e_f) / sqrt(var_f) AS z_f
 FROM r3
 """
+
+
+def q_percolation(sf_dir: str):
+    """Continuum-percolation profile at radii 30/50/70 over the hash-
+    geocoded points: component count and giant-component size per
+    threshold — three size-switched component passes."""
+    from libpysal_ray.spatial.pointpat import percolation_profile
+
+    return percolation_profile(_points(sf_dir), radii=[30.0, 50.0, 70.0],
+                               id_col="doc_id")
+
+
+QUERIES["percolation"] = q_percolation
+
+_PERC_ONE = """
+e{r} AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor
+  FROM pts a, pts b
+  WHERE a.doc_id <> b.doc_id
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {r2}.0
+),
+reach{r}(a, b) AS (
+  SELECT doc_id, doc_id FROM pts
+  UNION
+  SELECT q.a, e{r}.neighbor FROM reach{r} q JOIN e{r} ON e{r}.focal = q.b
+),
+lab{r} AS (SELECT a AS node, min(b) AS comp FROM reach{r} GROUP BY a),
+sz{r} AS (SELECT comp, COUNT(*) AS c FROM lab{r} GROUP BY 1),
+agg{r} AS (
+  SELECT CAST({r} AS DOUBLE) AS r,
+         CAST(COUNT(*) AS BIGINT) AS n_components,
+         CAST(MAX(c) AS BIGINT) AS giant
+  FROM sz{r}
+)"""
+
+ORACLE_SQL["percolation"] = (
+    f"WITH RECURSIVE {_PTS_SQL},"
+    + ",".join(_PERC_ONE.format(r=r, r2=r * r) for r in (30, 50, 70))
+    + """
+SELECT * FROM agg30
+UNION ALL SELECT * FROM agg50
+UNION ALL SELECT * FROM agg70
+"""
+)

@@ -926,3 +926,42 @@ def quadrat_chi2(
             [float(np.float64(chi_num) / np.float64(n))], pa.float64()
         ),
     }))
+
+
+def percolation_profile(
+    points: ray.data.Dataset,
+    radii: list[float],
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Continuum-percolation profile of a point pattern: for each
+    threshold r, the component structure of the r-distance-band graph —
+    (r, n_components, giant) with giant = the largest component's node
+    count (isolated points are singleton components). The classic
+    connectivity-transition summary for geometric random graphs.
+
+    100 TB shape: one :func:`distance_band` tile build +
+    :meth:`n_components` (size-switched union-find / distributed
+    contraction) per radius — the per-radius labels reduce to ONE
+    grouped count and a max; nothing per-node reaches the driver."""
+    from libpysal_ray.builders.distance import distance_band
+
+    radii = sorted(float(r) for r in radii)
+    if not radii or radii[0] <= 0:
+        raise ValueError("percolation_profile needs positive radii")
+    rows_r, rows_n, rows_g = [], [], []
+    for r in radii:
+        g = distance_band(points, threshold=r, binary=True,
+                          id_col=id_col, x_col=x_col, y_col=y_col)
+        ncomp, labels = g.n_components()
+        sizes = labels.groupby("component").count()
+        giant = int(sizes.max("count()") or 0)
+        rows_r.append(r)
+        rows_n.append(int(ncomp))
+        rows_g.append(giant)
+    return ray.data.from_arrow(pa.table({
+        "r": pa.array(rows_r, pa.float64()),
+        "n_components": pa.array(rows_n, pa.int64()),
+        "giant": pa.array(rows_g, pa.int64()),
+    }))

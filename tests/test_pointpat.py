@@ -439,3 +439,23 @@ def test_idw_interpolate_closed_form(ray_session):
     }))
     out3 = idw_interpolate(anchors, pts3, radius=5.0, scale=100).to_pandas()
     assert out3["den"].iloc[0] == 0 and out3["idw_f"].iloc[0] == 0.0
+
+
+def test_percolation_profile_closed_form(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from libpysal_ray.spatial.pointpat import percolation_profile
+
+    # 4 points on a line at 0, 10, 20, 100
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(4, dtype=np.int64)),
+        "x": pa.array([0.0, 10.0, 20.0, 100.0]),
+        "y": pa.array([0.0, 0.0, 0.0, 0.0]),
+    }))
+    out = percolation_profile(pts, radii=[5.0, 10.0, 100.0]).to_pandas()
+    out = out.sort_values("r").reset_index(drop=True)
+    # r=5: all singletons; r=10: {0,1,2} + {3}; r=100: one component
+    assert list(out["n_components"]) == [4, 2, 1]
+    assert list(out["giant"]) == [1, 3, 4]
