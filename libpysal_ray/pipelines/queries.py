@@ -7150,3 +7150,90 @@ UNION ALL SELECT * FROM agg50
 UNION ALL SELECT * FROM agg70
 """
 )
+
+
+def q_lisa_inference(sf_dir: str):
+    """Analytic randomization moments for the local Moran of
+    n_chars%100 over the rook lattice — per-node exact rational
+    variance over the S2²(n-1)²(n-2) denominator, pinned float z."""
+    from libpysal_ray.spatial.stats import local_moran_inference
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 100
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return local_moran_inference(_rook_g(sf_dir), attrs)
+
+
+QUERIES["lisa_inference"] = q_lisa_inference
+
+ORACLE_SQL["lisa_inference"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node, CAST(n_chars % 100 AS BIGINT) AS x
+  FROM documents
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a
+),
+z AS (
+  SELECT node,
+         (SELECT n FROM st) * x - (SELECT sx FROM st) AS zd
+  FROM a
+),
+s24 AS (
+  SELECT SUM(CAST(zd AS HUGEINT) * zd) AS s2,
+         SUM(CAST(zd AS HUGEINT) * zd * zd * zd) AS s4
+  FROM z
+),
+cst AS (
+  SELECT (SELECT n FROM st) AS n, s2, s4,
+         CAST((SELECT n FROM st) AS HUGEINT) * (s2 * s2 - s4)
+           * ((SELECT n FROM st) - 1) * ((SELECT n FROM st) - 2) AS aa,
+         CAST((SELECT n FROM st) AS HUGEINT) * (2 * s4 - s2 * s2)
+           * ((SELECT n FROM st) - 1) AS bb,
+         s2 * s2 * ((SELECT n FROM st) - 2) AS cc,
+         s2 * s2 * ((SELECT n FROM st) - 1) * ((SELECT n FROM st) - 1)
+           * ((SELECT n FROM st) - 2) AS vden
+  FROM s24
+),
+lg AS (
+  SELECT adj.focal AS node, CAST(SUM(zn.zd) AS BIGINT) AS lag,
+         CAST(COUNT(*) AS BIGINT) AS deg
+  FROM adj JOIN z zn ON adj.neighbor = zn.node
+  GROUP BY 1
+),
+r AS (
+  SELECT z.node, z.zd AS zz, COALESCE(lg.lag, 0) AS lag,
+         COALESCE(lg.deg, 0) AS deg
+  FROM z LEFT JOIN lg USING (node)
+),
+r2 AS (
+  SELECT r.node, r.zz, r.lag, r.deg,
+         CAST(cst.n * r.zz * r.lag AS DOUBLE)
+           / CAST(cst.s2 AS DOUBLE) AS local_i,
+         -CAST(r.deg AS DOUBLE) / CAST(cst.n - 1 AS DOUBLE) AS e_f,
+         r.deg * cst.aa + (r.deg * r.deg - r.deg) * cst.bb
+           - r.deg * r.deg * cst.cc AS vnum,
+         cst.vden AS vden
+  FROM r, cst
+),
+r3 AS (
+  SELECT *, CAST(vnum AS DOUBLE) / CAST(vden AS DOUBLE) AS var_f
+  FROM r2
+)
+SELECT node AS id, zz AS z, lag AS lag_z, deg, local_i, e_f,
+       CAST(vnum AS VARCHAR) AS var_num,
+       CAST(vden AS VARCHAR) AS var_den,
+       var_f,
+       CASE WHEN var_f > 0
+            THEN (local_i - e_f) / sqrt(var_f)
+            ELSE 0.0 END AS z_score
+FROM r3
+"""

@@ -3078,3 +3078,140 @@ def join_counts_inference(
         "var_f": pa.array([var_f], pa.float64()),
         "z_f": pa.array([z_f], pa.float64()),
     }))
+
+
+def local_moran_inference(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Analytic randomization inference for the local Moran (Anselin
+    1995 eq. 13-14, the esda Moran_Local analytic moments) over the
+    BINARY edge set: with deg_i = Σ_j w_ij, doubled deviations
+    zd = n·x − Σx, S2 = Σ zd², S4 = Σ zd⁴ and the kurtosis ratio
+    b2 = n·S4/S2² (scale-invariant — the n⁴ factors cancel),
+
+        E[I_i]   = −deg_i/(n−1)
+        Var[I_i] = deg_i(n−b2)/(n−1) + (deg_i²−deg_i)(2b2−n)/((n−1)(n−2))
+                   − deg_i²/(n−1)²
+
+    carried as ONE exact rational per node over the common denominator
+    S2²·(n−1)²·(n−2): var_num_i = deg_i·A + (deg_i²−deg_i)·B − deg_i²·C
+    with the three global unbounded-int constants
+    A = n(S2²−S4)(n−1)(n−2), B = n(2S4−S2²)(n−1), C = S2²(n−2).
+    Per-node bigint products are evaluated once per DISTINCT degree
+    (degrees are few; never a Python loop over rows). Output per node:
+    (id, z, lag_z, deg, local_i, e_f, var_num, var_den, var_f, z_score)
+    — var_num/var_den exact decimal strings, the floats one pinned
+    chain mirrored by SQL; isolates (deg 0, zero variance) report
+    z_score 0. Narrow-regime guards as :func:`local_moran` (raises
+    'rescale x' beyond)."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "x": pa.array(
+                t.column(x_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x"),
+        ray.data.aggregate.Max("x"),
+        ray.data.aggregate.Min("x"),
+    )
+    n = int(agg["count()"])
+    if n < 3:
+        raise ValueError("local_moran_inference needs n >= 3")
+    sx = int(agg["sum(x)"])
+    xmax = max(abs(int(agg["max(x)"])), abs(int(agg["min(x)"])))
+    z_max = n * xmax + abs(sx)
+    max_deg = int(g.cardinalities().max("cardinality") or 0)
+    if (
+        z_max * z_max >= (1 << 62)
+        or n * z_max * max_deg * z_max >= (1 << 62)
+    ):
+        raise ValueError(
+            "local_moran_inference z terms would overflow int64; "
+            "rescale x"
+        )
+
+    def _with_z(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        z = np.int64(n) * x - np.int64(sx)
+        return pa.table({
+            "node": t.column("node"),
+            "z": pa.array(z),
+            "z2": pa.array(z * z),
+        })
+
+    zt = xs.map_batches(_with_z, batch_format="pyarrow").materialize()
+    s2 = _sum_prod_exact_ds(zt, "z", "z")
+    s4 = _sum_prod_exact_ds(zt, "z2", "z2")
+    if s2 == 0:
+        raise ValueError("x is constant; local Moran undefined")
+    a_c = n * (s2 * s2 - s4) * (n - 1) * (n - 2)
+    b_c = n * (2 * s4 - s2 * s2) * (n - 1)
+    c_c = s2 * s2 * (n - 2)
+    var_den = s2 * s2 * (n - 1) * (n - 1) * (n - 2)
+    vden_f = np.float64(var_den)
+
+    lagged = _lag_sum_guarded(g, zt, "z", "lag_z", "local_moran_inference",
+                              id_col)
+    cards = g.cardinalities().map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"),
+            "deg": pc_cast_i64(t.column("cardinality")),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        bucket_join(zt, lagged, on="node", how="left"),
+        cards, on="node", how="left",
+    )
+    nm1 = np.float64(n - 1)
+
+    def _score(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        lag = pc_fill0(t, "lag_z")
+        deg = pc_fill0(t, "deg")
+        num = np.int64(n) * z * lag
+        local = num.astype(np.float64) / np.float64(s2)
+        e_f = -deg.astype(np.float64) / nm1
+        # exact bigint var_num per DISTINCT degree (few), mapped back by
+        # the unique inverse — no per-row Python work
+        uq, inv = np.unique(deg, return_inverse=True)
+        vn = [int(d) * a_c + (int(d) * int(d) - int(d)) * b_c
+              - int(d) * int(d) * c_c for d in uq]
+        vf_uq = np.array(
+            [np.float64(v) / vden_f for v in vn], dtype=np.float64
+        )
+        vs_uq = np.array([str(v) for v in vn], dtype=object)
+        var_f = vf_uq[inv]
+        zsc = np.where(
+            var_f > 0.0,
+            (local - e_f) / np.sqrt(np.maximum(var_f, 1e-300)),
+            0.0,
+        )
+        return pa.table({
+            id_col: t.column("node"),
+            "z": pa.array(z),
+            "lag_z": pa.array(lag),
+            "deg": pa.array(deg),
+            "local_i": pa.array(local),
+            "e_f": pa.array(e_f),
+            "var_num": pa.array(vs_uq[inv], pa.string()),
+            "var_den": pa.array(
+                [str(var_den)] * t.num_rows
+            ),
+            "var_f": pa.array(var_f),
+            "z_score": pa.array(zsc),
+        })
+
+    return joined.map_batches(_score, batch_format="pyarrow")

@@ -270,3 +270,49 @@ def test_join_counts_inference_vs_enumeration(ray_session):
     assert Fraction(int(out["var_num"]), int(out["var_den"])) == v_ref
     # the observed bb for this x: nodes 0,1 adjacent -> 2 directed
     assert out["bb"] == 2
+
+
+def test_local_moran_inference_vs_enumeration(ray_session):
+    from fractions import Fraction
+    from itertools import permutations
+
+    from libpysal_ray.builders.lattice import lat2graph
+    from libpysal_ray.spatial.stats import local_moran_inference
+
+    # 2x3 rook lattice: full 720-permutation enumeration of the
+    # randomization distribution vs the analytic rational moments
+    n = 6
+    vals = [3, 1, 4, 1, 5, 9]
+    g = lat2graph(2, 3, rook=True)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(np.asarray(vals, dtype=np.int64)),
+    }))
+    out = local_moran_inference(g, attrs).to_pandas().set_index("id")
+
+    nbrs = {i: [] for i in range(n)}
+    for r in range(2):
+        for c in range(3):
+            i = r * 3 + c
+            for rr, cc in ((r + 1, c), (r - 1, c), (r, c + 1), (r, c - 1)):
+                if 0 <= rr < 2 and 0 <= cc < 3:
+                    nbrs[i].append(rr * 3 + cc)
+    sx = sum(vals)
+    es = [Fraction(0)] * n
+    e2s = [Fraction(0)] * n
+    perms = list(permutations(vals))
+    for p in perms:
+        zd = [n * v - sx for v in p]
+        s2 = sum(z * z for z in zd)
+        for i in range(n):
+            lag = sum(zd[j] for j in nbrs[i])
+            ii = Fraction(n * zd[i] * lag, s2)
+            es[i] += ii
+            e2s[i] += ii * ii
+    m = len(perms)
+    for i in range(n):
+        e_ref = es[i] / m
+        v_ref = e2s[i] / m - e_ref * e_ref
+        row = out.loc[i]
+        assert Fraction(-int(row["deg"]), n - 1) == e_ref
+        assert Fraction(int(row["var_num"]), int(row["var_den"])) == v_ref
