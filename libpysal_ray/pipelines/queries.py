@@ -7237,3 +7237,65 @@ SELECT node AS id, zz AS z, lag AS lag_z, deg, local_i, e_f,
             ELSE 0.0 END AS z_score
 FROM r3
 """
+
+
+def q_ols_moran(sf_dir: str):
+    """OLS y~a+b·x over the two snapshot attributes, then Moran's I of
+    the residuals over the rook lattice — the regression-diagnostic
+    workflow in exact rationals (slope, residual numerators, Moran
+    ratio), two pinned floats."""
+    from libpysal_ray.spatial.stats import ols_resid_moran
+
+    attrs = _two_snapshots(sf_dir).map_batches(
+        lambda t: pa.table({
+            "id": t.column("id"),
+            "y": t.column("x0"),
+            "x": t.column("x1"),
+        }),
+        batch_format="pyarrow",
+    )
+    return ols_resid_moran(_rook_g(sf_dir), attrs)
+
+
+QUERIES["ols_moran"] = q_ols_moran
+
+ORACLE_SQL["ols_moran"] = f"""
+WITH {_ROOK_SQL},
+{_SNAP_SQL},
+a AS (SELECT id AS node, x0 AS y, x1 AS x FROM snap),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM a
+),
+b AS (
+  SELECT n, sx, sy,
+         n * sxy - CAST(sx AS HUGEINT) * sy AS bnum,
+         n * sxx - CAST(sx AS HUGEINT) * sx AS bden
+  FROM st
+),
+e AS (
+  SELECT a.node,
+         CAST(b.n * b.bden * a.y - b.bden * b.sy + b.bnum * b.sx
+              - b.n * b.bnum * a.x AS BIGINT) AS e
+  FROM a, b
+),
+dn AS (SELECT SUM(CAST(e AS HUGEINT) * e) AS den FROM e),
+nm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         SUM(CAST(ef.e AS HUGEINT) * en.e) AS num
+  FROM adj
+  JOIN e ef ON adj.focal = ef.node
+  JOIN e en ON adj.neighbor = en.node
+)
+SELECT b.n, nm.s0,
+       CAST(b.bnum AS VARCHAR) AS bnum, CAST(b.bden AS VARCHAR) AS bden,
+       CAST(nm.num AS VARCHAR) AS moran_num,
+       CAST(dn.den AS VARCHAR) AS moran_den,
+       CAST(b.bnum AS DOUBLE) / CAST(b.bden AS DOUBLE) AS beta_f,
+       CAST(b.n * nm.num AS DOUBLE) / CAST(nm.s0 * dn.den AS DOUBLE)
+         AS moran_f
+FROM b, nm, dn
+"""

@@ -3215,3 +3215,157 @@ def local_moran_inference(
         })
 
     return joined.map_batches(_score, batch_format="pyarrow")
+
+
+def ols_resid_moran(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    y_col: str = "y",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Residual spatial-autocorrelation diagnostic for the simple OLS
+    regression y ~ a + b·x (the spreg-workflow 'Moran's I of the
+    residuals' downstream of libpysal weights), entirely in exact
+    rationals: with the slope b = bnum/bden (normal equations), the
+    residuals share the common denominator n·bden, so their integer
+    numerators
+
+        E_i = n·bden·y_i − bden·Σy + bnum·Σx − n·bnum·x_i
+
+    make Moran's I of the residuals a ratio of two exact integer sums
+    (the denominators cancel):
+
+        I = (n/S0) · Σ_{ij} w_ij E_i E_j / Σ E_i²
+
+    Output one row (n, s0, bnum, bden, moran_num, moran_den, beta_f,
+    moran_f): the big integers as decimal strings (128-bit limb
+    reductions), the two floats single pinned divisions. Guards: E
+    terms must fit int64 (raises 'rescale' otherwise — attribute
+    magnitudes ~100 hold to gate scale; the decimal strings stay exact
+    on the wide reductions regardless).
+
+    100 TB shape: the usual ESDA plan — O(#blocks) decimal partials
+    for the normal equations, one bucket_join per edge endpoint, one
+    guarded edge-count check."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xy(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "x": pa.array(
+                t.column(x_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "y": pa.array(
+                t.column(y_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+        })
+
+    xs = attrs.map_batches(_xy, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Sum("x"),
+        ray.data.aggregate.Sum("y"),
+        ray.data.aggregate.Max("x"),
+        ray.data.aggregate.Min("x"),
+        ray.data.aggregate.Max("y"),
+        ray.data.aggregate.Min("y"),
+    )
+    n = int(agg["count()"])
+    if n < 3:
+        raise ValueError("ols_resid_moran needs n >= 3")
+    sx, sy = int(agg["sum(x)"]), int(agg["sum(y)"])
+    xmax = max(abs(int(agg["max(x)"])), abs(int(agg["min(x)"])))
+    ymax = max(abs(int(agg["max(y)"])), abs(int(agg["min(y)"])))
+    sxx = _sum_prod_exact_ds(xs, "x", "x")
+    sxy = _sum_prod_exact_ds(xs, "x", "y")
+    bnum = n * sxy - sx * sy
+    bden = n * sxx - sx * sx
+    if bden == 0:
+        raise ValueError("x is constant; OLS slope undefined")
+    e_bound = (
+        n * abs(bden) * ymax + abs(bden) * abs(sy)
+        + abs(bnum) * abs(sx) + n * abs(bnum) * xmax
+    )
+    if e_bound >= (1 << 62):
+        raise ValueError(
+            "ols_resid_moran residual numerators would overflow int64; "
+            "rescale x/y"
+        )
+
+    c0 = -bden * sy + bnum * sx  # constant part of E_i
+    nb = n * bden
+
+    def _resid(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column("node"),
+            "e": pa.array(
+                np.int64(nb) * y + np.int64(c0) - np.int64(n * bnum) * x
+            ),
+        })
+
+    et = xs.map_batches(_resid, batch_format="pyarrow").materialize()
+    den = _sum_prod_exact_ds(et, "e", "e")
+    if den == 0:
+        raise ValueError("residuals are all zero; Moran undefined")
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    e_count = int(g._real_edges().count())
+    lhs = bucket_join(
+        edges,
+        et.map_batches(
+            lambda t: pa.table({
+                "focal": t.column("node"), "ef": t.column("e"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="focal",
+    ).map_batches(
+        lambda t: t.select(["neighbor", "ef"]), batch_format="pyarrow"
+    )
+    both = bucket_join(
+        lhs,
+        et.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "en": t.column("e"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    )
+
+    def _part(t: pa.Table) -> pa.Table:
+        ef = t.column("ef").to_numpy(zero_copy_only=False)
+        en = t.column("en").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s0": pa.array([np.int64(t.num_rows)]),
+            "p": pa.array([str(_prod_sum_exact(ef, en))]),
+        })
+
+    parts = both.map_batches(_part, batch_format="pyarrow").take_all()
+    s0 = sum(int(r["s0"]) for r in parts)
+    num = sum(int(r["p"]) for r in parts)
+    if s0 != e_count:
+        raise ValueError(
+            f"ols_resid_moran: {e_count - s0} of {e_count} edges have "
+            f"endpoints missing from attrs ({id_col})"
+        )
+    if s0 == 0:
+        raise ValueError("graph has no edges")
+    beta_f = float(np.float64(bnum) / np.float64(bden))
+    moran_f = float(np.float64(n * num) / np.float64(s0 * den))
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "s0": pa.array([s0], pa.int64()),
+        "bnum": pa.array([str(bnum)]),
+        "bden": pa.array([str(bden)]),
+        "moran_num": pa.array([str(num)]),
+        "moran_den": pa.array([str(den)]),
+        "beta_f": pa.array([beta_f], pa.float64()),
+        "moran_f": pa.array([moran_f], pa.float64()),
+    }))

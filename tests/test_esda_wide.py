@@ -316,3 +316,43 @@ def test_local_moran_inference_vs_enumeration(ray_session):
         row = out.loc[i]
         assert Fraction(-int(row["deg"]), n - 1) == e_ref
         assert Fraction(int(row["var_num"]), int(row["var_den"])) == v_ref
+
+
+def test_ols_resid_moran_vs_numpy(ray_session):
+    from fractions import Fraction
+
+    from libpysal_ray.builders.lattice import lat2graph
+    from libpysal_ray.spatial.stats import ols_resid_moran
+
+    rng = np.random.default_rng(23)
+    n = 25
+    xv = rng.integers(0, 50, n).astype(np.int64)
+    yv = (2 * xv + rng.integers(-10, 10, n)).astype(np.int64)
+    g = lat2graph(5, 5, rook=True)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(xv),
+        "y": pa.array(yv),
+    }))
+    out = ols_resid_moran(g, attrs).to_pandas().iloc[0]
+    # numpy reference: lstsq slope + dense Moran of residuals
+    A = np.stack([np.ones(n), xv.astype(float)], axis=1)
+    coef, *_ = np.linalg.lstsq(A, yv.astype(float), rcond=None)
+    assert np.isclose(out["beta_f"], coef[1], rtol=1e-10)
+    e = yv - A @ coef
+    W = np.zeros((n, n))
+    for r in range(5):
+        for c in range(5):
+            i = r * 5 + c
+            for rr, cc in ((r + 1, c), (r - 1, c), (r, c + 1), (r, c - 1)):
+                if 0 <= rr < 5 and 0 <= cc < 5:
+                    W[i, rr * 5 + cc] = 1.0
+    i_ref = (n / W.sum()) * (e @ W @ e) / (e @ e)
+    assert np.isclose(out["moran_f"], i_ref, rtol=1e-10)
+    # the slope rational is exactly the normal-equation ratio
+    sx, sy = int(xv.sum()), int(yv.sum())
+    sxx = int((xv * xv).sum())
+    sxy = int((xv * yv).sum())
+    assert Fraction(int(out["bnum"]), int(out["bden"])) == Fraction(
+        n * sxy - sx * sy, n * sxx - sx * sx
+    )
