@@ -7299,3 +7299,321 @@ SELECT b.n, nm.s0,
          AS moran_f
 FROM b, nm, dn
 """
+
+
+def q_g_inference(sf_dir: str):
+    """General G with exact Getis–Ord randomization moments (E[G],
+    E[G²] as exact rationals) over the rook lattice — x = n_chars%100
+    (non-negative as G requires)."""
+    from libpysal_ray.spatial.stats import general_g_inference
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 100
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return general_g_inference(_rook_g(sf_dir), attrs)
+
+
+QUERIES["g_inference"] = q_g_inference
+
+ORACLE_SQL["g_inference"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, CAST(n_chars % 100 AS BIGINT) AS x
+      FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS m1,
+         SUM(CAST(x AS HUGEINT) * x) AS m2,
+         SUM(CAST(x AS HUGEINT) * x * x) AS m3,
+         SUM(CAST(x AS HUGEINT) * x * x * x) AS m4
+  FROM a
+),
+numt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(CAST(xf.x AS HUGEINT) * xn.x) AS BIGINT) AS g_num
+  FROM adj
+  JOIN a xf ON adj.focal = xf.node
+  JOIN a xn ON adj.neighbor = xn.node
+),
+c AS (
+  SELECT LEAST(focal, neighbor) AS lo, GREATEST(focal, neighbor) AS hi,
+         SUM(CASE WHEN focal <= neighbor THEN 1 ELSE 0 END) AS fwd,
+         SUM(CASE WHEN focal > neighbor THEN 1 ELSE 0 END) AS rev
+  FROM adj GROUP BY 1, 2
+),
+s1t AS (
+  SELECT CAST(SUM(CASE WHEN fwd + rev = 1 THEN 1 ELSE 0 END)
+              + 4 * SUM(CASE WHEN fwd > 0 AND rev > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS s1
+  FROM c
+),
+degs AS (
+  SELECT node, SUM(cc) AS dc FROM (
+    SELECT focal AS node, COUNT(*) AS cc FROM adj GROUP BY 1
+    UNION ALL
+    SELECT neighbor AS node, COUNT(*) AS cc FROM adj GROUP BY 1
+  ) GROUP BY 1
+),
+s2t AS (SELECT CAST(SUM(CAST(dc AS HUGEINT) * dc) AS BIGINT) AS s2
+        FROM degs),
+ing AS (
+  SELECT st.n, st.m1, st.m2, st.m3, st.m4,
+         numt.s0, numt.g_num,
+         CAST(st.m1 * st.m1 - st.m2 AS BIGINT) AS g_den,
+         s1t.s1, s2t.s2
+  FROM st, numt, s1t, s2t
+),
+poly AS (
+  SELECT *,
+         (CAST(n AS HUGEINT) * n - 3 * n + 3) * s1
+           - CAST(n AS HUGEINT) * s2
+           + 3 * CAST(s0 AS HUGEINT) * s0 AS b0,
+         -((CAST(n AS HUGEINT) * n - n) * s1
+           - 2 * CAST(n AS HUGEINT) * s2
+           + 6 * CAST(s0 AS HUGEINT) * s0) AS b1,
+         -(2 * CAST(n AS HUGEINT) * s1
+           - (CAST(n AS HUGEINT) + 3) * s2
+           + 6 * CAST(s0 AS HUGEINT) * s0) AS b2,
+         4 * CAST(n - 1 AS HUGEINT) * s1
+           - 2 * (CAST(n AS HUGEINT) + 1) * s2
+           + 8 * CAST(s0 AS HUGEINT) * s0 AS b3,
+         CAST(s1 AS HUGEINT) - s2 + CAST(s0 AS HUGEINT) * s0 AS b4
+  FROM ing
+),
+eg AS (
+  SELECT *,
+         b0 * m2 * m2 + b1 * m4 + b2 * m1 * m1 * m2 + b3 * m1 * m3
+           + b4 * m1 * m1 * m1 * m1 AS eg2_num,
+         (m1 * m1 - m2) * (m1 * m1 - m2)
+           * n * (n - 1) * (n - 2) * (n - 3) AS eg2_den,
+         CAST(n AS BIGINT) * (n - 1) AS e_den
+  FROM poly
+),
+fl AS (
+  SELECT *,
+         CAST(g_num AS DOUBLE) / CAST(g_den AS DOUBLE) AS g_f,
+         CAST(s0 AS DOUBLE) / CAST(e_den AS DOUBLE) AS e_f,
+         CAST(eg2_num AS DOUBLE) / CAST(eg2_den AS DOUBLE) AS eg2_f
+  FROM eg
+)
+SELECT n, s0, s1, s2, g_num, g_den, e_den,
+       CAST(eg2_num AS VARCHAR) AS eg2_num,
+       CAST(eg2_den AS VARCHAR) AS eg2_den,
+       g_f, e_f, eg2_f,
+       eg2_f - e_f * e_f AS var_f,
+       (g_f - e_f) / sqrt(eg2_f - e_f * e_f) AS z_f
+FROM fl
+"""
+
+
+def q_trend_surface(sf_dir: str):
+    """First-order trend surface z ~ a + b·x + c·y over the hash-grid
+    points with z = n_chars%100 — exact-rational Cramer solve of the
+    normal equations, exact SSE, four pinned floats."""
+    from libpysal_ray.spatial.stats import trend_surface
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "x": pa.array((ids * 2654435761) % 4294967296 % GRID),
+            "y": pa.array((ids * 2246822519) % 4294967296 % GRID),
+            "z": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False)
+                .astype(np.int64) % 100
+            ),
+        })
+
+    pts = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        _mk, batch_format="pyarrow"
+    )
+    return trend_surface(pts)
+
+
+QUERIES["trend_surface"] = q_trend_surface
+
+ORACLE_SQL["trend_surface"] = f"""
+WITH p AS (
+  SELECT CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS BIGINT) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS BIGINT) AS y,
+         CAST(n_chars % 100 AS BIGINT) AS z
+  FROM documents
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * z) AS sxz,
+         SUM(CAST(y AS HUGEINT) * z) AS syz,
+         SUM(CAST(z AS HUGEINT) * z) AS szz
+  FROM p
+),
+dets AS (
+  SELECT *,
+         CAST(n AS HUGEINT) * (sxx * syy - sxy * sxy)
+           - CAST(sx AS HUGEINT) * (sx * syy - sxy * sy)
+           + CAST(sy AS HUGEINT) * (sx * sxy - sxx * sy) AS d,
+         CAST(sz AS HUGEINT) * (sxx * syy - sxy * sxy)
+           - CAST(sx AS HUGEINT) * (sxz * syy - sxy * syz)
+           + CAST(sy AS HUGEINT) * (sxz * sxy - sxx * syz) AS a_num,
+         CAST(n AS HUGEINT) * (sxz * syy - sxy * syz)
+           - CAST(sz AS HUGEINT) * (sx * syy - sxy * sy)
+           + CAST(sy AS HUGEINT) * (sx * syz - sxz * sy) AS b_num,
+         CAST(n AS HUGEINT) * (sxx * syz - sxz * sxy)
+           - CAST(sx AS HUGEINT) * (sx * syz - sxz * sy)
+           + CAST(sz AS HUGEINT) * (sx * sxy - sxx * sy) AS c_num
+  FROM st
+),
+f AS (
+  SELECT *, d * szz - (a_num * sz + b_num * sxz + c_num * syz) AS sse_num
+  FROM dets
+)
+SELECT n, sx, sy, sz,
+       CAST(d AS VARCHAR) AS det,
+       CAST(a_num AS VARCHAR) AS a_num,
+       CAST(b_num AS VARCHAR) AS b_num,
+       CAST(c_num AS VARCHAR) AS c_num,
+       CAST(sse_num AS VARCHAR) AS sse_num,
+       CAST(a_num AS DOUBLE) / CAST(d AS DOUBLE) AS a_f,
+       CAST(b_num AS DOUBLE) / CAST(d AS DOUBLE) AS b_f,
+       CAST(c_num AS DOUBLE) / CAST(d AS DOUBLE) AS c_f,
+       CAST(sse_num AS DOUBLE) / CAST(d AS DOUBLE) AS sse_f
+FROM f
+"""
+
+
+def q_rank_markov(sf_dir: str):
+    """Full-rank Markov transition counts between the two snapshot
+    periods, 5 rank classes, ties broken by lowest id — computed from
+    the distinct-value histogram + boundary id cutoffs, never a global
+    sort."""
+    from libpysal_ray.spatial.stats import rank_markov
+
+    return rank_markov(_two_snapshots(sf_dir), n_classes=5)
+
+
+QUERIES["rank_markov"] = q_rank_markov
+
+ORACLE_SQL["rank_markov"] = f"""
+WITH {_SNAP_SQL},
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM snap),
+r AS (
+  SELECT CAST((ROW_NUMBER() OVER (ORDER BY x0, id) - 1) * 5
+              // (SELECT n FROM n) AS BIGINT) AS c0,
+         CAST((ROW_NUMBER() OVER (ORDER BY x1, id) - 1) * 5
+              // (SELECT n FROM n) AS BIGINT) AS c1
+  FROM snap
+)
+SELECT c0, c1, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM r GROUP BY c0, c1
+"""
+
+
+def q_location_quotient(sf_dir: str):
+    """Location quotient of language concentration per 8×8 hash-grid
+    cell — exact integer fraction per (cell, lang-code) plus one pinned
+    float."""
+    from libpysal_ray.spatial.inequality import location_quotient
+
+    def _mk(t: pa.Table) -> pa.Table:
+        from libpysal_ray.core.hashing import _string_array_parts
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        x = (ids * 2654435761) % 4294967296 % GRID
+        y = (ids * 2246822519) % 4294967296 % GRID
+        data, starts, lens = _string_array_parts(t.column("lang"))
+        if len(lens) and lens.min() < 2:
+            raise ValueError("lang codes must be at least 2 bytes")
+        code = (
+            data[starts].astype(np.int64) * 256
+            + data[starts + 1].astype(np.int64)
+        )
+        return pa.table({
+            "region": pa.array((y // CDIV) * 8 + (x // CDIV)),
+            "cat": pa.array(code),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        _mk, batch_format="pyarrow"
+    )
+    return location_quotient(ds)
+
+
+QUERIES["location_quotient"] = q_location_quotient
+
+ORACLE_SQL["location_quotient"] = f"""
+WITH p AS (
+  SELECT ((doc_id * 2246822519) % 4294967296 % {GRID}) // {CDIV} * 8
+           + ((doc_id * 2654435761) % 4294967296 % {GRID}) // {CDIV}
+           AS region,
+         ascii(substr(lang, 1, 1)) * 256 + ascii(substr(lang, 2, 1))
+           AS cat
+  FROM documents
+),
+g AS (
+  SELECT CAST(region AS BIGINT) AS region, CAST(cat AS BIGINT) AS cat,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM p GROUP BY 1, 2
+),
+m AS (
+  SELECT g.*,
+         SUM(cnt) OVER (PARTITION BY region) AS region_tot,
+         SUM(cnt) OVER (PARTITION BY cat) AS cat_tot,
+         SUM(cnt) OVER () AS total
+  FROM g
+)
+SELECT region, cat, cnt,
+       CAST(region_tot AS BIGINT) AS region_tot,
+       CAST(cat_tot AS BIGINT) AS cat_tot,
+       CAST(total AS BIGINT) AS total,
+       CAST(cnt * total AS BIGINT) AS lq_num,
+       CAST(region_tot * cat_tot AS BIGINT) AS lq_den,
+       CAST(cnt * total AS DOUBLE)
+         / CAST(region_tot * cat_tot AS DOUBLE) AS lq_f
+FROM m
+"""
+
+
+def q_para_dedup(sf_dir: str):
+    """CCNet-style duplicated-span removal: 10-token chunks, first
+    occurrence (min doc_id, chunk_id) survives, documents reassembled
+    from their surviving chunks."""
+    from libpysal_ray.text.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(sf_dir, ["doc_id", "text"]), window=10)
+
+
+QUERIES["para_dedup"] = q_para_dedup
+
+ORACLE_SQL["para_dedup"] = """
+WITH ex AS (
+  SELECT doc_id, unnest(ps) AS tok,
+         generate_subscripts(ps, 1) - 1 AS widx
+  FROM (SELECT doc_id, string_split(text, ' ') AS ps FROM documents)
+),
+ch AS (
+  SELECT doc_id, widx // 10 AS cid,
+         string_agg(tok, ' ' ORDER BY widx) AS chunk_text
+  FROM ex GROUP BY doc_id, widx // 10
+),
+win AS (
+  SELECT doc_id, cid, chunk_text,
+         ROW_NUMBER() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, cid) AS rn
+  FROM ch
+)
+SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY cid) AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM win WHERE rn = 1 GROUP BY doc_id
+"""

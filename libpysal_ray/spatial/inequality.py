@@ -267,3 +267,99 @@ def dissimilarity_index(
             [float(num) / float(2 * b_tot * w_tot)], pa.float64()
         ),
     }))
+
+
+def location_quotient(
+    ds: ray.data.Dataset,
+    region_col: str = "region",
+    cat_col: str = "cat",
+) -> ray.data.Dataset:
+    """Location quotient per (region, category) — the classic regional-
+    concentration measure LQ = (x_rc / x_r·) / (x_·c / x_··), kept as
+    the EXACT integer fraction lq_num = cnt·total, lq_den =
+    region_total·category_total plus one pinned float. Output one row
+    per observed (region, cat): (region, cat, cnt, region_tot, cat_tot,
+    total, lq_num, lq_den, lq_f).
+
+    100 TB shape: per-batch (region, cat) bincount partials over a
+    packed int64 key → ONE small groupby (output is bounded by
+    #regions × #categories, a vocab-bounded table); marginals derive
+    from that table on the driver — never a second pass over the
+    corpus. Region and category ids must be small non-negative ints
+    (packing guard below); counts products are overflow-guarded."""
+    sch = ds.schema().base_schema
+    for c in (region_col, cat_col):
+        if not pa.types.is_integer(sch.field(c).type):
+            raise TypeError(f"location_quotient column {c!r} must be "
+                            f"integer-coded (got {sch.field(c).type})")
+
+    def _bounds(t: pa.Table) -> pa.Table:
+        r = t.column(region_col).to_numpy(zero_copy_only=False)
+        c = t.column(cat_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rmin": pa.array([np.int64(r.min())]),
+            "rmax": pa.array([np.int64(r.max())]),
+            "cmin": pa.array([np.int64(c.min())]),
+            "cmax": pa.array([np.int64(c.max())]),
+        })
+
+    b = ds.map_batches(_bounds, batch_format="pyarrow").aggregate(
+        ray.data.aggregate.Min("rmin"), ray.data.aggregate.Max("rmax"),
+        ray.data.aggregate.Min("cmin"), ray.data.aggregate.Max("cmax"),
+    )
+    if b["min(rmin)"] is None:
+        raise ValueError("location_quotient: empty input")
+    if int(b["min(rmin)"]) < 0 or int(b["min(cmin)"]) < 0:
+        raise ValueError("location_quotient needs non-negative codes")
+    ncat = int(b["max(cmax)"]) + 1
+    if (int(b["max(rmax)"]) + 1) * ncat >= (1 << 62):
+        raise ValueError("location_quotient: code space too large to "
+                         "pack (region_max+1)*(cat_max+1) into int64")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        r = t.column(region_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        c = t.column(cat_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        key = r * ncat + c
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "k": pa.array(u.astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    rows = (
+        ds.select_columns([region_col, cat_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum("cnt")
+        .take_all()
+    )  # vocab-bounded: #regions × #categories rows
+    k = np.array([r["k"] for r in rows], dtype=np.int64)
+    cnt = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
+    reg, cat = k // ncat, k % ncat
+    total = int(cnt.sum())
+    rtot = {int(g): int(cnt[reg == g].sum()) for g in np.unique(reg)}
+    ctot = {int(g): int(cnt[cat == g].sum()) for g in np.unique(cat)}
+    if max(int(cnt.max()) * total,
+           max(rtot.values()) * max(ctot.values())) >= (1 << 62):
+        raise ValueError("location_quotient fraction exceeds int64; "
+                         "sample or shard the corpus first")
+    rt = np.array([rtot[int(g)] for g in reg], dtype=np.int64)
+    ct = np.array([ctot[int(g)] for g in cat], dtype=np.int64)
+    lq_num = cnt * total
+    lq_den = rt * ct
+    return ray.data.from_arrow(pa.table({
+        "region": pa.array(reg.astype(np.int64)),
+        "cat": pa.array(cat.astype(np.int64)),
+        "cnt": pa.array(cnt),
+        "region_tot": pa.array(rt),
+        "cat_tot": pa.array(ct),
+        "total": pa.array(np.full(len(k), total, dtype=np.int64)),
+        "lq_num": pa.array(lq_num),
+        "lq_den": pa.array(lq_den),
+        "lq_f": pa.array(lq_num.astype(np.float64)
+                         / lq_den.astype(np.float64)),
+    }))

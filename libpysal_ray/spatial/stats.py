@@ -3369,3 +3369,380 @@ def ols_resid_moran(
         "beta_f": pa.array([beta_f], pa.float64()),
         "moran_f": pa.array([moran_f], pa.float64()),
     }))
+
+
+def general_g_inference(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Getis–Ord General G with the analytic randomization moments
+    (Getis & Ord 1992; the esda.G EG/VG/z downstream of libpysal
+    weights) over the binary edge set. With m_k = Σ x^k and the binary
+    graph constants S0/S1/S2:
+
+        E[G]    = S0 / (n(n−1))
+        E[G²]   = (b0·m2² + b1·m4 + b2·m1²·m2 + b3·m1·m3 + b4·m1⁴)
+                  / ((m1² − m2)² · n(n−1)(n−2)(n−3))
+        b0 = (n²−3n+3)S1 − nS2 + 3S0²
+        b1 = −((n²−n)S1 − 2nS2 + 6S0²)
+        b2 = −(2nS1 − (n+3)S2 + 6S0²)
+        b3 = 4(n−1)S1 − 2(n+1)S2 + 8S0²
+        b4 = S1 − S2 + S0²
+
+    Every moment is an EXACT integer (unbounded Python ints; E[G²]'s
+    numerator/denominator ship as decimal strings — the SQL oracle
+    mirrors them in HUGEINT, fine at gate scale, the strings are
+    authoritative beyond). The float companions are one pinned chain:
+    g_f = g_num/g_den, e_f = S0/(n(n−1)), eg2_f = eg2_num/eg2_den,
+    var_f = eg2_f − e_f·e_f, z_f = (g_f − e_f)/sqrt(var_f). Needs
+    n ≥ 4, non-negative x with off-diagonal mass, Var > 0.
+
+    100 TB shape: one :func:`general_g` pass (two bucket_joins), the
+    canonical-pair S1 groupby, the degree S2 groupby and ONE moment
+    aggregate over attrs — everything else is O(1) driver rational
+    arithmetic."""
+    import math
+
+    gg = general_g(g, attrs, id_col=id_col, x_col=x_col).take_all()[0]
+    s0 = int(gg["s0"])
+    g_num, g_den = int(gg["g_num"]), int(gg["g_den"])
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    ).materialize()
+    s1 = _s1_binary(edges)
+    s2 = _s2_binary(edges)
+
+    def _xz(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"x": pa.array(x)})
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Max("x")
+    )
+    n = int(agg["count()"])
+    xmax = int(agg["max(x)"] or 0)
+    if n < 4:
+        raise ValueError("general_g_inference needs n >= 4")
+    if xmax >= (1 << 31):
+        raise ValueError(
+            "general_g_inference moments need x < 2^31 (the x² limb "
+            f"feeding Σx³/Σx⁴ must fit int64); got max {xmax} — rescale x"
+        )
+
+    def _moments(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        x2 = x * x  # < 2^62 by the xmax guard
+        return pa.table({
+            "m1": pa.array([np.int64(x.sum())]),
+            "m2": pa.array([str(_prod_sum_exact(x, x))]),
+            "m3": pa.array([str(_prod_sum_exact(x2, x))]),
+            "m4": pa.array([str(_prod_sum_exact(x2, x2))]),
+        })
+
+    mom = xs.map_batches(_moments, batch_format="pyarrow").take_all()
+    m1 = sum(int(r["m1"]) for r in mom)
+    m2 = sum(int(r["m2"]) for r in mom)
+    m3 = sum(int(r["m3"]) for r in mom)
+    m4 = sum(int(r["m4"]) for r in mom)
+
+    b0 = (n * n - 3 * n + 3) * s1 - n * s2 + 3 * s0 * s0
+    b1 = -((n * n - n) * s1 - 2 * n * s2 + 6 * s0 * s0)
+    b2 = -(2 * n * s1 - (n + 3) * s2 + 6 * s0 * s0)
+    b3 = 4 * (n - 1) * s1 - 2 * (n + 1) * s2 + 8 * s0 * s0
+    b4 = s1 - s2 + s0 * s0
+    eg2_num = (
+        b0 * m2 * m2 + b1 * m4 + b2 * m1 * m1 * m2 + b3 * m1 * m3
+        + b4 * m1 ** 4
+    )
+    eg2_den = (m1 * m1 - m2) ** 2 * n * (n - 1) * (n - 2) * (n - 3)
+    e_den = n * (n - 1)
+
+    g_f = float(np.float64(g_num) / np.float64(g_den))
+    e_f = float(np.float64(s0) / np.float64(e_den))
+    eg2_f = float(np.float64(eg2_num) / np.float64(eg2_den))
+    var_f = float(np.float64(eg2_f) - np.float64(e_f) * np.float64(e_f))
+    if var_f <= 0.0:
+        raise ValueError(
+            "general_g_inference: non-positive analytic variance "
+            "(constant x or degenerate graph)"
+        )
+    z_f = float((np.float64(g_f) - np.float64(e_f)) / math.sqrt(var_f))
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "s0": pa.array([s0], pa.int64()),
+        "s1": pa.array([s1], pa.int64()),
+        "s2": pa.array([s2], pa.int64()),
+        "g_num": pa.array([g_num], pa.int64()),
+        "g_den": pa.array([g_den], pa.int64()),
+        "e_den": pa.array([e_den], pa.int64()),
+        "eg2_num": pa.array([str(eg2_num)]),
+        "eg2_den": pa.array([str(eg2_den)]),
+        "g_f": pa.array([g_f], pa.float64()),
+        "e_f": pa.array([e_f], pa.float64()),
+        "eg2_f": pa.array([eg2_f], pa.float64()),
+        "var_f": pa.array([var_f], pa.float64()),
+        "z_f": pa.array([z_f], pa.float64()),
+    }))
+
+
+def _det3(m: list[list[int]]) -> int:
+    """Exact 3×3 determinant in unbounded Python ints."""
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+def trend_surface(
+    pts: ray.data.Dataset,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+) -> ray.data.Dataset:
+    """First-order trend surface z ~ a + b·x + c·y by exact-rational
+    least squares (the classic spatial-drift decomposition; libpysal
+    feeds these residuals to esda — here the normal equations are
+    solved by Cramer's rule in unbounded Python ints so the fit is
+    reproducible bit-for-bit). Output ONE row: n, the ten integer
+    sufficient statistics, the common determinant D = det(XᵀX) and the
+    three coefficient numerators as decimal strings, the exact SSE
+    rational sse_num/D via SSE·D = D·Σz² − (aN·Σz + bN·Σxz + cN·Σyz),
+    and four pinned floats a_f = aN/D, b_f, c_f, sse_f.
+
+    Integer inputs only (coordinates and attribute); raises on a
+    singular design (collinear coordinates).
+
+    100 TB shape: ONE stateless aggregate pass (per-batch 128-bit-safe
+    partial sums via the decomposed-multiply helper → O(#blocks) driver
+    partials); the 3×3 solve and every downstream product is O(1)
+    driver bignum arithmetic."""
+    def _sums(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        z = t.column(z_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([np.int64(len(x))]),
+            "sx": pa.array([np.int64(x.sum())]),
+            "sy": pa.array([np.int64(y.sum())]),
+            "sz": pa.array([np.int64(z.sum())]),
+            "sxx": pa.array([str(_prod_sum_exact(x, x))]),
+            "syy": pa.array([str(_prod_sum_exact(y, y))]),
+            "sxy": pa.array([str(_prod_sum_exact(x, y))]),
+            "sxz": pa.array([str(_prod_sum_exact(x, z))]),
+            "syz": pa.array([str(_prod_sum_exact(y, z))]),
+            "szz": pa.array([str(_prod_sum_exact(z, z))]),
+        })
+
+    parts = pts.map_batches(_sums, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in parts)
+    if n < 3:
+        raise ValueError("trend_surface needs at least 3 points")
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    sz = sum(int(r["sz"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    syy = sum(int(r["syy"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    sxz = sum(int(r["sxz"]) for r in parts)
+    syz = sum(int(r["syz"]) for r in parts)
+    szz = sum(int(r["szz"]) for r in parts)
+
+    xtx = [[n, sx, sy], [sx, sxx, sxy], [sy, sxy, syy]]
+    d = _det3(xtx)
+    if d == 0:
+        raise ValueError("trend_surface: singular design (collinear x,y)")
+    a_num = _det3([[sz, sx, sy], [sxz, sxx, sxy], [syz, sxy, syy]])
+    b_num = _det3([[n, sz, sy], [sx, sxz, sxy], [sy, syz, syy]])
+    c_num = _det3([[n, sx, sz], [sx, sxx, sxz], [sy, sxy, syz]])
+    sse_num = d * szz - (a_num * sz + b_num * sxz + c_num * syz)
+
+    a_f = float(np.float64(a_num) / np.float64(d))
+    b_f = float(np.float64(b_num) / np.float64(d))
+    c_f = float(np.float64(c_num) / np.float64(d))
+    sse_f = float(np.float64(sse_num) / np.float64(d))
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "sx": pa.array([sx], pa.int64()),
+        "sy": pa.array([sy], pa.int64()),
+        "sz": pa.array([sz], pa.int64()),
+        "det": pa.array([str(d)]),
+        "a_num": pa.array([str(a_num)]),
+        "b_num": pa.array([str(b_num)]),
+        "c_num": pa.array([str(c_num)]),
+        "sse_num": pa.array([str(sse_num)]),
+        "a_f": pa.array([a_f], pa.float64()),
+        "b_f": pa.array([b_f], pa.float64()),
+        "c_f": pa.array([c_f], pa.float64()),
+        "sse_f": pa.array([sse_f], pa.float64()),
+    }))
+
+
+def _kth_smallest_id(
+    ids: ray.data.Dataset,
+    k: int,
+    n_total: int,
+    max_gather: int,
+) -> int:
+    """k-th smallest (1-based) value of integer column ``i`` — driver
+    gather when the stream is provably small (``n_total`` known from a
+    histogram before any pull), else ONE distributed ``prefix_sum``
+    rank with a single-row pull (the select_top_fraction discipline)."""
+    if n_total <= max_gather:
+        vals = np.array([r["i"] for r in ids.take_all()], dtype=np.int64)
+        return int(np.partition(vals, k - 1)[k - 1])
+    from libpysal_ray.core.scan import prefix_sum
+
+    ranked = prefix_sum(
+        ids.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        "i",
+        "one",
+        out_col="rk",
+    )
+    return int(ranked.filter(expr=f"rk == {k}").take_all()[0]["i"])
+
+
+def rank_markov(
+    snap: ray.data.Dataset,
+    id_col: str = "id",
+    x0_col: str = "x0",
+    x1_col: str = "x1",
+    n_classes: int = 5,
+    max_boundary_ids: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Full-rank Markov transition counts (giddy's FullRank_Markov
+    discretized to ``n_classes`` rank classes): each period's values
+    are ranked globally (ties broken by LOWEST id — deterministic at
+    any cluster size / block layout), rank r (0-based) maps to class
+    r·K//n, and the output is the K×K transition count table
+    (c0, c1, cnt) over the two periods — rows only for observed pairs.
+
+    Physical plan (NO global sort of the corpus): per period the
+    distinct-value histogram (per-batch value_counts combiner → one
+    small groupby) locates the K−1 rank thresholds t_q = ⌈q·n/K⌉; a
+    threshold interior to a tie bucket resolves to an id cutoff — the
+    (t_q − cum_before)-th smallest id among ONLY that bucket's rows,
+    via driver gather when the bucket is provably small (count known
+    from the histogram) or a distributed prefix-sum rank otherwise.
+    Classification is then a stateless broadcast filter; the K² table
+    reduces through per-batch bincount partials. Driver memory is
+    distinct-value cardinality + min(bucket, #blocks) — never corpus
+    size."""
+    if n_classes < 2:
+        raise ValueError("rank_markov needs n_classes >= 2")
+    kcls = int(n_classes)
+
+    def _cuts(col: str):
+        def _partial(t: pa.Table, c=col) -> pa.Table:
+            import pyarrow.compute as pc
+
+            vc = pc.cast(t.column(c), pa.int64()).combine_chunks() \
+                .value_counts()
+            return pa.table({
+                "v": vc.field("values"),
+                "c": pc.cast(vc.field("counts"), pa.int64()),
+            })
+
+        rows = (
+            snap.select_columns([col])
+            .map_batches(_partial, batch_format="pyarrow")
+            .groupby("v")
+            .sum("c")
+            .rename_columns({"sum(c)": "c"})
+            .sort("v")
+            .take_all()
+        )
+        n = int(sum(r["c"] for r in rows))
+        cuts = []  # (v_q, id_cut) — "below" := v < v_q or (==, id <= cut)
+        for q in range(1, kcls):
+            t_q = (q * n + kcls - 1) // kcls
+            cum = 0
+            for r in rows:
+                if cum + int(r["c"]) >= t_q:
+                    v_q, kq = int(r["v"]), t_q - cum
+                    if kq == int(r["c"]):
+                        cuts.append((v_q, np.iinfo(np.int64).max))
+                    else:
+                        bucket = snap.select_columns(
+                            [id_col, col]
+                        ).map_batches(
+                            lambda t, c=col, vv=v_q: pa.table({
+                                "i": pa.array(
+                                    t.column(id_col).to_numpy(
+                                        zero_copy_only=False
+                                    )[
+                                        t.column(c).to_numpy(
+                                            zero_copy_only=False
+                                        ) == vv
+                                    ].astype(np.int64)
+                                )
+                            }),
+                            batch_format="pyarrow",
+                        )
+                        cuts.append((v_q, _kth_smallest_id(
+                            bucket, kq, int(r["c"]), max_boundary_ids
+                        )))
+                    break
+                cum += int(r["c"])
+        return n, cuts
+
+    n0, cuts0 = _cuts(x0_col)
+    n1, cuts1 = _cuts(x1_col)
+    if n0 != n1 or n0 == 0:
+        raise ValueError("rank_markov needs one row per unit, n > 0")
+
+    c0v = np.array([v for v, _ in cuts0], dtype=np.int64)
+    c0i = np.array([i for _, i in cuts0], dtype=np.int64)
+    c1v = np.array([v for v, _ in cuts1], dtype=np.int64)
+    c1i = np.array([i for _, i in cuts1], dtype=np.int64)
+
+    def _classify(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        out = {}
+        for tag, col, cv, ci in (
+            ("c0", x0_col, c0v, c0i), ("c1", x1_col, c1v, c1i),
+        ):
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            cls = np.zeros(len(v), dtype=np.int64)
+            for vq, iq in zip(cv, ci):
+                below = (v < vq) | ((v == vq) & (ids <= iq))
+                cls += ~below
+            out[tag] = cls
+        key = out["c0"] * kcls + out["c1"]
+        cnt = np.bincount(key, minlength=kcls * kcls).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "k": pa.array(nz.astype(np.int64)),
+            "cnt": pa.array(cnt[nz]),
+        })
+
+    agg = (
+        snap.map_batches(_classify, batch_format="pyarrow")
+        .groupby("k")
+        .sum("cnt")
+    )
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c0": pa.array((k // kcls).astype(np.int64)),
+            "c1": pa.array((k % kcls).astype(np.int64)),
+            "cnt": pa.array(
+                t.column("sum(cnt)").to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            ),
+        })
+
+    return agg.map_batches(_unpack, batch_format="pyarrow")

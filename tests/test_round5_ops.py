@@ -1,0 +1,248 @@
+"""Round-5 additions: general_g_inference, trend_surface, rank_markov,
+location_quotient, paragraph_dedup — each vs an independent dense /
+brute-force float or Python reference."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.builders.lattice import lat2graph
+
+
+def _attrs(x):
+    return ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(len(x), dtype=np.int64)),
+        "x": pa.array(np.asarray(x, dtype=np.int64)),
+    })).repartition(3)
+
+
+def _g_ref(w, x):
+    # esda.G-style analytic moments, float reference
+    n = len(x)
+    s0 = w.sum()
+    s1 = ((w + w.T) ** 2).sum() / 2.0
+    s2 = ((w.sum(0) + w.sum(1)) ** 2).sum()
+    num = x @ w @ x
+    den = x.sum() ** 2 - (x * x).sum()
+    g = num / den
+    e = s0 / (n * (n - 1))
+    b0 = (n * n - 3 * n + 3) * s1 - n * s2 + 3 * s0 * s0
+    b1 = -((n * n - n) * s1 - 2 * n * s2 + 6 * s0 * s0)
+    b2 = -(2 * n * s1 - (n + 3) * s2 + 6 * s0 * s0)
+    b3 = 4 * (n - 1) * s1 - 2 * (n + 1) * s2 + 8 * s0 * s0
+    b4 = s1 - s2 + s0 * s0
+    m1, m2 = x.sum(), (x * x).sum()
+    m3, m4 = (x ** 3).sum(), (x ** 4).sum()
+    eg2 = (b0 * m2 ** 2 + b1 * m4 + b2 * m1 ** 2 * m2 + b3 * m1 * m3
+           + b4 * m1 ** 4) / (
+        (m1 ** 2 - m2) ** 2 * n * (n - 1) * (n - 2) * (n - 3))
+    var = eg2 - e * e
+    return {"g": g, "e": e, "eg2": eg2, "var": var,
+            "z": (g - e) / math.sqrt(var), "s1": s1, "s2": s2}
+
+
+def test_general_g_inference_matches_dense(ray_session):
+    from libpysal_ray.spatial.stats import general_g_inference
+
+    g = lat2graph(6, 5, rook=True)
+    rng = np.random.default_rng(7)
+    x = rng.integers(1, 50, 30).astype(np.int64)
+    row = general_g_inference(g, _attrs(x)).take_all()[0]
+    m, _ = g.to_dense()
+    want = _g_ref((m > 0).astype(float), x.astype(float))
+    assert row["s1"] == int(want["s1"])
+    assert row["s2"] == int(want["s2"])
+    for k, rk in (("g_f", "g"), ("e_f", "e"), ("eg2_f", "eg2"),
+                  ("var_f", "var"), ("z_f", "z")):
+        assert abs(row[k] - want[rk]) < 1e-10, (k, row[k], want[rk])
+    # exact rational consistency
+    assert int(row["eg2_num"]) / int(row["eg2_den"]) == pytest.approx(
+        want["eg2"], abs=1e-12
+    )
+
+
+def test_general_g_inference_rejects_constant(ray_session):
+    from libpysal_ray.spatial.stats import general_g_inference
+
+    g = lat2graph(4, 4, rook=True)
+    with pytest.raises(ValueError):
+        general_g_inference(g, _attrs(np.full(16, 3)))
+
+
+def test_trend_surface_matches_lstsq(ray_session):
+    from libpysal_ray.spatial.stats import trend_surface
+
+    rng = np.random.default_rng(11)
+    n = 200
+    x = rng.integers(0, 1000, n)
+    y = rng.integers(0, 1000, n)
+    z = (2 * x - y + rng.integers(0, 50, n)) % 997
+    pts = ray.data.from_arrow(pa.table({
+        "x": pa.array(x.astype(np.int64)),
+        "y": pa.array(y.astype(np.int64)),
+        "z": pa.array(z.astype(np.int64)),
+    })).repartition(4)
+    row = trend_surface(pts).take_all()[0]
+    A = np.column_stack([np.ones(n), x, y]).astype(float)
+    coef, res, _, _ = np.linalg.lstsq(A, z.astype(float), rcond=None)
+    assert abs(row["a_f"] - coef[0]) < 1e-6
+    assert abs(row["b_f"] - coef[1]) < 1e-6
+    assert abs(row["c_f"] - coef[2]) < 1e-6
+    sse = ((A @ coef - z) ** 2).sum()
+    assert abs(row["sse_f"] - sse) < 1e-4 * max(1.0, sse)
+    # exact rational residual identity: sse_num/det >= 0
+    assert int(row["sse_num"]) * int(row["det"]) >= 0
+
+
+def test_trend_surface_singular_raises(ray_session):
+    from libpysal_ray.spatial.stats import trend_surface
+
+    pts = ray.data.from_arrow(pa.table({
+        "x": pa.array(np.arange(10, dtype=np.int64)),
+        "y": pa.array(np.arange(10, dtype=np.int64)),  # collinear
+        "z": pa.array(np.arange(10, dtype=np.int64)),
+    }))
+    with pytest.raises(ValueError, match="singular"):
+        trend_surface(pts)
+
+
+def _rank_markov_ref(ids, x0, x1, k):
+    n = len(ids)
+    out = {}
+    for tag, x in (("c0", x0), ("c1", x1)):
+        order = np.lexsort((ids, x))
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        out[tag] = rank * k // n
+    cnt = {}
+    for a, b in zip(out["c0"], out["c1"]):
+        cnt[(int(a), int(b))] = cnt.get((int(a), int(b)), 0) + 1
+    return cnt
+
+
+def test_rank_markov_matches_brute(ray_session):
+    from libpysal_ray.spatial.stats import rank_markov
+
+    rng = np.random.default_rng(3)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    # coarse scores -> many ties at every quintile boundary
+    x0 = rng.integers(0, 7, n).astype(np.int64)
+    x1 = rng.integers(0, 7, n).astype(np.int64)
+    snap = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x0": pa.array(x0), "x1": pa.array(x1),
+    })).repartition(5)
+    got = {
+        (int(r["c0"]), int(r["c1"])): int(r["cnt"])
+        for r in rank_markov(snap, n_classes=5).take_all()
+    }
+    assert got == _rank_markov_ref(ids, x0, x1, 5)
+
+
+def test_rank_markov_distributed_tie_path(ray_session):
+    """Force the prefix-sum fallback (max_boundary_ids=0) — result must
+    be identical to the driver-gather path."""
+    from libpysal_ray.spatial.stats import rank_markov
+
+    rng = np.random.default_rng(5)
+    n = 120
+    ids = rng.permutation(n).astype(np.int64)
+    x0 = rng.integers(0, 3, n).astype(np.int64)
+    x1 = rng.integers(0, 3, n).astype(np.int64)
+    snap = ray.data.from_arrow(pa.table({
+        "id": pa.array(ids), "x0": pa.array(x0), "x1": pa.array(x1),
+    })).repartition(4)
+    a = {
+        (int(r["c0"]), int(r["c1"])): int(r["cnt"])
+        for r in rank_markov(snap, n_classes=4).take_all()
+    }
+    b = {
+        (int(r["c0"]), int(r["c1"])): int(r["cnt"])
+        for r in rank_markov(
+            snap, n_classes=4, max_boundary_ids=0
+        ).take_all()
+    }
+    assert a == b == _rank_markov_ref(ids, x0, x1, 4)
+
+
+def test_location_quotient_matches_brute(ray_session):
+    from libpysal_ray.spatial.inequality import location_quotient
+
+    rng = np.random.default_rng(9)
+    n = 500
+    reg = rng.integers(0, 8, n).astype(np.int64)
+    cat = rng.integers(0, 5, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "region": pa.array(reg), "cat": pa.array(cat),
+    })).repartition(6)
+    rows = location_quotient(ds).take_all()
+    for r in rows:
+        c = int(((reg == r["region"]) & (cat == r["cat"])).sum())
+        rt = int((reg == r["region"]).sum())
+        ct = int((cat == r["cat"]).sum())
+        assert r["cnt"] == c
+        assert r["lq_num"] == c * n
+        assert r["lq_den"] == rt * ct
+        assert r["lq_f"] == pytest.approx(
+            (c / rt) / (ct / n), rel=1e-12
+        )
+    assert sum(r["cnt"] for r in rows) == n
+
+
+def _para_ref(texts, w):
+    seen = {}
+    chunks = {}
+    for d, txt in enumerate(texts):
+        toks = txt.split(" ")
+        cs = [" ".join(toks[i: i + w]) for i in range(0, len(toks), w)]
+        chunks[d] = cs
+        for i, c in enumerate(cs):
+            seen.setdefault(c, (d, i))
+    out = {}
+    for d, cs in chunks.items():
+        kept = [c for i, c in enumerate(cs) if seen[c] == (d, i)]
+        if kept:
+            out[d] = (" ".join(kept), len(kept))
+    return out
+
+
+def test_paragraph_dedup_matches_brute(ray_session):
+    from libpysal_ray.text.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(17)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts = []
+    for _ in range(60):
+        toks = [vocab[i] for i in rng.integers(0, 4, rng.integers(1, 30))]
+        texts.append(" ".join(toks))
+    # exact duplicate docs and shared prefixes stress the winner rule
+    texts[10] = texts[3]
+    texts[20] = texts[3] + " " + texts[5]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "text": pa.array(texts, pa.large_string()),
+    })).repartition(5)
+    got = {
+        int(r["doc_id"]): (r["clean_text"], int(r["n_kept"]))
+        for r in paragraph_dedup(ds, window=4).take_all()
+    }
+    assert got == _para_ref(texts, 4)
+
+
+def test_paragraph_dedup_identical_docs(ray_session):
+    from libpysal_ray.text.dedup import paragraph_dedup
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([5, 1, 9], pa.int64()),
+        "text": pa.array(["a b c d e", "a b c d e", "a b c d e"],
+                         pa.large_string()),
+    }))
+    rows = paragraph_dedup(ds, window=3).take_all()
+    # lowest doc_id keeps everything; the other two vanish entirely
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1
+    assert rows[0]["clean_text"] == "a b c d e"
+    assert rows[0]["n_kept"] == 2
