@@ -129,3 +129,153 @@ def raster_contiguity(
 
     ids = cells.map_batches(_ids, batch_format="pyarrow")
     return RayGraph(E.resolve_isolates(edges, ids))
+
+
+def focal_mean(
+    cells: ray.data.Dataset,
+    nrows: int,
+    ncols: int,
+    nodata: int | None = None,
+    val_col: str = "value",
+) -> ray.data.Dataset:
+    """3×3 focal (moving-window) mean of an integer raster — the classic
+    map-algebra smoothing (queen window INCLUDING the center; cells
+    whose value equals ``nodata`` neither contribute nor emit output,
+    and nodata neighbors shrink the window like GIS focal stats do).
+    Output (row, col, num, den, mean_f): num/den is the EXACT integer
+    fraction Σwindow / #window, mean_f one pinned float division.
+
+    100 TB shape: a stateless ×9 offset fanout per batch (vectorized
+    repeat, in-bounds filtered) into ONE groupby(cell key) with native
+    Sum/Count/Max aggregates — no raster-sized driver state, no join;
+    Σ shuffled rows = 9·#valid cells. The center-validity flag rides
+    the same aggregate (Max), so masked centers drop without a second
+    pass."""
+    if 9 * nrows * ncols >= (1 << 62) or nrows <= 0 or ncols <= 0:
+        raise ValueError("focal_mean: bad raster shape")
+
+    dr = np.repeat(np.array([-1, 0, 1], dtype=np.int64), 3)
+    dc = np.tile(np.array([-1, 0, 1], dtype=np.int64), 3)
+    ctr0 = ((dr == 0) & (dc == 0)).astype(np.int64)
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        r = t.column("row").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("col").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if nodata is not None:
+            keep = v != nodata
+            r, c, v = r[keep], c[keep], v[keep]
+        if len(v) and 9 * int(np.abs(v).max()) >= (1 << 62):
+            raise ValueError("focal_mean window sum would overflow "
+                             "int64; rescale values")
+        m = len(r)
+        rr = np.repeat(r, 9) + np.tile(dr, m)
+        cc = np.repeat(c, 9) + np.tile(dc, m)
+        vv = np.repeat(v, 9)
+        ct = np.tile(ctr0, m)
+        inb = (rr >= 0) & (rr < nrows) & (cc >= 0) & (cc < ncols)
+        return pa.table({
+            "k": pa.array(rr[inb] * ncols + cc[inb]),
+            "v": pa.array(vv[inb]),
+            "ctr": pa.array(ct[inb]),
+        })
+
+    agg = (
+        cells.map_batches(_contrib, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            ray.data.aggregate.Sum("v"),
+            ray.data.aggregate.Count(),
+            ray.data.aggregate.Max("ctr"),
+        )
+    )
+
+    def _out(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(t.column("max(ctr)"), 1)
+        t = t.filter(keep)
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        num = t.column("sum(v)").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        den = t.column("count()").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "row": pa.array(k // ncols),
+            "col": pa.array(k % ncols),
+            "num": pa.array(num),
+            "den": pa.array(den),
+            "mean_f": pa.array(num.astype(np.float64)
+                               / den.astype(np.float64)),
+        })
+
+    return agg.map_batches(_out, batch_format="pyarrow")
+
+
+def bilinear_resample(
+    pts: ray.data.Dataset,
+    grid: np.ndarray,
+    cell: int,
+    id_col: str = "doc_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Bilinear raster→point resampling at integer coordinates — the
+    raster↔vector transfer step, EXACT fixed point: cell centers sit at
+    (c·cell + cell/2); a point between four centers blends them with
+    the integer weights (cell−tx)(cell−ty) / tx(cell−ty) / (cell−tx)ty
+    / tx·ty over the common denominator cell². Points outside the
+    interior (closer than cell/2 to the raster edge) are dropped —
+    mirror the same filter on the comparison side. Output
+    (id, val_num, val_den, val_f).
+
+    ``grid`` is a SMALL dense int64 (nrows, ncols) array captured once
+    in the task closure (a broadcast lookup — for rasters beyond
+    closure size, ship it via ray.put or route through the tile-join
+    path instead). One stateless vectorized pass, no shuffle."""
+    if cell <= 0 or cell % 2:
+        raise ValueError("bilinear_resample needs a positive even cell")
+    grid = np.ascontiguousarray(grid, dtype=np.int64)
+    gr, gc = grid.shape
+    if 4 * int(np.abs(grid).max(initial=0)) * cell * cell >= (1 << 62):
+        raise ValueError("bilinear_resample terms would overflow int64; "
+                         "rescale values")
+    half = cell // 2
+    xmaxv = gc * cell - half  # exclusive interior bound
+    ymaxv = gr * cell - half
+
+    def _f(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        inb = (x >= half) & (x < xmaxv) & (y >= half) & (y < ymaxv)
+        x, y, ids = x[inb], y[inb], ids[inb]
+        c0 = (x - half) // cell
+        r0 = (y - half) // cell
+        tx = (x - half) % cell
+        ty = (y - half) % cell
+        v00 = grid[r0, c0]
+        v01 = grid[r0, c0 + 1]
+        v10 = grid[r0 + 1, c0]
+        v11 = grid[r0 + 1, c0 + 1]
+        num = (
+            (cell - tx) * (cell - ty) * v00
+            + tx * (cell - ty) * v01
+            + (cell - tx) * ty * v10
+            + tx * ty * v11
+        )
+        den = np.int64(cell * cell)
+        return pa.table({
+            id_col: pa.array(ids),
+            "val_num": pa.array(num),
+            "val_den": pa.array(np.full(len(ids), den, dtype=np.int64)),
+            "val_f": pa.array(num.astype(np.float64) / np.float64(den)),
+        })
+
+    return pts.map_batches(_f, batch_format="pyarrow")

@@ -7617,3 +7617,212 @@ SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY cid) AS clean_text,
        CAST(COUNT(*) AS BIGINT) AS n_kept
 FROM win WHERE rn = 1 GROUP BY doc_id
 """
+
+
+def q_gi_inference(sf_dir: str):
+    """Per-node local G_i with exact analytic randomization moments
+    over the rook lattice — x = n_chars%100."""
+    from libpysal_ray.spatial.stats import gi_inference
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 100
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return gi_inference(_rook_g(sf_dir), attrs)
+
+
+QUERIES["gi_inference"] = q_gi_inference
+
+ORACLE_SQL["gi_inference"] = f"""
+WITH {_ROOK_SQL},
+a AS (SELECT doc_id AS node, CAST(n_chars % 100 AS BIGINT) AS x
+      FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS m1,
+         CAST(SUM(x * x) AS BIGINT) AS m2
+  FROM a
+),
+lagt AS (
+  SELECT adj.focal AS node, CAST(SUM(xn.x) AS BIGINT) AS lag
+  FROM adj JOIN a xn ON adj.neighbor = xn.node GROUP BY 1
+),
+degt AS (
+  SELECT focal AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM adj GROUP BY 1
+),
+r AS (
+  SELECT a.node AS id, a.x,
+         COALESCE(degt.deg, 0) AS deg,
+         COALESCE(lagt.lag, 0) AS g_num,
+         st.m1 - a.x AS g_den,
+         st.n - 1 AS e_den,
+         COALESCE(degt.deg, 0) * (st.n - 1 - COALESCE(degt.deg, 0))
+           AS r1_num,
+         (st.n - 1) * (st.n - 1) * (st.n - 2) AS r1_den,
+         (st.n - 1) * (st.m2 - a.x * a.x)
+           - (st.m1 - a.x) * (st.m1 - a.x) AS r2_num,
+         (st.m1 - a.x) * (st.m1 - a.x) AS r2_den
+  FROM a
+  LEFT JOIN lagt ON a.node = lagt.node
+  LEFT JOIN degt ON a.node = degt.node
+  CROSS JOIN st
+),
+fl AS (
+  SELECT *,
+         CAST(g_num AS DOUBLE) / CAST(g_den AS DOUBLE) AS g_f,
+         CAST(deg AS DOUBLE) / CAST(e_den AS DOUBLE) AS e_f,
+         (CAST(r1_num AS DOUBLE) / CAST(r1_den AS DOUBLE))
+           * (CAST(r2_num AS DOUBLE) / CAST(r2_den AS DOUBLE)) AS v_f
+  FROM r
+)
+SELECT id, x, deg, g_num, g_den, e_den, r1_num, r1_den, r2_num, r2_den,
+       g_f, e_f, v_f,
+       CASE WHEN r1_num > 0 AND r2_num > 0
+            THEN (g_f - e_f) / sqrt(v_f) END AS z_f
+FROM fl
+"""
+
+
+def q_focal_mean(sf_dir: str):
+    """3×3 focal mean of the documents raster (row=doc_id//20,
+    col=doc_id%20, value=n_chars, nodata where n_chars%7==0) — exact
+    integer window fractions."""
+    from libpysal_ray.builders.raster import focal_mean
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    nrows = (n + LCOLS - 1) // LCOLS
+
+    def _cells(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "row": pa.array((ids // LCOLS).astype(np.int64)),
+            "col": pa.array((ids % LCOLS).astype(np.int64)),
+            "value": pa.array(np.where(nc % 7 == 0, np.int64(-1), nc)),
+        })
+
+    cells = docs.map_batches(_cells, batch_format="pyarrow")
+    return focal_mean(cells, nrows, LCOLS, nodata=-1)
+
+
+QUERIES["focal_mean"] = q_focal_mean
+
+ORACLE_SQL["focal_mean"] = f"""
+WITH nr AS (SELECT (COUNT(*) + {LCOLS} - 1) // {LCOLS} AS nrows
+            FROM documents),
+cells AS (
+  SELECT CAST(doc_id // {LCOLS} AS BIGINT) AS r,
+         CAST(doc_id % {LCOLS} AS BIGINT) AS c,
+         CAST(n_chars AS BIGINT) AS v
+  FROM documents WHERE n_chars % 7 <> 0
+),
+con AS (
+  SELECT cells.r + dr.d AS r, cells.c + dc.d AS c, cells.v,
+         CASE WHEN dr.d = 0 AND dc.d = 0 THEN 1 ELSE 0 END AS ctr
+  FROM cells,
+       (VALUES (-1), (0), (1)) dr(d),
+       (VALUES (-1), (0), (1)) dc(d)
+  WHERE cells.r + dr.d >= 0
+    AND cells.r + dr.d < (SELECT nrows FROM nr)
+    AND cells.c + dc.d >= 0 AND cells.c + dc.d < {LCOLS}
+)
+SELECT r AS "row", c AS col,
+       CAST(SUM(v) AS BIGINT) AS num,
+       CAST(COUNT(*) AS BIGINT) AS den,
+       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_f
+FROM con GROUP BY r, c HAVING MAX(ctr) = 1
+"""
+
+
+def q_bilinear(sf_dir: str):
+    """Bilinear raster→point resampling: a 20×20 integer grid (cell 50
+    over the [0,1000) hash space, values = n_chars of doc (r·20+c) mod
+    n) sampled at every document's hash point — exact fixed-point
+    fractions over den=2500."""
+    from libpysal_ray.builders.raster import bilinear_resample
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    needed = np.unique((np.arange(400, dtype=np.int64) % n))
+    nset = set(int(v) for v in needed)
+
+    def _pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = np.isin(ids, needed)
+        return pa.table({
+            "doc_id": pa.array(ids[m].astype(np.int64)),
+            "n_chars": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False)[m]
+                .astype(np.int64)
+            ),
+        })
+
+    small = {
+        int(r["doc_id"]): int(r["n_chars"])
+        for r in docs.map_batches(_pick, batch_format="pyarrow").take_all()
+    }  # bounded: ≤ 400 rows
+    assert set(small) == nset
+    gidx = np.arange(400, dtype=np.int64) % n
+    grid = np.array([small[int(i)] for i in gidx],
+                    dtype=np.int64).reshape(20, 20)
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "x": pa.array((ids * 2654435761) % 4294967296 % GRID),
+            "y": pa.array((ids * 2246822519) % 4294967296 % GRID),
+        })
+
+    pts = _docs(sf_dir, ["doc_id"]).map_batches(_mk, batch_format="pyarrow")
+    return bilinear_resample(pts, grid, cell=50)
+
+
+QUERIES["bilinear"] = q_bilinear
+
+ORACLE_SQL["bilinear"] = f"""
+WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+gidx AS (
+  SELECT CAST(gr.range AS BIGINT) AS r, CAST(gc.range AS BIGINT) AS c
+  FROM range(20) gr, range(20) gc
+),
+grid AS (
+  SELECT gidx.r, gidx.c, CAST(d.n_chars AS BIGINT) AS v
+  FROM gidx JOIN documents d
+    ON d.doc_id = (gidx.r * 20 + gidx.c) % (SELECT n FROM nd)
+),
+p AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS BIGINT) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS BIGINT) AS y
+  FROM documents
+),
+f AS (
+  SELECT doc_id, (x - 25) // 50 AS c0, (y - 25) // 50 AS r0,
+         (x - 25) % 50 AS tx, (y - 25) % 50 AS ty
+  FROM p
+  WHERE x >= 25 AND x < 975 AND y >= 25 AND y < 975
+)
+SELECT f.doc_id,
+       (50 - tx) * (50 - ty) * v00.v + tx * (50 - ty) * v01.v
+         + (50 - tx) * ty * v10.v + tx * ty * v11.v AS val_num,
+       CAST(2500 AS BIGINT) AS val_den,
+       CAST((50 - tx) * (50 - ty) * v00.v + tx * (50 - ty) * v01.v
+            + (50 - tx) * ty * v10.v + tx * ty * v11.v AS DOUBLE)
+         / 2500.0 AS val_f
+FROM f
+JOIN grid v00 ON v00.r = f.r0     AND v00.c = f.c0
+JOIN grid v01 ON v01.r = f.r0     AND v01.c = f.c0 + 1
+JOIN grid v10 ON v10.r = f.r0 + 1 AND v10.c = f.c0
+JOIN grid v11 ON v11.r = f.r0 + 1 AND v11.c = f.c0 + 1
+"""

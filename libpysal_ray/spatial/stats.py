@@ -3746,3 +3746,141 @@ def rank_markov(
         })
 
     return agg.map_batches(_unpack, batch_format="pyarrow")
+
+
+def gi_inference(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    x_col: str = "x",
+) -> ray.data.Dataset:
+    """Per-node local G_i with the analytic randomization moments
+    (Getis & Ord 1992; esda.G_Local with binary weights) — EXACT
+    integer fractions per node. With m1 = Σx, m2 = Σx², W_i = deg_i
+    and the i-exclusive sums S1' = m1 − x_i, S2' = m2 − x_i²:
+
+        G_i    = Σ_{j∈N(i)} x_j / S1'
+        E[G_i] = W_i / (n−1)
+        V[G_i] = [W_i(n−1−W_i) / ((n−1)²(n−2))]
+                 · [((n−1)S2' − S1'²) / S1'²]
+
+    The variance ships as the TWO exact int64 fractions of that product
+    (r1_num/r1_den · r2_num/r2_den — keeping each factor in int64
+    instead of one 128-bit product raises the usable n ceiling to ~2M
+    nodes, guarded loudly); v_f multiplies the two pinned divisions,
+    z_f = (g_f − e_f)/√v_f, NULL where the variance is non-positive
+    (isolates, constant x). Output one row per node: (id, x, deg,
+    g_num, g_den, e_den, r1_num, r1_den, r2_num, r2_den, g_f, e_f,
+    v_f, z_f).
+
+    100 TB shape: the shared guarded-lag attach (one bucket_join + one
+    groupby(focal)), the cardinality aggregate, and ONE node-universe
+    left join — all per-node math is stateless vectorized int64."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and x.min() < 0:
+            raise ValueError("gi_inference needs non-negative x")
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "x": pa.array(x),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    agg = xs.aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Sum("x"),
+        ray.data.aggregate.Max("x"),
+    )
+    n = int(agg["count()"])
+    m1 = int(agg["sum(x)"])
+    xmax = int(agg["max(x)"] or 0)
+    if n < 3:
+        raise ValueError("gi_inference needs n >= 3")
+    if m1 - xmax <= 0:
+        raise ValueError(
+            "gi_inference: sum(x) excluding any node must stay positive"
+        )
+    if xmax * max(n, 1) >= (1 << 31):
+        # S1'² and (n−1)·S2' both must fit int64
+        raise ValueError(
+            "gi_inference exact fractions need sum(x) < 2^31; rescale x"
+        )
+    if (n - 1) * (n - 1) * (n - 2) >= (1 << 62):
+        raise ValueError(
+            "gi_inference r1 denominator (n−1)²(n−2) exceeds int64 at "
+            f"n={n}; use the permutation path at this scale"
+        )
+    # m2 ≤ n·xmax² < 2^62 by the sum(x) < 2^31 guard above — plain
+    # int64 per-batch partials are exact
+    m2 = int(
+        xs.map_batches(
+            lambda t: pa.table({"p": pa.array([np.int64(
+                (t.column("x").to_numpy(zero_copy_only=False) ** 2).sum()
+            )])}),
+            batch_format="pyarrow",
+        ).sum("p")
+    )
+
+    lagged = _lag_sum_guarded(g, xs, "x", "nsum", "gi_inference", id_col)
+    degs = g.cardinalities().map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"),
+            "deg": pa.array(
+                t.column("cardinality").to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(
+        bucket_join(xs, lagged, on="node", how="left"),
+        degs, on="node", how="left",
+    )
+    r1_den = (n - 1) * (n - 1) * (n - 2)
+
+    def _score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        lag = pc.fill_null(
+            pc.cast(t.column("nsum"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        deg = pc.fill_null(
+            pc.cast(t.column("deg"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        s1p = np.int64(m1) - x
+        s2p = np.int64(m2) - x * x
+        r1n = deg * (np.int64(n - 1) - deg)
+        r2n = np.int64(n - 1) * s2p - s1p * s1p
+        r2d = s1p * s1p
+        g_f = lag.astype(np.float64) / s1p.astype(np.float64)
+        e_f = deg.astype(np.float64) / np.float64(n - 1)
+        v_f = (r1n.astype(np.float64) / np.float64(r1_den)) * (
+            r2n.astype(np.float64) / r2d.astype(np.float64)
+        )
+        ok = (r1n > 0) & (r2n > 0)
+        z = np.where(ok, (g_f - e_f) / np.sqrt(np.where(ok, v_f, 1.0)),
+                     np.nan)
+        return pa.table({
+            id_col: t.column("node"),
+            "x": pa.array(x),
+            "deg": pa.array(deg),
+            "g_num": pa.array(lag),
+            "g_den": pa.array(s1p),
+            "e_den": pa.array(np.full(len(x), n - 1, dtype=np.int64)),
+            "r1_num": pa.array(r1n),
+            "r1_den": pa.array(np.full(len(x), r1_den, dtype=np.int64)),
+            "r2_num": pa.array(r2n),
+            "r2_den": pa.array(r2d),
+            "g_f": pa.array(g_f),
+            "e_f": pa.array(e_f),
+            "v_f": pa.array(v_f),
+            "z_f": pa.array(z, mask=~ok),
+        })
+
+    return joined.map_batches(_score, batch_format="pyarrow")

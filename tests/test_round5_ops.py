@@ -246,3 +246,101 @@ def test_paragraph_dedup_identical_docs(ray_session):
     assert rows[0]["doc_id"] == 1
     assert rows[0]["clean_text"] == "a b c d e"
     assert rows[0]["n_kept"] == 2
+
+
+def test_gi_inference_matches_dense(ray_session):
+    from libpysal_ray.spatial.stats import gi_inference
+
+    g = lat2graph(6, 5, rook=True)
+    rng = np.random.default_rng(21)
+    x = rng.integers(1, 40, 30).astype(np.int64)
+    rows = {int(r["id"]): r for r in gi_inference(g, _attrs(x)).take_all()}
+    m, ids = g.to_dense()
+    w = (m > 0).astype(float)
+    n = 30
+    m1, m2 = x.sum(), (x * x).sum()
+    for i, node in enumerate(ids):
+        r = rows[int(node)]
+        deg = w[i].sum()
+        lag = float(w[i] @ x)
+        s1p = m1 - x[i]
+        gi = lag / s1p
+        e = deg / (n - 1)
+        s2p = m2 - x[i] ** 2
+        var = (deg * (n - 1 - deg) / ((n - 1) ** 2 * (n - 2))) * (
+            ((n - 1) * s2p - s1p ** 2) / s1p ** 2
+        )
+        assert r["g_num"] == int(lag) and r["g_den"] == int(s1p)
+        assert abs(r["g_f"] - gi) < 1e-12
+        assert abs(r["e_f"] - e) < 1e-12
+        assert abs(r["v_f"] - var) < 1e-12
+        if var > 0:
+            assert abs(r["z_f"] - (gi - e) / math.sqrt(var)) < 1e-10
+    assert len(rows) == 30
+
+
+def test_focal_mean_matches_brute(ray_session):
+    from libpysal_ray.builders.raster import focal_mean
+
+    rng = np.random.default_rng(2)
+    nr, nc = 7, 6
+    vals = rng.integers(-5, 100, (nr, nc)).astype(np.int64)
+    nodata = -1
+    vals[vals < 0] = nodata
+    r, c = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
+    cells = ray.data.from_arrow(pa.table({
+        "row": pa.array(r.ravel().astype(np.int64)),
+        "col": pa.array(c.ravel().astype(np.int64)),
+        "value": pa.array(vals.ravel()),
+    })).repartition(4)
+    got = {
+        (int(x["row"]), int(x["col"])): (int(x["num"]), int(x["den"]))
+        for x in focal_mean(cells, nr, nc, nodata=nodata).take_all()
+    }
+    want = {}
+    for i in range(nr):
+        for j in range(nc):
+            if vals[i, j] == nodata:
+                continue
+            win = [
+                int(vals[a, b])
+                for a in range(max(0, i - 1), min(nr, i + 2))
+                for b in range(max(0, j - 1), min(nc, j + 2))
+                if vals[a, b] != nodata
+            ]
+            want[(i, j)] = (sum(win), len(win))
+    assert got == want
+
+
+def test_bilinear_matches_scipy_style(ray_session):
+    from libpysal_ray.builders.raster import bilinear_resample
+
+    rng = np.random.default_rng(8)
+    grid = rng.integers(0, 1000, (10, 10)).astype(np.int64)
+    cell = 10
+    xs = rng.integers(0, 100, 200).astype(np.int64)
+    ys = rng.integers(0, 100, 200).astype(np.int64)
+    pts = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+        "x": pa.array(xs), "y": pa.array(ys),
+    })).repartition(3)
+    rows = {int(r["doc_id"]): r
+            for r in bilinear_resample(pts, grid, cell=cell).take_all()}
+    for i in range(200):
+        x, y = int(xs[i]), int(ys[i])
+        inside = 5 <= x < 95 and 5 <= y < 95
+        assert (i in rows) == inside
+        if not inside:
+            continue
+        fx, fy = (x - 5) / cell, (y - 5) / cell
+        c0, r0 = int(fx), int(fy)
+        tx, ty = fx - c0, fy - r0
+        want = (
+            (1 - tx) * (1 - ty) * grid[r0, c0]
+            + tx * (1 - ty) * grid[r0, c0 + 1]
+            + (1 - tx) * ty * grid[r0 + 1, c0]
+            + tx * ty * grid[r0 + 1, c0 + 1]
+        )
+        got = rows[i]["val_num"] / rows[i]["val_den"]
+        assert abs(got - want) < 1e-9
+        assert rows[i]["val_den"] == cell * cell
