@@ -7826,3 +7826,78 @@ JOIN grid v01 ON v01.r = f.r0     AND v01.c = f.c0 + 1
 JOIN grid v10 ON v10.r = f.r0 + 1 AND v10.c = f.c0
 JOIN grid v11 ON v11.r = f.r0 + 1 AND v11.c = f.c0 + 1
 """
+
+
+def q_areal_interp(sf_dir: str):
+    """Area-weighted interpolation of n_chars from the sparse 2.5×2.5
+    rectangle layer (uniform area 100/16) onto the unit-square lattice
+    zones — exact sixteenth-unit fractions."""
+    from libpysal_ray.spatial.overlay import areal_interpolate
+
+    left = _lattice_polys(sf_dir)
+
+    def _rects(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = ids[ids % 16 == 5]
+        r = (ids // LCOLS).astype(np.float64)
+        c = (ids % LCOLS).astype(np.float64)
+        x0, y0 = c - 0.75, r - 0.75
+        xs = [[a, a + 2.5, a + 2.5, a, a] for a in x0]
+        ys = [[b, b, b + 2.5, b + 2.5, b] for b in y0]
+        return pa.table({
+            "polygon_id": pa.array(ids.astype(np.int64)),
+            "xs": pa.array(xs, pa.list_(pa.float64())),
+            "ys": pa.array(ys, pa.list_(pa.float64())),
+        })
+
+    right = _docs(sf_dir, ["doc_id"]).map_batches(
+        _rects, batch_format="pyarrow"
+    )
+    def _vals(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % 16 == 5
+        return pa.table({
+            "right_id": pa.array(ids[m].astype(np.int64)),
+            "v": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False)[m]
+                .astype(np.int64)
+            ),
+        })
+
+    vals = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        _vals, batch_format="pyarrow"
+    )
+    return areal_interpolate(left, right, vals, src_area16=100)
+
+
+QUERIES["areal_interp"] = q_areal_interp
+
+# quarter-unit integer closed form: rect∩rect widths in quarters,
+# area in sixteenths = wx4·wy4; uniform source area 6.25 = 100/16
+ORACLE_SQL["areal_interp"] = f"""
+WITH sq AS (
+  SELECT doc_id AS zone,
+         CAST(doc_id % {LCOLS} AS BIGINT) * 4 AS x4,
+         CAST(doc_id // {LCOLS} AS BIGINT) * 4 AS y4
+  FROM documents
+),
+rc AS (
+  SELECT doc_id AS rid, CAST(n_chars AS BIGINT) AS v,
+         CAST(doc_id % {LCOLS} AS BIGINT) * 4 - 3 AS x4,
+         CAST(doc_id // {LCOLS} AS BIGINT) * 4 - 3 AS y4
+  FROM documents WHERE doc_id % 16 = 5
+),
+pairs AS (
+  SELECT sq.zone, rc.v,
+         GREATEST(0, LEAST(sq.x4 + 4, rc.x4 + 10)
+                     - GREATEST(sq.x4, rc.x4))
+         * GREATEST(0, LEAST(sq.y4 + 4, rc.y4 + 10)
+                       - GREATEST(sq.y4, rc.y4)) AS a16
+  FROM sq, rc
+)
+SELECT zone,
+       CAST(SUM(v * a16) AS BIGINT) AS val_num,
+       CAST(100 AS BIGINT) AS val_den,
+       CAST(SUM(v * a16) AS DOUBLE) / 100.0 AS val_f
+FROM pairs WHERE a16 > 0 GROUP BY zone
+"""

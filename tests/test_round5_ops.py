@@ -344,3 +344,73 @@ def test_bilinear_matches_scipy_style(ray_session):
         got = rows[i]["val_num"] / rows[i]["val_den"]
         assert abs(got - want) < 1e-9
         assert rows[i]["val_den"] == cell * cell
+
+
+def test_areal_interpolate_matches_brute(ray_session):
+    from libpysal_ray.spatial.overlay import areal_interpolate
+
+    # 4x4 unit-square zones; two 2x2 source squares (area16 = 64) on
+    # half-integer corners, integer values
+    def _sq(ids, x0s, y0s, w):
+        xs = [[a, a + w, a + w, a, a] for a in x0s]
+        ys = [[b, b, b + w, b + w, b] for b in y0s]
+        return ray.data.from_arrow(pa.table({
+            "polygon_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "xs": pa.array(xs, pa.list_(pa.float64())),
+            "ys": pa.array(ys, pa.list_(pa.float64())),
+        }))
+
+    zones = _sq(range(16), [i % 4 for i in range(16)],
+                [i // 4 for i in range(16)], 1.0)
+    srcs = _sq([100, 101], [0.5, 1.75], [0.5, 1.75], 2.0)
+    vals = ray.data.from_arrow(pa.table({
+        "right_id": pa.array([100, 101], pa.int64()),
+        "v": pa.array([80, 48], pa.int64()),
+    }))
+    got = {
+        int(r["zone"]): (int(r["val_num"]), int(r["val_den"]),
+                         float(r["val_f"]))
+        for r in areal_interpolate(zones, srcs, vals,
+                                   src_area16=64).take_all()
+    }
+    # brute force: rectangle intersection areas
+    want = {}
+    for z in range(16):
+        zx, zy = z % 4, z // 4
+        tot = 0
+        for sid, (sx, sy), v in (
+            (100, (0.5, 0.5), 80), (101, (1.75, 1.75), 48),
+        ):
+            w = max(0.0, min(zx + 1, sx + 2) - max(zx, sx))
+            h = max(0.0, min(zy + 1, sy + 2) - max(zy, sy))
+            tot += v * int(round(w * h * 16))
+        if tot > 0:
+            want[z] = (tot, 64, tot / 64)
+    assert got == want
+    # conservation: total transferred mass == sum of source values
+    # (sources fully inside the zone frame)
+    assert sum(n for n, _, _ in got.values()) == (80 + 48) * 64
+
+
+def test_areal_interpolate_rejects_non_sixteenth(ray_session):
+    from libpysal_ray.spatial.overlay import areal_interpolate
+
+    def _poly(ids, coords):
+        return ray.data.from_arrow(pa.table({
+            "polygon_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "xs": pa.array([c[0] for c in coords],
+                           pa.list_(pa.float64())),
+            "ys": pa.array([c[1] for c in coords],
+                           pa.list_(pa.float64())),
+        }))
+
+    zones = _poly([0], [([0.0, 1.0, 1.0, 0.0, 0.0],
+                         [0.0, 0.0, 1.0, 1.0, 0.0])])
+    srcs = _poly([1], [([0.1, 0.9, 0.9, 0.1, 0.1],
+                        [0.1, 0.1, 0.9, 0.9, 0.1])])
+    vals = ray.data.from_arrow(pa.table({
+        "right_id": pa.array([1], pa.int64()),
+        "v": pa.array([10], pa.int64()),
+    }))
+    with pytest.raises(Exception, match="sixteenth"):
+        areal_interpolate(zones, srcs, vals, src_area16=16).take_all()
