@@ -279,3 +279,106 @@ def bilinear_resample(
         })
 
     return pts.map_batches(_f, batch_format="pyarrow")
+
+
+_HORN_WX = {(-1, -1): -1, (-1, 0): 0, (-1, 1): 1,
+            (0, -1): -2, (0, 0): 0, (0, 1): 2,
+            (1, -1): -1, (1, 0): 0, (1, 1): 1}
+_HORN_WY = {(-1, -1): -1, (-1, 0): -2, (-1, 1): -1,
+            (0, -1): 0, (0, 0): 0, (0, 1): 0,
+            (1, -1): 1, (1, 0): 2, (1, 1): 1}
+
+
+def raster_slope(
+    cells: ray.data.Dataset,
+    nrows: int,
+    ncols: int,
+    cellsize: int,
+    nodata: int | None = None,
+    val_col: str = "value",
+) -> ray.data.Dataset:
+    """Slope gradients by Horn's method (the standard GIS 3×3 finite
+    difference): dz/dx = ((c+2f+i) − (a+2g+d... window letters a..i
+    row-major) / (8·cellsize), dz/dy likewise with the transposed
+    stencil. EXACT integers: output (row, col, gx_num, gy_num, den)
+    with den = 8·cellsize constant, plus slope_f =
+    √((gx/den)² + (gy/den)²) as one pinned IEEE chain (divisions,
+    multiply, add, sqrt — all correctly rounded, no transcendental).
+    Cells with an incomplete or nodata-contaminated 3×3 window emit
+    nothing (the conservative GIS edge rule).
+
+    100 TB shape: the :func:`focal_mean` fanout plan — ×9 stateless
+    offset fanout carrying the two stencil weights, ONE groupby(cell)
+    with Sum/Sum/Count aggregates; full-window validity is Count==9 on
+    the same pass."""
+    if cellsize <= 0:
+        raise ValueError("raster_slope needs a positive cellsize")
+    offs = sorted(_HORN_WX)
+    dr = np.array([o[0] for o in offs], dtype=np.int64)
+    dc = np.array([o[1] for o in offs], dtype=np.int64)
+    wx = np.array([_HORN_WX[o] for o in offs], dtype=np.int64)
+    wy = np.array([_HORN_WY[o] for o in offs], dtype=np.int64)
+    den = 8 * int(cellsize)
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        r = t.column("row").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("col").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if nodata is not None:
+            keep = v != nodata
+            r, c, v = r[keep], c[keep], v[keep]
+        if len(v) and 8 * int(np.abs(v).max()) >= (1 << 60):
+            raise ValueError("raster_slope stencil sums would overflow "
+                             "int64; rescale values")
+        m = len(r)
+        # contribution of THIS cell to each neighbor's window: the
+        # neighbor at (+dr,+dc) sees this cell at offset (−dr,−dc) —
+        # Horn weights are antisymmetric, so negate
+        rr = np.repeat(r, 9) + np.tile(dr, m)
+        cc = np.repeat(c, 9) + np.tile(dc, m)
+        vv = np.repeat(v, 9)
+        gx = vv * np.tile(-wx, m)
+        gy = vv * np.tile(-wy, m)
+        inb = (rr >= 0) & (rr < nrows) & (cc >= 0) & (cc < ncols)
+        return pa.table({
+            "k": pa.array(rr[inb] * ncols + cc[inb]),
+            "gx": pa.array(gx[inb]),
+            "gy": pa.array(gy[inb]),
+            "one": pa.array(np.ones(int(inb.sum()), dtype=np.int64)),
+        })
+
+    agg = (
+        cells.map_batches(_contrib, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            ray.data.aggregate.Sum("gx"),
+            ray.data.aggregate.Sum("gy"),
+            ray.data.aggregate.Sum("one"),
+        )
+    )
+
+    def _out(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t.column("sum(one)"), 9))
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        gx = t.column("sum(gx)").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        gy = t.column("sum(gy)").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        fx = gx.astype(np.float64) / np.float64(den)
+        fy = gy.astype(np.float64) / np.float64(den)
+        return pa.table({
+            "row": pa.array(k // ncols),
+            "col": pa.array(k % ncols),
+            "gx_num": pa.array(gx),
+            "gy_num": pa.array(gy),
+            "den": pa.array(np.full(len(k), den, dtype=np.int64)),
+            "slope_f": pa.array(np.sqrt(fx * fx + fy * fy)),
+        })
+
+    return agg.map_batches(_out, batch_format="pyarrow")

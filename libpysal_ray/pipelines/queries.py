@@ -7901,3 +7901,115 @@ SELECT zone,
        CAST(SUM(v * a16) AS DOUBLE) / 100.0 AS val_f
 FROM pairs WHERE a16 > 0 GROUP BY zone
 """
+
+
+def q_raster_slope(sf_dir: str):
+    """Horn-method slope gradients of the documents raster (value =
+    n_chars, nodata where n_chars%7==0, cellsize 2) — exact integer
+    stencil sums, one pinned sqrt chain."""
+    from libpysal_ray.builders.raster import raster_slope
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    nrows = (n + LCOLS - 1) // LCOLS
+
+    def _cells(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "row": pa.array((ids // LCOLS).astype(np.int64)),
+            "col": pa.array((ids % LCOLS).astype(np.int64)),
+            "value": pa.array(np.where(nc % 7 == 0, np.int64(-1), nc)),
+        })
+
+    cells = docs.map_batches(_cells, batch_format="pyarrow")
+    return raster_slope(cells, nrows, LCOLS, cellsize=2, nodata=-1)
+
+
+QUERIES["raster_slope"] = q_raster_slope
+
+# Horn stencil via source fanout: target (r,c) = source − offset, the
+# source is seen at the offset, so the VALUES rows carry wx/wy AT the
+# offset; HAVING COUNT=9 keeps only complete all-valid interior windows
+ORACLE_SQL["raster_slope"] = f"""
+WITH cells AS (
+  SELECT CAST(doc_id // {LCOLS} AS BIGINT) AS r,
+         CAST(doc_id % {LCOLS} AS BIGINT) AS c,
+         CAST(n_chars AS BIGINT) AS v
+  FROM documents WHERE n_chars % 7 <> 0
+),
+con AS (
+  SELECT cells.r - o.orow AS r, cells.c - o.ocol AS c,
+         cells.v * o.wx AS gx, cells.v * o.wy AS gy
+  FROM cells,
+       (VALUES (-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1),
+               (0, -1, -2, 0), (0, 0, 0, 0), (0, 1, 2, 0),
+               (1, -1, -1, 1), (1, 0, 0, 2), (1, 1, 1, 1))
+         o(orow, ocol, wx, wy)
+)
+SELECT r AS "row", c AS col,
+       CAST(SUM(gx) AS BIGINT) AS gx_num,
+       CAST(SUM(gy) AS BIGINT) AS gy_num,
+       CAST(16 AS BIGINT) AS den,
+       sqrt((CAST(SUM(gx) AS DOUBLE) / 16.0)
+              * (CAST(SUM(gx) AS DOUBLE) / 16.0)
+            + (CAST(SUM(gy) AS DOUBLE) / 16.0)
+              * (CAST(SUM(gy) AS DOUBLE) / 16.0)) AS slope_f
+FROM con GROUP BY r, c HAVING COUNT(*) = 9
+"""
+
+
+def q_zonal_majority(sf_dir: str):
+    """Majority language per 8×8 hash-grid cell (zonal mode, ties to
+    the lowest lang code)."""
+    from libpysal_ray.spatial.ops import zonal_majority
+
+    def _mk(t: pa.Table) -> pa.Table:
+        from libpysal_ray.core.hashing import _string_array_parts
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        x = (ids * 2654435761) % 4294967296 % GRID
+        y = (ids * 2246822519) % 4294967296 % GRID
+        data, starts, lens = _string_array_parts(t.column("lang"))
+        code = (
+            data[starts].astype(np.int64) * 256
+            + data[starts + 1].astype(np.int64)
+        )
+        return pa.table({
+            "zone": pa.array((y // CDIV) * 8 + (x // CDIV)),
+            "cat": pa.array(code),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        _mk, batch_format="pyarrow"
+    )
+    return zonal_majority(ds)
+
+
+QUERIES["zonal_majority"] = q_zonal_majority
+
+ORACLE_SQL["zonal_majority"] = f"""
+WITH p AS (
+  SELECT ((doc_id * 2246822519) % 4294967296 % {GRID}) // {CDIV} * 8
+           + ((doc_id * 2654435761) % 4294967296 % {GRID}) // {CDIV}
+           AS zone,
+         ascii(substr(lang, 1, 1)) * 256 + ascii(substr(lang, 2, 1))
+           AS cat
+  FROM documents
+),
+g AS (
+  SELECT CAST(zone AS BIGINT) AS zone, CAST(cat AS BIGINT) AS cat,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM p GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY zone
+                               ORDER BY cnt DESC, cat) AS rn
+  FROM g
+)
+SELECT zone, cat, cnt FROM r WHERE rn = 1
+"""

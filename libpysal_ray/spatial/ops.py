@@ -136,3 +136,102 @@ def dissolve_stats(
         .sum(["area", "perimeter"])
         .rename_columns({"sum(area)": "area", "sum(perimeter)": "perimeter"})
     )
+
+
+def zonal_majority(
+    ds: ray.data.Dataset,
+    zone_col: str = "zone",
+    cat_col: str = "cat",
+) -> ray.data.Dataset:
+    """Zonal MODE — the majority category per zone (the classic zonal
+    statistic for categorical rasters / point layers), deterministic at
+    any layout: ties break to the LOWEST category code. Output one row
+    per zone: (zone, cat, cnt).
+
+    100 TB shape: per-batch (zone, cat) unique-count partials over a
+    packed int64 key → ONE groupby(key) sum → a grouped argmax kernel
+    over the zone-bucketed counts (vocab-bounded rows: #zones ×
+    #categories — the argmax never sees raw observations)."""
+    from libpysal_ray.core.joins import grouped_by_key as _gbk
+
+    sch = ds.schema().base_schema
+    for c in (zone_col, cat_col):
+        if not pa.types.is_integer(sch.field(c).type):
+            raise TypeError(f"zonal_majority column {c!r} must be "
+                            f"integer-coded (got {sch.field(c).type})")
+
+    def _bounds(t: pa.Table) -> pa.Table:
+        z = t.column(zone_col).to_numpy(zero_copy_only=False)
+        c = t.column(cat_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "zmin": pa.array([np.int64(z.min())]),
+            "cmin": pa.array([np.int64(c.min())]),
+            "zmax": pa.array([np.int64(z.max())]),
+            "cmax": pa.array([np.int64(c.max())]),
+        })
+
+    b = ds.map_batches(_bounds, batch_format="pyarrow").aggregate(
+        ray.data.aggregate.Min("zmin"), ray.data.aggregate.Min("cmin"),
+        ray.data.aggregate.Max("zmax"), ray.data.aggregate.Max("cmax"),
+    )
+    if b["min(zmin)"] is None:
+        raise ValueError("zonal_majority: empty input")
+    if int(b["min(zmin)"]) < 0 or int(b["min(cmin)"]) < 0:
+        raise ValueError("zonal_majority needs non-negative codes")
+    ncat = int(b["max(cmax)"]) + 1
+    if (int(b["max(zmax)"]) + 1) * ncat >= (1 << 62):
+        raise ValueError("zonal_majority: code space too large to pack")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        z = t.column(zone_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        c = t.column(cat_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        u, cnt = np.unique(z * ncat + c, return_counts=True)
+        return pa.table({
+            "k": pa.array(u.astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    counts = (
+        ds.select_columns([zone_col, cat_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("k")
+        .sum("cnt")
+        .map_batches(
+            lambda t: pa.table({
+                "zone": pa.array(
+                    t.column("k").to_numpy(zero_copy_only=False) // ncat
+                ),
+                "cat": pa.array(
+                    t.column("k").to_numpy(zero_copy_only=False) % ncat
+                ),
+                "cnt": pa.array(
+                    t.column("sum(cnt)").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+    def _argmax(t: pa.Table) -> pa.Table:
+        z = t.column("zone").to_numpy(zero_copy_only=False)
+        c = t.column("cat").to_numpy(zero_copy_only=False)
+        n = t.column("cnt").to_numpy(zero_copy_only=False)
+        # winner per zone: max count, tie -> lowest cat; rows arrive
+        # zone-sorted; within zone sort by (-cnt, cat) and take firsts
+        order = np.lexsort((c, -n, z))
+        zs = z[order]
+        first = np.ones(len(zs), bool)
+        first[1:] = zs[1:] != zs[:-1]
+        keep = order[first]
+        return pa.table({
+            "zone": pa.array(z[keep]),
+            "cat": pa.array(c[keep]),
+            "cnt": pa.array(n[keep]),
+        })
+
+    return _gbk(counts, ["zone"], _argmax)

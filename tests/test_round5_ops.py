@@ -414,3 +414,65 @@ def test_areal_interpolate_rejects_non_sixteenth(ray_session):
     }))
     with pytest.raises(Exception, match="sixteenth"):
         areal_interpolate(zones, srcs, vals, src_area16=16).take_all()
+
+
+def test_raster_slope_matches_brute(ray_session):
+    from libpysal_ray.builders.raster import raster_slope
+
+    rng = np.random.default_rng(4)
+    nr, nc = 8, 7
+    vals = rng.integers(0, 200, (nr, nc)).astype(np.int64)
+    vals[vals % 11 == 0] = -1  # scattered nodata
+    r, c = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
+    cells = ray.data.from_arrow(pa.table({
+        "row": pa.array(r.ravel().astype(np.int64)),
+        "col": pa.array(c.ravel().astype(np.int64)),
+        "value": pa.array(vals.ravel()),
+    })).repartition(3)
+    cellsize = 5
+    got = {
+        (int(x["row"]), int(x["col"])): (
+            int(x["gx_num"]), int(x["gy_num"]), int(x["den"]),
+            float(x["slope_f"]),
+        )
+        for x in raster_slope(cells, nr, nc, cellsize=cellsize,
+                              nodata=-1).take_all()
+    }
+    wx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]])
+    wy = wx.T
+    want = {}
+    for i in range(1, nr - 1):
+        for j in range(1, nc - 1):
+            win = vals[i - 1: i + 2, j - 1: j + 2]
+            if (win == -1).any():
+                continue
+            gx, gy = int((wx * win).sum()), int((wy * win).sum())
+            den = 8 * cellsize
+            want[(i, j)] = (gx, gy, den,
+                            math.hypot(gx / den, gy / den))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:3] == want[k][:3], (k, got[k], want[k])
+        assert abs(got[k][3] - want[k][3]) < 1e-12
+
+
+def test_zonal_majority_matches_brute(ray_session):
+    from libpysal_ray.spatial.ops import zonal_majority
+
+    rng = np.random.default_rng(6)
+    n = 400
+    z = rng.integers(0, 10, n).astype(np.int64)
+    c = rng.integers(0, 4, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "zone": pa.array(z), "cat": pa.array(c),
+    })).repartition(5)
+    got = {
+        int(r["zone"]): (int(r["cat"]), int(r["cnt"]))
+        for r in zonal_majority(ds).take_all()
+    }
+    want = {}
+    for zz in np.unique(z):
+        cnts = np.bincount(c[z == zz], minlength=4)
+        best = int(np.flatnonzero(cnts == cnts.max())[0])  # tie->lowest
+        want[int(zz)] = (best, int(cnts[best]))
+    assert got == want
