@@ -8013,3 +8013,201 @@ r AS (
 )
 SELECT zone, cat, cnt FROM r WHERE rn = 1
 """
+
+
+def q_spatial_rate(sf_dir: str):
+    """Spatial rate smoother over the rook lattice: events/base pooled
+    with the neighborhood — exact integer fraction per observation."""
+    from libpysal_ray.spatial.smoothing import spatial_rate
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "e": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 50
+            ),
+            "b": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 20
+                + 1
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return spatial_rate(_rook_g(sf_dir), attrs)
+
+
+QUERIES["spatial_rate"] = q_spatial_rate
+
+ORACLE_SQL["spatial_rate"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS id, CAST(n_chars % 50 AS BIGINT) AS e,
+         CAST(n_chars % 20 + 1 AS BIGINT) AS b
+  FROM documents
+),
+l AS (
+  SELECT adj.focal AS id, CAST(SUM(an.e) AS BIGINT) AS le,
+         CAST(SUM(an.b) AS BIGINT) AS lb
+  FROM adj JOIN a an ON an.id = adj.neighbor
+  GROUP BY adj.focal
+)
+SELECT a.id, a.e, a.b,
+       CAST(a.e + COALESCE(l.le, 0) AS BIGINT) AS rate_num,
+       CAST(a.b + COALESCE(l.lb, 0) AS BIGINT) AS rate_den,
+       CAST(a.e + COALESCE(l.le, 0) AS DOUBLE)
+         / CAST(a.b + COALESCE(l.lb, 0) AS DOUBLE) AS rate_f
+FROM a LEFT JOIN l ON l.id = a.id
+"""
+
+
+def q_eb_smooth(sf_dir: str):
+    """Global Empirical Bayes rate shrinkage in trunc fixed-point
+    1/1000 units — every moment an exact integer, mirrored by the SQL
+    oracle with DuckDB's trunc `//`."""
+    from libpysal_ray.spatial.smoothing import eb_smooth
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "e": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 50
+            ),
+            "b": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 20
+                + 1
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return eb_smooth(attrs, scale=1000)
+
+
+QUERIES["eb_smooth"] = q_eb_smooth
+
+ORACLE_SQL["eb_smooth"] = """
+WITH a AS (
+  SELECT doc_id AS id, CAST(n_chars % 50 AS BIGINT) AS e,
+         CAST(n_chars % 20 + 1 AS BIGINT) AS b
+  FROM documents
+),
+st AS (
+  SELECT CAST(SUM(e) AS BIGINT) AS te, CAST(SUM(b) AS BIGINT) AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a
+),
+m AS (SELECT te * 1000 // tb AS m_fp, te, tb, n FROM st),
+s AS (
+  SELECT CAST(SUM(b * (e * 1000 // b - (SELECT m_fp FROM m))
+                   * (e * 1000 // b - (SELECT m_fp FROM m)))
+              AS BIGINT) AS sv
+  FROM a
+),
+pr AS (
+  SELECT GREATEST(
+           (SELECT sv FROM s) // ((SELECT tb FROM m) * 1000)
+             - (SELECT m_fp FROM m) * (SELECT n FROM m)
+               // (SELECT tb FROM m),
+           0) AS a_fp
+)
+SELECT id, e, b,
+       CAST(e * 1000 // b AS BIGINT) AS r_fp,
+       CAST((SELECT m_fp FROM m)
+            + ((e * 1000 // b - (SELECT m_fp FROM m))
+               * ((SELECT a_fp FROM pr) * b))
+              // GREATEST((SELECT a_fp FROM pr) * b
+                          + (SELECT m_fp FROM m) * 1000, 1)
+            AS BIGINT) AS theta_fp,
+       CAST((SELECT m_fp FROM m)
+            + ((e * 1000 // b - (SELECT m_fp FROM m))
+               * ((SELECT a_fp FROM pr) * b))
+              // GREATEST((SELECT a_fp FROM pr) * b
+                          + (SELECT m_fp FROM m) * 1000, 1)
+            AS DOUBLE) / 1000.0 AS theta_f
+FROM a
+"""
+
+
+def q_prais(sf_dir: str):
+    """Prais conditional mobility per class of the two-snapshot
+    transition matrix — exact integer fraction per occupied class."""
+    from libpysal_ray.spatial.stats import prais_index
+
+    return prais_index(_two_snapshots(sf_dir), class_bins=[33, 66])
+
+
+QUERIES["prais"] = q_prais
+
+ORACLE_SQL["prais"] = f"""
+WITH {_SNAP_SQL},
+cl AS (
+  SELECT CASE WHEN x0 < 33 THEN 0 WHEN x0 < 66 THEN 1 ELSE 2 END AS c0,
+         CASE WHEN x1 < 33 THEN 0 WHEN x1 < 66 THEN 1 ELSE 2 END AS c1
+  FROM snap
+),
+r AS (
+  SELECT c0 AS c, CAST(COUNT(*) AS BIGINT) AS row_tot,
+         CAST(COALESCE(SUM(CASE WHEN c0 = c1 THEN 1 END), 0) AS BIGINT)
+           AS diag
+  FROM cl GROUP BY c0
+)
+SELECT c, diag, row_tot,
+       CAST(row_tot - diag AS BIGINT) AS prais_num,
+       CAST(row_tot - diag AS DOUBLE) / CAST(row_tot AS DOUBLE)
+         AS prais_f
+FROM r
+"""
+
+
+def q_kde_grid(sf_dir: str):
+    """Epanechnikov kernel density surface at a 20x20 anchor lattice
+    (bandwidth 100): exact integer (h^2 - d^2) sums per anchor, one
+    pinned division by n*h^2."""
+    from libpysal_ray.spatial.access import kde_surface
+
+    ai = np.arange(400, dtype=np.int64)
+    anchors = ray.data.from_arrow(pa.table({
+        "id": pa.array(ai),
+        "x": pa.array(((ai // 20) * 50).astype(np.float64)),
+        "y": pa.array(((ai % 20) * 50).astype(np.float64)),
+    }))
+    pts = _points(sf_dir).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "x": t.column("x"), "y": t.column("y"),
+        }),
+        batch_format="pyarrow",
+    )
+    return kde_surface(anchors, pts, bandwidth=100.0)
+
+
+QUERIES["kde_grid"] = q_kde_grid
+
+ORACLE_SQL["kde_grid"] = f"""
+WITH {_PTS_SQL},
+anch AS (
+  SELECT CAST(a.i * 20 + b.j AS BIGINT) AS aid,
+         CAST(a.i * 50 AS DOUBLE) AS x, CAST(b.j * 50 AS DOUBLE) AS y
+  FROM (SELECT unnest(range(20)) AS i) a,
+       (SELECT unnest(range(20)) AS j) b
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+k AS (
+  SELECT anch.aid,
+         CAST(10000 - CAST((anch.x - pts.x) * (anch.x - pts.x)
+              + (anch.y - pts.y) * (anch.y - pts.y) AS BIGINT)
+              AS BIGINT) AS kv
+  FROM anch JOIN pts
+    ON (anch.x - pts.x) * (anch.x - pts.x)
+       + (anch.y - pts.y) * (anch.y - pts.y) < 10000.0
+),
+agg AS (
+  SELECT aid, CAST(SUM(kv) AS BIGINT) AS ksum,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM k GROUP BY 1
+)
+SELECT anch.aid AS id, COALESCE(agg.ksum, 0) AS ksum,
+       COALESCE(agg.cnt, 0) AS cnt,
+       CAST(COALESCE(agg.ksum, 0) AS DOUBLE)
+         / CAST((SELECT n FROM n) * 10000 AS DOUBLE) AS kde_f
+FROM anch LEFT JOIN agg USING (aid)
+"""

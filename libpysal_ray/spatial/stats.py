@@ -2996,6 +2996,67 @@ def shorrocks_index(
     }))
 
 
+def prais_index(
+    attrs: ray.data.Dataset,
+    class_bins: list[int],
+    id_col: str = "id",
+    x0_col: str = "x0",
+    x1_col: str = "x1",
+) -> ray.data.Dataset:
+    """Prais conditional mobility index per class (Prais 1955; giddy's
+    Markov.prais summary downstream of libpysal weights): for each
+    occupied class i of the x0→x1 transition matrix under the fixed
+    integer ``class_bins``,
+
+        prais_i = 1 − p_ii = (r_i − n_ii) / r_i
+
+    with n_ii the diagonal count and r_i the row total — one EXACT
+    integer fraction per class plus one pinned float division. Output
+    one row per occupied class: (c, diag, row_tot, prais_num, prais_f).
+    Empty classes are dropped (the reference's Markov drops all-zero
+    rows the same way).
+
+    100 TB shape: identical to :func:`shorrocks_index` — one ≤(k+1)²
+    class groupby; everything after is k-bounded driver work."""
+    cb = np.asarray(sorted(class_bins), dtype=np.int64)
+
+    def _cls(t: pa.Table) -> pa.Table:
+        x0 = t.column(x0_col).to_numpy(zero_copy_only=False)
+        x1 = t.column(x1_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c0": pa.array(
+                np.searchsorted(cb, x0, side="right").astype(np.int64)),
+            "c1": pa.array(
+                np.searchsorted(cb, x1, side="right").astype(np.int64)),
+        })
+
+    rows = (
+        attrs.map_batches(_cls, batch_format="pyarrow")
+        .groupby(["c0", "c1"])
+        .count()
+        .take_all()
+    )
+    k = len(cb) + 1
+    nm = np.zeros((k, k), dtype=np.int64)
+    for r in rows:
+        nm[int(r["c0"]), int(r["c1"])] = int(r["count()"])
+    rs = nm.sum(axis=1)
+    live = np.flatnonzero(rs > 0)
+    if len(live) == 0:
+        raise ValueError("prais_index: empty input")
+    diag = nm[live, live]
+    rt = rs[live]
+    return ray.data.from_arrow(pa.table({
+        "c": pa.array(live.astype(np.int64)),
+        "diag": pa.array(diag.astype(np.int64)),
+        "row_tot": pa.array(rt.astype(np.int64)),
+        "prais_num": pa.array((rt - diag).astype(np.int64)),
+        "prais_f": pa.array(
+            (rt - diag).astype(np.float64) / rt.astype(np.float64)
+        ),
+    }))
+
+
 def join_counts_inference(
     g,
     attrs: ray.data.Dataset,

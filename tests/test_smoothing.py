@@ -1,0 +1,170 @@
+"""spatial_rate / eb_smooth / prais_index / kde_surface vs independent
+brute-force float or Python references."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from libpysal_ray.builders.lattice import lat2graph
+
+
+def _eb_attrs(e, b):
+    return ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(len(e), dtype=np.int64)),
+        "e": pa.array(np.asarray(e, dtype=np.int64)),
+        "b": pa.array(np.asarray(b, dtype=np.int64)),
+    })).repartition(3)
+
+
+def test_spatial_rate_matches_dense(ray_session):
+    from libpysal_ray.spatial.smoothing import spatial_rate
+
+    g = lat2graph(6, 5, rook=True)
+    rng = np.random.default_rng(11)
+    e = rng.integers(0, 40, 30)
+    b = rng.integers(1, 25, 30)
+    rows = {r["id"]: r for r in spatial_rate(
+        g, _eb_attrs(e, b)).take_all()}
+    m, ids = g.to_dense()
+    w = (m > 0).astype(np.int64)
+    assert len(rows) == 30
+    for k, i in enumerate(ids):
+        num = int(e[i] + w[k] @ e[ids])
+        den = int(b[i] + w[k] @ b[ids])
+        assert rows[i]["rate_num"] == num
+        assert rows[i]["rate_den"] == den
+        assert abs(rows[i]["rate_f"] - num / den) < 1e-15
+
+
+def test_spatial_rate_isolate_keeps_raw_rate(ray_session):
+    from libpysal_ray.core.graph import RayGraph
+    from libpysal_ray.spatial.smoothing import spatial_rate
+
+    # node 2 is an isolate (zero-weight self-loop marker)
+    g = RayGraph.from_arrays([0, 1, 2], [1, 0, 2], [1.0, 1.0, 0.0])
+    rows = {r["id"]: r for r in spatial_rate(
+        g, _eb_attrs([4, 6, 9], [2, 3, 4])).take_all()}
+    assert rows[2]["rate_num"] == 9 and rows[2]["rate_den"] == 4
+    assert rows[0]["rate_num"] == 10 and rows[0]["rate_den"] == 5
+
+
+def test_spatial_rate_rejects_uncovered_universe(ray_session):
+    from libpysal_ray.spatial.smoothing import spatial_rate
+
+    g = lat2graph(3, 3, rook=True)
+    attrs = _eb_attrs([1] * 8, [1] * 8)  # node 8 missing
+    with pytest.raises(ValueError, match="universe"):
+        spatial_rate(g, attrs).take_all()
+
+
+def _eb_ref(e, b, sc):
+    # pure-Python trunc fixed-point mirror
+    E, B, n = int(e.sum()), int(b.sum()), len(e)
+    m = E * sc // B
+    r = [int(x) * sc // int(y) for x, y in zip(e, b)]
+    S = sum(int(y) * (ri - m) ** 2 for ri, y in zip(r, b))
+    a = max(S // (B * sc) - m * n // B, 0)
+    out = []
+    for ri, y in zip(r, b):
+        wn = a * int(y)
+        num = (ri - m) * wn
+        den = max(wn + m * sc, 1)
+        q = abs(num) // den
+        out.append(m + (q if num >= 0 else -q))
+    return out
+
+
+def test_eb_smooth_matches_python_reference(ray_session):
+    from libpysal_ray.spatial.smoothing import eb_smooth
+
+    rng = np.random.default_rng(5)
+    e = rng.integers(0, 60, 200)
+    b = rng.integers(1, 30, 200)
+    rows = {r["id"]: r for r in eb_smooth(
+        _eb_attrs(e, b), scale=1000).take_all()}
+    want = _eb_ref(e, b, 1000)
+    assert len(rows) == 200
+    for i in range(200):
+        assert rows[i]["theta_fp"] == want[i], i
+        assert abs(rows[i]["theta_f"] - want[i] / 1000.0) < 1e-15
+
+
+def test_eb_smooth_shrinks_toward_global_mean(ray_session):
+    from libpysal_ray.spatial.smoothing import eb_smooth
+
+    # small-base outlier rate shrinks more than a large-base equal rate
+    e = np.array([9, 90, 10, 10, 10, 10], dtype=np.int64)
+    b = np.array([1, 10, 10, 10, 10, 10], dtype=np.int64)
+    rows = {r["id"]: r for r in eb_smooth(
+        _eb_attrs(e, b), scale=10000).take_all()}
+    m = int(e.sum()) * 10000 // int(b.sum())
+    # both raw rates are 9.0 > m; the b=1 row must land closer to m
+    assert abs(rows[0]["theta_fp"] - m) < abs(rows[1]["theta_fp"] - m)
+
+
+def test_prais_matches_transition_matrix(ray_session):
+    from libpysal_ray.spatial.stats import prais_index
+
+    rng = np.random.default_rng(3)
+    x0 = rng.integers(0, 100, 300)
+    x1 = rng.integers(0, 100, 300)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(300, dtype=np.int64)),
+        "x0": pa.array(x0.astype(np.int64)),
+        "x1": pa.array(x1.astype(np.int64)),
+    })).repartition(4)
+    rows = {r["c"]: r for r in prais_index(
+        attrs, class_bins=[33, 66]).take_all()}
+    cb = np.array([33, 66])
+    c0 = np.searchsorted(cb, x0, side="right")
+    c1 = np.searchsorted(cb, x1, side="right")
+    for c in range(3):
+        rt = int((c0 == c).sum())
+        dg = int(((c0 == c) & (c1 == c)).sum())
+        assert rows[c]["row_tot"] == rt
+        assert rows[c]["diag"] == dg
+        assert abs(rows[c]["prais_f"] - (rt - dg) / rt) < 1e-15
+
+
+def test_kde_surface_matches_brute(ray_session):
+    from libpysal_ray.spatial.access import kde_surface
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 200, 300).astype(np.float64)
+    py = rng.integers(0, 200, 300).astype(np.float64)
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(300, dtype=np.int64)),
+        "x": pa.array(px), "y": pa.array(py),
+    })).repartition(5)
+    ax = np.array([0.0, 50.0, 100.0, 199.0])
+    anchors = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(4, dtype=np.int64)),
+        "x": pa.array(ax), "y": pa.array(ax),
+    }))
+    h = 30.0
+    rows = {r["id"]: r for r in kde_surface(
+        anchors, pts, bandwidth=h).take_all()}
+    assert len(rows) == 4
+    for i in range(4):
+        d2 = (px - ax[i]) ** 2 + (py - ax[i]) ** 2
+        m = d2 < h * h
+        ksum = int((h * h - d2[m]).sum())
+        assert rows[i]["ksum"] == ksum
+        assert rows[i]["cnt"] == int(m.sum())
+        assert abs(rows[i]["kde_f"] - ksum / (300 * h * h)) < 1e-15
+
+
+def test_kde_surface_empty_neighborhood_zero(ray_session):
+    from libpysal_ray.spatial.access import kde_surface
+
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array([0], pa.int64()),
+        "x": pa.array([0.0]), "y": pa.array([0.0]),
+    }))
+    anchors = ray.data.from_arrow(pa.table({
+        "id": pa.array([7], pa.int64()),
+        "x": pa.array([500.0]), "y": pa.array([500.0]),
+    }))
+    rows = kde_surface(anchors, pts, bandwidth=10.0).take_all()
+    assert rows == [{"id": 7, "ksum": 0, "cnt": 0, "kde_f": 0.0}]
