@@ -8211,3 +8211,36 @@ SELECT anch.aid AS id, COALESCE(agg.ksum, 0) AS ksum,
          / CAST((SELECT n FROM n) * 10000 AS DOUBLE) AS kde_f
 FROM anch LEFT JOIN agg USING (aid)
 """
+
+
+def q_dsir(sf_dir: str):
+    """DSIR-style importance affinity toward the 'en' slice: exact
+    integer target/raw unigram-count sums per document, one pinned
+    ratio."""
+    from libpysal_ray.text.analysis import target_affinity
+
+    return target_affinity(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), target_lang="en"
+    )
+
+
+QUERIES["dsir"] = q_dsir
+
+ORACLE_SQL["dsir"] = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+tk AS (SELECT doc_id, lang, w FROM toks WHERE w <> ''),
+c AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS r,
+         CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0)
+              AS BIGINT) AS t
+  FROM tk GROUP BY w
+)
+SELECT tk.doc_id, CAST(SUM(c.t) AS BIGINT) AS aff_num,
+       CAST(SUM(c.r) AS BIGINT) AS aff_den,
+       CAST(SUM(c.t) AS DOUBLE) / CAST(SUM(c.r) AS DOUBLE) AS aff_f
+FROM tk JOIN c USING (w)
+GROUP BY tk.doc_id
+"""

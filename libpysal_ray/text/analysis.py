@@ -946,3 +946,166 @@ def sample_quantiles(
         "q": pa.array(out_q),
         "value": pa.array(vals[idx]),
     }))
+
+
+def target_affinity(
+    ds: ray.data.Dataset,
+    target_lang: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """DSIR-style hashed-feature importance score (the Data Selection
+    via Importance Resampling pattern, arXiv:2302.03169, with an EXACT
+    integer rational in place of the paper's log-likelihood ratio —
+    distributed float log sums are order-dependent, integer count sums
+    are not): score every document by how target-like its unigram
+    feature distribution is,
+
+        aff_num_i = Σ_{tokens w of doc i} t(w)   (target corpus count)
+        aff_den_i = Σ_{tokens w of doc i} r(w)   (raw corpus count)
+
+    where t(w) counts occurrences of w inside ``target_lang`` documents
+    and r(w) over the whole corpus. aff_f = aff_num/aff_den is one
+    pinned float per doc — the expected target-vs-raw frequency ratio
+    under the document's own token distribution; resample/select on it
+    exactly like DSIR's importance weight. Documents with no tokens
+    emit no row; aff_den ≥ own length > 0 always.
+
+    100 TB shape: the ``bigram_familiarity`` plan on unigrams — ONE
+    tokenization pass emits per-doc DISTINCT token hashes with
+    multiplicity (batch combiner, materialized: consumed twice), corpus
+    counts are one groupby(hash) carrying BOTH sums (raw and
+    target-flagged), attached back with one distributed bucket_join,
+    reduced per document with segmented batch partials. Joining on the
+    64-bit token hash keeps the shuffle narrow; a cross-token collision
+    (~2^-64 birthday terms) would merge two counts — same declared
+    caveat as bigram_familiarity. Overflow is pre-checked loudly:
+    max_doc_tokens × total_tokens < 2^62."""
+    from libpysal_ray.core.hashing import tokenize_hash
+    from libpysal_ray.core.joins import bucket_join
+
+    def _doctoks(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "wh": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+            "kt": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64()),
+        })
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        is_t = pc.equal(
+            t.column(lang_col), pa.scalar(target_lang)
+        ).to_numpy(zero_copy_only=False)
+        th, doc_off = tokenize_hash(t.column(text_col))
+        if len(th) == 0:
+            return empty
+        perdoc = np.diff(doc_off)
+        docof = np.repeat(np.arange(len(perdoc), dtype=np.int64), perdoc)
+        u, inv = np.unique(th, return_inverse=True)
+        K = np.int64(max(len(u), 1))
+        key = docof * K + inv.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        d_i = (uk // K).astype(np.int64)
+        c_i = (uk % K).astype(np.int64)
+        k = cnt.astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[d_i]),
+            "wh": pa.array(u[c_i].view(np.int64)),
+            "k": pa.array(k),
+            "kt": pa.array(np.where(is_t[d_i], k, 0).astype(np.int64)),
+            # per-doc token total, for the overflow guard (repeated per
+            # distinct token; Max-aggregated, never summed)
+            "dl": pa.array(perdoc[d_i].astype(np.int64)),
+        })
+
+    stream = ds.map_batches(
+        _doctoks, batch_format="pyarrow"
+    ).materialize()  # consumed twice; Ray shares no subplans
+    agg = stream.aggregate(
+        ray.data.aggregate.Sum("k"), ray.data.aggregate.Max("dl")
+    )
+    total_toks = int(agg["sum(k)"] or 0)
+    dl_max = int(agg["max(dl)"] or 0)
+    # every per-doc product term k·r ≤ dl·T and their per-doc sum
+    # Σ k·r ≤ dl·T as well (Σk = dl, r ≤ T) — bound it before any
+    # int64 product exists anywhere
+    if dl_max * total_toks >= (1 << 62):
+        raise ValueError(
+            "target_affinity: max_doc_tokens x total_tokens exceeds "
+            "2^62; shard the corpus first"
+        )
+    counts = (
+        stream.map_batches(
+            lambda t: t.select(["wh", "k", "kt"]), batch_format="pyarrow"
+        )
+        .groupby("wh")
+        .sum(["k", "kt"])
+        .map_batches(
+            lambda t: pa.table({
+                "wh": t.column("wh"),
+                "r": pc.cast(t.column("sum(k)"), pa.int64()),
+                "tt": pc.cast(t.column("sum(kt)"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    joined = bucket_join(
+        stream.map_batches(
+            lambda t: t.select([id_col, "wh", "k"]),
+            batch_format="pyarrow",
+        ),
+        counts, on="wh", num_buckets=num_buckets,
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = t.column("tt").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(ids, kind="stable")
+        si = ids[order]
+        new = np.ones(len(si), bool)
+        new[1:] = si[1:] != si[:-1]
+        starts = np.flatnonzero(new)
+        if len(starts) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "num": pa.array([], pa.int64()),
+                "den": pa.array([], pa.int64()),
+            })
+        kn, ko = (k * tt)[order], (k * r)[order]
+        return pa.table({
+            id_col: pa.array(si[starts]),
+            "num": pa.array(np.add.reduceat(kn, starts)),
+            "den": pa.array(np.add.reduceat(ko, starts)),
+        })
+
+    out = joined.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby(id_col).sum(["num", "den"])
+
+    def _shape(t: pa.Table) -> pa.Table:
+        num = pc.cast(t.column("sum(num)"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        den = pc.cast(t.column("sum(den)"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({
+            id_col: t.column(id_col),
+            "aff_num": pa.array(num),
+            "aff_den": pa.array(den),
+            "aff_f": pa.array(
+                num.astype(np.float64) / den.astype(np.float64)
+            ),
+        })
+
+    return out.map_batches(_shape, batch_format="pyarrow")

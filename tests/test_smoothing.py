@@ -168,3 +168,40 @@ def test_kde_surface_empty_neighborhood_zero(ray_session):
     }))
     rows = kde_surface(anchors, pts, bandwidth=10.0).take_all()
     assert rows == [{"id": 7, "ksum": 0, "cnt": 0, "kde_f": 0.0}]
+
+
+def test_target_affinity_matches_brute(ray_session):
+    from collections import Counter
+
+    from libpysal_ray.text.analysis import target_affinity
+
+    docs = [
+        (0, "a b a c", "en"),
+        (1, "b b d", "fr"),
+        (2, "a d d e", "en"),
+        (3, "c c", "de"),
+        (4, "", "en"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs]),
+        "lang": pa.array([d[2] for d in docs]),
+    })).repartition(3)
+    rows = {r["doc_id"]: r for r in target_affinity(
+        ds, target_lang="en").take_all()}
+    raw = Counter()
+    tgt = Counter()
+    for _, text, lang in docs:
+        for w in text.split():
+            raw[w] += 1
+            if lang == "en":
+                tgt[w] += 1
+    assert 4 not in rows  # empty doc emits no row
+    for i, text, _ in docs[:4]:
+        num = sum(tgt[w] for w in text.split())
+        den = sum(raw[w] for w in text.split())
+        assert rows[i]["aff_num"] == num, i
+        assert rows[i]["aff_den"] == den, i
+        assert abs(rows[i]["aff_f"] - num / den) < 1e-15
+    # the en docs sharing 'a' should out-score the fr doc of b/d
+    assert rows[0]["aff_f"] > rows[1]["aff_f"]
