@@ -8244,3 +8244,38 @@ SELECT tk.doc_id, CAST(SUM(c.t) AS BIGINT) AS aff_num,
 FROM tk JOIN c USING (w)
 GROUP BY tk.doc_id
 """
+
+
+def q_within_join(sf_dir: str):
+    """Cross-set dwithin join: every (en, non-en) document point pair
+    within distance 60, exact integer d²."""
+    from libpysal_ray.spatial.pointpat import within_join
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    return within_join(
+        geocode_docs_side(docs, True), geocode_docs_side(docs, False),
+        radius=60.0, id_col="doc_id",
+    )
+
+
+QUERIES["within_join"] = q_within_join
+
+ORACLE_SQL["within_join"] = f"""
+WITH pa_ AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y
+  FROM documents WHERE lang = 'en'
+),
+pb AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y
+  FROM documents WHERE lang <> 'en'
+)
+SELECT i.doc_id AS focal, j.doc_id AS neighbor,
+       CAST((i.x - j.x) * (i.x - j.x)
+            + (i.y - j.y) * (i.y - j.y) AS BIGINT) AS d2
+FROM pa_ i JOIN pb j
+  ON (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y) <= 3600.0
+"""

@@ -965,3 +965,80 @@ def percolation_profile(
         "n_components": pa.array(rows_n, pa.int64()),
         "giant": pa.array(rows_g, pa.int64()),
     }))
+
+
+def within_join(
+    points_a: ray.data.Dataset,
+    points_b: ray.data.Dataset,
+    radius: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> ray.data.Dataset:
+    """Cross-set distance-within join (GeoPandas sjoin dwithin
+    semantics; the cross-set sibling of DistanceBand,
+    reference `weights/distance.py:748-1009`): every pair (a, b) with
+    a ∈ A, b ∈ B and d(a, b) ≤ radius — inclusive, squared-distance
+    test, coincident points join at 0, no cross-set self-exclusion.
+    Rows (focal, neighbor, d2) with the EXACT integer squared distance
+    (integer-valued coordinates make d² exactly representable).
+
+    100 TB shape: the tagged union of both sets rides ONE tile shuffle
+    at cs = halo = radius (the :func:`band_value_sum` plan); every A
+    point is core in exactly one tile and B ghost rows cover its halo,
+    so each qualifying pair is emitted exactly once, per tile, with no
+    global dedup pass. Output is pair-expanded (up to |A|·|B| under a
+    degenerate radius) — size it like a distance-band edge build, not
+    like a per-row transform."""
+
+    def _tag(mark):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "id": t.column(id_col),
+                "x": t.column(x_col),
+                "y": t.column(y_col),
+                "mark": pa.array(
+                    np.full(t.num_rows, mark, dtype=np.int64)),
+            })
+        return _f
+
+    both = points_a.map_batches(
+        _tag(1), batch_format="pyarrow"
+    ).union(points_b.map_batches(_tag(2), batch_format="pyarrow"))
+    tiled = tile_points(both, cs=float(radius), halo=float(radius),
+                        extra_cols=("mark",))
+    t2 = float(radius) * float(radius)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        mark = t.column("mark").to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        ai = np.flatnonzero(core & (mark == 1))
+        bj = np.flatnonzero(mark == 2)
+        of, on, od = [], [], []
+        if len(bj):
+            xb, yb, idb = x[bj], y[bj], ids[bj]
+            for s in range(0, len(ai), _CHUNK):
+                sel = ai[s : s + _CHUNK]
+                dx = x[sel, None] - xb[None, :]
+                dy = y[sel, None] - yb[None, :]
+                d2 = dx * dx + dy * dy
+                ii, jj = np.nonzero(d2 <= t2)
+                of.append(ids[sel][ii])
+                on.append(idb[jj])
+                od.append(d2[ii, jj].astype(np.int64))
+        if not of:
+            return pa.table({
+                "focal": pa.array([], pa.int64()),
+                "neighbor": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "focal": pa.array(np.concatenate(of).astype(np.int64)),
+            "neighbor": pa.array(np.concatenate(on).astype(np.int64)),
+            "d2": pa.array(np.concatenate(od)),
+        })
+
+    return J.per_group(tiled, ("tile",), _pairs)

@@ -205,3 +205,32 @@ def test_target_affinity_matches_brute(ray_session):
         assert abs(rows[i]["aff_f"] - num / den) < 1e-15
     # the en docs sharing 'a' should out-score the fr doc of b/d
     assert rows[0]["aff_f"] > rows[1]["aff_f"]
+
+
+def test_within_join_matches_brute(ray_session):
+    from libpysal_ray.spatial.pointpat import within_join
+
+    rng = np.random.default_rng(17)
+    ax = rng.integers(0, 300, 80).astype(np.float64)
+    ay = rng.integers(0, 300, 80).astype(np.float64)
+    bx = rng.integers(0, 300, 120).astype(np.float64)
+    by = rng.integers(0, 300, 120).astype(np.float64)
+    A = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(80, dtype=np.int64)),
+        "x": pa.array(ax), "y": pa.array(ay),
+    })).repartition(3)
+    B = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(1000, 1120, dtype=np.int64)),
+        "x": pa.array(bx), "y": pa.array(by),
+    })).repartition(4)
+    r = 40.0
+    got = sorted(
+        (x["focal"], x["neighbor"], x["d2"])
+        for x in within_join(A, B, radius=r).take_all()
+    )
+    d2 = (ax[:, None] - bx[None, :]) ** 2 + (ay[:, None] - by[None, :]) ** 2
+    ii, jj = np.nonzero(d2 <= r * r)
+    want = sorted(
+        (int(i), int(j) + 1000, int(d2[i, j])) for i, j in zip(ii, jj)
+    )
+    assert got == want and len(want) > 100
