@@ -8279,3 +8279,40 @@ SELECT i.doc_id AS focal, j.doc_id AS neighbor,
 FROM pa_ i JOIN pb j
   ON (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y) <= 3600.0
 """
+
+
+def q_novelty(sf_dir: str):
+    """Per-document originality: fraction of distinct 16-token windows
+    with corpus document-frequency 1 — exact integer counts, one
+    pinned ratio."""
+    from libpysal_ray.text.dedup import novelty_score
+
+    return novelty_score(_docs(sf_dir, ["doc_id", "text"]), k=16)
+
+
+QUERIES["novelty"] = q_novelty
+
+ORACLE_SQL["novelty"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(tk) - 15),
+                   i -> array_to_string(tk[i:i+15], ' ')))) AS g
+  FROM toks WHERE len(tk) >= 16
+  UNION ALL
+  SELECT doc_id, array_to_string(tk, ' ') AS g
+  FROM toks WHERE len(tk) BETWEEN 1 AND 15
+),
+df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(COALESCE(SUM(CASE WHEN df.df = 1 THEN 1 END), 0)
+              AS BIGINT) AS novel
+  FROM grams JOIN df USING (g) GROUP BY doc_id
+)
+SELECT doc_id, n_windows, novel,
+       CAST(novel AS DOUBLE) / CAST(n_windows AS DOUBLE) AS novelty_f
+FROM per
+"""

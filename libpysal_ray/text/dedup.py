@@ -936,3 +936,107 @@ def paragraph_dedup(
         })
 
     return grouped_by_key(winners, [id_col], _asm)
+
+
+def novelty_score(
+    ds: ray.data.Dataset,
+    k: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Document originality score (the inverse of the RefinedWeb
+    exact-substring signal :func:`substring_dedup` acts on): for every
+    document, the fraction of its DISTINCT ``k``-token windows that
+    occur in NO other document,
+
+        novelty_f = novel / n_windows
+
+    with n_windows the doc's distinct window count and novel those of
+    corpus document-frequency 1. Output (doc_id, n_windows, novel,
+    novelty_f) for every document; docs with < k tokens fold to a
+    whole-doc window (shared semantics with substring_dedup), so every
+    doc emits exactly one row. Joining on the 64-bit window hash keeps
+    the shuffle narrow; a cross-window collision (~2^-64 birthday
+    terms) would merge two frequencies — the declared caveat of the
+    whole dedup family.
+
+    100 TB shape: distinct (window-hash, id) rows per batch (the
+    vectorized flat-shingle path, Σ rows ≈ corpus tokens), ONE
+    groupby(hash) count (= document frequency, rows are per-doc
+    distinct), one bucket_join back, per-doc segmented batch partials
+    into a final groupby(id)."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _rows(t: pa.Table) -> pa.Table:
+        sh, sd, _ = _flat_shingles(t.column(text_col), k)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.lexsort((sh, sd))
+        sds, shs = sd[order], sh[order]
+        first = np.ones(len(sds), bool)
+        first[1:] = (sds[1:] != sds[:-1]) | (shs[1:] != shs[:-1])
+        return pa.table({
+            "sh": pa.array((shs[first] >> np.uint64(1)).astype(np.int64)),
+            id_col: pa.array(ids[sds[first]]),
+        })
+
+    import pyarrow.compute as pc
+
+    rows = ds.map_batches(_rows, batch_format="pyarrow").materialize()
+    df = rows.groupby("sh").count().map_batches(
+        lambda t: pa.table({
+            "sh": t.column("sh"),
+            "df": pc.cast(t.column("count()"), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(rows, df, on="sh")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        dfv = t.column("df").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(ids, kind="stable")
+        si, sd = ids[order], dfv[order]
+        new = np.ones(len(si), bool)
+        new[1:] = si[1:] != si[:-1]
+        starts = np.flatnonzero(new)
+        if len(starts) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+                "novel": pa.array([], pa.int64()),
+            })
+        ones = np.ones(len(si), dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(si[starts]),
+            "n_windows": pa.array(np.add.reduceat(ones, starts)),
+            "novel": pa.array(
+                np.add.reduceat((sd == 1).astype(np.int64), starts)),
+        })
+
+    out = joined.map_batches(
+        _partial, batch_format="pyarrow"
+    ).groupby(id_col).sum(["n_windows", "novel"])
+
+    def _shape(t: pa.Table) -> pa.Table:
+        nw = pc.cast(t.column("sum(n_windows)"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nv = pc.cast(t.column("sum(novel)"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_windows": pa.array(nw),
+            "novel": pa.array(nv),
+            "novelty_f": pa.array(
+                nv.astype(np.float64) / nw.astype(np.float64)
+            ),
+        })
+
+    return out.map_batches(_shape, batch_format="pyarrow")

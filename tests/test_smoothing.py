@@ -234,3 +234,39 @@ def test_within_join_matches_brute(ray_session):
         (int(i), int(j) + 1000, int(d2[i, j])) for i, j in zip(ii, jj)
     )
     assert got == want and len(want) > 100
+
+
+def test_novelty_score_matches_brute(ray_session):
+    from collections import Counter
+
+    from libpysal_ray.text.dedup import novelty_score
+
+    # k=3 windows; doc 1 copies doc 0's opening trigram
+    docs = [
+        (0, "a b c d e"),
+        (1, "a b c x y"),
+        (2, "p q r s"),
+        (3, "zz"),          # < k tokens -> whole-doc window, unique
+        (4, "zz"),          # duplicate whole-doc window with doc 3
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs]),
+    })).repartition(2)
+    rows = {r["doc_id"]: r for r in novelty_score(ds, k=3).take_all()}
+    grams = {}
+    for i, text in docs:
+        tk = text.split()
+        if len(tk) >= 3:
+            g = {" ".join(tk[j:j + 3]) for j in range(len(tk) - 2)}
+        else:
+            g = {text}
+        grams[i] = g
+    df = Counter(w for g in grams.values() for w in g)
+    for i, _ in docs:
+        nw = len(grams[i])
+        nv = sum(1 for w in grams[i] if df[w] == 1)
+        assert rows[i]["n_windows"] == nw, i
+        assert rows[i]["novel"] == nv, i
+        assert abs(rows[i]["novelty_f"] - nv / nw) < 1e-15
+    assert rows[3]["novel"] == 0 and rows[2]["novel"] == 2
