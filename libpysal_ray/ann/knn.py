@@ -111,6 +111,85 @@ def ann_topk(
     )
 
 
+def hard_negative_topk(
+    embeddings: ray.data.Dataset,
+    query_ids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> ray.data.Dataset:
+    """Hard-negative mining for contrastive training: for every query
+    embedding, the top-k most cosine-similar vectors of a DIFFERENT
+    label — the classic in-batch-negatives upgrade (highest-similarity
+    cross-label candidates are the hardest negatives). Same exact
+    brute-force plan as :func:`ann_topk` (the label test replaces the
+    self test): (query_id, neighbor_id, rank, sim), ties broken by
+    neighbor id ascending.
+
+    100 TB shape: queries + labels broadcast once via ray.put; one
+    streaming matmul pass over embedding blocks emits per-block top-k
+    partials; ONE small groupby(query_id) merge. Never all-pairs."""
+    import numpy as _np
+
+    qarr = _np.asarray(sorted(set(int(q) for q in query_ids)),
+                       dtype=_np.int64)
+
+    def _sel(t):
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_np.isin(ids, qarr)))
+
+    rows = embeddings.map_batches(_sel, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    qid = np.array([r[id_col] for r in rows], dtype=np.int64)
+    qlab = np.array([r[label_col] for r in rows], dtype=np.int64)
+    qm = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    ref = ray.put((qid, qlab, _norm_rows(qm)))
+
+    def _local(t: pa.Table) -> pa.Table:
+        qids, qlabs, qmat = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = _vec_matrix(t.column(vec_col))
+        if len(m) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sims = qmat @ _norm_rows(m).T  # (q, m)
+        sims[qlabs[:, None] == lab[None, :]] = -np.inf  # same-label out
+        take = min(k, sims.shape[1])
+        ord_ = np.lexsort(
+            (np.broadcast_to(ids, sims.shape), -sims), axis=1
+        )[:, :take]
+        rws = np.repeat(np.arange(len(qids)), take)
+        cols = ord_.ravel()
+        keep = ~np.isinf(sims[rws, cols])
+        return pa.table({
+            "query_id": pa.array(np.repeat(qids, take)[keep]),
+            "neighbor_id": pa.array(ids[cols][keep]),
+            "sim": pa.array(sims[rws, cols][keep]),
+        })
+
+    def _merge(t: pa.Table) -> pa.Table:
+        s = t.column("sim").to_numpy(zero_copy_only=False)
+        nb = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        ord_ = np.lexsort((nb, -s))[:k]
+        out = t.take(pa.array(ord_))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(ord_) + 1, dtype=np.int64))
+        )
+
+    return (
+        embeddings.map_batches(_local, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
 def ann_lsh_topk(
     embeddings: ray.data.Dataset,
     query_ids,

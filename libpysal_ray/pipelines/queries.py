@@ -8316,3 +8316,75 @@ SELECT doc_id, n_windows, novel,
        CAST(novel AS DOUBLE) / CAST(n_windows AS DOUBLE) AS novelty_f
 FROM per
 """
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining: exact top-5 cross-label cosine neighbors
+    for the first 10 embeddings."""
+    from libpysal_ray.ann.knn import hard_negative_topk
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    return hard_negative_topk(emb, query_ids=range(10), k=5) \
+        .select_columns(["query_id", "neighbor_id", "rank"])
+
+
+QUERIES["hard_negatives"] = q_hard_negatives
+
+ORACLE_SQL["hard_negatives"] = """
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 10
+),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings e WHERE e.label <> q.label
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS "rank"
+  FROM s
+)
+SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5
+"""
+
+
+def q_domain_rank(sf_dir: str):
+    """Per-source RANK percentile of an integer quality proxy
+    (n_chars %% 101) — the 'keep each domain's top X%%' primitive; no
+    global sort, distinct-score histogram broadcast once."""
+    from libpysal_ray.text.analysis import group_rank
+
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "score": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 101
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return group_rank(ds, group_col="source", score_col="score")
+
+
+QUERIES["domain_rank"] = q_domain_rank
+
+ORACLE_SQL["domain_rank"] = """
+WITH a AS (
+  SELECT doc_id, source AS grp, CAST(n_chars % 101 AS BIGINT) AS score
+  FROM documents
+),
+r AS (
+  SELECT doc_id, grp, score,
+         CAST(RANK() OVER (PARTITION BY grp ORDER BY score) AS BIGINT)
+           AS rnk,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_group
+  FROM a
+)
+SELECT doc_id, grp, score, rnk, n_group,
+       CAST(rnk AS DOUBLE) / CAST(n_group AS DOUBLE) AS pct_f
+FROM r
+"""

@@ -1109,3 +1109,79 @@ def target_affinity(
         })
 
     return out.map_batches(_shape, batch_format="pyarrow")
+
+
+def group_rank(
+    ds: ray.data.Dataset,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-group RANK of an integer score (SQL RANK() semantics: ties
+    share rank = 1 + count of strictly-smaller scores in the group) and
+    its percentile — the per-domain quality-threshold primitive of a
+    curation pipeline ("keep each domain's top X%"). Output one row per
+    input row: (id, group, score, rank, n_group, pct_f) with pct_f =
+    rank / n_group the one pinned float.
+
+    100 TB shape: NO global sort and NO per-group materialization — a
+    per-batch (group, score) value-count combiner feeds ONE small
+    groupby, the distinct-score histogram (bounded by #groups ×
+    #distinct integer scores, the ``select_top_fraction`` contract —
+    integer scores keep it small; raises loudly past 4M cells) turns
+    into exclusive prefix sums on the driver and broadcasts once via
+    ray.put; ranks then attach in one stateless per-row pass."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sub = t.select([group_col, score_col])
+        return pa.TableGroupBy(sub, [group_col, score_col]).aggregate(
+            [([], "count_all")]
+        ).rename_columns([group_col, score_col, "cnt"])
+
+    hist = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([group_col, score_col])
+        .sum("cnt")
+        .take_all()
+    )
+    if len(hist) > 4_000_000:
+        raise ValueError(
+            "group_rank: #groups x #distinct scores exceeds the "
+            "histogram budget; bucketize the score first"
+        )
+    by_g: dict = {}
+    for r in hist:
+        by_g.setdefault(r[group_col], []).append(
+            (int(r[score_col]), int(r["sum(cnt)"]))
+        )
+    ranks: dict = {}
+    sizes: dict = {}
+    for gk, pairs in by_g.items():
+        pairs.sort()
+        c = 0
+        for s, n in pairs:
+            ranks[(gk, s)] = c + 1
+            c += n
+        sizes[gk] = c
+    ref = ray.put((ranks, sizes))
+
+    def _attach(t: pa.Table) -> pa.Table:
+        rk, sz = ray.get(ref)
+        gv = t.column(group_col).to_pylist()
+        sv = t.column(score_col).to_numpy(zero_copy_only=False)
+        rr = np.array(
+            [rk[(g, int(s))] for g, s in zip(gv, sv)], dtype=np.int64
+        )
+        ng = np.array([sz[g] for g in gv], dtype=np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "grp": t.column(group_col),
+            "score": pa.array(sv.astype(np.int64)),
+            "rnk": pa.array(rr),
+            "n_group": pa.array(ng),
+            "pct_f": pa.array(
+                rr.astype(np.float64) / ng.astype(np.float64)
+            ),
+        })
+
+    return ds.map_batches(_attach, batch_format="pyarrow")

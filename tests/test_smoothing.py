@@ -270,3 +270,54 @@ def test_novelty_score_matches_brute(ray_session):
         assert rows[i]["novel"] == nv, i
         assert abs(rows[i]["novelty_f"] - nv / nw) < 1e-15
     assert rows[3]["novel"] == 0 and rows[2]["novel"] == 2
+
+
+def test_hard_negative_topk_matches_brute(ray_session):
+    from libpysal_ray.ann.knn import hard_negative_topk
+
+    rng = np.random.default_rng(21)
+    n, d = 120, 8
+    vecs = rng.normal(size=(n, d))
+    labels = rng.integers(0, 3, n)
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs.astype(np.float64))),
+        "label": pa.array(labels.astype(np.int64)),
+    })).repartition(4)
+    out = hard_negative_topk(emb, query_ids=[0, 5, 9], k=4).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for q in (0, 5, 9):
+        sims = nv @ nv[q]
+        sims[labels == labels[q]] = -np.inf
+        order = np.lexsort((np.arange(n), -sims))[:4]
+        want = [(i + 1, int(j)) for i, j in enumerate(order)]
+        assert sorted(got[q]) == want, q
+        assert all(labels[j] != labels[q] for _, j in want)
+
+
+def test_group_rank_matches_window_fn(ray_session):
+    from libpysal_ray.text.analysis import group_rank
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 4, 400)
+    s = rng.integers(0, 12, 400)  # heavy ties on purpose
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+        "grp": pa.array([f"s{v}" for v in g]),
+        "score": pa.array(s.astype(np.int64)),
+    })).repartition(5)
+    rows = {r["doc_id"]: r for r in group_rank(
+        ds, group_col="grp", score_col="score").take_all()}
+    assert len(rows) == 400
+    for i in range(400):
+        same = g == g[i]
+        rank = int((s[same] < s[i]).sum()) + 1  # RANK(): ties share
+        ngrp = int(same.sum())
+        assert rows[i]["rnk"] == rank, i
+        assert rows[i]["n_group"] == ngrp
+        assert abs(rows[i]["pct_f"] - rank / ngrp) < 1e-15
