@@ -8388,3 +8388,86 @@ SELECT doc_id, grp, score, rnk, n_group,
        CAST(rnk AS DOUBLE) / CAST(n_group AS DOUBLE) AS pct_f
 FROM r
 """
+
+
+def q_morisita(sf_dir: str):
+    """Morisita dispersion index over the 8x8 quadrat grid — exact
+    integer Q*sum n(n-1) / N(N-1)."""
+    from libpysal_ray.spatial.pointpat import morisita_index
+
+    return morisita_index(
+        _points(sf_dir).map_batches(
+            lambda t: pa.table({
+                "id": t.column("doc_id"),
+                "x": t.column("x"), "y": t.column("y"),
+            }),
+            batch_format="pyarrow",
+        ),
+        cell=float(CDIV), n_quadrats=64,
+    )
+
+
+QUERIES["morisita"] = q_morisita
+
+ORACLE_SQL["morisita"] = f"""
+WITH {_PTS_SQL},
+c AS (
+  SELECT CAST(FLOOR(y / {CDIV}) AS BIGINT) AS r,
+         CAST(FLOOR(x / {CDIV}) AS BIGINT) AS cc,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+a AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS s2
+  FROM c
+)
+SELECT CAST(64 AS BIGINT) AS q, n, s2,
+       CAST(64 * s2 AS VARCHAR) AS mor_num,
+       CAST(n * (n - 1) AS VARCHAR) AS mor_den,
+       CAST(64 * s2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+         AS morisita_f
+FROM a
+"""
+
+
+def q_palma(sf_dir: str):
+    """Palma quantile-share ratio of n_chars: top-10% total over
+    bottom-40% total — exact histogram apportionment, no global sort."""
+    from libpysal_ray.spatial.inequality import palma_ratio
+
+    return palma_ratio(_docs(sf_dir, ["n_chars"]), value_col="n_chars")
+
+
+QUERIES["palma"] = q_palma
+
+ORACLE_SQL["palma"] = """
+WITH a AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS tot FROM a),
+h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY v),
+o AS (
+  SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+         SUM(v * c) OVER (ORDER BY v) AS vsum
+  FROM h
+),
+k AS (SELECT n, tot, n * 10 // 100 AS k_top, n * 40 // 100 AS k_bot
+      FROM nn),
+bs AS (
+  SELECT vsum - v * (cum - (SELECT k_bot FROM k)) AS bot_sum
+  FROM o WHERE cum >= (SELECT k_bot FROM k) ORDER BY v LIMIT 1
+),
+ts AS (
+  SELECT (SELECT tot FROM k)
+         - (vsum - v * (cum - ((SELECT n FROM k)
+                               - (SELECT k_top FROM k)))) AS top_sum
+  FROM o WHERE cum >= (SELECT n FROM k) - (SELECT k_top FROM k)
+  ORDER BY v LIMIT 1
+)
+SELECT (SELECT n FROM k) AS n,
+       CAST((SELECT k_top FROM k) AS BIGINT) AS k_top,
+       CAST((SELECT k_bot FROM k) AS BIGINT) AS k_bot,
+       CAST((SELECT top_sum FROM ts) AS VARCHAR) AS top_sum,
+       CAST((SELECT bot_sum FROM bs) AS VARCHAR) AS bot_sum,
+       CAST((SELECT top_sum FROM ts) AS DOUBLE)
+         / CAST((SELECT bot_sum FROM bs) AS DOUBLE) AS palma_f
+"""

@@ -363,3 +363,79 @@ def location_quotient(
         "lq_f": pa.array(lq_num.astype(np.float64)
                          / lq_den.astype(np.float64)),
     }))
+
+
+def palma_ratio(
+    ds: ray.data.Dataset,
+    value_col: str,
+    top_pct: int = 10,
+    bottom_pct: int = 40,
+) -> ray.data.Dataset:
+    """Palma-style quantile-share ratio (Palma 2011; the inequality
+    family alongside :func:`gini_coefficient`): the total value held by
+    the top ``top_pct``% of units over the total held by the bottom
+    ``bottom_pct``%, with integer-floor group sizes k_top = n·top//100
+    and k_bot = n·bottom//100 ranked by value. Boundary TIES need no id
+    tie-break — tied units carry equal value, so any k-subset of the
+    boundary value yields the same EXACT sum (the histogram
+    apportionment below). Values must be non-negative integers. Output
+    one row (n, k_top, k_bot, top_sum, bot_sum, palma_f); raises when
+    the bottom share is empty or zero-valued (ratio undefined).
+
+    100 TB shape: the ``select_top_fraction`` distinct-value histogram
+    contract — one groupby(value) count (bounded by #distinct integer
+    values; integer scores keep it small), cumulative apportionment is
+    O(#distinct) driver work, no global sort, no per-row pull."""
+    hist = (
+        ds.map_batches(
+            lambda t: pa.table({
+                "v": pa.array(
+                    t.column(value_col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("v")
+        .count()
+        .take_all()
+    )
+    if not hist:
+        raise ValueError("palma_ratio: empty input")
+    vs = np.array(sorted(int(r["v"]) for r in hist), dtype=np.int64)
+    cm = {int(r["v"]): int(r["count()"]) for r in hist}
+    cnt = np.array([cm[int(v)] for v in vs], dtype=np.int64)
+    if vs[0] < 0:
+        raise ValueError("palma_ratio needs non-negative values")
+    n = int(cnt.sum())
+    k_top = n * int(top_pct) // 100
+    k_bot = n * int(bottom_pct) // 100
+    if k_top < 1 or k_bot < 1:
+        raise ValueError("palma_ratio: shares too small for n")
+    cum = np.cumsum(cnt)
+    vsum = np.cumsum(vs * cnt, dtype=object)  # unbounded ints
+
+    def _bottom_sum(k: int) -> int:
+        # exact sum of the k smallest values via histogram apportionment
+        i = int(np.searchsorted(cum, k))
+        below = int(vsum[i - 1]) if i > 0 else 0
+        cbelow = int(cum[i - 1]) if i > 0 else 0
+        return below + int(vs[i]) * (k - cbelow)
+
+    total = int(vsum[-1])
+    bot_sum = _bottom_sum(k_bot)
+    top_sum = total - _bottom_sum(n - k_top)
+    if bot_sum <= 0:
+        raise ValueError("palma_ratio: bottom share sums to zero")
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "k_top": pa.array([k_top], pa.int64()),
+        "k_bot": pa.array([k_bot], pa.int64()),
+        "top_sum": pa.array([str(top_sum)]),
+        "bot_sum": pa.array([str(bot_sum)]),
+        "palma_f": pa.array(
+            [float(np.float64(top_sum) / np.float64(bot_sum))],
+            pa.float64(),
+        ),
+    }))

@@ -321,3 +321,57 @@ def test_group_rank_matches_window_fn(ray_session):
         assert rows[i]["rnk"] == rank, i
         assert rows[i]["n_group"] == ngrp
         assert abs(rows[i]["pct_f"] - rank / ngrp) < 1e-15
+
+
+def test_morisita_matches_brute(ray_session):
+    from libpysal_ray.spatial.pointpat import morisita_index
+
+    rng = np.random.default_rng(31)
+    x = rng.integers(0, 400, 500).astype(np.float64)
+    y = rng.integers(0, 400, 500).astype(np.float64)
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(500, dtype=np.int64)),
+        "x": pa.array(x), "y": pa.array(y),
+    })).repartition(4)
+    row = morisita_index(pts, cell=100.0, n_quadrats=16).take_all()[0]
+    cells = (np.floor(y / 100).astype(int) * 4
+             + np.floor(x / 100).astype(int))
+    cnt = np.bincount(cells, minlength=16)
+    s2 = int((cnt * (cnt - 1)).sum())
+    assert row["n"] == 500 and row["s2"] == s2
+    assert row["mor_num"] == str(16 * s2)
+    assert row["mor_den"] == str(500 * 499)
+    assert abs(row["morisita_f"] - 16 * s2 / (500 * 499)) < 1e-12
+
+
+def test_morisita_clustered_beats_uniform(ray_session):
+    from libpysal_ray.spatial.pointpat import morisita_index
+
+    # all mass in one quadrat -> maximal clustering, I = Q
+    xs = np.full(50, 5.0)
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(50, dtype=np.int64)),
+        "x": pa.array(xs), "y": pa.array(xs),
+    }))
+    row = morisita_index(pts, cell=100.0, n_quadrats=16).take_all()[0]
+    assert abs(row["morisita_f"] - 16.0) < 1e-12
+
+
+def test_palma_matches_brute(ray_session):
+    from libpysal_ray.spatial.inequality import palma_ratio
+
+    rng = np.random.default_rng(37)
+    v = rng.integers(0, 50, 230)  # heavy boundary ties by design
+    ds = ray.data.from_arrow(pa.table({
+        "v": pa.array(v.astype(np.int64)),
+    })).repartition(3)
+    row = palma_ratio(ds, value_col="v").take_all()[0]
+    sv = np.sort(v)
+    n = len(v)
+    k_top, k_bot = n * 10 // 100, n * 40 // 100
+    bot = int(sv[:k_bot].sum())
+    top = int(sv[n - k_top:].sum())
+    assert row["n"] == n
+    assert row["bot_sum"] == str(bot)
+    assert row["top_sum"] == str(top)
+    assert abs(row["palma_f"] - top / bot) < 1e-12
