@@ -8471,3 +8471,165 @@ SELECT (SELECT n FROM k) AS n,
        CAST((SELECT top_sum FROM ts) AS DOUBLE)
          / CAST((SELECT bot_sum FROM bs) AS DOUBLE) AS palma_f
 """
+
+
+def q_moran_rate(sf_dir: str):
+    """esda Moran_Rate parity composition: global Moran's I + Geary's C
+    of the EB-SMOOTHED rate (eb_smooth theta_fp feeds spatial_autocorr
+    unchanged — both stages exact integer, so the composition is too)."""
+    from libpysal_ray.spatial.smoothing import eb_smooth
+    from libpysal_ray.spatial.stats import spatial_autocorr
+
+    attrs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "e": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 50
+            ),
+            "b": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 20
+                + 1
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    rates = eb_smooth(attrs, scale=1000).map_batches(
+        lambda t: pa.table({
+            "id": t.column("id"), "x": t.column("theta_fp"),
+        }),
+        batch_format="pyarrow",
+    )
+    return spatial_autocorr(_rook_g(sf_dir), rates)
+
+
+QUERIES["moran_rate"] = q_moran_rate
+
+_EB_X_SQL = """
+eb0 AS (
+  SELECT doc_id AS node, CAST(n_chars % 50 AS BIGINT) AS e,
+         CAST(n_chars % 20 + 1 AS BIGINT) AS b
+  FROM documents
+),
+ebst AS (
+  SELECT CAST(SUM(e) AS BIGINT) AS te, CAST(SUM(b) AS BIGINT) AS tb,
+         CAST(COUNT(*) AS BIGINT) AS en
+  FROM eb0
+),
+ebm AS (SELECT te * 1000 // tb AS m_fp, te, tb, en FROM ebst),
+ebs AS (
+  SELECT CAST(SUM(b * (e * 1000 // b - (SELECT m_fp FROM ebm))
+                   * (e * 1000 // b - (SELECT m_fp FROM ebm)))
+              AS BIGINT) AS sv
+  FROM eb0
+),
+ebp AS (
+  SELECT GREATEST(
+           (SELECT sv FROM ebs) // ((SELECT tb FROM ebm) * 1000)
+             - (SELECT m_fp FROM ebm) * (SELECT en FROM ebm)
+               // (SELECT tb FROM ebm),
+           0) AS a_fp
+),
+a AS (
+  SELECT node,
+         CAST((SELECT m_fp FROM ebm)
+              + ((e * 1000 // b - (SELECT m_fp FROM ebm))
+                 * ((SELECT a_fp FROM ebp) * b))
+                // GREATEST((SELECT a_fp FROM ebp) * b
+                            + (SELECT m_fp FROM ebm) * 1000, 1)
+              AS BIGINT) AS x
+  FROM eb0
+)"""
+
+ORACLE_SQL["moran_rate"] = f"""
+WITH {_ROOK_SQL},
+{_EB_X_SQL},
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM a
+),
+z AS (
+  SELECT node, x,
+         (SELECT n FROM st) * x - (SELECT sx FROM st) AS z
+  FROM a
+),
+e AS (
+  SELECT zf.z AS zf, zf.x AS xf, zn.z AS zn, zn.x AS xn
+  FROM adj
+  JOIN z zf ON adj.focal = zf.node
+  JOIN z zn ON adj.neighbor = zn.node
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         CAST(SUM(zf * zn) AS BIGINT) AS num,
+         CAST(SUM((xf - xn) * (xf - xn)) AS BIGINT) AS sq
+  FROM e
+),
+d AS (SELECT CAST(SUM(z * z) AS BIGINT) AS den FROM z)
+SELECT (SELECT n FROM st) AS n, t.s0,
+       CAST(t.num AS VARCHAR) AS moran_num,
+       CAST(t.sq AS VARCHAR) AS sq_diff,
+       CAST(d.den AS VARCHAR) AS den,
+       CAST(CAST((SELECT n FROM st) AS HUGEINT) * t.num AS DOUBLE)
+         / CAST(CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS moran_i,
+       CAST(CAST((SELECT n FROM st) - 1 AS HUGEINT)
+            * (SELECT n FROM st) * (SELECT n FROM st) * t.sq AS DOUBLE)
+         / CAST(2 * CAST(t.s0 AS HUGEINT) * d.den AS DOUBLE) AS geary_c
+FROM t, d
+"""
+
+
+def q_local_simpson(sf_dir: str):
+    """Neighborhood Simpson concentration of language codes over the
+    rook lattice — exact integer n_c(n_c-1) sums per observation."""
+    from libpysal_ray.spatial.stats import local_simpson
+
+    def _mk(t: pa.Table) -> pa.Table:
+        from libpysal_ray.core.hashing import _string_array_parts
+
+        data, starts, lens = _string_array_parts(t.column("lang"))
+        if len(lens) and lens.min() < 2:
+            raise ValueError("lang codes must be at least 2 bytes")
+        code = (
+            data[starts].astype(np.int64) * 256
+            + data[starts + 1].astype(np.int64)
+        )
+        return pa.table({
+            "id": t.column("doc_id"),
+            "c": pa.array(code),
+        })
+
+    attrs = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        _mk, batch_format="pyarrow"
+    )
+    return local_simpson(_rook_g(sf_dir), attrs)
+
+
+QUERIES["local_simpson"] = q_local_simpson
+
+ORACLE_SQL["local_simpson"] = f"""
+WITH {_ROOK_SQL},
+a AS (
+  SELECT doc_id AS node,
+         ascii(substr(lang, 1, 1)) * 256 + ascii(substr(lang, 2, 1))
+           AS c
+  FROM documents
+),
+e AS (
+  SELECT adj.focal, an.c FROM adj JOIN a an ON an.node = adj.neighbor
+),
+g1 AS (
+  SELECT focal, c, CAST(COUNT(*) AS BIGINT) AS nc FROM e GROUP BY 1, 2
+),
+g2 AS (
+  SELECT focal, CAST(SUM(nc) AS BIGINT) AS n_nbrs,
+         CAST(SUM(nc * (nc - 1)) AS BIGINT) AS s2
+  FROM g1 GROUP BY 1
+)
+SELECT a.node AS id, COALESCE(g2.n_nbrs, 0) AS n_nbrs,
+       COALESCE(g2.s2, 0) AS s2,
+       CASE WHEN COALESCE(g2.n_nbrs, 0) >= 2
+            THEN CAST(g2.s2 AS DOUBLE)
+                 / CAST(g2.n_nbrs * (g2.n_nbrs - 1) AS DOUBLE)
+            ELSE 0.0 END AS simpson_f
+FROM a LEFT JOIN g2 ON g2.focal = a.node
+"""

@@ -3945,3 +3945,110 @@ def gi_inference(
         })
 
     return joined.map_batches(_score, batch_format="pyarrow")
+
+
+def local_simpson(
+    g,
+    attrs: ray.data.Dataset,
+    id_col: str = "id",
+    cat_col: str = "c",
+) -> ray.data.Dataset:
+    """Neighborhood Simpson concentration index (Simpson 1949; the
+    neighborhood-diversity measure of the segregation literature
+    downstream of libpysal weights, sibling of :func:`dissimilarity`):
+    for every observation, over its neighbors' categories,
+
+        lambda_i = Sum_c n_c(n_c - 1) / (N_i(N_i - 1))
+
+    with n_c the count of neighbors in category c and N_i the neighbor
+    total — the probability two random neighbors share a category.
+    EXACT integer numerator/denominator, one pinned float per row;
+    1 - lambda is Simpson diversity. Output one row per observation
+    (id, n_nbrs, s2, simpson_f); nodes with fewer than two neighbors
+    (isolates included) take simpson_f = 0.0 by the documented
+    convention. Categories must be integers.
+
+    100 TB shape: one bucket_join of categories onto edges (guarded:
+    raises on id-universe mismatch), ONE groupby(focal, cat) count,
+    one groupby(focal) reduce, one universe left join."""
+    from libpysal_ray.core.joins import bucket_join
+
+    def _xz(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "c": pa.array(
+                t.column(cat_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+        })
+
+    xs = attrs.map_batches(_xz, batch_format="pyarrow").materialize()
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
+    )
+    la = bucket_join(
+        edges,
+        xs.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "c": t.column("c"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    ).map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"), "c": t.column("c"),
+        }),
+        batch_format="pyarrow",
+    ).groupby(["node", "c"]).count().materialize()
+    matched = int(la.sum("count()") or 0)
+    e_count = int(g._real_edges().count())
+    if matched != e_count:
+        raise ValueError(
+            f"local_simpson: {e_count - matched} of {e_count} edges "
+            f"have endpoints missing from attrs ({id_col}); the "
+            "attribute table must cover the graph's node universe"
+        )
+
+    def _terms(t: pa.Table) -> pa.Table:
+        nc = t.column("count()").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "node": t.column("node"),
+            "nn": pa.array(nc),
+            "s2": pa.array(nc * (nc - 1)),
+        })
+
+    per = la.map_batches(_terms, batch_format="pyarrow") \
+        .groupby("node").sum(["nn", "s2"])
+    joined = bucket_join(
+        xs.map_batches(lambda t: t.select(["node"]),
+                       batch_format="pyarrow"),
+        per, on="node", how="left",
+    )
+
+    def _shape(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nn = pc.fill_null(
+            pc.cast(t.column("sum(nn)"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        s2 = pc.fill_null(
+            pc.cast(t.column("sum(s2)"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        den = nn * (nn - 1)
+        return pa.table({
+            id_col: t.column("node"),
+            "n_nbrs": pa.array(nn),
+            "s2": pa.array(s2),
+            "simpson_f": pa.array(np.where(
+                nn >= 2,
+                s2.astype(np.float64)
+                / np.maximum(den, 1).astype(np.float64),
+                0.0,
+            )),
+        })
+
+    return joined.map_batches(_shape, batch_format="pyarrow")

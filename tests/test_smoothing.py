@@ -375,3 +375,40 @@ def test_palma_matches_brute(ray_session):
     assert row["bot_sum"] == str(bot)
     assert row["top_sum"] == str(top)
     assert abs(row["palma_f"] - top / bot) < 1e-12
+
+
+def test_local_simpson_matches_brute(ray_session):
+    from libpysal_ray.spatial.stats import local_simpson
+
+    g = lat2graph(6, 5, rook=True)
+    rng = np.random.default_rng(41)
+    c = rng.integers(0, 3, 30)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(30, dtype=np.int64)),
+        "c": pa.array(c.astype(np.int64)),
+    })).repartition(3)
+    rows = {r["id"]: r for r in local_simpson(g, attrs).take_all()}
+    m, ids = g.to_dense()
+    w = m > 0
+    assert len(rows) == 30
+    for k, i in enumerate(ids):
+        nbrs = c[ids[w[k]]]
+        cnt = np.bincount(nbrs, minlength=3)
+        s2 = int((cnt * (cnt - 1)).sum())
+        nn = len(nbrs)
+        assert rows[i]["n_nbrs"] == nn
+        assert rows[i]["s2"] == s2
+        want = s2 / (nn * (nn - 1)) if nn >= 2 else 0.0
+        assert abs(rows[i]["simpson_f"] - want) < 1e-15
+
+
+def test_local_simpson_rejects_uncovered_universe(ray_session):
+    from libpysal_ray.spatial.stats import local_simpson
+
+    g = lat2graph(3, 3, rook=True)
+    attrs = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(8, dtype=np.int64)),  # node 8 missing
+        "c": pa.array(np.zeros(8, dtype=np.int64)),
+    }))
+    with pytest.raises(ValueError, match="universe"):
+        local_simpson(g, attrs).take_all()
