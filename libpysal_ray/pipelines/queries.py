@@ -8633,3 +8633,66 @@ SELECT a.node AS id, COALESCE(g2.n_nbrs, 0) AS n_nbrs,
             ELSE 0.0 END AS simpson_f
 FROM a LEFT JOIN g2 ON g2.focal = a.node
 """
+
+
+def q_d8_flow(sf_dir: str):
+    """D8 steepest-descent flow direction of the documents raster
+    (value = n_chars, nodata where n_chars%%7==0) — exact squared-drop
+    keys, ESRI codes, deterministic ties."""
+    from libpysal_ray.builders.raster import d8_flow
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    nrows = (n + LCOLS - 1) // LCOLS
+
+    def _cells(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "row": pa.array((ids // LCOLS).astype(np.int64)),
+            "col": pa.array((ids % LCOLS).astype(np.int64)),
+            "value": pa.array(np.where(nc % 7 == 0, np.int64(-1), nc)),
+        })
+
+    cells = docs.map_batches(_cells, batch_format="pyarrow")
+    return d8_flow(cells, nrows, LCOLS, nodata=-1)
+
+
+QUERIES["d8_flow"] = q_d8_flow
+
+ORACLE_SQL["d8_flow"] = f"""
+WITH cells AS (
+  SELECT CAST(doc_id // {LCOLS} AS BIGINT) AS r,
+         CAST(doc_id % {LCOLS} AS BIGINT) AS c,
+         CAST(CASE WHEN n_chars % 7 = 0 THEN -1 ELSE n_chars END
+              AS BIGINT) AS v
+  FROM documents
+),
+valid AS (SELECT * FROM cells WHERE v <> -1),
+offs(dr, dc, code, diag) AS (VALUES
+  (0, 1, 1, 0), (1, 1, 2, 1), (1, 0, 4, 0), (1, -1, 8, 1),
+  (0, -1, 16, 0), (-1, -1, 32, 1), (-1, 0, 64, 0), (-1, 1, 128, 1)
+),
+cand AS (
+  SELECT a.r, a.c, o.code,
+         CASE WHEN o.diag = 1
+              THEN (a.v - b.v) * (a.v - b.v)
+              ELSE 2 * (a.v - b.v) * (a.v - b.v) END AS key
+  FROM valid a
+  JOIN offs o ON TRUE
+  JOIN valid b ON b.r = a.r + o.dr AND b.c = a.c + o.dc
+  WHERE a.v - b.v > 0
+),
+best AS (
+  SELECT r, c, code,
+         ROW_NUMBER() OVER (PARTITION BY r, c
+                            ORDER BY key DESC, code) AS rn
+  FROM cand
+)
+SELECT a.r AS row, a.c AS col,
+       CAST(COALESCE(b.code, 0) AS BIGINT) AS d8
+FROM valid a
+LEFT JOIN best b ON b.r = a.r AND b.c = a.c AND b.rn = 1
+"""

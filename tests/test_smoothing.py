@@ -412,3 +412,48 @@ def test_local_simpson_rejects_uncovered_universe(ray_session):
     }))
     with pytest.raises(ValueError, match="universe"):
         local_simpson(g, attrs).take_all()
+
+
+def test_d8_flow_matches_brute(ray_session):
+    from libpysal_ray.builders.raster import d8_flow
+
+    rng = np.random.default_rng(43)
+    nr, ncls = 12, 10
+    z = rng.integers(0, 1000, (nr, ncls)).astype(np.int64)
+    nodata_mask = rng.random((nr, ncls)) < 0.15
+    z[nodata_mask] = -1
+    rr, cc = np.meshgrid(np.arange(nr), np.arange(ncls), indexing="ij")
+    cells = ray.data.from_arrow(pa.table({
+        "row": pa.array(rr.ravel().astype(np.int64)),
+        "col": pa.array(cc.ravel().astype(np.int64)),
+        "value": pa.array(z.ravel()),
+    })).repartition(4)
+    rows = {(r["row"], r["col"]): r["d8"]
+            for r in d8_flow(cells, nr, ncls, nodata=-1).take_all()}
+    offs = [(0, 1, 1, 0), (1, 1, 2, 1), (1, 0, 4, 0), (1, -1, 8, 1),
+            (0, -1, 16, 0), (-1, -1, 32, 1), (-1, 0, 64, 0),
+            (-1, 1, 128, 1)]
+    n_checked = 0
+    for r in range(nr):
+        for c in range(ncls):
+            if z[r, c] == -1:
+                assert (r, c) not in rows
+                continue
+            best = (0, 0)  # (key, -code) ordering helper
+            bcode = 0
+            for dr, dc, code, diag in offs:
+                r2, c2 = r + dr, c + dc
+                if not (0 <= r2 < nr and 0 <= c2 < ncls):
+                    continue
+                if z[r2, c2] == -1:
+                    continue
+                d = int(z[r, c] - z[r2, c2])
+                if d <= 0:
+                    continue
+                key = d * d if diag else 2 * d * d
+                if key > best[0] or (key == best[0] and code < bcode):
+                    best = (key, 0)
+                    bcode = code
+            assert rows[(r, c)] == bcode, (r, c)
+            n_checked += 1
+    assert n_checked > 80
