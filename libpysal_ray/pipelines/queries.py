@@ -8696,3 +8696,46 @@ SELECT a.r AS row, a.c AS col,
 FROM valid a
 LEFT JOIN best b ON b.r = a.r AND b.c = a.c AND b.rn = 1
 """
+
+
+def q_chi2_indep(sf_dir: str):
+    """Lang x source independence: exact per-cell chi-square terms of
+    the corpus contingency table (zero cells included)."""
+    from libpysal_ray.text.analysis import contingency_chi2
+
+    return contingency_chi2(
+        _docs(sf_dir, ["lang", "source"]), a_col="lang", b_col="source"
+    )
+
+
+QUERIES["chi2_indep"] = q_chi2_indep
+
+ORACLE_SQL["chi2_indep"] = """
+WITH g AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r_tot FROM g GROUP BY a),
+cb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c_tot FROM g GROUP BY b),
+nn AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM g),
+cells AS (
+  SELECT ra.a, cb.b, COALESCE(g.n, 0) AS n_ij, ra.r_tot, cb.c_tot
+  FROM ra CROSS JOIN cb
+  LEFT JOIN g ON g.a = ra.a AND g.b = cb.b
+)
+SELECT a, b, CAST(n_ij AS BIGINT) AS n_ij, r_tot, c_tot,
+       CAST((CAST(n_ij AS HUGEINT) * (SELECT N FROM nn)
+             - CAST(r_tot AS HUGEINT) * c_tot)
+            * (CAST(n_ij AS HUGEINT) * (SELECT N FROM nn)
+               - CAST(r_tot AS HUGEINT) * c_tot) AS VARCHAR)
+         AS term_num,
+       CAST(CAST((SELECT N FROM nn) AS HUGEINT) * r_tot * c_tot
+            AS VARCHAR) AS term_den,
+       CAST((CAST(n_ij AS HUGEINT) * (SELECT N FROM nn)
+             - CAST(r_tot AS HUGEINT) * c_tot)
+            * (CAST(n_ij AS HUGEINT) * (SELECT N FROM nn)
+               - CAST(r_tot AS HUGEINT) * c_tot) AS DOUBLE)
+         / CAST(CAST((SELECT N FROM nn) AS HUGEINT) * r_tot * c_tot
+                AS DOUBLE) AS term_f
+FROM cells
+"""

@@ -1185,3 +1185,65 @@ def group_rank(
         })
 
     return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+def contingency_chi2(
+    ds: ray.data.Dataset,
+    a_col: str,
+    b_col: str,
+) -> ray.data.Dataset:
+    """Chi-square independence decomposition of a two-way contingency
+    table (the corpus-composition test: is language independent of
+    source?): one row per (a, b) cell of the OBSERVED-margin cross
+    product — zero cells included, they carry the full (0 − E)² term —
+    with the EXACT integer fraction of the classic statistic,
+
+        term_ij = (n_ij·N − r_i·c_j)² / (N·r_i·c_j)
+
+    so χ² = Σ term_f and dof = (#a−1)(#b−1) derive directly. Output
+    (a, b, n_ij, r_tot, c_tot, term_num, term_den, term_f) with
+    term_num/term_den decimal strings (they exceed int64 at corpus
+    scale) and term_f the one pinned float per cell.
+
+    100 TB shape: ONE groupby(a, b) count (vocab-bounded like
+    :func:`group_rank`'s histogram — raises loudly past 4M cells);
+    margins and terms are #cells-bounded driver work in unbounded
+    ints."""
+    hist = ds.groupby([a_col, b_col]).count().take_all()
+    if not hist:
+        raise ValueError("contingency_chi2: empty input")
+    if len(hist) > 4_000_000:
+        raise ValueError("contingency_chi2: too many cells; bucketize")
+    counts = {(r[a_col], r[b_col]): int(r["count()"]) for r in hist}
+    avals = sorted({k[0] for k in counts})
+    bvals = sorted({k[1] for k in counts})
+    r_tot = {a: sum(v for k, v in counts.items() if k[0] == a)
+             for a in avals}
+    c_tot = {b: sum(v for k, v in counts.items() if k[1] == b)
+             for b in bvals}
+    N = sum(counts.values())
+    out_a, out_b, nij, rt, ct = [], [], [], [], []
+    tn, td, tf = [], [], []
+    for a in avals:
+        for b in bvals:
+            n = counts.get((a, b), 0)
+            num = (n * N - r_tot[a] * c_tot[b]) ** 2
+            den = N * r_tot[a] * c_tot[b]
+            out_a.append(a)
+            out_b.append(b)
+            nij.append(n)
+            rt.append(r_tot[a])
+            ct.append(c_tot[b])
+            tn.append(str(num))
+            td.append(str(den))
+            tf.append(float(np.float64(num) / np.float64(den)))
+    return ray.data.from_arrow(pa.table({
+        "a": pa.array(out_a),
+        "b": pa.array(out_b),
+        "n_ij": pa.array(np.array(nij, dtype=np.int64)),
+        "r_tot": pa.array(np.array(rt, dtype=np.int64)),
+        "c_tot": pa.array(np.array(ct, dtype=np.int64)),
+        "term_num": pa.array(tn),
+        "term_den": pa.array(td),
+        "term_f": pa.array(np.array(tf, dtype=np.float64)),
+    }))

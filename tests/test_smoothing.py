@@ -457,3 +457,30 @@ def test_d8_flow_matches_brute(ray_session):
             assert rows[(r, c)] == bcode, (r, c)
             n_checked += 1
     assert n_checked > 80
+
+
+def test_contingency_chi2_matches_scipy_formula(ray_session):
+    from libpysal_ray.text.analysis import contingency_chi2
+
+    rng = np.random.default_rng(47)
+    a = rng.integers(0, 3, 500)
+    b = rng.integers(0, 4, 500)
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([f"a{v}" for v in a]),
+        "b": pa.array([f"b{v}" for v in b]),
+    })).repartition(3)
+    rows = contingency_chi2(ds, "a", "b").take_all()
+    assert len(rows) == 12
+    obs = np.zeros((3, 4))
+    for x, y in zip(a, b):
+        obs[x, y] += 1
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / 500
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    got = sum(r["term_f"] for r in rows)
+    assert abs(got - chi2) < 1e-9
+    for r in rows:
+        i, j = int(r["a"][1]), int(r["b"][1])
+        assert r["n_ij"] == int(obs[i, j])
+        # exact fraction equals the float term to 1e-12
+        assert abs(int(r["term_num"]) / int(r["term_den"])
+                   - ((obs[i, j] - exp[i, j]) ** 2 / exp[i, j])) < 1e-9
