@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from libpysal_ray.core import edges as E
@@ -498,3 +499,148 @@ def d8_flow(
         })
 
     return grouped_by_key(fan, ["k"], _argmax)
+
+
+def flow_accumulation(
+    d8: ray.data.Dataset,
+    nrows: int,
+    ncols: int,
+    max_rounds: int = 10_000,
+) -> ray.data.Dataset:
+    """D8 flow accumulation: for every cell of a :func:`d8_flow` output,
+    the number of upstream cells whose flow path drains through it
+    (self excluded — heads get 0). The D8 graph is a strict-descent
+    in-forest (no cycles by construction), so synchronous LEAF PEELING
+    terminates in longest-flow-path rounds: each round, every cell with
+    no unprocessed inflow pushes (1 + its accumulated count) to its
+    target, targets fold the sums in, processed cells retire. Exact
+    integers throughout. Output (row, col, acc).
+
+    100 TB shape: per round ONE groupby(target) sum over the current
+    leaf frontier + one bucket_join update of the surviving nodes —
+    frontier rows only, never the whole raster after round 1; rounds =
+    max flow-path length (terrain-bounded, loudly capped at
+    ``max_rounds``). The per-round Datasets are materialized (consumed
+    twice; Ray shares no subplans)."""
+    from libpysal_ray.core.joins import bucket_join
+
+    code_dr = {1: 0, 2: 1, 4: 1, 8: 1, 16: 0, 32: -1, 64: -1, 128: -1}
+    code_dc = {1: 1, 2: 1, 4: 0, 8: -1, 16: -1, 32: -1, 64: 0, 128: 1}
+
+    def _mk(t: pa.Table) -> pa.Table:
+        r = t.column("row").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("col").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("d8").to_numpy(zero_copy_only=False).astype(np.int64)
+        dr = np.zeros(len(d), dtype=np.int64)
+        dc = np.zeros(len(d), dtype=np.int64)
+        for cd, v in code_dr.items():
+            dr[d == cd] = v
+        for cd, v in code_dc.items():
+            dc[d == cd] = v
+        tgt = np.where(d > 0, (r + dr) * ncols + (c + dc), -1)
+        return pa.table({
+            "k": pa.array(r * ncols + c),
+            "tgt": pa.array(tgt),
+            "acc": pa.array(np.zeros(len(d), dtype=np.int64)),
+        })
+
+    nodes = d8.map_batches(_mk, batch_format="pyarrow").materialize()
+    deg = (
+        nodes.map_batches(
+            lambda t: pa.table({"tgt": t.column("tgt")}),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("tgt"), 0)),
+            batch_format="pyarrow",
+        )
+        .groupby("tgt")
+        .count()
+        .map_batches(
+            lambda t: pa.table({
+                "k": t.column("tgt"),
+                "deg": pc.cast(t.column("count()"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    live = bucket_join(nodes, deg, on="k", how="left").map_batches(
+        lambda t: pa.table({
+            "k": t.column("k"), "tgt": t.column("tgt"),
+            "acc": t.column("acc"),
+            "deg": pc.fill_null(
+                pc.cast(t.column("deg"), pa.int64()), 0),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    done = []
+    for _ in range(max_rounds):
+        if int(live.count()) == 0:
+            break
+        leaves = live.map_batches(
+            lambda t: t.filter(pc.equal(t.column("deg"), 0)),
+            batch_format="pyarrow",
+        ).materialize()
+        rest = live.map_batches(
+            lambda t: t.filter(pc.greater(t.column("deg"), 0)),
+            batch_format="pyarrow",
+        )
+        n_leaves = int(leaves.count())
+        if n_leaves == 0:
+            raise RuntimeError(
+                "flow_accumulation: cycle detected — input is not a "
+                "d8_flow forest"
+            )
+        done.append(leaves.map_batches(
+            lambda t: t.select(["k", "acc"]), batch_format="pyarrow"
+        ).materialize())
+        rest = rest.materialize()
+        if int(rest.count()) == 0:
+            live = rest
+            continue
+        msgs = leaves.map_batches(
+            lambda t: pa.table({
+                "k": t.column("tgt"),
+                "inc": pc.add(t.column("acc"), 1),
+                "snd": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("k"), 0)),
+            batch_format="pyarrow",
+        ).groupby("k").sum(["inc", "snd"]).materialize()
+        if int(msgs.count()) == 0:
+            live = rest
+            continue
+        live = bucket_join(rest, msgs, on="k", how="left").map_batches(
+            lambda t: pa.table({
+                "k": t.column("k"), "tgt": t.column("tgt"),
+                "acc": pc.add(
+                    t.column("acc"),
+                    pc.fill_null(pc.cast(
+                        t.column("sum(inc)"), pa.int64()), 0)),
+                "deg": pc.subtract(
+                    t.column("deg"),
+                    pc.fill_null(pc.cast(
+                        t.column("sum(snd)"), pa.int64()), 0)),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        raise RuntimeError("flow_accumulation: max_rounds exceeded")
+    out = done[0]
+    for d_ in done[1:]:
+        out = out.union(d_)
+    return out.map_batches(
+        lambda t: pa.table({
+            "row": pc.divide(t.column("k"), ncols),
+            "col": pc.subtract(
+                t.column("k"),
+                pc.multiply(
+                    pc.divide(t.column("k"), ncols), ncols)),
+            "acc": t.column("acc"),
+        }),
+        batch_format="pyarrow",
+    )

@@ -8739,3 +8739,78 @@ SELECT a, b, CAST(n_ij AS BIGINT) AS n_ij, r_tot, c_tot,
                 AS DOUBLE) AS term_f
 FROM cells
 """
+
+
+def q_flow_acc(sf_dir: str):
+    """D8 flow accumulation over the documents raster: upstream cell
+    count per cell via synchronous leaf peeling — exact integers,
+    recursive-CTE oracle."""
+    from libpysal_ray.builders.raster import d8_flow, flow_accumulation
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    nrows = (n + LCOLS - 1) // LCOLS
+
+    def _cells(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "row": pa.array((ids // LCOLS).astype(np.int64)),
+            "col": pa.array((ids % LCOLS).astype(np.int64)),
+            "value": pa.array(np.where(nc % 7 == 0, np.int64(-1), nc)),
+        })
+
+    cells = docs.map_batches(_cells, batch_format="pyarrow")
+    d8 = d8_flow(cells, nrows, LCOLS, nodata=-1).materialize()
+    return flow_accumulation(d8, nrows, LCOLS)
+
+
+QUERIES["flow_acc"] = q_flow_acc
+
+ORACLE_SQL["flow_acc"] = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(doc_id // {LCOLS} AS BIGINT) AS r,
+         CAST(doc_id % {LCOLS} AS BIGINT) AS c,
+         CAST(CASE WHEN n_chars % 7 = 0 THEN -1 ELSE n_chars END
+              AS BIGINT) AS v
+  FROM documents
+),
+valid AS (SELECT * FROM cells WHERE v <> -1),
+offs(dr, dc, code, diag) AS (VALUES
+  (0, 1, 1, 0), (1, 1, 2, 1), (1, 0, 4, 0), (1, -1, 8, 1),
+  (0, -1, 16, 0), (-1, -1, 32, 1), (-1, 0, 64, 0), (-1, 1, 128, 1)
+),
+cand AS (
+  SELECT a.r, a.c, o.code, o.dr, o.dc,
+         CASE WHEN o.diag = 1
+              THEN (a.v - b.v) * (a.v - b.v)
+              ELSE 2 * (a.v - b.v) * (a.v - b.v) END AS key
+  FROM valid a
+  JOIN offs o ON TRUE
+  JOIN valid b ON b.r = a.r + o.dr AND b.c = a.c + o.dc
+  WHERE a.v - b.v > 0
+),
+best AS (
+  SELECT r, c, dr, dc,
+         ROW_NUMBER() OVER (PARTITION BY r, c
+                            ORDER BY key DESC, code) AS rn
+  FROM cand
+),
+edges AS (
+  SELECT r, c, r + dr AS tr, c + dc AS tc FROM best WHERE rn = 1
+),
+reach AS (
+  SELECT r AS sr, c AS sc, tr AS nr, tc AS nc FROM edges
+  UNION ALL
+  SELECT re.sr, re.sc, e.tr, e.tc
+  FROM reach re JOIN edges e ON e.r = re.nr AND e.c = re.nc
+),
+acc AS (
+  SELECT nr AS r, nc AS c, CAST(COUNT(*) AS BIGINT) AS acc
+  FROM reach GROUP BY 1, 2
+)
+SELECT a.r AS row, a.c AS col, COALESCE(acc.acc, 0) AS acc
+FROM valid a LEFT JOIN acc ON acc.r = a.r AND acc.c = a.c
+"""

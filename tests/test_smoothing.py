@@ -484,3 +484,35 @@ def test_contingency_chi2_matches_scipy_formula(ray_session):
         # exact fraction equals the float term to 1e-12
         assert abs(int(r["term_num"]) / int(r["term_den"])
                    - ((obs[i, j] - exp[i, j]) ** 2 / exp[i, j])) < 1e-9
+
+
+def test_flow_accumulation_matches_brute(ray_session):
+    from libpysal_ray.builders.raster import d8_flow, flow_accumulation
+
+    rng = np.random.default_rng(53)
+    nr, ncls = 10, 8
+    z = rng.integers(0, 500, (nr, ncls)).astype(np.int64)
+    rr, cc = np.meshgrid(np.arange(nr), np.arange(ncls), indexing="ij")
+    cells = ray.data.from_arrow(pa.table({
+        "row": pa.array(rr.ravel().astype(np.int64)),
+        "col": pa.array(cc.ravel().astype(np.int64)),
+        "value": pa.array(z.ravel()),
+    })).repartition(4)
+    d8 = d8_flow(cells, nr, ncls).materialize()
+    d8map = {(r["row"], r["col"]): r["d8"] for r in d8.take_all()}
+    rows = {(r["row"], r["col"]): r["acc"]
+            for r in flow_accumulation(d8, nr, ncls).take_all()}
+    step = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1), 16: (0, -1),
+            32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
+    acc = {k: 0 for k in d8map}
+    for start in d8map:
+        cur = start
+        seen = 0
+        while d8map[cur] != 0:
+            dr, dc = step[d8map[cur]]
+            cur = (cur[0] + dr, cur[1] + dc)
+            acc[cur] += 1
+            seen += 1
+            assert seen < nr * ncls  # acyclic
+    assert rows == acc
+    assert max(acc.values()) >= 3  # non-trivial drainage formed
