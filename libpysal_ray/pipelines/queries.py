@@ -8814,3 +8814,40 @@ acc AS (
 SELECT a.r AS row, a.c AS col, COALESCE(acc.acc, 0) AS acc
 FROM valid a LEFT JOIN acc ON acc.r = a.r AND acc.c = a.c
 """
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weight-proportional downsample (~30%%, weight =
+    n_chars %% 100): splitmix threshold, layout-invariant."""
+    from libpysal_ray.text.analysis import weighted_sample
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "w": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 100
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return weighted_sample(ds, weight_col="w", pct=30)
+
+
+QUERIES["weighted_sample"] = q_weighted_sample
+
+ORACLE_SQL["weighted_sample"] = _oh.with_macros("""
+WITH a AS (
+  SELECT doc_id, CAST(n_chars % 100 AS BIGINT) AS w FROM documents
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS sw
+  FROM a
+),
+k AS (
+  SELECT CAST(30 AS HUGEINT) * 4294967296 * n // (100 * sw) AS kk
+  FROM st
+)
+SELECT doc_id, w FROM a
+WHERE CAST(sm64(doc_id) % 4294967296 AS HUGEINT)
+      < CAST(w AS HUGEINT) * (SELECT kk FROM k)
+""")

@@ -1247,3 +1247,63 @@ def contingency_chi2(
         "term_den": pa.array(td),
         "term_f": pa.array(np.array(tf, dtype=np.float64)),
     }))
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    weight_col: str,
+    pct: int,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic weight-proportional sampling — the quality-biased
+    corpus downsample (keep ~pct% of rows with inclusion probability
+    proportional to an integer weight, e.g. a quality score): keep row
+    i iff
+
+        splitmix64(id) % 2^32  <  w_i · K,
+        K = pct · 2^32 · n // (100 · Σw)
+
+    so P(keep) = min(1, w_i·K/2^32) ∝ w_i (clamped at 1 for heavy rows
+    — the standard weighted-Bernoulli cap) and E[#kept] ≈ pct%·n for
+    unclamped weights. Like :func:`stratified_sample` this is
+    stateless and layout-invariant: the SAME rows survive at any
+    cluster size or re-run, no RNG state. Weights must be non-negative
+    integers (w = 0 never survives).
+
+    100 TB shape: one streaming aggregate pass (n, Σw, max w) for K,
+    one stateless filter pass; overflow pre-checked loudly."""
+    from libpysal_ray.core.hashing import splitmix64
+
+    if not (0 <= int(pct) <= 100):
+        raise ValueError("weighted_sample: pct must be in [0, 100]")
+    agg = ds.aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Sum(weight_col),
+        ray.data.aggregate.Max(weight_col),
+        ray.data.aggregate.Min(weight_col),
+    )
+    n = int(agg["count()"])
+    if n == 0:
+        return ds
+    sw = int(agg[f"sum({weight_col})"] or 0)
+    wmax = int(agg[f"max({weight_col})"] or 0)
+    if int(agg[f"min({weight_col})"] or 0) < 0:
+        raise ValueError("weighted_sample: weights must be >= 0")
+    if sw <= 0:
+        raise ValueError("weighted_sample: weights sum to zero")
+    K = int(pct) * (1 << 32) * n // (100 * sw)
+    if wmax * K >= (1 << 62):
+        raise ValueError("weighted_sample: w_max x K overflows int64; "
+                         "rescale weights")
+
+    def _f(t: pa.Table) -> pa.Table:
+        i = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        h = (splitmix64(i.view(np.uint64))
+             % np.uint64(1 << 32)).astype(np.int64)
+        return t.filter(pa.array(h < w * np.int64(K)))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

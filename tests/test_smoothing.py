@@ -516,3 +516,33 @@ def test_flow_accumulation_matches_brute(ray_session):
             assert seen < nr * ncls  # acyclic
     assert rows == acc
     assert max(acc.values()) >= 3  # non-trivial drainage formed
+
+
+def test_weighted_sample_proportional_and_deterministic(ray_session):
+    from libpysal_ray.core.hashing import splitmix64
+    from libpysal_ray.text.analysis import weighted_sample
+
+    rng = np.random.default_rng(59)
+    n = 4000
+    w = rng.integers(0, 20, n)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "w": pa.array(w.astype(np.int64)),
+    })).repartition(5)
+    kept = sorted(r["doc_id"] for r in weighted_sample(
+        ds, "w", pct=25).take_all())
+    # exact replica of the keep rule
+    K = 25 * (1 << 32) * n // (100 * int(w.sum()))
+    h = (splitmix64(np.arange(n, dtype=np.int64).view(np.uint64))
+         % np.uint64(1 << 32)).astype(np.int64)
+    want = sorted(np.flatnonzero(h < w * K).tolist())
+    assert kept == want
+    # zero weights never survive; heavier rows survive more often
+    assert not set(kept) & set(np.flatnonzero(w == 0).tolist())
+    hi = np.mean([i in set(kept) for i in np.flatnonzero(w >= 15)])
+    lo = np.mean([i in set(kept) for i in np.flatnonzero(w == 1)])
+    assert hi > lo
+    # layout invariance: different partitioning, same survivors
+    kept2 = sorted(r["doc_id"] for r in weighted_sample(
+        ds.repartition(17), "w", pct=25).take_all())
+    assert kept2 == kept
