@@ -8851,3 +8851,34 @@ SELECT doc_id, w FROM a
 WHERE CAST(sm64(doc_id) % 4294967296 AS HUGEINT)
       < CAST(w AS HUGEINT) * (SELECT kk FROM k)
 """)
+
+
+def q_hoover(sf_dir: str):
+    """Hoover / Robin Hood index of n_chars — exact scaled absolute
+    deviations, no division before the one pinned float."""
+    from libpysal_ray.spatial.inequality import hoover_index
+
+    return hoover_index(_docs(sf_dir, ["n_chars"]), value_col="n_chars")
+
+
+QUERIES["hoover"] = q_hoover
+
+ORACLE_SQL["hoover"] = """
+WITH a AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+  FROM a
+),
+d AS (
+  SELECT CAST(SUM(ABS((SELECT n FROM st) * v - (SELECT s FROM st)))
+              AS BIGINT) AS num
+  FROM a
+)
+SELECT (SELECT n FROM st) AS n, (SELECT s FROM st) AS total,
+       CAST((SELECT num FROM d) AS VARCHAR) AS h_num,
+       CAST(2 * CAST((SELECT n FROM st) AS HUGEINT)
+            * (SELECT s FROM st) AS VARCHAR) AS h_den,
+       CAST((SELECT num FROM d) AS DOUBLE)
+         / CAST(2 * CAST((SELECT n FROM st) AS HUGEINT)
+                * (SELECT s FROM st) AS DOUBLE) AS hoover_f
+"""

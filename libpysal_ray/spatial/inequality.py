@@ -439,3 +439,57 @@ def palma_ratio(
             pa.float64(),
         ),
     }))
+
+
+def hoover_index(
+    ds: ray.data.Dataset,
+    value_col: str,
+) -> ray.data.Dataset:
+    """Hoover (Pietra / Robin Hood) index — the share of total value
+    that would have to move to equalize all units:
+
+        H = Σ|x_i − μ| / (2·Σx) = Σ|n·x_i − S| / (2·n·S)
+
+    kept exact by scaling the deviations by n (no division anywhere):
+    num = Σ|n·x_i − S| in int64 (guarded), den = 2·n·S as a decimal
+    string (exceeds int64 at corpus scale), one pinned float. Values
+    must be non-negative integers with S > 0.
+
+    100 TB shape: two streaming aggregate passes (S and the absolute
+    deviation sum) — no shuffle, no driver state beyond scalars."""
+    agg = ds.aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Sum(value_col),
+        ray.data.aggregate.Min(value_col),
+        ray.data.aggregate.Max(value_col),
+    )
+    n = int(agg["count()"])
+    if n == 0:
+        raise ValueError("hoover_index: empty input")
+    S = int(agg[f"sum({value_col})"] or 0)
+    if int(agg[f"min({value_col})"] or 0) < 0 or S <= 0:
+        raise ValueError("hoover_index needs non-negative values with "
+                         "a positive total")
+    xmax = int(agg[f"max({value_col})"])
+    if n * xmax * n >= (1 << 62):  # per-row |n·x−S| ≤ n·xmax, n terms
+        raise ValueError("hoover_index deviation sum would overflow "
+                         "int64; rescale")
+
+    def _part(t: pa.Table) -> pa.Table:
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "d": pa.array([np.int64(np.abs(np.int64(n) * x - S).sum())]),
+        })
+
+    num = int(ds.map_batches(_part, batch_format="pyarrow").sum("d") or 0)
+    den = 2 * n * S
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "total": pa.array([S], pa.int64()),
+        "h_num": pa.array([str(num)]),
+        "h_den": pa.array([str(den)]),
+        "hoover_f": pa.array(
+            [float(np.float64(num) / np.float64(den))], pa.float64()
+        ),
+    }))

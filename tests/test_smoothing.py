@@ -546,3 +546,35 @@ def test_weighted_sample_proportional_and_deterministic(ray_session):
     kept2 = sorted(r["doc_id"] for r in weighted_sample(
         ds.repartition(17), "w", pct=25).take_all())
     assert kept2 == kept
+
+
+def test_hoover_matches_brute(ray_session):
+    from libpysal_ray.spatial.inequality import hoover_index
+
+    rng = np.random.default_rng(61)
+    v = rng.integers(0, 1000, 300)
+    ds = ray.data.from_arrow(pa.table({
+        "v": pa.array(v.astype(np.int64)),
+    })).repartition(4)
+    row = hoover_index(ds, value_col="v").take_all()[0]
+    mu = v.mean()
+    want = np.abs(v - mu).sum() / (2 * v.sum())
+    assert abs(row["hoover_f"] - want) < 1e-12
+    assert row["h_num"] == str(int(np.abs(300 * v.astype(object)
+                                          - int(v.sum())).sum()))
+
+
+def test_hoover_extremes(ray_session):
+    from libpysal_ray.spatial.inequality import hoover_index
+
+    # perfectly equal -> 0
+    eq = ray.data.from_arrow(pa.table({
+        "v": pa.array([7] * 50, pa.int64()),
+    }))
+    assert hoover_index(eq, "v").take_all()[0]["hoover_f"] == 0.0
+    # one unit holds everything -> (n-1)/n
+    one = ray.data.from_arrow(pa.table({
+        "v": pa.array([0] * 9 + [90], pa.int64()),
+    }))
+    assert abs(hoover_index(one, "v").take_all()[0]["hoover_f"]
+               - 0.9) < 1e-12
