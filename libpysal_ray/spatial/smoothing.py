@@ -70,7 +70,6 @@ def spatial_rate(
     groupby(focal) sum, one universe left join — all int64; overflow
     pre-checked in unbounded Python ints (max value x (max_deg + 1))."""
     from libpysal_ray.core.joins import bucket_join
-    from libpysal_ray.spatial.stats import _lag_sum_guarded
 
     xs = attrs.map_batches(
         lambda t: _ebv(t, id_col, e_col, b_col), batch_format="pyarrow"
@@ -85,12 +84,47 @@ def spatial_rate(
             "spatial_rate catchment sums would overflow int64; rescale"
         )
 
-    lag_e = _lag_sum_guarded(g, xs, "e", "lag_e", "spatial_rate", id_col)
-    lag_b = _lag_sum_guarded(g, xs, "b", "lag_b", "spatial_rate", id_col)
-    joined = bucket_join(
-        bucket_join(xs, lag_e, on="node", how="left"),
-        lag_b, on="node", how="left",
+    # ONE combined lag pass for both columns (the _lag_sum_guarded plan
+    # with e and b riding the same join), same id-universe guard
+    edges = g._real_edges().map_batches(
+        lambda t: t.select(["focal", "neighbor"]), batch_format="pyarrow"
     )
+    la = bucket_join(
+        edges,
+        xs.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"),
+                "e": t.column("e"), "b": t.column("b"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    ).map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"),
+            "e": t.column("e"), "b": t.column("b"),
+        }),
+        batch_format="pyarrow",
+    ).groupby("node").aggregate(
+        ray.data.aggregate.Sum("e"), ray.data.aggregate.Sum("b"),
+        ray.data.aggregate.Count(),
+    ).materialize()
+    matched = int(la.sum("count()") or 0)
+    e_count = int(g._real_edges().count())
+    if matched != e_count:
+        raise ValueError(
+            f"spatial_rate: {e_count - matched} of {e_count} edges have "
+            f"endpoints missing from attrs ({id_col}); the attribute "
+            "table must cover the graph's node universe"
+        )
+    lags = la.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "lag_e": t.column("sum(e)"), "lag_b": t.column("sum(b)"),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = bucket_join(xs, lags, on="node", how="left")
 
     def _rate(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
