@@ -8882,3 +8882,75 @@ SELECT (SELECT n FROM st) AS n, (SELECT s FROM st) AS total,
          / CAST(2 * CAST((SELECT n FROM st) AS HUGEINT)
                 * (SELECT s FROM st) AS DOUBLE) AS hoover_f
 """
+
+
+def q_local_clq(sf_dir: str):
+    """Local colocation quotient toward the 'en' class (lang packed to
+    an integer code) among each point's 4 nearest neighbors — exact
+    integer fractions."""
+    from libpysal_ray.spatial.pointpat import local_clq
+
+    def _mk(t: pa.Table) -> pa.Table:
+        from libpysal_ray.core.hashing import _string_array_parts
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        x = ((ids * 2654435761) % 4294967296 % GRID).astype(np.float64)
+        y = ((ids * 2246822519) % 4294967296 % GRID).astype(np.float64)
+        data, starts, lens = _string_array_parts(t.column("lang"))
+        code = (
+            data[starts].astype(np.int64) * 256
+            + data[starts + 1].astype(np.int64)
+        )
+        return pa.table({
+            "id": pa.array(ids), "x": pa.array(x), "y": pa.array(y),
+            "cat": pa.array(code),
+        })
+
+    pts = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        _mk, batch_format="pyarrow"
+    )
+    en_code = ord("e") * 256 + ord("n")
+    return local_clq(pts, target_cat=en_code, k=4)
+
+
+QUERIES["local_clq"] = q_local_clq
+
+ORACLE_SQL["local_clq"] = f"""
+WITH {_KNN4_SQL},
+cats AS (
+  SELECT doc_id AS node,
+         ascii(substr(lang, 1, 1)) * 256 + ascii(substr(lang, 2, 1))
+           AS cat
+  FROM documents
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN cat = 25966 THEN 1 END), 0)
+              AS BIGINT) AS nb
+  FROM cats
+),
+hits AS (
+  SELECT knn.focal AS node,
+         CAST(COALESCE(SUM(CASE WHEN cn.cat = 25966 THEN 1 END), 0)
+              AS BIGINT) AS nb_cnt
+  FROM knn JOIN cats cn ON cn.node = knn.neighbor
+  GROUP BY knn.focal
+)
+SELECT c.node AS id, c.cat, COALESCE(h.nb_cnt, 0) AS nb_cnt,
+       CAST(COALESCE(h.nb_cnt, 0) * ((SELECT n FROM tot) - 1)
+            AS BIGINT) AS lclq_num,
+       CAST(4 * ((SELECT nb FROM tot)
+                 - CASE WHEN c.cat = 25966 THEN 1 ELSE 0 END)
+            AS BIGINT) AS lclq_den,
+       CASE WHEN (SELECT nb FROM tot)
+                 - CASE WHEN c.cat = 25966 THEN 1 ELSE 0 END > 0
+            THEN CAST(COALESCE(h.nb_cnt, 0) * ((SELECT n FROM tot) - 1)
+                      AS DOUBLE)
+                 / CAST(4 * ((SELECT nb FROM tot)
+                             - CASE WHEN c.cat = 25966 THEN 1 ELSE 0
+                               END) AS DOUBLE)
+            ELSE 0.0 END AS lclq_f
+FROM cats c LEFT JOIN hits h ON h.node = c.node
+"""

@@ -1105,3 +1105,107 @@ def morisita_index(
         "morisita_f": pa.array([float(np.float64(num) / np.float64(den))],
                                pa.float64()),
     }))
+
+
+def local_clq(
+    points: ray.data.Dataset,
+    target_cat: int,
+    k: int = 4,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    cat_col: str = "cat",
+) -> ray.data.Dataset:
+    """LOCAL colocation quotient (the per-point LCLQ companion of
+    :func:`colocation`, Leslie & Kronenfeld 2011): for every point i,
+    the share of ``target_cat`` points among its k nearest neighbors
+    against the global share,
+
+        LCLQ_i = (nb_i / k) / (N_b' / (N − 1)),   N_b' = N_b − [cat_i = b]
+
+    kept as the EXACT integer fraction lclq_num = nb_i·(N−1),
+    lclq_den = k·N_b' plus one pinned float. Categories are integers;
+    ties in the KNN are pinned to (distance, neighbor id) — the same
+    contract as the KNN builder. Output one row per point
+    (id, cat, nb_cnt, lclq_num, lclq_den, lclq_f).
+
+    100 TB shape: the guarded KNN tile plan builds the edges; ONE
+    bucket_join attaches neighbor categories, one groupby(focal) sums
+    the target hits, one universe left join attaches own categories —
+    global totals are a tiny category groupby."""
+    from libpysal_ray.builders.distance import knn
+    from libpysal_ray.core.joins import bucket_join
+
+    cats = points.map_batches(
+        lambda t: pa.table({
+            "node": pa.array(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+            "cat": pa.array(
+                t.column(cat_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64)),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    n_total = int(cats.count())
+    tgt = int(target_cat)
+    n_b = int(
+        cats.map_batches(
+            lambda t: pa.table({"h": pa.array([np.int64((
+                t.column("cat").to_numpy(zero_copy_only=False) == tgt
+            ).sum())])}),
+            batch_format="pyarrow",
+        ).sum("h") or 0
+    )
+    if n_b == 0:
+        raise ValueError("local_clq: target category absent")
+
+    g = knn(points, k=k, id_col=id_col, x_col=x_col, y_col=y_col)
+    hits = bucket_join(
+        g._real_edges().map_batches(
+            lambda t: t.select(["focal", "neighbor"]),
+            batch_format="pyarrow",
+        ),
+        cats.map_batches(
+            lambda t: pa.table({
+                "neighbor": t.column("node"), "nc": t.column("cat"),
+            }),
+            batch_format="pyarrow",
+        ),
+        on="neighbor",
+    ).map_batches(
+        lambda t: pa.table({
+            "node": t.column("focal"),
+            "hit": pa.array((
+                t.column("nc").to_numpy(zero_copy_only=False) == tgt
+            ).astype(np.int64)),
+        }),
+        batch_format="pyarrow",
+    ).groupby("node").sum("hit")
+    joined = bucket_join(cats, hits, on="node", how="left")
+
+    def _shape(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = t.column("cat").to_numpy(zero_copy_only=False)
+        nb = pc.fill_null(
+            pc.cast(t.column("sum(hit)"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        nbp = np.int64(n_b) - (c == tgt).astype(np.int64)
+        num = nb * np.int64(n_total - 1)
+        den = np.int64(k) * nbp
+        return pa.table({
+            id_col: t.column("node"),
+            "cat": pa.array(c.astype(np.int64)),
+            "nb_cnt": pa.array(nb.astype(np.int64)),
+            "lclq_num": pa.array(num.astype(np.int64)),
+            "lclq_den": pa.array(den.astype(np.int64)),
+            "lclq_f": pa.array(np.where(
+                den > 0,
+                num.astype(np.float64)
+                / np.maximum(den, 1).astype(np.float64),
+                0.0,
+            )),
+        })
+
+    return joined.map_batches(_shape, batch_format="pyarrow")

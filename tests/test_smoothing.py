@@ -578,3 +578,33 @@ def test_hoover_extremes(ray_session):
     }))
     assert abs(hoover_index(one, "v").take_all()[0]["hoover_f"]
                - 0.9) < 1e-12
+
+
+def test_local_clq_matches_brute(ray_session):
+    from libpysal_ray.spatial.pointpat import local_clq
+
+    rng = np.random.default_rng(67)
+    n = 120
+    x = rng.permutation(n).astype(np.float64) * 3
+    y = rng.permutation(n).astype(np.float64) * 3
+    cat = rng.integers(0, 3, n)
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(x), "y": pa.array(y),
+        "cat": pa.array(cat.astype(np.int64)),
+    })).repartition(4)
+    k = 5
+    rows = {r["id"]: r for r in local_clq(
+        pts, target_cat=1, k=k).take_all()}
+    nb_total = int((cat == 1).sum())
+    for i in range(n):
+        d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+        d2[i] = np.inf
+        order = np.lexsort((np.arange(n), d2))[:k]
+        hits = int((cat[order] == 1).sum())
+        nbp = nb_total - (1 if cat[i] == 1 else 0)
+        assert rows[i]["nb_cnt"] == hits, i
+        assert rows[i]["lclq_num"] == hits * (n - 1)
+        assert rows[i]["lclq_den"] == k * nbp
+        assert abs(rows[i]["lclq_f"]
+                   - hits * (n - 1) / (k * nbp)) < 1e-15
