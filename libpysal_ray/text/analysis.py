@@ -1154,29 +1154,50 @@ def group_rank(
         by_g.setdefault(r[group_col], []).append(
             (int(r[score_col]), int(r["sum(cnt)"]))
         )
-    ranks: dict = {}
-    sizes: dict = {}
-    for gk, pairs in by_g.items():
-        pairs.sort()
+    # vectorizable broadcast state: groups indexed 0..G-1, a SORTED
+    # packed (group_idx, score) key array with parallel rank/size
+    # arrays — the per-batch attach is then one index_in + one
+    # searchsorted, no per-row Python
+    groups = sorted(by_g)
+    hkeys, hranks = [], []
+    sizes = np.zeros(len(groups), dtype=np.int64)
+    for gi, gk in enumerate(groups):
+        pairs = sorted(by_g[gk])
         c = 0
-        for s, n in pairs:
-            ranks[(gk, s)] = c + 1
-            c += n
-        sizes[gk] = c
-    ref = ray.put((ranks, sizes))
+        for s, nn in pairs:
+            hkeys.append((gi, s))
+            hranks.append(c + 1)
+            c += nn
+        sizes[gi] = c
+    hg = np.array([k[0] for k in hkeys], dtype=np.int64)
+    hs = np.array([k[1] for k in hkeys], dtype=np.int64)
+    hr = np.array(hranks, dtype=np.int64)
+    smin = int(hs.min())
+    K = int(hs.max()) - smin + 1
+    if len(groups) * K >= (1 << 62):
+        raise ValueError("group_rank: packed (group, score) key space "
+                         "exceeds int64; bucketize the score first")
+    hkey = hg * np.int64(K) + (hs - np.int64(smin))  # lexsorted already
+    ref = ray.put((pa.array(groups), hkey, hr, sizes))
 
     def _attach(t: pa.Table) -> pa.Table:
-        rk, sz = ray.get(ref)
-        gv = t.column(group_col).to_pylist()
-        sv = t.column(score_col).to_numpy(zero_copy_only=False)
-        rr = np.array(
-            [rk[(g, int(s))] for g, s in zip(gv, sv)], dtype=np.int64
+        gvals, hkey_, hr_, sz = ray.get(ref)
+        gi = pc.index_in(
+            t.column(group_col), value_set=gvals
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = t.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
-        ng = np.array([sz[g] for g in gv], dtype=np.int64)
+        # every (group, score) of the batch exists in the histogram by
+        # construction; one packed-key searchsorted per batch
+        pos = np.searchsorted(hkey_,
+                              gi * np.int64(K) + (sv - np.int64(smin)))
+        rr = hr_[pos]
+        ng = sz[gi]
         return pa.table({
             id_col: t.column(id_col),
             "grp": t.column(group_col),
-            "score": pa.array(sv.astype(np.int64)),
+            "score": pa.array(sv),
             "rnk": pa.array(rr),
             "n_group": pa.array(ng),
             "pct_f": pa.array(
