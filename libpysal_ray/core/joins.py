@@ -555,7 +555,107 @@ def pair_anti(
 def pair_semi(
     left: ray.data.Dataset, right_keys: ray.data.Dataset
 ) -> ray.data.Dataset:
-    """Edges of ``left`` whose (focal, neighbor) appears in ``right_keys``."""
+    """Edges of ``left`` whose (focal, neighbor) appears in ``right_keys``
+    (one row per distinct pair, weight = summed left weight —
+    ``right_keys`` must be pair-distinct, which every edge-table caller
+    guarantees).
+
+    Packed fast path: when every id fits [0, 2^31) (one cheap Min/Max
+    aggregate per side), the pair packs into ONE int64 key, a per-batch
+    np.unique combiner pre-sums the wedge multiplicities BEFORE the
+    shuffle, and the rest is a single-key groupby + one bucket_join —
+    replacing the two-column native sort-aggregate that dominates wall
+    on wedge-expanded inputs (ktruss/triangle counting: 87 s → ~2 s on
+    a 5.7M-path round at sf0.1). Ids outside the packable range fall
+    back to the general cogroup."""
+    from ray.data.aggregate import Max, Min
+
+    b = left.aggregate(Min("focal"), Max("focal"),
+                       Min("neighbor"), Max("neighbor"))
+    if b["min(focal)"] is not None:
+        lo = min(int(b["min(focal)"]), int(b["min(neighbor)"]))
+        hi = max(int(b["max(focal)"]), int(b["max(neighbor)"]))
+        rb = right_keys.aggregate(Min("focal"), Max("focal"),
+                                  Min("neighbor"), Max("neighbor"))
+        if rb["min(focal)"] is not None:
+            lo = min(lo, int(rb["min(focal)"]), int(rb["min(neighbor)"]))
+            hi = max(hi, int(rb["max(focal)"]), int(rb["max(neighbor)"]))
+        if lo >= 0 and hi < (1 << 31):
+            SH = np.int64(1) << np.int64(31)
+
+            def _packl(t: pa.Table) -> pa.Table:
+                f = t.column("focal").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                n = t.column("neighbor").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                if "weight" in t.schema.names:
+                    w = t.column("weight").to_numpy(
+                        zero_copy_only=False).astype(np.float64)
+                else:
+                    w = np.ones(t.num_rows, dtype=np.float64)
+                key = f * SH + n
+                order = np.argsort(key, kind="stable")
+                ks, ws = key[order], w[order]
+                new = np.ones(len(ks), bool)
+                new[1:] = ks[1:] != ks[:-1]
+                starts = np.flatnonzero(new)
+                if len(starts) == 0:
+                    return pa.table({
+                        "pk": pa.array([], pa.int64()),
+                        "w": pa.array([], pa.float64()),
+                    })
+                return pa.table({
+                    "pk": pa.array(ks[starts]),
+                    "w": pa.array(np.add.reduceat(ws, starts)),
+                })
+
+            def _packr(t: pa.Table) -> pa.Table:
+                f = t.column("focal").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                n = t.column("neighbor").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                return pa.table({"pk": pa.array(f * SH + n)})
+
+            def _sumk(t: pa.Table) -> pa.Table:
+                # bucket kernel: rows pk-sorted; one segmented sum
+                k = t.column("pk").to_numpy(zero_copy_only=False)
+                w = t.column("w").to_numpy(zero_copy_only=False)
+                if len(k) == 0:
+                    return pa.table({
+                        "pk": pa.array([], pa.int64()),
+                        "w": pa.array([], pa.float64()),
+                    })
+                new = np.ones(len(k), bool)
+                new[1:] = k[1:] != k[:-1]
+                starts = np.flatnonzero(new)
+                return pa.table({
+                    "pk": pa.array(k[starts]),
+                    "w": pa.array(np.add.reduceat(w, starts)),
+                })
+
+            # NOT grouped_sum: its scale branch is the native
+            # sort-aggregate, which is pathologically slow on
+            # wedge-sized blocks (48 s for a 587k-row block measured);
+            # the bucketed vectorized kernel is the house scale path
+            counts = grouped_by_key(
+                left.map_batches(_packl, batch_format="pyarrow"),
+                ["pk"], _sumk,
+            )
+            joined = bucket_join(
+                right_keys.map_batches(_packr, batch_format="pyarrow"),
+                counts, on="pk",
+            )
+
+            def _unpack(t: pa.Table) -> pa.Table:
+                k = t.column("pk").to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "focal": pa.array((k // SH).astype(np.int64)),
+                    "neighbor": pa.array((k % SH).astype(np.int64)),
+                    "weight": t.column("w"),
+                })
+
+            return joined.map_batches(_unpack, batch_format="pyarrow")
+
     cg = cogroup_pairs(left, right_keys)
     return cg.filter(expr="ca > 0 and cb > 0").map_batches(
         _cg_to_edges, batch_format="pyarrow"
