@@ -608,3 +608,54 @@ def test_local_clq_matches_brute(ray_session):
         assert rows[i]["lclq_den"] == k * nbp
         assert abs(rows[i]["lclq_f"]
                    - hits * (n - 1) / (k * nbp)) < 1e-15
+
+
+def test_pair_semi_packed_matches_fallback(ray_session):
+    from libpysal_ray.core import joins as J
+
+    rng = np.random.default_rng(71)
+    # duplicate left pairs (multiplicities), some pairs absent from right
+    lf = rng.integers(0, 40, 600)
+    ln = rng.integers(0, 40, 600)
+    left = ray.data.from_arrow(pa.table({
+        "focal": pa.array(lf.astype(np.int64)),
+        "neighbor": pa.array(ln.astype(np.int64)),
+        "weight": pa.array(np.ones(600)),
+    })).repartition(3)
+    rkeys = {(i, j) for i, j in zip(lf[::2], ln[::2])}
+    right = ray.data.from_arrow(pa.table({
+        "focal": pa.array(np.array([k[0] for k in sorted(rkeys)],
+                                   dtype=np.int64)),
+        "neighbor": pa.array(np.array([k[1] for k in sorted(rkeys)],
+                                      dtype=np.int64)),
+    }))
+    got = sorted(
+        (r["focal"], r["neighbor"], r["weight"])
+        for r in J.pair_semi(left, right).take_all()
+    )
+    from collections import Counter
+    cnt = Counter(zip(lf, ln))
+    want = sorted(
+        (int(i), int(j), float(cnt[(i, j)])) for i, j in rkeys
+        if (i, j) in cnt
+    )
+    assert got == want and len(want) > 100
+
+    # huge ids force the cogroup fallback — same result contract
+    BIG = np.int64(1) << 32
+    left2 = ray.data.from_arrow(pa.table({
+        "focal": pa.array((lf + BIG).astype(np.int64)),
+        "neighbor": pa.array((ln + BIG).astype(np.int64)),
+        "weight": pa.array(np.ones(600)),
+    })).repartition(3)
+    right2 = ray.data.from_arrow(pa.table({
+        "focal": pa.array(np.array([k[0] + BIG for k in sorted(rkeys)],
+                                   dtype=np.int64)),
+        "neighbor": pa.array(np.array([k[1] + BIG for k in sorted(rkeys)],
+                                      dtype=np.int64)),
+    }))
+    got2 = sorted(
+        (r["focal"] - BIG, r["neighbor"] - BIG, r["weight"])
+        for r in J.pair_semi(left2, right2).take_all()
+    )
+    assert got2 == got
