@@ -8954,3 +8954,45 @@ SELECT c.node AS id, c.cat, COALESCE(h.nb_cnt, 0) AS nb_cnt,
             ELSE 0.0 END AS lclq_f
 FROM cats c LEFT JOIN hits h ON h.node = c.node
 """
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail familiarity buckets: integer mean
+    bigram familiarity split at exact tercile order statistics."""
+    from libpysal_ray.text.ngrams import familiarity_buckets
+
+    return familiarity_buckets(
+        _docs(sf_dir, ["doc_id", "text"]), n_buckets=3
+    )
+
+
+QUERIES["ccnet_buckets"] = q_ccnet_buckets
+
+ORACLE_SQL["ccnet_buckets"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+ i AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS p FROM t),
+ b AS (SELECT doc_id, tk[p] || ' ' || tk[p+1] AS bg FROM i),
+ c AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+ fam AS (
+   SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(SUM(c.n) AS BIGINT) AS fam_sum
+   FROM b JOIN c USING (bg) GROUP BY 1
+ ),
+ mv AS (
+   SELECT doc_id, CAST(fam_sum // n_bigrams AS BIGINT) AS mean_fam
+   FROM fam
+ ),
+ nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mv),
+ h AS (SELECT mean_fam AS v, CAST(COUNT(*) AS BIGINT) AS c
+       FROM mv GROUP BY 1),
+ o AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+ cut1 AS (SELECT MIN(v) AS t FROM o
+          WHERE cum >= 1 * (SELECT n FROM nn) // 3),
+ cut2 AS (SELECT MIN(v) AS t FROM o
+          WHERE cum >= 2 * (SELECT n FROM nn) // 3)
+SELECT doc_id, mean_fam,
+       CAST(CAST(mean_fam > (SELECT t FROM cut1) AS BIGINT)
+            + CAST(mean_fam > (SELECT t FROM cut2) AS BIGINT)
+            AS BIGINT) AS bucket
+FROM mv
+"""

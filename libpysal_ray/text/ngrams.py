@@ -499,3 +499,74 @@ def bigram_familiarity(
         })
 
     return out.map_batches(_shape, batch_format="pyarrow")
+
+
+def familiarity_buckets(
+    ds: ray.data.Dataset,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """CCNet-style familiarity bucketing (Wenzek et al. 2020 split the
+    corpus into head/middle/tail by LM perplexity; here the integer
+    mean transition frequency of :func:`bigram_familiarity` plays the
+    perplexity role, keeping every step exact): per document,
+    mean_fam = fam_sum // n_bigrams, bucketed by VALUE thresholds at
+    the exact k-th order statistics t_c = smallest value whose
+    cumulative count reaches (c+1)·n // B,
+
+        bucket = Σ_c [mean_fam > t_c]     (0 = tail … B−1 = head)
+
+    Value thresholds (not row ranks) mean boundary TIES share a bucket
+    — deterministic at any layout with no id tie-break machinery.
+    Output (doc_id, mean_fam, bucket); docs with no bigram emit no row
+    (inherited from bigram_familiarity).
+
+    100 TB shape: one bigram_familiarity pass, ONE distinct-value
+    histogram groupby (the ``select_top_fraction`` integer-score
+    contract, loud 4M guard), B−1 cuts broadcast in the closure of a
+    stateless per-row pass."""
+    if n_buckets < 2:
+        raise ValueError("familiarity_buckets needs n_buckets >= 2")
+    fam = bigram_familiarity(ds, id_col=id_col, text_col=text_col)
+    mean = fam.map_batches(
+        lambda t: pa.table({
+            id_col: t.column(id_col),
+            "mean_fam": pc.cast(
+                pc.divide(t.column("fam_sum"), t.column("n_bigrams")),
+                pa.int64(),
+            ),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    hist = mean.groupby("mean_fam").count().take_all()
+    if len(hist) > 4_000_000:
+        raise ValueError("familiarity_buckets: too many distinct "
+                         "values; rescale the score")
+    vs = np.array(sorted(int(r["mean_fam"]) for r in hist),
+                  dtype=np.int64)
+    cm = {int(r["mean_fam"]): int(r["count()"]) for r in hist}
+    cnt = np.array([cm[int(v)] for v in vs], dtype=np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return mean.map_batches(
+            lambda t: t.append_column(
+                "bucket", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    cuts = np.array([
+        vs[int(np.searchsorted(cum, (c + 1) * n // n_buckets))]
+        for c in range(n_buckets - 1)
+    ], dtype=np.int64)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        v = t.column("mean_fam").to_numpy(zero_copy_only=False)
+        b = (v[:, None] > cuts[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "mean_fam": pa.array(v.astype(np.int64)),
+            "bucket": pa.array(b),
+        })
+
+    return mean.map_batches(_bucket, batch_format="pyarrow")

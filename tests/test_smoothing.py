@@ -659,3 +659,33 @@ def test_pair_semi_packed_matches_fallback(ray_session):
         for r in J.pair_semi(left2, right2).take_all()
     )
     assert got2 == got
+
+
+def test_familiarity_buckets_terciles(ray_session):
+    from libpysal_ray.text.ngrams import familiarity_buckets
+
+    # 30 docs: 10 share a very common bigram-heavy phrase (head), 10 a
+    # medium one, 10 unique word soup (tail)
+    docs = []
+    for i in range(10):
+        docs.append((i, "the cat sat on the mat"))
+    for i in range(10, 20):
+        docs.append((i, f"quick brown fox {i} jumps high"))
+    for i in range(20, 30):
+        docs.append((i, f"u{i}a u{i}b u{i}c u{i}d"))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs]),
+    })).repartition(3)
+    rows = {r["doc_id"]: r for r in familiarity_buckets(
+        ds, n_buckets=3).take_all()}
+    assert len(rows) == 30
+    # identical docs share the top bucket; unique soup lands in 0
+    assert all(rows[i]["bucket"] == 2 for i in range(10))
+    assert all(rows[i]["bucket"] == 0 for i in range(20, 30))
+    assert all(rows[i]["bucket"] == 1 for i in range(10, 20))
+    # buckets are value-monotone in mean_fam
+    for a in range(30):
+        for b in range(30):
+            if rows[a]["mean_fam"] > rows[b]["mean_fam"]:
+                assert rows[a]["bucket"] >= rows[b]["bucket"]
