@@ -8996,3 +8996,104 @@ SELECT doc_id, mean_fam,
             AS BIGINT) AS bucket
 FROM mv
 """
+
+
+def q_regime_trend(sf_dir: str):
+    """Per-language-regime trend surfaces + pooled fit (spreg regimes
+    concept): exact Cramer rationals per regime."""
+    from libpysal_ray.spatial.stats import regime_trend
+
+    def _mk(t: pa.Table) -> pa.Table:
+        from libpysal_ray.core.hashing import _string_array_parts
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        data, starts, lens = _string_array_parts(t.column("lang"))
+        code = (
+            data[starts].astype(np.int64) * 256
+            + data[starts + 1].astype(np.int64)
+        )
+        return pa.table({
+            "x": pa.array(
+                ((ids * 2654435761) % 4294967296 % GRID).astype(np.int64)
+            ),
+            "y": pa.array(
+                ((ids * 2246822519) % 4294967296 % GRID).astype(np.int64)
+            ),
+            "z": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 100
+            ),
+            "regime": pa.array(code),
+        })
+
+    pts = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        _mk, batch_format="pyarrow"
+    )
+    return regime_trend(pts)
+
+
+QUERIES["regime_trend"] = q_regime_trend
+
+_RT_DET = """
+         CAST(n AS HUGEINT) * (sxx * syy - sxy * sxy)
+           - CAST(sx AS HUGEINT) * (sx * syy - sxy * sy)
+           + CAST(sy AS HUGEINT) * (sx * sxy - sxx * sy) AS d,
+         CAST(sz AS HUGEINT) * (sxx * syy - sxy * sxy)
+           - CAST(sx AS HUGEINT) * (sxz * syy - sxy * syz)
+           + CAST(sy AS HUGEINT) * (sxz * sxy - sxx * syz) AS a_num,
+         CAST(n AS HUGEINT) * (sxz * syy - sxy * syz)
+           - CAST(sz AS HUGEINT) * (sx * syy - sxy * sy)
+           + CAST(sy AS HUGEINT) * (sx * syz - sxz * sy) AS b_num,
+         CAST(n AS HUGEINT) * (sxx * syz - sxz * sxy)
+           - CAST(sx AS HUGEINT) * (sx * syz - sxz * sy)
+           + CAST(sz AS HUGEINT) * (sx * sxy - sxx * sy) AS c_num
+"""
+
+ORACLE_SQL["regime_trend"] = f"""
+WITH p AS (
+  SELECT CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS BIGINT) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS BIGINT) AS y,
+         CAST(n_chars % 100 AS BIGINT) AS z,
+         CAST(ascii(substr(lang, 1, 1)) * 256
+              + ascii(substr(lang, 2, 1)) AS BIGINT) AS regime
+  FROM documents
+),
+st AS (
+  SELECT regime, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(z) AS BIGINT) AS sz,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * z) AS sxz,
+         SUM(CAST(y AS HUGEINT) * z) AS syz,
+         SUM(CAST(z AS HUGEINT) * z) AS szz
+  FROM p GROUP BY regime
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT),
+         CAST(SUM(z) AS BIGINT),
+         SUM(CAST(x AS HUGEINT) * x), SUM(CAST(y AS HUGEINT) * y),
+         SUM(CAST(x AS HUGEINT) * y), SUM(CAST(x AS HUGEINT) * z),
+         SUM(CAST(y AS HUGEINT) * z), SUM(CAST(z AS HUGEINT) * z)
+  FROM p
+),
+dets AS (SELECT *, {_RT_DET} FROM st),
+f AS (
+  SELECT *, d * szz - (a_num * sz + b_num * sxz + c_num * syz)
+            AS sse_num
+  FROM dets
+)
+SELECT regime, n,
+       CAST(d AS VARCHAR) AS det,
+       CAST(a_num AS VARCHAR) AS a_num,
+       CAST(b_num AS VARCHAR) AS b_num,
+       CAST(c_num AS VARCHAR) AS c_num,
+       CAST(sse_num AS VARCHAR) AS sse_num,
+       CAST(a_num AS DOUBLE) / CAST(d AS DOUBLE) AS a_f,
+       CAST(b_num AS DOUBLE) / CAST(d AS DOUBLE) AS b_f,
+       CAST(c_num AS DOUBLE) / CAST(d AS DOUBLE) AS c_f,
+       CAST(sse_num AS DOUBLE) / CAST(d AS DOUBLE) AS sse_f
+FROM f
+"""

@@ -4052,3 +4052,127 @@ def local_simpson(
         })
 
     return joined.map_batches(_shape, batch_format="pyarrow")
+
+
+def regime_trend(
+    pts: ray.data.Dataset,
+    regime_col: str = "regime",
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+) -> ray.data.Dataset:
+    """Per-regime first-order trend surfaces plus the pooled fit — the
+    spatial-regimes decomposition (the spreg regimes concept downstream
+    of libpysal weights; a Chow-style stability test derives directly
+    from the emitted exact SSEs, see tests): :func:`trend_surface`'s
+    exact-rational Cramer solve, once per integer regime and once
+    pooled (regime = -1). Output one row per regime + the pooled row:
+    (regime, n, det, a_num, b_num, c_num, sse_num as decimal strings,
+    a_f, b_f, c_f, sse_f pinned floats). Raises on any singular
+    per-regime design; regimes need >= 3 points each.
+
+    100 TB shape: ONE stateless aggregate pass with per-batch
+    PER-REGIME partials (vocab-bounded #regimes x #blocks driver rows,
+    the trend_surface discipline); every solve is O(1) driver bignum
+    arithmetic per regime."""
+    def _sums(t: pa.Table) -> pa.Table:
+        r = t.column(regime_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        z = t.column(z_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        regs = np.unique(r)
+        out = {k: [] for k in ("regime", "n", "sx", "sy", "sz", "sxx",
+                               "syy", "sxy", "sxz", "syz", "szz")}
+        for rv in regs:
+            m = r == rv
+            xs, ys, zs = x[m], y[m], z[m]
+            out["regime"].append(int(rv))
+            out["n"].append(len(xs))
+            out["sx"].append(int(xs.sum()))
+            out["sy"].append(int(ys.sum()))
+            out["sz"].append(int(zs.sum()))
+            out["sxx"].append(str(_prod_sum_exact(xs, xs)))
+            out["syy"].append(str(_prod_sum_exact(ys, ys)))
+            out["sxy"].append(str(_prod_sum_exact(xs, ys)))
+            out["sxz"].append(str(_prod_sum_exact(xs, zs)))
+            out["syz"].append(str(_prod_sum_exact(ys, zs)))
+            out["szz"].append(str(_prod_sum_exact(zs, zs)))
+        return pa.table({
+            "regime": pa.array(np.array(out["regime"], dtype=np.int64)),
+            "n": pa.array(np.array(out["n"], dtype=np.int64)),
+            "sx": pa.array(np.array(out["sx"], dtype=np.int64)),
+            "sy": pa.array(np.array(out["sy"], dtype=np.int64)),
+            "sz": pa.array(np.array(out["sz"], dtype=np.int64)),
+            **{k: pa.array(out[k]) for k in
+               ("sxx", "syy", "sxy", "sxz", "syz", "szz")},
+        })
+
+    parts = pts.map_batches(_sums, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for row in parts:
+        a = acc.setdefault(int(row["regime"]),
+                           dict.fromkeys(
+                               ("n", "sx", "sy", "sz", "sxx", "syy",
+                                "sxy", "sxz", "syz", "szz"), 0))
+        for k in ("n", "sx", "sy", "sz"):
+            a[k] += int(row[k])
+        for k in ("sxx", "syy", "sxy", "sxz", "syz", "szz"):
+            a[k] += int(row[k])
+    pooled = dict.fromkeys(
+        ("n", "sx", "sy", "sz", "sxx", "syy", "sxy", "sxz", "syz",
+         "szz"), 0)
+    for a in acc.values():
+        for k in pooled:
+            pooled[k] += a[k]
+    cols: dict = {k: [] for k in
+                  ("regime", "n", "det", "a_num", "b_num", "c_num",
+                   "sse_num", "a_f", "b_f", "c_f", "sse_f")}
+    for rv in sorted(acc) + [-1]:
+        a = pooled if rv == -1 else acc[rv]
+        if a["n"] < 3:
+            raise ValueError(f"regime_trend: regime {rv} has fewer "
+                             "than 3 points")
+        xtx = [[a["n"], a["sx"], a["sy"]],
+               [a["sx"], a["sxx"], a["sxy"]],
+               [a["sy"], a["sxy"], a["syy"]]]
+        d = _det3(xtx)
+        if d == 0:
+            raise ValueError(f"regime_trend: singular design in "
+                             f"regime {rv}")
+        a_num = _det3([[a["sz"], a["sx"], a["sy"]],
+                       [a["sxz"], a["sxx"], a["sxy"]],
+                       [a["syz"], a["sxy"], a["syy"]]])
+        b_num = _det3([[a["n"], a["sz"], a["sy"]],
+                       [a["sx"], a["sxz"], a["sxy"]],
+                       [a["sy"], a["syz"], a["syy"]]])
+        c_num = _det3([[a["n"], a["sx"], a["sz"]],
+                       [a["sx"], a["sxx"], a["sxz"]],
+                       [a["sy"], a["sxy"], a["syz"]]])
+        sse_num = d * a["szz"] - (a_num * a["sz"] + b_num * a["sxz"]
+                                  + c_num * a["syz"])
+        cols["regime"].append(rv)
+        cols["n"].append(a["n"])
+        cols["det"].append(str(d))
+        cols["a_num"].append(str(a_num))
+        cols["b_num"].append(str(b_num))
+        cols["c_num"].append(str(c_num))
+        cols["sse_num"].append(str(sse_num))
+        cols["a_f"].append(float(np.float64(a_num) / np.float64(d)))
+        cols["b_f"].append(float(np.float64(b_num) / np.float64(d)))
+        cols["c_f"].append(float(np.float64(c_num) / np.float64(d)))
+        cols["sse_f"].append(float(np.float64(sse_num) / np.float64(d)))
+    return ray.data.from_arrow(pa.table({
+        "regime": pa.array(np.array(cols["regime"], dtype=np.int64)),
+        "n": pa.array(np.array(cols["n"], dtype=np.int64)),
+        "det": pa.array(cols["det"]),
+        "a_num": pa.array(cols["a_num"]),
+        "b_num": pa.array(cols["b_num"]),
+        "c_num": pa.array(cols["c_num"]),
+        "sse_num": pa.array(cols["sse_num"]),
+        "a_f": pa.array(np.array(cols["a_f"], dtype=np.float64)),
+        "b_f": pa.array(np.array(cols["b_f"], dtype=np.float64)),
+        "c_f": pa.array(np.array(cols["c_f"], dtype=np.float64)),
+        "sse_f": pa.array(np.array(cols["sse_f"], dtype=np.float64)),
+    }))

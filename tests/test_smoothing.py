@@ -689,3 +689,42 @@ def test_familiarity_buckets_terciles(ray_session):
         for b in range(30):
             if rows[a]["mean_fam"] > rows[b]["mean_fam"]:
                 assert rows[a]["bucket"] >= rows[b]["bucket"]
+
+
+def test_regime_trend_matches_lstsq_and_chow(ray_session):
+    from libpysal_ray.spatial.stats import regime_trend
+
+    rng = np.random.default_rng(73)
+    n = 400
+    x = rng.integers(0, 500, n)
+    y = rng.integers(0, 500, n)
+    reg = rng.integers(0, 3, n)
+    # regime-dependent planes + integer noise
+    z = (2 + reg) * x // 10 + (7 - reg) * y // 10 + rng.integers(0, 9, n)
+    pts = ray.data.from_arrow(pa.table({
+        "x": pa.array(x.astype(np.int64)),
+        "y": pa.array(y.astype(np.int64)),
+        "z": pa.array(z.astype(np.int64)),
+        "regime": pa.array(reg.astype(np.int64)),
+    })).repartition(4)
+    rows = {r["regime"]: r for r in regime_trend(pts).take_all()}
+    assert set(rows) == {0, 1, 2, -1}
+    sses = {}
+    for rv in (0, 1, 2, -1):
+        m = np.ones(n, bool) if rv == -1 else reg == rv
+        A = np.c_[np.ones(m.sum()), x[m], y[m]].astype(np.float64)
+        coef, res, *_ = np.linalg.lstsq(A, z[m].astype(np.float64),
+                                        rcond=None)
+        pred = A @ coef
+        sse = float(((z[m] - pred) ** 2).sum())
+        got = rows[rv]
+        assert abs(got["a_f"] - coef[0]) < 1e-6
+        assert abs(got["b_f"] - coef[1]) < 1e-8
+        assert abs(got["c_f"] - coef[2]) < 1e-8
+        assert abs(got["sse_f"] - sse) < max(1e-5 * sse, 1e-6)
+        sses[rv] = got["sse_f"]
+    # Chow F from the emitted exact SSEs: strong regime effect expected
+    k, R = 3, 3
+    ssr = sses[0] + sses[1] + sses[2]
+    chow = ((sses[-1] - ssr) / (k * (R - 1))) / (ssr / (n - k * R))
+    assert chow > 10.0
