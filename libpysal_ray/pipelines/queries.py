@@ -9097,3 +9097,64 @@ SELECT regime, n,
        CAST(sse_num AS DOUBLE) / CAST(d AS DOUBLE) AS sse_f
 FROM f
 """
+
+
+def q_huff(sf_dir: str):
+    """Huff gravity choice probabilities: en documents choose among
+    non-en 'stores' (attractiveness = n_chars %% 100 + 1) within radius
+    80 — exact fixed-point numerators and per-point denominators."""
+    from libpysal_ray.core.joins import bucket_join
+    from libpysal_ray.spatial.access import huff_probabilities
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    dem = geocode_docs_side(docs, True)
+    sup_pts = geocode_docs_side(docs, False)
+    attr = _docs(sf_dir, ["doc_id", "n_chars", "lang"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "s": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 100
+                + 1
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    sup = bucket_join(sup_pts, attr, on="doc_id")
+    return huff_probabilities(dem, sup, radius=80.0,
+                              scale=1_000_000_000, id_col="doc_id")
+
+
+QUERIES["huff"] = q_huff
+
+ORACLE_SQL["huff"] = f"""
+WITH pa_ AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE) AS x,
+         CAST((doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE) AS y
+  FROM documents WHERE lang = 'en'
+),
+pb AS (
+  SELECT d.doc_id,
+         CAST((d.doc_id * 2654435761) % 4294967296 % {GRID} AS DOUBLE)
+           AS x,
+         CAST((d.doc_id * 2246822519) % 4294967296 % {GRID} AS DOUBLE)
+           AS y,
+         CAST(d.n_chars % 100 + 1 AS BIGINT) AS s
+  FROM documents d WHERE d.lang <> 'en'
+),
+pr AS (
+  SELECT i.doc_id AS id, j.doc_id AS supply_id,
+         j.s * (1000000000 // GREATEST(CAST(
+           (i.x - j.x) * (i.x - j.x)
+           + (i.y - j.y) * (i.y - j.y) AS BIGINT), 1)) AS p_num
+  FROM pa_ i JOIN pb j
+    ON (i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y) <= 6400.0
+),
+dn AS (SELECT id, CAST(SUM(p_num) AS BIGINT) AS p_den FROM pr GROUP BY 1)
+SELECT pr.id, pr.supply_id, CAST(pr.p_num AS BIGINT) AS p_num,
+       dn.p_den,
+       CASE WHEN dn.p_den > 0
+            THEN CAST(pr.p_num AS DOUBLE) / CAST(dn.p_den AS DOUBLE)
+            ELSE 0.0 END AS p_f
+FROM pr JOIN dn USING (id)
+"""

@@ -407,3 +407,129 @@ def idw_interpolate(
         }),
         batch_format="pyarrow",
     )
+
+
+def huff_probabilities(
+    demand: ray.data.Dataset,
+    supply: ray.data.Dataset,
+    radius: float,
+    scale: int = 1_000_000_000,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    s_col: str = "s",
+) -> ray.data.Dataset:
+    """Huff gravity-model choice probabilities (Huff 1963; the
+    spatial-interaction family beside the reference's spintW builders):
+    for demand point i and each supply j within ``radius``,
+
+        P_ij = s_j·w_ij / Σ_{j' in range} s_j'·w_ij',
+        w_ij = scale // max(d²_ij, 1)      (the exact idw weight)
+
+    — attractiveness over distance-decayed competition. Both the
+    numerator and the per-i denominator are exact int64 (the
+    :func:`idw_interpolate` fixed-point discipline; the d² ≥ 1 clamp is
+    the same documented contract), one pinned float per pair. Output
+    (id, supply_id, p_num, p_den, p_f); demand points with no supply in
+    range emit nothing.
+
+    100 TB shape: ONE tagged-union tile shuffle (cs = halo = radius) —
+    every demand point is core in exactly one tile with ALL its
+    in-range supply present, so the per-tile kernel emits finished
+    pair rows AND their shared denominator in the same pass; no second
+    shuffle, no join. Overflow pre-check: s_max·scale·n_supply < 2^62."""
+    sagg = supply.aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Max(s_col),
+        ray.data.aggregate.Min(s_col),
+    )
+    n_sup = int(sagg["count()"])
+    smax = int(sagg[f"max({s_col})"] or 0)
+    if int(sagg[f"min({s_col})"] or 0) < 0:
+        raise ValueError("huff_probabilities: supply must be >= 0")
+    if smax * int(scale) * max(n_sup, 1) >= (1 << 62):
+        raise ValueError("huff_probabilities: s_max x scale x n "
+                         "exceeds 2^62; reduce scale")
+    t2 = float(radius) * float(radius)
+    sc = np.int64(scale)
+
+    def _tag(mark, with_val):
+        def _f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "id": t.column(id_col),
+                "x": t.column(x_col),
+                "y": t.column(y_col),
+                "mark": pa.array(np.full(n, mark, dtype=np.int64)),
+                "val": (
+                    pa.array(
+                        t.column(s_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    if with_val
+                    else pa.array(np.zeros(n, dtype=np.int64))
+                ),
+            })
+        return _f
+
+    both = demand.map_batches(
+        _tag(1, False), batch_format="pyarrow"
+    ).union(supply.map_batches(_tag(2, True), batch_format="pyarrow"))
+    tiled = tile_points(both, cs=float(radius), halo=float(radius),
+                        extra_cols=("mark", "val"))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        mark = t.column("mark").to_numpy(zero_copy_only=False)
+        val = t.column("val").to_numpy(zero_copy_only=False)
+        core = t.column("core").to_numpy(zero_copy_only=False)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        ai = np.flatnonzero(core & (mark == 1))
+        bj = np.flatnonzero(mark == 2)
+        oi, oj, on, od = [], [], [], []
+        if len(bj):
+            xb, yb, vb, jb = x[bj], y[bj], val[bj], ids[bj]
+            for s in range(0, len(ai), _CHUNK):
+                sel = ai[s : s + _CHUNK]
+                dx = x[sel, None] - xb[None, :]
+                dy = y[sel, None] - yb[None, :]
+                d2 = dx * dx + dy * dy
+                m = d2 <= t2
+                w = np.where(
+                    m, sc // np.maximum(d2.astype(np.int64), 1), 0
+                )
+                num = w * vb[None, :]
+                den = num.sum(axis=1)
+                ii, jj = np.nonzero(m)
+                oi.append(ids[sel][ii])
+                oj.append(jb[jj])
+                on.append(num[ii, jj])
+                od.append(den[ii])
+        if not oi:
+            return pa.table({
+                "id": pa.array([], pa.int64()),
+                "supply_id": pa.array([], pa.int64()),
+                "p_num": pa.array([], pa.int64()),
+                "p_den": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "id": pa.array(np.concatenate(oi).astype(np.int64)),
+            "supply_id": pa.array(np.concatenate(oj).astype(np.int64)),
+            "p_num": pa.array(np.concatenate(on).astype(np.int64)),
+            "p_den": pa.array(np.concatenate(od).astype(np.int64)),
+        })
+
+    out = J.per_group(tiled, ("tile",), _pairs)
+    return out.map_batches(
+        lambda t: t.append_column("p_f", pa.array(np.where(
+            t.column("p_den").to_numpy(zero_copy_only=False) > 0,
+            t.column("p_num").to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            / np.maximum(
+                t.column("p_den").to_numpy(zero_copy_only=False), 1
+            ).astype(np.float64),
+            0.0,
+        ))),
+        batch_format="pyarrow",
+    )

@@ -728,3 +728,44 @@ def test_regime_trend_matches_lstsq_and_chow(ray_session):
     ssr = sses[0] + sses[1] + sses[2]
     chow = ((sses[-1] - ssr) / (k * (R - 1))) / (ssr / (n - k * R))
     assert chow > 10.0
+
+
+def test_huff_probabilities_match_brute(ray_session):
+    from libpysal_ray.spatial.access import huff_probabilities
+
+    rng = np.random.default_rng(79)
+    dx = rng.integers(0, 200, 60).astype(np.float64)
+    dy = rng.integers(0, 200, 60).astype(np.float64)
+    sx = rng.integers(0, 200, 40).astype(np.float64)
+    sy = rng.integers(0, 200, 40).astype(np.float64)
+    sv = rng.integers(1, 50, 40)
+    dem = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(60, dtype=np.int64)),
+        "x": pa.array(dx), "y": pa.array(dy),
+    })).repartition(3)
+    sup = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(100, 140, dtype=np.int64)),
+        "x": pa.array(sx), "y": pa.array(sy),
+        "s": pa.array(sv.astype(np.int64)),
+    })).repartition(2)
+    r, sc = 60.0, 1_000_000
+    rows = huff_probabilities(dem, sup, radius=r, scale=sc).take_all()
+    got = {(x["id"], x["supply_id"]): x for x in rows}
+    n_checked = 0
+    for i in range(60):
+        d2 = ((dx[i] - sx) ** 2 + (dy[i] - sy) ** 2).astype(np.int64)
+        m = d2 <= r * r
+        w = np.where(m, sc // np.maximum(d2, 1), 0)
+        num = w * sv
+        den = int(num[m].sum())
+        for j in np.flatnonzero(m):
+            x = got[(i, 100 + j)]
+            assert x["p_num"] == int(num[j])
+            assert x["p_den"] == den
+            assert abs(x["p_f"] - num[j] / den) < 1e-15
+            n_checked += 1
+        # probabilities per demand point sum to 1 exactly in the ints
+        if m.any():
+            assert sum(got[(i, 100 + j)]["p_num"]
+                       for j in np.flatnonzero(m)) == den
+    assert n_checked > 100
