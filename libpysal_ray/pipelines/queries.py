@@ -9158,3 +9158,55 @@ SELECT pr.id, pr.supply_id, CAST(pr.p_num AS BIGINT) AS p_num,
             ELSE 0.0 END AS p_f
 FROM pr JOIN dn USING (id)
 """
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficients of the 50-unit band graph at degree
+    thresholds 2/5/10 — exact integer club densities."""
+    from libpysal_ray.core.graph import rich_club
+
+    return rich_club(_binarize(_grav50_g(sf_dir)), ks=[2, 5, 10])
+
+
+QUERIES["rich_club"] = q_rich_club
+
+ORACLE_SQL["rich_club"] = f"""
+WITH {_PTS_SQL},
+adj AS (
+  SELECT a.doc_id AS focal, b.doc_id AS neighbor
+  FROM pts a, pts b
+  WHERE a.doc_id <> b.doc_id AND {_PAIR_DIST} <= 50
+),
+dg AS (
+  SELECT d.doc_id AS node,
+         CAST(COALESCE(c.deg, 0) AS BIGINT) AS deg
+  FROM documents d
+  LEFT JOIN (SELECT focal, COUNT(*) AS deg FROM adj GROUP BY 1) c
+    ON c.focal = d.doc_id
+),
+ks(k) AS (VALUES (CAST(2 AS BIGINT)), (CAST(5 AS BIGINT)),
+                 (CAST(10 AS BIGINT))),
+nk AS (
+  SELECT ks.k, CAST(COALESCE(SUM(CASE WHEN dg.deg > ks.k THEN 1 END),
+                             0) AS BIGINT) AS n_k
+  FROM ks CROSS JOIN dg GROUP BY ks.k
+),
+ek AS (
+  SELECT ks.k,
+         CAST(COALESCE(SUM(CASE WHEN df.deg > ks.k AND dn.deg > ks.k
+                                THEN 1 END), 0) AS BIGINT) AS e_k
+  FROM ks CROSS JOIN adj
+  JOIN dg df ON df.node = adj.focal
+  JOIN dg dn ON dn.node = adj.neighbor
+  GROUP BY ks.k
+)
+SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+       CAST(CASE WHEN nk.n_k >= 2
+                 THEN nk.n_k * (nk.n_k - 1) ELSE 0 END AS VARCHAR)
+         AS rc_den,
+       CASE WHEN nk.n_k >= 2
+            THEN CAST(COALESCE(ek.e_k, 0) AS DOUBLE)
+                 / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE)
+            ELSE 0.0 END AS rc_f
+FROM nk LEFT JOIN ek USING (k)
+"""

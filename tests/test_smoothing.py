@@ -769,3 +769,28 @@ def test_huff_probabilities_match_brute(ray_session):
             assert sum(got[(i, 100 + j)]["p_num"]
                        for j in np.flatnonzero(m)) == den
     assert n_checked > 100
+
+
+def test_rich_club_matches_dense(ray_session):
+    from libpysal_ray.core.graph import RayGraph, rich_club
+
+    rng = np.random.default_rng(83)
+    n = 60
+    m = np.triu((rng.random((n, n)) < 0.12), 1)
+    m = m | m.T
+    f, nb = np.nonzero(m)
+    g = RayGraph.from_arrays(f.astype(np.int64), nb.astype(np.int64),
+                             np.ones(len(f)))
+    rows = {r["k"]: r for r in rich_club(g, ks=[1, 3, 6]).take_all()}
+    deg = m.sum(1)
+    for k in (1, 3, 6):
+        club = deg > k
+        nk = int(club.sum())
+        ek = int(m[np.ix_(club, club)].sum())
+        assert rows[k]["n_k"] == nk
+        assert rows[k]["e_k"] == ek
+        if nk >= 2:
+            assert abs(rows[k]["rc_f"] - ek / (nk * (nk - 1))) < 1e-15
+            assert rows[k]["rc_den"] == str(nk * (nk - 1))
+        else:
+            assert rows[k]["rc_f"] == 0.0
