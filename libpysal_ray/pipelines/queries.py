@@ -9210,3 +9210,73 @@ SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
             ELSE 0.0 END AS rc_f
 FROM nk LEFT JOIN ek USING (k)
 """
+
+
+def q_gw_mean(sf_dir: str):
+    """Geographically weighted mean of n_chars%%100 at the 20x20
+    anchor lattice (Epanechnikov, h=100) — exact rational per anchor."""
+    from libpysal_ray.core.joins import bucket_join
+    from libpysal_ray.spatial.access import gw_mean
+
+    ai = np.arange(400, dtype=np.int64)
+    anchors = ray.data.from_arrow(pa.table({
+        "id": pa.array(ai),
+        "x": pa.array(((ai // 20) * 50).astype(np.float64)),
+        "y": pa.array(((ai % 20) * 50).astype(np.float64)),
+    }))
+    attr = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "id": t.column("doc_id"),
+            "v": pa.array(
+                t.column("n_chars").to_numpy(zero_copy_only=False) % 100
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    pts = bucket_join(
+        _points(sf_dir).map_batches(
+            lambda t: pa.table({
+                "id": t.column("doc_id"),
+                "x": t.column("x"), "y": t.column("y"),
+            }),
+            batch_format="pyarrow",
+        ),
+        attr, on="id",
+    )
+    return gw_mean(anchors, pts, bandwidth=100.0)
+
+
+QUERIES["gw_mean"] = q_gw_mean
+
+ORACLE_SQL["gw_mean"] = f"""
+WITH {_PTS_SQL},
+pv AS (
+  SELECT p.doc_id, p.x, p.y, CAST(d.n_chars % 100 AS BIGINT) AS v
+  FROM pts p JOIN documents d USING (doc_id)
+),
+anch AS (
+  SELECT CAST(a.i * 20 + b.j AS BIGINT) AS aid,
+         CAST(a.i * 50 AS DOUBLE) AS x, CAST(b.j * 50 AS DOUBLE) AS y
+  FROM (SELECT unnest(range(20)) AS i) a,
+       (SELECT unnest(range(20)) AS j) b
+),
+w AS (
+  SELECT anch.aid, pv.v,
+         10000 - CAST((anch.x - pv.x) * (anch.x - pv.x)
+              + (anch.y - pv.y) * (anch.y - pv.y) AS BIGINT) AS w
+  FROM anch JOIN pv
+    ON (anch.x - pv.x) * (anch.x - pv.x)
+       + (anch.y - pv.y) * (anch.y - pv.y) < 10000.0
+),
+agg AS (
+  SELECT aid, CAST(SUM(v * w) AS BIGINT) AS num,
+         CAST(SUM(w) AS BIGINT) AS den
+  FROM w GROUP BY 1
+)
+SELECT anch.aid AS id, COALESCE(agg.num, 0) AS num,
+       COALESCE(agg.den, 0) AS den,
+       CASE WHEN COALESCE(agg.den, 0) > 0
+            THEN CAST(agg.num AS DOUBLE) / CAST(agg.den AS DOUBLE)
+            ELSE 0.0 END AS gw_f
+FROM anch LEFT JOIN agg USING (aid)
+"""

@@ -794,3 +794,31 @@ def test_rich_club_matches_dense(ray_session):
             assert rows[k]["rc_den"] == str(nk * (nk - 1))
         else:
             assert rows[k]["rc_f"] == 0.0
+
+
+def test_gw_mean_matches_brute(ray_session):
+    from libpysal_ray.spatial.access import gw_mean
+
+    rng = np.random.default_rng(89)
+    px = rng.integers(0, 150, 200).astype(np.float64)
+    py = rng.integers(0, 150, 200).astype(np.float64)
+    v = rng.integers(-30, 60, 200)
+    pts = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(200, dtype=np.int64)),
+        "x": pa.array(px), "y": pa.array(py),
+        "v": pa.array(v.astype(np.int64)),
+    })).repartition(4)
+    ax = np.array([10.0, 75.0, 140.0])
+    anchors = ray.data.from_arrow(pa.table({
+        "id": pa.array(np.arange(3, dtype=np.int64)),
+        "x": pa.array(ax), "y": pa.array(ax),
+    }))
+    h = 40.0
+    rows = {r["id"]: r for r in gw_mean(
+        anchors, pts, bandwidth=h).take_all()}
+    for i in range(3):
+        d2 = (px - ax[i]) ** 2 + (py - ax[i]) ** 2
+        w = np.where(d2 < h * h, h * h - d2, 0).astype(np.int64)
+        num, den = int((w * v).sum()), int(w.sum())
+        assert rows[i]["num"] == num and rows[i]["den"] == den
+        assert abs(rows[i]["gw_f"] - (num / den if den else 0.0)) < 1e-12
