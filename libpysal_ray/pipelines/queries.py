@@ -9280,3 +9280,76 @@ SELECT anch.aid AS id, COALESCE(agg.num, 0) AS num,
             ELSE 0.0 END AS gw_f
 FROM anch LEFT JOIN agg USING (aid)
 """
+
+
+def q_exposure(sf_dir: str):
+    """Segregation P* exposure/isolation per distinct (minority,
+    majority) unit profile — exact per-cell fractions; x = en pages per
+    8x8 zone, y = the rest."""
+    from libpysal_ray.spatial.inequality import exposure_terms
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        gx = (ids * 2654435761) % 4294967296 % GRID
+        gy = (ids * 2246822519) % 4294967296 % GRID
+        zone = (gy // CDIV) * 8 + (gx // CDIV)
+        en = pc.equal(t.column("lang"), "en").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({
+            "zone": pa.array(zone.astype(np.int64)),
+            "xin": pa.array(en.astype(np.int64)),
+            "yin": pa.array((~en).astype(np.int64)),
+        })
+
+    units = (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(_mk, batch_format="pyarrow")
+        .groupby("zone")
+        .sum(["xin", "yin"])
+        .map_batches(
+            lambda t: pa.table({
+                "x": pc.cast(t.column("sum(xin)"), pa.int64()),
+                "y": pc.cast(t.column("sum(yin)"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    return exposure_terms(units)
+
+
+QUERIES["exposure"] = q_exposure
+
+ORACLE_SQL["exposure"] = f"""
+WITH u AS (
+  SELECT ((doc_id * 2246822519) % 4294967296 % {GRID}) // {CDIV} * 8
+           + ((doc_id * 2654435761) % 4294967296 % {GRID}) // {CDIV}
+           AS zone,
+         CAST(lang = 'en' AS BIGINT) AS xin,
+         CAST(lang <> 'en' AS BIGINT) AS yin
+  FROM documents
+),
+z AS (
+  SELECT zone, CAST(SUM(xin) AS BIGINT) AS x,
+         CAST(SUM(yin) AS BIGINT) AS y
+  FROM u GROUP BY zone
+),
+h AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM z GROUP BY x, y
+),
+tx AS (SELECT CAST(SUM(x * cnt) AS BIGINT) AS xt FROM h)
+SELECT x, y, cnt,
+       CAST(CAST((SELECT xt FROM tx) AS HUGEINT) * (x + y) AS VARCHAR)
+         AS den,
+       CAST(CAST(cnt AS HUGEINT) * x * x AS VARCHAR) AS iso_num,
+       CAST(CAST(cnt AS HUGEINT) * x * y AS VARCHAR) AS exp_num,
+       CAST(CAST(cnt AS HUGEINT) * x * x AS DOUBLE)
+         / CAST(CAST((SELECT xt FROM tx) AS HUGEINT) * (x + y)
+                AS DOUBLE) AS iso_f,
+       CAST(CAST(cnt AS HUGEINT) * x * y AS DOUBLE)
+         / CAST(CAST((SELECT xt FROM tx) AS HUGEINT) * (x + y)
+                AS DOUBLE) AS exp_f
+FROM h
+"""

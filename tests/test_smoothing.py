@@ -822,3 +822,32 @@ def test_gw_mean_matches_brute(ray_session):
         num, den = int((w * v).sum()), int(w.sum())
         assert rows[i]["num"] == num and rows[i]["den"] == den
         assert abs(rows[i]["gw_f"] - (num / den if den else 0.0)) < 1e-12
+
+
+def test_exposure_terms_sum_to_one(ray_session):
+    from libpysal_ray.spatial.inequality import exposure_terms
+
+    rng = np.random.default_rng(97)
+    x = rng.integers(0, 30, 150)
+    y = rng.integers(1, 40, 150)
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(x.astype(np.int64)),
+        "y": pa.array(y.astype(np.int64)),
+    })).repartition(3)
+    rows = exposure_terms(ds).take_all()
+    X = int(x.sum())
+    iso = sum(r["iso_f"] for r in rows)
+    exp = sum(r["exp_f"] for r in rows)
+    want_iso = float((x / X * (x / (x + y))).sum())
+    want_exp = float((x / X * (y / (x + y))).sum())
+    assert abs(iso - want_iso) < 1e-12
+    assert abs(exp - want_exp) < 1e-12
+    assert abs(iso + exp - 1.0) < 1e-12
+    # exact per-cell fractions
+    from collections import Counter
+    c = Counter(zip(x, y))
+    for r in rows:
+        k = (r["x"], r["y"])
+        assert r["cnt"] == c[k]
+        assert r["iso_num"] == str(c[k] * k[0] * k[0])
+        assert r["den"] == str(X * (k[0] + k[1]))
