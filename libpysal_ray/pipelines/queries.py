@@ -9353,3 +9353,46 @@ SELECT x, y, cnt,
                 AS DOUBLE) AS exp_f
 FROM h
 """
+
+
+def q_funnel(sf_dir: str):
+    """Strict-order view->click->purchase funnel per user: deepest
+    stage + exact stage timestamps (set-minima, no tie-breaks)."""
+    from libpysal_ray.sources.read import read_parquet_sized
+    from libpysal_ray.temporal.joins import funnel_stages
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet")
+    return funnel_stages(ev, stages=["view", "click", "purchase"])
+
+
+QUERIES["funnel"] = q_funnel
+
+ORACLE_SQL["funnel"] = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id AS "user",
+       CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                 WHEN c.t2 IS NOT NULL THEN 2
+                 WHEN v.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage,
+       CAST(COALESCE(epoch_us(v.t1), -1) AS BIGINT) AS t1_us,
+       CAST(COALESCE(epoch_us(c.t2), -1) AS BIGINT) AS t2_us,
+       CAST(COALESCE(epoch_us(p.t3), -1) AS BIGINT) AS t3_us
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""

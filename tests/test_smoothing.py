@@ -851,3 +851,37 @@ def test_exposure_terms_sum_to_one(ray_session):
         assert r["cnt"] == c[k]
         assert r["iso_num"] == str(c[k] * k[0] * k[0])
         assert r["den"] == str(X * (k[0] + k[1]))
+
+
+def test_funnel_stages_matches_brute(ray_session):
+    from libpysal_ray.temporal.joins import funnel_stages
+
+    rng = np.random.default_rng(101)
+    n = 2000
+    users = rng.integers(0, 80, n)
+    ts = rng.integers(0, 100000, n)
+    types = rng.choice(["view", "click", "purchase", "other"], n)
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(users.astype(np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        "event_type": pa.array(types),
+    })).repartition(5)
+    rows = {r["user"]: r for r in funnel_stages(
+        ev, stages=["view", "click", "purchase"]).take_all()}
+    assert set(rows) == set(int(u) for u in np.unique(users))
+    for u in np.unique(users):
+        m = users == u
+        ut, uy = ts[m], types[m]
+        t_prev, out, stage = -1 << 62, [], 0
+        for s in ("view", "click", "purchase"):
+            cand = ut[(uy == s) & (ut > t_prev)]
+            if len(cand):
+                t_prev = int(cand.min())
+                out.append(t_prev)
+                stage += 1
+            else:
+                out.append(-1)
+                t_prev = 1 << 62
+        r = rows[int(u)]
+        assert r["stage"] == stage, u
+        assert (r["t1_us"], r["t2_us"], r["t3_us"]) == tuple(out), u
