@@ -9396,3 +9396,30 @@ LEFT JOIN v USING (user_id)
 LEFT JOIN c USING (user_id)
 LEFT JOIN p USING (user_id)
 """
+
+
+def q_retention(sf_dir: str):
+    """Weekly retention-cohort triangle over the events table: distinct
+    active users per (first-event week, week offset)."""
+    from libpysal_ray.sources.read import read_parquet_sized
+    from libpysal_ray.temporal.joins import retention_cohorts
+
+    return retention_cohorts(
+        read_parquet_sized(f"{sf_dir}/events.parquet")
+    )
+
+
+QUERIES["retention"] = q_retention
+
+ORACLE_SQL["retention"] = """
+WITH a AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+f AS (SELECT user_id, MIN(wk) AS cohort FROM a GROUP BY 1),
+d AS (SELECT DISTINCT a.user_id, f.cohort, a.wk
+      FROM a JOIN f USING (user_id))
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(wk - cohort AS BIGINT) AS "offset",
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d GROUP BY 1, 2
+"""

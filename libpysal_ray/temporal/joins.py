@@ -653,3 +653,83 @@ def funnel_stages(
         })
 
     return grouped_by_key(stream, ["u"], _kernel)
+
+
+def retention_cohorts(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    week_us: int = 7 * 86_400 * 1_000_000,
+) -> ray.data.Dataset:
+    """Retention-cohort matrix (the classic product-analytics triangle):
+    each user's cohort is the week of their FIRST event (floor of epoch
+    microseconds over ``week_us``), and the output counts distinct
+    active users per (cohort_week, week_offset):
+
+        rows (cohort, offset, n_users),  offset = active_week − cohort
+
+    Every quantity is an exact integer; offset 0 rows equal each
+    cohort's size by construction.
+
+    100 TB shape: ONE grouped_by_key(user) shuffle whose bucket kernel
+    computes each user's first week AND their distinct active weeks in
+    the same vectorized pass (emitting (cohort, offset) rows, ≤ #active
+    weeks per user), then one tiny groupby over the cohort triangle —
+    bounded by (#weeks)²."""
+    from libpysal_ray.core.joins import grouped_by_key
+
+    wus = np.int64(int(week_us))
+    if wus < 1:
+        raise ValueError("retention_cohorts: week_us must be >= 1")
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.array(
+                t.column(user_col).to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "wk": pa.array(
+                t.column(ts_col).cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // wus),
+        })
+
+    def _kernel(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        wk = t.column("wk").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({
+                "cohort": pa.array([], pa.int64()),
+                "offset": pa.array([], pa.int64()),
+            })
+        # distinct (user, week), then per-user min week as the cohort
+        order = np.lexsort((wk, u))
+        us, ws = u[order], wk[order]
+        keep = np.ones(len(us), bool)
+        keep[1:] = (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])
+        us, ws = us[keep], ws[keep]
+        new = np.ones(len(us), bool)
+        new[1:] = us[1:] != us[:-1]
+        gid = np.cumsum(new) - 1
+        cohort = ws[np.flatnonzero(new)]  # first (= min) week per user
+        return pa.table({
+            "cohort": pa.array(cohort[gid].astype(np.int64)),
+            "offset": pa.array((ws - cohort[gid]).astype(np.int64)),
+        })
+
+    pairs = grouped_by_key(
+        events.map_batches(_proj, batch_format="pyarrow"),
+        ["u"], _kernel,
+    )
+    return (
+        pairs.groupby(["cohort", "offset"])
+        .count()
+        .map_batches(
+            lambda t: pa.table({
+                "cohort": t.column("cohort"),
+                "offset": t.column("offset"),
+                "n_users": pa.array(
+                    t.column("count()").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+    )

@@ -885,3 +885,34 @@ def test_funnel_stages_matches_brute(ray_session):
         r = rows[int(u)]
         assert r["stage"] == stage, u
         assert (r["t1_us"], r["t2_us"], r["t3_us"]) == tuple(out), u
+
+
+def test_retention_cohorts_matches_brute(ray_session):
+    from libpysal_ray.temporal.joins import retention_cohorts
+
+    rng = np.random.default_rng(103)
+    n = 3000
+    users = rng.integers(0, 120, n)
+    ts = rng.integers(0, 12 * 604800, n).astype(np.int64) * 1_000_000
+    ev = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(users.astype(np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+    })).repartition(4)
+    rows = {(r["cohort"], r["offset"]): r["n_users"]
+            for r in retention_cohorts(ev).take_all()}
+    wk = ts // (604800 * 1_000_000)
+    want = {}
+    for u in np.unique(users):
+        uw = np.unique(wk[users == u])
+        c = int(uw.min())
+        for w in uw:
+            k = (c, int(w) - c)
+            want[k] = want.get(k, 0) + 1
+    assert rows == want
+    # offset-0 diagonal equals cohort sizes
+    firsts = {}
+    for u in np.unique(users):
+        firsts.setdefault(int(wk[users == u].min()), 0)
+        firsts[int(wk[users == u].min())] += 1
+    for c, sz in firsts.items():
+        assert rows[(c, 0)] == sz
