@@ -644,3 +644,206 @@ def flow_accumulation(
         }),
         batch_format="pyarrow",
     )
+
+
+def focal_majority(
+    cells: ray.data.Dataset,
+    nrows: int,
+    ncols: int,
+    nodata: int | None = None,
+    val_col: str = "value",
+) -> ray.data.Dataset:
+    """3×3 focal MAJORITY filter (the categorical map-algebra sibling
+    of :func:`focal_mean`): each valid cell takes the most frequent
+    category in its queen window INCLUDING itself, ties to the LOWEST
+    category code (the :func:`~libpysal_ray.spatial.ops.zonal_majority`
+    convention); nodata cells neither contribute nor emit. Output
+    (row, col, majority).
+
+    100 TB shape: the focal_mean ×9 offset fanout into ONE
+    grouped_by_key(cell) pass whose kernel computes the windowed mode
+    per cell vectorized (one lexsort over the bucket); center validity
+    rides the fanout (a center row marks its own cell)."""
+    from libpysal_ray.core.joins import grouped_by_key
+
+    if 9 * nrows * ncols >= (1 << 62) or nrows <= 0 or ncols <= 0:
+        raise ValueError("focal_majority: bad raster shape")
+    dr = np.repeat(np.array([-1, 0, 1], dtype=np.int64), 3)
+    dc = np.tile(np.array([-1, 0, 1], dtype=np.int64), 3)
+    ctr0 = ((dr == 0) & (dc == 0)).astype(np.int64)
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        r = t.column("row").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("col").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if nodata is not None:
+            keep = v != nodata
+            r, c, v = r[keep], c[keep], v[keep]
+        m = len(r)
+        rr = np.repeat(r, 9) + np.tile(dr, m)
+        cc = np.repeat(c, 9) + np.tile(dc, m)
+        vv = np.repeat(v, 9)
+        ct = np.tile(ctr0, m)
+        inb = (rr >= 0) & (rr < nrows) & (cc >= 0) & (cc < ncols)
+        return pa.table({
+            "k": pa.array(rr[inb] * ncols + cc[inb]),
+            "v": pa.array(vv[inb]),
+            "ctr": pa.array(ct[inb]),
+        })
+
+    fan = cells.map_batches(_contrib, batch_format="pyarrow")
+
+    def _mode(t: pa.Table) -> pa.Table:
+        # bucket kernel: rows k-sorted; per cell, the modal v with ties
+        # to the lowest code; cells with no center row drop
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        ctr = t.column("ctr").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({
+                "row": pa.array([], pa.int64()),
+                "col": pa.array([], pa.int64()),
+                "majority": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        pair_new = np.ones(len(ks), bool)
+        pair_new[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        starts = np.flatnonzero(pair_new)
+        runs = np.diff(np.append(starts, len(ks)))
+        pk, pv = ks[starts], vs[starts]
+        cell_new = np.ones(len(pk), bool)
+        cell_new[1:] = pk[1:] != pk[:-1]
+        gid = np.cumsum(cell_new) - 1
+        # per cell: argmax by (count desc, code asc) via one lexsort
+        o2 = np.lexsort((pv, -runs, gid))
+        first = np.ones(len(o2), bool)
+        first[1:] = gid[o2][1:] != gid[o2][:-1]
+        top = o2[first]
+        # center flag per cell, exactly from the raw sorted rows (the
+        # pair index of raw row i is cumsum(pair_new)-1)
+        ctr_cells = np.zeros(gid[-1] + 1, dtype=bool)
+        raw_gid = gid[np.cumsum(pair_new) - 1]
+        np.logical_or.at(ctr_cells, raw_gid, ctr[order] > 0)
+        keep = ctr_cells[gid[top]]
+        kk = pk[top][keep]
+        return pa.table({
+            "row": pa.array((kk // ncols).astype(np.int64)),
+            "col": pa.array((kk % ncols).astype(np.int64)),
+            "majority": pa.array(pv[top][keep].astype(np.int64)),
+        })
+
+    return grouped_by_key(fan, ["k"], _mode)
+
+
+def ruggedness_index(
+    cells: ray.data.Dataset,
+    nrows: int,
+    ncols: int,
+    nodata: int | None = None,
+    val_col: str = "value",
+) -> ray.data.Dataset:
+    """Terrain Ruggedness Index (Riley et al. 1999) without the square
+    root — the exact integer core: per valid cell, the sum of absolute
+    elevation differences to its valid queen neighbors,
+
+        tri_sum_i = Σ_{n ∈ window} |z_i − z_n|     (exact int64)
+
+    plus the neighbor count (nodata/edge cells shrink the window) and
+    tri_f = tri_sum / n_nbrs, the mean absolute difference — the
+    monotone equivalent of the classic √Σ(z_i−z_n)² under the engine's
+    exactness discipline (documented deviation: sums of |Δ| are exact,
+    sums under a square root are not). Output (row, col, n_nbrs,
+    tri_sum, tri_f).
+
+    100 TB shape: the :func:`d8_flow` fanout (8 neighbor contributions
+    + center) into ONE grouped_by_key(cell) pass; |Δ| needs both
+    values, so the kernel reads the center row per cell like d8_flow's.
+    Overflow guard: |z|max·8 < 2^62 trivially holds for int32-scale
+    elevations."""
+    from libpysal_ray.core.joins import grouped_by_key
+
+    if 9 * nrows * ncols >= (1 << 62) or nrows <= 0 or ncols <= 0:
+        raise ValueError("ruggedness_index: bad raster shape")
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1),
+            (1, 0), (1, 1)]
+    dr = np.array([o[0] for o in offs], dtype=np.int64)
+    dc = np.array([o[1] for o in offs], dtype=np.int64)
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        r = t.column("row").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("col").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if nodata is not None:
+            keep = v != nodata
+            r, c, v = r[keep], c[keep], v[keep]
+        if len(v) and int(np.abs(v).max()) * 16 >= (1 << 62):
+            raise ValueError("ruggedness_index: |z| too large")
+        m = len(r)
+        rr = np.repeat(r, 8) + np.tile(dr, m)
+        cc = np.repeat(c, 8) + np.tile(dc, m)
+        vv = np.repeat(v, 8)
+        inb = (rr >= 0) & (rr < nrows) & (cc >= 0) & (cc < ncols)
+        k = np.concatenate([rr[inb] * ncols + cc[inb], r * ncols + c])
+        z = np.concatenate([vv[inb], v])
+        ctr = np.concatenate([np.zeros(int(inb.sum()), dtype=np.int64),
+                              np.ones(m, dtype=np.int64)])
+        return pa.table({
+            "k": pa.array(k), "vz": pa.array(z), "ctr": pa.array(ctr),
+        })
+
+    fan = cells.map_batches(_contrib, batch_format="pyarrow")
+
+    def _tri(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        z = t.column("vz").to_numpy(zero_copy_only=False)
+        ctr = t.column("ctr").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({
+                "row": pa.array([], pa.int64()),
+                "col": pa.array([], pa.int64()),
+                "n_nbrs": pa.array([], pa.int64()),
+                "tri_sum": pa.array([], pa.int64()),
+            })
+        new = np.ones(len(k), bool)
+        new[1:] = k[1:] != k[:-1]
+        gid = np.cumsum(new) - 1
+        ng = gid[-1] + 1
+        has_ctr = np.zeros(ng, dtype=bool)
+        z0 = np.zeros(ng, dtype=np.int64)
+        cm = ctr == 1
+        has_ctr[gid[cm]] = True
+        z0[gid[cm]] = z[cm]
+        nb = ~cm
+        d = np.abs(z - z0[gid])
+        tri = np.zeros(ng, dtype=np.int64)
+        cnt = np.zeros(ng, dtype=np.int64)
+        np.add.at(tri, gid[nb], d[nb])
+        np.add.at(cnt, gid[nb], 1)
+        first = np.flatnonzero(new)
+        keep = has_ctr
+        kk = k[first][keep]
+        return pa.table({
+            "row": pa.array((kk // ncols).astype(np.int64)),
+            "col": pa.array((kk % ncols).astype(np.int64)),
+            "n_nbrs": pa.array(cnt[keep]),
+            "tri_sum": pa.array(tri[keep]),
+        })
+
+    out = grouped_by_key(fan, ["k"], _tri)
+    return out.map_batches(
+        lambda t: t.append_column("tri_f", pa.array(np.where(
+            t.column("n_nbrs").to_numpy(zero_copy_only=False) > 0,
+            t.column("tri_sum").to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            / np.maximum(
+                t.column("n_nbrs").to_numpy(zero_copy_only=False), 1
+            ).astype(np.float64),
+            0.0,
+        ))),
+        batch_format="pyarrow",
+    )

@@ -9423,3 +9423,125 @@ SELECT CAST(cohort AS BIGINT) AS cohort,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM d GROUP BY 1, 2
 """
+
+
+def q_focal_majority(sf_dir: str):
+    """3x3 focal majority of the lang-code raster (nodata where
+    n_chars%%11==0), ties to the lowest code."""
+    from libpysal_ray.builders.raster import focal_majority
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    n = docs.count()
+    nrows = (n + LCOLS - 1) // LCOLS
+
+    def _cells(t: pa.Table) -> pa.Table:
+        from libpysal_ray.core.hashing import _string_array_parts
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        data, starts, lens = _string_array_parts(t.column("lang"))
+        code = (
+            data[starts].astype(np.int64) * 256
+            + data[starts + 1].astype(np.int64)
+        )
+        return pa.table({
+            "row": pa.array((ids // LCOLS).astype(np.int64)),
+            "col": pa.array((ids % LCOLS).astype(np.int64)),
+            "value": pa.array(
+                np.where(nc % 11 == 0, np.int64(-1), code)),
+        })
+
+    cells = docs.map_batches(_cells, batch_format="pyarrow")
+    return focal_majority(cells, nrows, LCOLS, nodata=-1)
+
+
+QUERIES["focal_majority"] = q_focal_majority
+
+ORACLE_SQL["focal_majority"] = f"""
+WITH cells AS (
+  SELECT CAST(doc_id // {LCOLS} AS BIGINT) AS r,
+         CAST(doc_id % {LCOLS} AS BIGINT) AS c,
+         CAST(CASE WHEN n_chars % 11 = 0 THEN -1
+                   ELSE ascii(substr(lang, 1, 1)) * 256
+                        + ascii(substr(lang, 2, 1)) END AS BIGINT) AS v
+  FROM documents
+),
+valid AS (SELECT * FROM cells WHERE v <> -1),
+offs(dr, dc) AS (VALUES
+  (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+  (1, -1), (1, 0), (1, 1)
+),
+win AS (
+  SELECT a.r, a.c, b.v
+  FROM valid a JOIN offs o ON TRUE
+  JOIN valid b ON b.r = a.r + o.dr AND b.c = a.c + o.dc
+),
+cnt AS (
+  SELECT r, c, v, COUNT(*) AS n FROM win GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT r, c, v,
+         ROW_NUMBER() OVER (PARTITION BY r, c
+                            ORDER BY n DESC, v) AS rn
+  FROM cnt
+)
+SELECT r AS row, c AS col, v AS majority FROM best WHERE rn = 1
+"""
+
+
+def q_tri(sf_dir: str):
+    """Terrain ruggedness (mean |dz| to valid queen neighbors) of the
+    n_chars raster — exact integer sums."""
+    from libpysal_ray.builders.raster import ruggedness_index
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    nrows = (n + LCOLS - 1) // LCOLS
+
+    def _cells(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "row": pa.array((ids // LCOLS).astype(np.int64)),
+            "col": pa.array((ids % LCOLS).astype(np.int64)),
+            "value": pa.array(np.where(nc % 7 == 0, np.int64(-1), nc)),
+        })
+
+    cells = docs.map_batches(_cells, batch_format="pyarrow")
+    return ruggedness_index(cells, nrows, LCOLS, nodata=-1)
+
+
+QUERIES["tri"] = q_tri
+
+ORACLE_SQL["tri"] = f"""
+WITH cells AS (
+  SELECT CAST(doc_id // {LCOLS} AS BIGINT) AS r,
+         CAST(doc_id % {LCOLS} AS BIGINT) AS c,
+         CAST(CASE WHEN n_chars % 7 = 0 THEN -1 ELSE n_chars END
+              AS BIGINT) AS v
+  FROM documents
+),
+valid AS (SELECT * FROM cells WHERE v <> -1),
+offs(dr, dc) AS (VALUES
+  (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+  (1, -1), (1, 0), (1, 1)
+),
+w AS (
+  SELECT a.r, a.c, ABS(a.v - b.v) AS d
+  FROM valid a JOIN offs o ON TRUE
+  JOIN valid b ON b.r = a.r + o.dr AND b.c = a.c + o.dc
+),
+agg AS (
+  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+         CAST(SUM(d) AS BIGINT) AS tri_sum
+  FROM w GROUP BY 1, 2
+)
+SELECT a.r AS row, a.c AS col, COALESCE(g.n_nbrs, 0) AS n_nbrs,
+       COALESCE(g.tri_sum, 0) AS tri_sum,
+       CASE WHEN COALESCE(g.n_nbrs, 0) > 0
+            THEN CAST(g.tri_sum AS DOUBLE) / CAST(g.n_nbrs AS DOUBLE)
+            ELSE 0.0 END AS tri_f
+FROM valid a LEFT JOIN agg g ON g.r = a.r AND g.c = a.c
+"""

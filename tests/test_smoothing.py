@@ -916,3 +916,64 @@ def test_retention_cohorts_matches_brute(ray_session):
         firsts[int(wk[users == u].min())] += 1
     for c, sz in firsts.items():
         assert rows[(c, 0)] == sz
+
+
+def test_focal_majority_matches_brute(ray_session):
+    from libpysal_ray.builders.raster import focal_majority
+
+    rng = np.random.default_rng(107)
+    nr, ncls = 11, 9
+    z = rng.integers(0, 4, (nr, ncls)).astype(np.int64)
+    z[rng.random((nr, ncls)) < 0.2] = -1
+    rr, cc = np.meshgrid(np.arange(nr), np.arange(ncls), indexing="ij")
+    cells = ray.data.from_arrow(pa.table({
+        "row": pa.array(rr.ravel().astype(np.int64)),
+        "col": pa.array(cc.ravel().astype(np.int64)),
+        "value": pa.array(z.ravel()),
+    })).repartition(3)
+    rows = {(r["row"], r["col"]): r["majority"]
+            for r in focal_majority(cells, nr, ncls,
+                                    nodata=-1).take_all()}
+    from collections import Counter
+    for r in range(nr):
+        for c in range(ncls):
+            if z[r, c] == -1:
+                assert (r, c) not in rows
+                continue
+            vals = [int(z[r2, c2])
+                    for r2 in range(max(0, r - 1), min(nr, r + 2))
+                    for c2 in range(max(0, c - 1), min(ncls, c + 2))
+                    if z[r2, c2] != -1]
+            cnt = Counter(vals)
+            best = min(cnt, key=lambda v: (-cnt[v], v))
+            assert rows[(r, c)] == best, (r, c)
+
+
+def test_ruggedness_matches_brute(ray_session):
+    from libpysal_ray.builders.raster import ruggedness_index
+
+    rng = np.random.default_rng(109)
+    nr, ncls = 9, 12
+    z = rng.integers(0, 900, (nr, ncls)).astype(np.int64)
+    z[rng.random((nr, ncls)) < 0.1] = -1
+    rr, cc = np.meshgrid(np.arange(nr), np.arange(ncls), indexing="ij")
+    cells = ray.data.from_arrow(pa.table({
+        "row": pa.array(rr.ravel().astype(np.int64)),
+        "col": pa.array(cc.ravel().astype(np.int64)),
+        "value": pa.array(z.ravel()),
+    })).repartition(3)
+    rows = {(r["row"], r["col"]): r
+            for r in ruggedness_index(cells, nr, ncls,
+                                      nodata=-1).take_all()}
+    for r in range(nr):
+        for c in range(ncls):
+            if z[r, c] == -1:
+                assert (r, c) not in rows
+                continue
+            ds_ = [abs(int(z[r, c]) - int(z[r2, c2]))
+                   for r2 in range(max(0, r - 1), min(nr, r + 2))
+                   for c2 in range(max(0, c - 1), min(ncls, c + 2))
+                   if (r2, c2) != (r, c) and z[r2, c2] != -1]
+            got = rows[(r, c)]
+            assert got["n_nbrs"] == len(ds_)
+            assert got["tri_sum"] == sum(ds_)
