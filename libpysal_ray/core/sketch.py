@@ -302,3 +302,48 @@ def cms_estimate(
     pos = _bloom_positions(v, width, depth)
     ests = np.stack([table[j, pos[:, j]] for j in range(depth)], axis=1)
     return ests.min(axis=1)
+
+
+def hll_registers_by_key(
+    ds: ray.data.Dataset, key_col: str, col: str, p: int = 12
+) -> ray.data.Dataset:
+    """Per-key HLL register tables — the keyed (e.g. per-window,
+    per-domain) distinct-count sketch: one EXACT (key, reg, rho) state
+    per integer key, mergeable at any layout like the global
+    :func:`hll_registers`. The per-batch combiner max-folds registers
+    per key BEFORE the one groupby(key, reg) shuffle, so blocks ship at
+    most #keys_in_block × 2^p rows (usually far fewer).
+
+    100 TB shape: identical to hll_registers with the key carried
+    through — per-window/per-domain distinct-user counting over an
+    unbounded stream reduces to this one bounded shuffle."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "reg": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64()),
+            })
+        reg, rho = _registers(np.asarray(v, dtype=np.int64), p)
+        uk, inv = np.unique(k, return_inverse=True)
+        packed = inv.astype(np.int64) * np.int64(1 << p) + reg
+        regs = np.zeros(len(uk) << p, dtype=np.uint8)
+        np.maximum.at(regs, packed, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table({
+            "key": pa.array(uk[(nz >> p)].astype(np.int64)),
+            "reg": pa.array((nz & ((1 << p) - 1)).astype(np.int64)),
+            "rho": pa.array(regs[nz].astype(np.int64)),
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["key", "reg"])
+        .max("rho")
+        .rename_columns({"max(rho)": "rho"})
+    )

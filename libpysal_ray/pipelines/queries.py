@@ -9545,3 +9545,45 @@ SELECT a.r AS row, a.c AS col, COALESCE(g.n_nbrs, 0) AS n_nbrs,
             ELSE 0.0 END AS tri_f
 FROM valid a LEFT JOIN agg g ON g.r = a.r AND g.c = a.c
 """
+
+
+def q_window_hll(sf_dir: str):
+    """Per-day tumbling-window HLL register tables of active users —
+    the keyed mergeable sketch; state oracle-exact, estimates
+    pytest-bounded."""
+    from libpysal_ray.core.sketch import hll_registers_by_key
+    from libpysal_ray.sources.read import read_parquet_sized
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet").map_batches(
+        lambda t: pa.table({
+            "key": pa.array(
+                t.column("ts").cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) // 86_400_000_000),
+            "user_id": t.column("user_id"),
+        }),
+        batch_format="pyarrow",
+    )
+    return hll_registers_by_key(ev, "key", "user_id", p=10)
+
+
+QUERIES["window_hll"] = q_window_hll
+
+ORACLE_SQL["window_hll"] = _oh.with_macros("""
+WITH h AS (
+  SELECT epoch_us(ts) // 86400000000 AS key, sm64(user_id) AS h
+  FROM events
+),
+x AS (
+  SELECT key, CAST(h >> 54 AS BIGINT) AS reg,
+         h & 18014398509481983 AS rest
+  FROM h
+),
+r AS (
+  SELECT key, reg,
+         CASE WHEN rest = 0 THEN 55
+              ELSE 55 - length(bin(CAST(rest AS BIGINT))) END AS rho
+  FROM x
+)
+SELECT CAST(key AS BIGINT) AS key, reg, CAST(MAX(rho) AS BIGINT) AS rho
+FROM r GROUP BY key, reg
+""")

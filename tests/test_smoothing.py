@@ -977,3 +977,26 @@ def test_ruggedness_matches_brute(ray_session):
             got = rows[(r, c)]
             assert got["n_nbrs"] == len(ds_)
             assert got["tri_sum"] == sum(ds_)
+
+
+def test_hll_registers_by_key_matches_per_slice(ray_session):
+    from libpysal_ray.core.sketch import (hll_registers,
+                                          hll_registers_by_key)
+
+    rng = np.random.default_rng(113)
+    k = rng.integers(0, 4, 5000)
+    v = rng.integers(0, 1 << 40, 5000)
+    ds = ray.data.from_arrow(pa.table({
+        "key": pa.array(k.astype(np.int64)),
+        "v": pa.array(v.astype(np.int64)),
+    })).repartition(5)
+    got = {}
+    for r in hll_registers_by_key(ds, "key", "v", p=8).take_all():
+        got.setdefault(r["key"], {})[r["reg"]] = r["rho"]
+    for kk in range(4):
+        sl = ray.data.from_arrow(pa.table({
+            "v": pa.array(v[k == kk].astype(np.int64)),
+        }))
+        want = {r["reg"]: r["rho"]
+                for r in hll_registers(sl, "v", p=8).take_all()}
+        assert got[kk] == want, kk
