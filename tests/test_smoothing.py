@@ -1,5 +1,12 @@
-"""spatial_rate / eb_smooth / prais_index / kde_surface vs independent
-brute-force float or Python references."""
+"""Round-5 second/third-wave operators vs independent brute-force
+references: rate smoothing (spatial_rate / eb_smooth), mobility
+(prais), surfaces (kde, gw_mean, d8, flow accumulation, focal
+majority, TRI), point patterns (within_join, morisita, local_clq),
+inequality/segregation (palma, hoover, exposure, chi2, local_simpson),
+regimes (regime_trend + Chow), graphs (rich_club, pair_semi packed
+path), curation (target_affinity, novelty, group_rank,
+weighted_sample, familiarity buckets), analytics (funnel, retention,
+keyed HLL), and the Huff interaction model."""
 
 import numpy as np
 import pyarrow as pa
