@@ -1537,7 +1537,6 @@ class RayGraph:
             }),
             batch_format="pyarrow",
         ).materialize()
-        _M32 = np.int64((1 << 32) - 1)
         for _ in range(iters):
             nl = bucket_join(
                 edges,
@@ -1555,24 +1554,38 @@ class RayGraph:
                 }),
                 batch_format="pyarrow",
             )
-            cnt = J.grouped_agg(nl, ("node", "lab"), (None,), "count")
-            enc = cnt.map_batches(
-                lambda t: pa.table({
-                    "node": t.column("node"),
-                    "enc": pa.array(
-                        t.column("count()")
-                        .to_numpy(zero_copy_only=False)
-                        .astype(np.int64) * np.int64(1 << 32)
-                        + (
-                            _M32
-                            - t.column("lab").to_numpy(
-                                zero_copy_only=False
-                            ).astype(np.int64)
-                        )
-                    ),
-                }),
-                batch_format="pyarrow",
-            ).groupby("node").max("enc")
+            # per node: modal neighbor label, ties to the LOWEST label —
+            # one grouped_by_key argmax kernel instead of the two-key
+            # native groupby + enc + max (the few-block native
+            # sort-aggregate pathology; see pair_semi / BASELINE r5)
+            def _argmax(t: pa.Table) -> pa.Table:
+                nd = t.column("node").to_numpy(zero_copy_only=False)
+                lb = t.column("lab").to_numpy(zero_copy_only=False)
+                if len(nd) == 0:
+                    return pa.table({
+                        "node": pa.array([], pa.int64()),
+                        "newlab": pa.array([], pa.int64()),
+                    })
+                order = np.lexsort((lb, nd))
+                ns, ls = nd[order], lb[order]
+                pnew = np.ones(len(ns), bool)
+                pnew[1:] = (ns[1:] != ns[:-1]) | (ls[1:] != ls[:-1])
+                starts = np.flatnonzero(pnew)
+                runs = np.diff(np.append(starts, len(ns)))
+                pn, pl = ns[starts], ls[starts]
+                gnew = np.ones(len(pn), bool)
+                gnew[1:] = pn[1:] != pn[:-1]
+                gid = np.cumsum(gnew) - 1
+                o2 = np.lexsort((pl, -runs, gid))
+                first = np.ones(len(o2), bool)
+                first[1:] = gid[o2][1:] != gid[o2][:-1]
+                top = o2[first]
+                return pa.table({
+                    "node": pa.array(pn[top].astype(np.int64)),
+                    "newlab": pa.array(pl[top].astype(np.int64)),
+                })
+
+            enc = J.grouped_by_key(nl, ["node"], _argmax)
             upd = bucket_join(
                 state.map_batches(
                     lambda t: pa.table({
@@ -1588,16 +1601,12 @@ class RayGraph:
                 lambda t: pa.table({
                     "node": t.column("node"),
                     "label": pa.array(np.where(
-                        pc.is_null(t.column("max(enc)"))
+                        pc.is_null(t.column("newlab"))
                         .to_numpy(zero_copy_only=False),
                         t.column("old").to_numpy(zero_copy_only=False),
-                        _M32 - (
-                            pc.fill_null(
-                                pc.cast(t.column("max(enc)"), pa.int64()),
-                                0,
-                            ).to_numpy(zero_copy_only=False)
-                            & _M32
-                        ),
+                        pc.fill_null(
+                            pc.cast(t.column("newlab"), pa.int64()), 0
+                        ).to_numpy(zero_copy_only=False),
                     )),
                 }),
                 batch_format="pyarrow",
